@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.TagQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator's query surface
+  * (SURVEY.md §2); `oracleSql` carries the DuckDB-equivalent SQL for
+  * the driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query: single-pass multi-tag profile computation on
+    * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TagQueries.profiles(spark, "/root/testdata/sf0.001")
+
+  def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    TagQueries.queries)
+
+  def oracleGroups: Seq[Map[String, String]] = Seq(
+    TagQueries.oracles)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryGroups.reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    oracleGroups.reduce(_ ++ _)
 }

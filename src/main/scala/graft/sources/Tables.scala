@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table readers — the Spark-native counterpart of the reference's
+  * `HiveDataReader` (reference: src/readers/hive_reader.py:19-95).
+  *
+  * The reference supports column pruning (`required_fields`) and
+  * partition filtering (`partition_filter` string). Here both are
+  * declarative: callers `.select(...)`/`.filter(...)` on the returned
+  * DataFrame and Catalyst pushes projection + predicates into the
+  * parquet scan (verified in TablesSpec via `PushedFilters`/`ReadSchema`).
+  */
+object Tables {
+  /** Read one warehouse table from `dir` (format inferred = parquet). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Column-pruned read, mirroring hive_reader.read_table_data's
+    * `required_fields` (hive_reader.py:43-59). */
+  def load(spark: SparkSession, dir: String, name: String, cols: Seq[String]): DataFrame = {
+    val df = load(spark, dir, name)
+    if (cols.isEmpty) df else df.select(cols.map(df.col): _*)
+  }
+
+  /** Generic format readers (csv/json/orc/parquet) so a user can point
+    * the engine at non-parquet warehouses. */
+  def load(spark: SparkSession, path: String, format: String,
+           options: Map[String, String]): DataFrame =
+    spark.read.format(format).options(options).load(path)
+
+  /** Incremental read: rows whose `dateField` falls in the last
+    * `daysBack` days before `anchor` (hive_reader.py:75-95) — a plain
+    * filter, so it prunes partitions / pushes down at the source. */
+  def loadIncremental(spark: SparkSession, dir: String, name: String,
+                      dateField: String, daysBack: Int, anchor: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(spark, dir, name).filter(
+      col(dateField) >= date_sub(lit(anchor).cast("date"), daysBack) &&
+      col(dateField) <= lit(anchor).cast("date"))
+  }
+}
