@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.TagQueries
+import graft.queries.{AnalyticsQueries, TagQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,10 +16,12 @@ object SparkEntry {
     TagQueries.profiles(spark, "/root/testdata/sf0.001")
 
   def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
-    TagQueries.queries)
+    TagQueries.queries,
+    AnalyticsQueries.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
-    TagQueries.oracles)
+    TagQueries.oracles,
+    AnalyticsQueries.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.reduce(_ ++ _)

@@ -1,0 +1,377 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse analytics query surface (SURVEY.md §2.B) — the general
+  * query capabilities behind the reference's materialized behavior
+  * tables (`user_activity_summary`, `user_asset_summary`) plus the
+  * windowing / sessionization / pivot / rollup / as-of operators a
+  * production tag warehouse needs.
+  *
+  * Scale notes (100 TB):
+  *  - dims (`region`, `nation`, `supplier`) are `broadcast()` — no
+  *    shuffle for the dim side of any join;
+  *  - fact-fact joins (`orders` ⋈ `lineitem`) shuffle once on the join
+  *    key; AQE coalesces/skew-splits;
+  *  - every aggregate is partial-agg friendly (sum/count/min/max);
+  *  - monetary sums go through `DECIMAL(30,6)` so results are exact and
+  *    association-order-independent — a double sum differs between
+  *    plans/engines at 1e-6 once partial aggregation reorders it.
+  */
+object AnalyticsQueries {
+
+  /** Exact, order-independent sum of a double expression: cast each
+    * value to decimal, sum exactly, surface as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double")
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Revenue expression shared by the TPC-H-ish queries. */
+  private val revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  // ---- q1: wide aggregation (map-side partial agg, 1 shuffle) ----
+
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue).as("sum_disc_price"),
+        dsum(revenue * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  // ---- q3: 3-way join + agg + deterministic top-N ----
+
+  def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-03-15").cast("timestamp")
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(revenue).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ---- q5: 6-way join, dims broadcast ----
+
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(revenue).as("rev"))
+  }
+
+  // ---- behavioral materializations (reference user_*_summary) ----
+
+  /** Per-user behavioral rollup from the event stream — the shape of
+    * the reference's `user_activity_summary` source table
+    * (reference: src/config/tag_config.py table mappings). */
+  def userActivitySummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+        dsum(col("value")).as("total_value"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+
+  /** Per-user monetary rollup (orders ⋈ lineitem) — the reference's
+    * `user_asset_summary` shape. Fact-fact join shuffles once on
+    * orderkey, then re-aggregates on user. */
+  def userAssetSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        dsum(revenue).as("gross_revenue"))
+  }
+
+  // ---- window functions ----
+
+  /** Top-3 orders per user by price (deterministic tiebreak on key). */
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running per-user value total over the event stream. Sum runs in
+    * decimal so the result is independent of the engine's window
+    * evaluation strategy (sequential vs segment-tree). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(30,6)")).over(w).cast("double"))
+      .drop("value")
+  }
+
+  // ---- sessionization (lag + cumulative sum, single shuffle) ----
+
+  /** 30-minute-gap sessions: classic lag → new-session flag →
+    * cumulative-sum session id, then one aggregate per session. Both
+    * windows and the final groupBy hash-partition on `user_id`, so the
+    * whole pipeline is ONE shuffle at any scale. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Tumbling 1-hour windows — batch twin of the streaming aggregation
+    * (graft.streaming). `window()` keeps the bucketing identical to the
+    * structured-streaming version. */
+  def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  // ---- pivot / rollup ----
+
+  /** Customer count per nation × market segment, as conditional
+    * aggregation (single pass; a `pivot()` with an explicit value list
+    * compiles to the same plan). */
+  def pivotSegmentNation(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val nation = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    val aggs = segs.map(s =>
+      count(when(col("c_mktsegment") === s, lit(1))).as(s.toLowerCase))
+    t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** GROUP BY ROLLUP(region, nation) revenue totals. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(t(spark, dir, "orders").select("o_custkey", "o_totalprice"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+  }
+
+  // ---- as-of join ----
+
+  /** As-of join: each event picks the latest order of the same user
+    * with `o_orderdate <= ts` (ties on date broken by max orderkey).
+    *
+    * Implemented as union + window (`last(..., ignoreNulls)` over the
+    * time-ordered union), NOT a range join — the range join explodes to
+    * |events| × |orders-per-user| intermediates; the union form is one
+    * shuffle on `user_id` and O(n log n) sort, which survives 100 TB. */
+  def asofJoinEventsOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"),
+      col("o_totalprice"))
+    val ev = t(spark, dir, "events").select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("kind"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("ord",
+        last(when(col("kind") === 0,
+          struct(col("o_orderkey"), col("o_totalprice"))), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("ord").isNotNull)
+      .select(
+        col("event_id"), col("user_id"), col("t").as("ts"),
+        col("ord.o_orderkey").as("o_orderkey"),
+        col("ord.o_totalprice").as("o_totalprice"))
+  }
+
+  // ---- registry ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_unshipped" -> (q3TopUnshipped _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "user_activity_summary" -> (userActivitySummary _),
+    "user_asset_summary" -> (userAssetSummary _),
+    "window_topn" -> (windowTopN _),
+    "window_running" -> (windowRunning _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_windowed" -> (eventsWindowed _),
+    "pivot_segment_nation" -> (pivotSegmentNation _),
+    "rollup_revenue" -> (rollupRevenue _),
+    "asof_join_events_orders" -> (asofJoinEventsOrders _))
+
+  private def dsumSql(e: String): String =
+    s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+  private val revSql = "l_extendedprice * (1 - l_discount)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${dsumSql("l_quantity")} AS sum_qty,
+         |       ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |       ${dsumSql(revSql)} AS sum_disc_price,
+         |       ${dsumSql(s"$revSql * (1 + l_tax)")} AS sum_charge,
+         |       ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+         |       ${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+         |       ${dsumSql("l_discount")} / count(*) AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority, ${dsumSql(revSql)} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '2000-03-15'
+         |  AND l_shipdate > TIMESTAMP '2000-03-15'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY rev DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, ${dsumSql(revSql)} AS rev
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '2000-01-01'
+         |  AND o_orderdate < TIMESTAMP '2001-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "user_activity_summary" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+         |       ${dsumSql("value")} AS total_value,
+         |       count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+         |       min(ts) AS first_ts, max(ts) AS last_ts
+         |FROM events GROUP BY user_id""".stripMargin,
+    "user_asset_summary" ->
+      s"""SELECT o_custkey AS user_id,
+         |       count(DISTINCT o_orderkey) AS n_orders,
+         |       count(*) AS n_items,
+         |       ${dsumSql(revSql)} AS gross_revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_custkey""".stripMargin,
+    "window_topn" ->
+      """SELECT user_id, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "window_running" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(sum(CAST(value AS DECIMAL(30,6)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+    "events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "events_windowed" ->
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |       count(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "pivot_segment_nation" ->
+      """SELECT n_name,
+        |       count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+        |       count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS building,
+        |       count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS furniture,
+        |       count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS household,
+        |       count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS machinery
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "rollup_revenue" ->
+      s"""SELECT r_name, n_name, ${dsumSql("o_totalprice")} AS rev, count(*) AS n_orders
+         |FROM customer
+         |  JOIN orders ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "asof_join_events_orders" ->
+      """SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin)
+}

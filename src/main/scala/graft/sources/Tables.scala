@@ -12,9 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet scan (verified in TablesSpec via `PushedFilters`/`ReadSchema`).
   */
 object Tables {
-  /** Read one warehouse table from `dir` (format inferred = parquet). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read one warehouse table from `dir` (format inferred = parquet).
+    *
+    * Spark has no nanosecond timestamp type, so parquet
+    * TIMESTAMP(NANOS) columns (the `events.ts` column in the driver's
+    * testdata) are read as nanos-since-epoch longs
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * [[Sessions.tune]]) and floored to microseconds here. Integer
+    * division — a double roundtrip would lose precision above 2^53. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
 
   /** Column-pruned read, mirroring hive_reader.read_table_data's
     * `required_fields` (hive_reader.py:43-59). */
