@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, TagQueries}
+import graft.queries.{AnalyticsQueries, TagQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,11 +17,13 @@ object SparkEntry {
 
   def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     TagQueries.queries,
-    AnalyticsQueries.queries)
+    AnalyticsQueries.queries,
+    TextQueries.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     TagQueries.oracles,
-    AnalyticsQueries.oracles)
+    AnalyticsQueries.oracles,
+    TextQueries.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.reduce(_ ++ _)

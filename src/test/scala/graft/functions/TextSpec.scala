@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def dir = sf("any")
+
+  test("fingerprints are deterministic and collision-free on the corpus") {
+    val fp = TextQueries.textFingerprint(spark, dir).cache()
+    val n = fp.count()
+    assert(fp.select("fp64").distinct().count() == n, "xxhash64 collision on tiny corpus")
+    assert(fp.select("rolling_fp").distinct().count() == n, "rolling hash collision on tiny corpus")
+    // stable across runs
+    val a = fp.orderBy("doc_id").limit(3).collect().toSeq
+    val b = TextQueries.textFingerprint(spark, dir).orderBy("doc_id").limit(3).collect().toSeq
+    assert(a == b)
+    fp.unpersist()
+  }
+
+  test("rolling hash: identical normalized text hashes equal, different text differs") {
+    import spark.implicits._
+    val df = Seq("a b c", "a b c", "a b d").toDF("text")
+      .select(TextFunctions.rollingHash(col("text")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  test("quality score stays in [0,1] and penalizes word salad less than punct noise") {
+    import spark.implicits._
+    val q = TextQueries.textQuality(spark, dir)
+    val bounds = q.agg(min("quality"), max("quality")).head()
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    val probe = Seq(
+      ("good", "the cat sat on the mat and it is a fine day in the sun"),
+      ("noise", "@@@ ### $$$ %%% ^^^ &&& *** ((( )))")).toDF("k", "text")
+      .select(col("k"), TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(probe("good") > probe("noise"))
+  }
+
+  test("langid flags CJK as zh and anglo text as en") {
+    import spark.implicits._
+    val out = Seq(("z", "中文文本"), ("e", "the cat and the dog"))
+      .toDF("k", "text")
+      .select(col("k"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("z") == "zh" && out("e") == "en")
+  }
+
+  test("bigram expansion handles short docs") {
+    import spark.implicits._
+    val out = Seq("one", "", "two words").toDF("text")
+      .select(TextFunctions.wordNgrams(split(col("text"), " "), 2).as("bg"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0).isEmpty && out(1).isEmpty && out(2) == Seq("two words"))
+  }
+}
