@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, TagQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, TagQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,12 +18,14 @@ object SparkEntry {
   def queryGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     TagQueries.queries,
     AnalyticsQueries.queries,
-    TextQueries.queries)
+    TextQueries.queries,
+    DedupQueries.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     TagQueries.oracles,
     AnalyticsQueries.oracles,
-    TextQueries.oracles)
+    TextQueries.oracles,
+    DedupQueries.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.reduce(_ ++ _)

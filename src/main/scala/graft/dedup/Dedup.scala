@@ -1,0 +1,199 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-training-data pipelines: exact,
+  * normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup detection.
+  *
+  * Scale design (the point of each algorithm):
+  *  - exact: one hash-groupBy — the map-side partial agg collapses
+  *    duplicates before the shuffle, so shuffle volume ≈ distinct docs.
+  *  - n-gram Jaccard: shingle-explode + equi-join on shingle turns the
+  *    O(n²) all-pairs problem into Σ_shingle (df²); `maxDocFreq` drops
+  *    stop-shingles so one viral shingle can't produce a quadratic
+  *    blowup (the standard guard at corpus scale).
+  *  - MinHash+LSH: per-row signature (pure codegen, no shuffle), then
+  *    banding turns near-dup search into an equi-join on
+  *    (band, band_hash) — candidates ∝ true near-dups, not n².
+  *  - SimHash: 64-bit per-row signature; Hamming ≤ k pairs found by
+  *    pigeonhole over 4×16-bit blocks → equi-join on block value.
+  *  - embedding: brute-force pair join is the correctness baseline;
+  *    the LSH-bucketed variant in graft.similarity is the scale path.
+  *
+  * Everything per-row is native HOF expressions; no UDFs anywhere.
+  */
+object Dedup {
+
+  /** Distinct word k-shingles of `text`. */
+  def shingles(text: Column, k: Int = 3): Column =
+    array_distinct(TextFunctions.wordNgrams(split(text, " "), k))
+
+  // ---- exact ----
+
+  /** One row per distinct key: the surviving (minimum) id and the
+    * duplicate count. `keep_id` is the canonical representative. */
+  def exactGroups(df: DataFrame, key: Column, id: String): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Whitespace/case-normalized exact dedup key. */
+  def normalizedText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  // ---- n-gram Jaccard ----
+
+  /** All pairs `(id_a < id_b)` with shingle-Jaccard ≥ `minJaccard`.
+    * `maxDocFreq` (0 = off) drops shingles shared by more than that
+    * many docs before pairing — at web scale a handful of boilerplate
+    * shingles would otherwise dominate the join. */
+  def jaccardPairs(df: DataFrame, text: Column, id: String,
+                   minJaccard: Double, k: Int = 3, maxDocFreq: Long = 0L): DataFrame = {
+    val sh = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
+      .withColumn("n_sh", size(col("s")))
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("s")).as("sh"))
+    val pruned =
+      if (maxDocFreq > 0) {
+        val hot = ex.groupBy("sh").count().filter(col("count") > maxDocFreq).select("sh")
+        ex.join(broadcast(hot), Seq("sh"), "left_anti")
+      } else ex
+    val a = pruned.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = pruned.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Signature prime: minhash values live in [0, P). */
+  val MinHashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** Deterministic (a, b) coefficients for the universal hash family
+    * h_i(x) = (aᵢ·x + bᵢ) mod P. */
+  private def coeffs(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)((1L + rnd.nextInt((MinHashP - 1).toInt).toLong,
+                       rnd.nextInt(MinHashP.toInt).toLong))
+  }
+
+  /** MinHash signature (`numPerm` longs) of a string-array column.
+    * Base-hashes each element once, then takes per-permutation minima —
+    * all inside one projection, zero shuffles, ANSI-safe (operands stay
+    * < 2^31 so products fit a long). */
+  def minhashSignature(elems: Column, numPerm: Int = 128, seed: Long = 42L): Column = {
+    val base = transform(elems, e => pmod(xxhash64(e), lit(MinHashP)))
+    val mins = coeffs(numPerm, seed).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
+    * Pairs agreeing on ANY band become candidates. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      hash(slice(sig, j * rowsPerBand + 1, rowsPerBand), lit(j))
+    }: _*)
+
+  /** MinHash/LSH near-dup pairs, verified by true Jaccard ≥ `minJaccard`.
+    * Candidate generation is an equi-join on (band, hash); verification
+    * re-joins the (distinct) shingle sets and computes exact Jaccard
+    * with `array_intersect` — only over candidates, never all pairs. */
+  def minhashLshPairs(df: DataFrame, text: Column, id: String, minJaccard: Double,
+                      numPerm: Int = 128, bands: Int = 16, k: Int = 3,
+                      seed: Long = 42L): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    val sh = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
+      .filter(size(col("s")) > 0)
+    val sig = sh.withColumn("bh", bandHashes(minhashSignature(col("s"), numPerm, seed), bands, r))
+    val bandsEx = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val cand = bandsEx.select(col("band"), col("h"), col("doc_id").as("doc_a"))
+      .join(bandsEx.select(col("band"), col("h"), col("doc_id").as("doc_b")), Seq("band", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = sh.select(col("doc_id"), col("s"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("s_a"), col("s_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("s_a")) + size(col("s_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash of a string-array column: per-bit ±1 votes from
+    * each element's xxhash64, packed into a long. Pure expression
+    * (array-state fold + bit ops), ANSI-safe. */
+  def simhash(elems: Column): Column = {
+    val hs = transform(elems, e => xxhash64(e))
+    // 64 vote counters in one pass over the elements
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          k => when(call_function("shiftrightunsigned", h, k).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))),
+        (a, v) => a + v))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, k) => acc.bitwiseOR(
+        when(element_at(votes, k + 1) > 0,
+          call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming ≤ `maxHamming` (< 16).
+    * Pigeonhole: split the 64 bits into 4 blocks of 16 — any pair
+    * within Hamming ≤ 15 agrees exactly on ≥ 0 blocks only if
+    * maxHamming ≥ 4·16… for maxHamming ≤ 3, two of the 4 blocks can
+    * differ at most 3 bits total, so at least ONE block matches
+    * exactly → equi-join on (block_idx, block_value) finds all pairs. */
+  def simhashPairs(df: DataFrame, text: Column, id: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-block pigeonhole is only complete for hamming <= 3")
+    val sigs = df.select(col(id).as("doc_id"),
+        simhash(TextFunctions.words(text)).as("sig"))
+    val blocks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "v")))
+    val cand = blocks.select(col("blk"), col("v"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(blocks.select(col("blk"), col("v"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("blk", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding cosine ----
+
+  /** Brute-force cosine near-dup pairs (correctness baseline; see
+    * graft.similarity for the LSH-bucketed scale path). Norms are
+    * computed once per vector BEFORE the pair join. */
+  def embeddingPairs(df: DataFrame, vec: Column, id: String, minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = df.select(col(id).as("vec_id"), vec.as("v")).withColumn("nrm", norm(col("v")))
+    val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication query surface over `documents` / `embeddings`
+  * (SURVEY.md §2.C). Thresholds are pinned to values that produce
+  * non-trivial results on the driver's synthetic corpus (near-dup
+  * documents are planted at Jaccard ≈ 0.99; embeddings top out around
+  * cosine 0.5). */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, dir), col("text"), "doc_id")
+
+  def dedupExactNorm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, dir), Dedup.normalizedText(col("text")), "doc_id")
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(spark, dir), col("text"), "doc_id", minJaccard = 0.8)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(spark, dir), col("text"), "doc_id", minJaccard = 0.8)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(spark, dir), col("text"), "doc_id", maxHamming = 3)
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(embs(spark, dir), col("embedding"), "vec_id", minCosine = 0.4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_exact_norm" -> (dedupExactNorm _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
+    * distinct). */
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(ws) >= 3
+      |  THEN list_transform(generate_series(1, len(ws) - 2),
+      |                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+      |  ELSE [] END)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_exact_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_reduce(list_transform(embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |              (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+        |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin)
+}

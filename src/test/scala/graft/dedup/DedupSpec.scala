@@ -1,0 +1,80 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.queries.DedupQueries
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  private def dir = sf("any")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recovers the high-Jaccard pairs the exact join finds") {
+    val exact = pairSet(DedupQueries.dedupNgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.9))
+    val lsh = pairSet(DedupQueries.dedupMinhashLsh(spark, dir))
+    val missed = exact -- lsh
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+    // and LSH never reports below-threshold pairs (verification step works)
+    val sub = DedupQueries.dedupMinhashLsh(spark, dir).filter(col("jaccard") < 0.8).count()
+    assert(sub == 0)
+  }
+
+  test("simhash flags constructed near-identical docs and not unrelated ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (3L, "one completely different document about other things entirely here now")
+    ).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      Dedup.simhash(graft.functions.TextFunctions.words(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)),
+      s"near-dup pair should be closer: ${ham(sigs(1L), sigs(2L))} vs ${ham(sigs(1L), sigs(3L))}")
+  }
+
+  test("simhash block join is exhaustive for hamming <= 3 (vs brute force)") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(graft.functions.TextFunctions.words(col("text"))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val joined = pairSet(DedupQueries.dedupSimhash(spark, dir))
+    assert(joined == brute, s"block join must equal brute force; diff=${(brute -- joined) ++ (joined -- brute)}")
+  }
+
+  test("exact dedup groups normalized variants") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "Hello   World"), (11L, "hello world"), (12L, "different")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.exactGroups(df, col("text"), "doc_id").count()
+    assert(exact == 3) // raw texts all distinct
+    val norm = Dedup.exactGroups(df, Dedup.normalizedText(col("text")), "doc_id")
+      .orderBy("keep_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(norm.toSeq == Seq((10L, 2L), (12L, 1L)))
+  }
+
+  test("jaccard maxDocFreq prunes hot shingles without affecting planted pairs") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val unpruned = pairSet(Dedup.jaccardPairs(docs, col("text"), "doc_id", 0.95))
+    val pruned = pairSet(Dedup.jaccardPairs(docs, col("text"), "doc_id", 0.95, maxDocFreq = 50L))
+    assert(unpruned.nonEmpty && pruned == unpruned,
+      "planted ~0.99 pairs share rare shingles; a 50-doc DF cap must not lose them")
+  }
+
+  test("embedding pairs: cosine is symmetric-safe and bounded") {
+    val out = DedupQueries.dedupEmbedding(spark, dir)
+    val rows = out.collect()
+    assert(rows.forall { r =>
+      val c = r.getDouble(2); c >= 0.4 && c <= 1.0 + 1e-9 && r.getLong(0) < r.getLong(1)
+    })
+  }
+}
