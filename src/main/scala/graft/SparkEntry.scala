@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, DedupQueries, TagQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, SimilarityQueries, TagQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,13 +19,15 @@ object SparkEntry {
     TagQueries.queries,
     AnalyticsQueries.queries,
     TextQueries.queries,
-    DedupQueries.queries)
+    DedupQueries.queries,
+    SimilarityQueries.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     TagQueries.oracles,
     AnalyticsQueries.oracles,
     TextQueries.oracles,
-    DedupQueries.oracles)
+    DedupQueries.oracles,
+    SimilarityQueries.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.reduce(_ ++ _)

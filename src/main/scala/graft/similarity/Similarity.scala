@@ -1,0 +1,94 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Shapes:
+  *  - [[bruteForceTopK]] — exact top-k: broadcast the (small) query
+  *    set against the streamed corpus, score pairs, window top-k.
+  *    The correctness baseline and the right answer whenever
+  *    |queries| is small.
+  *  - [[lshTopK]] — random-hyperplane LSH: per-row signatures (pure
+  *    codegen), banded equi-join for candidates, exact re-scoring of
+  *    candidates only. The scale path: candidate volume ∝ bucket
+  *    collisions, not |Q|·|C|.
+  *  - [[knnLabelVote]] — k-NN majority-vote classification on top of
+  *    either search.
+  *
+  * Norms are always computed once per row before any join.
+  */
+object Similarity {
+
+  /** `(query_id, neighbor_id, cosine, rank)` — exact top-k by cosine,
+    * ties broken by neighbor id (deterministic). `queries`/`corpus`
+    * need `(id, vec)` columns. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Banded random-hyperplane signatures: `bands` keys of `bitsPerBand`
+    * sign bits each. Two vectors are candidates if ANY band matches. */
+  def bandedSignatures(vec: Column, bands: Int, bitsPerBand: Int, dim: Int,
+                       seed: Long = 42L): Column = {
+    val sig = rhpSignature(vec, bands * bitsPerBand, dim, seed)
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        call_function("shiftrightunsigned", sig, lit(j * bitsPerBand))
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: equi-join on (band, key), exact
+    * cosine on candidates only, window top-k. Recall/cost is tuned by
+    * (bands, bitsPerBand): more bands → higher recall, bigger buckets
+    * → more candidates. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              bands: Int = 4, bitsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    def withBands(df: DataFrame, idc: String, vc: String): DataFrame =
+      df.select(col("id").as(idc), col("vec").as(vc),
+          posexplode(bandedSignatures(col("vec"), bands, bitsPerBand, dim, seed)).as(Seq("p", "bk")))
+        .select(col(idc), col(vc), col("bk.band").as("band"), col("bk.key").as("key"))
+    val q = withBands(queries, "query_id", "qv")
+    val c = withBands(corpus, "neighbor_id", "cv")
+    val cand = broadcast(q).join(c, Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Majority label among the k nearest neighbors; ties broken by
+    * smaller label (deterministic). `corpus` needs `(id, vec, label)`. */
+  def knnLabelVote(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus.select("id", "vec"), k)
+    val labels = corpus.select(col("id").as("neighbor_id"), col("label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    nn.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"), col("votes"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  private def dir = sf("any")
+
+  test("LSH top-k achieves useful recall at a fraction of the comparisons") {
+    val brute = SimilarityQueries.annBruteforceTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.annLshTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@10 = $recall%.3f (corpus is unclustered gaussian — recall is bounded by data geometry)")
+    assert(recall > 0.05, f"recall collapsed: $recall%.3f")
+
+    // efficiency claim: candidate pairs well under |Q| * |C|
+    val q = SimilarityQueries.queriesDf(spark, dir)
+    val c = graft.sources.Tables.load(spark, dir, "embeddings")
+    val nQ = q.count(); val nC = c.count()
+    val sigs = Similarity.bandedSignatures(col("vec"), 4, 6, 64)
+    val qb = q.select(col("id"), explode(sigs).as("bk"))
+    val cb = c.select(col("vec_id").as("id2"), col("embedding").as("vec"))
+      .select(col("id2"), explode(Similarity.bandedSignatures(col("vec"), 4, 6, 64)).as("bk"))
+    val candidates = qb.join(cb, qb("bk") === cb("bk")).count()
+    info(s"candidates=$candidates vs brute=${nQ * nC}")
+    assert(candidates < nQ * nC / 2, "LSH should prune at least half the comparisons")
+  }
+
+  test("knn vote is deterministic and votes sum to <= k") {
+    val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= SimilarityQueries.K))
+    val again = SimilarityQueries.knnLabelVote(spark, dir).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("brute force top-k: rank 1 really is the max cosine (spot check)") {
+    import spark.implicits._
+    val top = SimilarityQueries.annBruteforceTopk(spark, dir)
+      .filter(col("rank") === 1).limit(1)
+      .select("query_id", "cosine").as[(Long, Double)].head()
+    val all = SimilarityQueries.annBruteforceTopk(spark, dir)
+      .filter(col("query_id") === top._1)
+      .select(max(col("cosine"))).as[Double].head()
+    assert(math.abs(all - top._2) < 1e-12)
+  }
+}
