@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, DedupQueries, SimilarityQueries, TagQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamQueries, TagQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,14 +20,18 @@ object SparkEntry {
     AnalyticsQueries.queries,
     TextQueries.queries,
     DedupQueries.queries,
-    SimilarityQueries.queries)
+    SimilarityQueries.queries,
+    MultimodalQueries.queries,
+    StreamQueries.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     TagQueries.oracles,
     AnalyticsQueries.oracles,
     TextQueries.oracles,
     DedupQueries.oracles,
-    SimilarityQueries.oracles)
+    SimilarityQueries.oracles,
+    MultimodalQueries.oracles,
+    StreamQueries.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.reduce(_ ++ _)

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, and run batched
+  * decode/feature-extract over them.
+  *
+  * The actual media codecs are NOT in this container by design — the
+  * decoder below is a clearly-marked deterministic stub. Everything
+  * around it (binary schema, partition-wise batching, feature schema,
+  * frame-sampling arithmetic) is the real production plumbing: swap
+  * [[StubDecoder.decode]] for a JNI/FFI codec call and nothing else
+  * changes.
+  *
+  * Scale notes: payload bytes never pass through a shuffle — every
+  * operator here is a projection or mapPartitions over the scan;
+  * metadata extraction is pure codegen (sha2/length/hex).
+  */
+object Multimodal {
+
+  /** Typed metadata over an opaque binary payload — all native
+    * expressions (portable: sha2-256 and hex match any engine). */
+  def withMeta(df: DataFrame, payload: String = "payload", id: String = "doc_id"): DataFrame =
+    df.select(
+      col(id),
+      octet_length(col(payload)).as("n_bytes"),
+      sha2(col(payload), 256).as("sha256"),
+      hex(substring(col(payload), 1, 4)).as("magic_hex"))
+
+  /** The stub "codec": a deterministic 16-bin byte histogram plus a
+    * fake (width, height) parsed from the first bytes. A real codec
+    * plugs in here — same signature, same batching. */
+  object StubDecoder {
+    val FeatureDim = 16
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val hist = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xFF) % FeatureDim) += 1f; i += 1 }
+      val n = math.max(payload.length, 1).toFloat
+      var k = 0
+      while (k < FeatureDim) { hist(k) /= n; k += 1 }
+      val w = if (payload.length > 0) (payload(0) & 0xFF) + 1 else 0
+      val h = if (payload.length > 1) (payload(1) & 0xFF) + 1 else 0
+      (w, h, hist)
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType)),
+    StructField("batch_size", IntegerType)))
+
+  /** Batched decode + feature extraction: partition-local, batches of
+    * `batchSize` payloads handed to the decoder together (the shape a
+    * GPU/vectorized codec wants). `batch_size` is surfaced so tests
+    * can assert the batching actually happened. */
+  def extractFeatures(df: DataFrame, payload: String = "payload", id: String = "doc_id",
+                      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(id).cast("long"), col(payload))
+    val rdd = in.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val n = batch.size
+        batch.iterator.map { r =>
+          val (w, h, feat) = StubDecoder.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), w, h, feat.toSeq, n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame-sampling plumbing: for a payload of `n_bytes` "frames" at
+    * `frameEvery` stride, emit one row per sampled offset with the
+    * byte at that offset (stand-in for a decoded frame). Pure
+    * posexplode over a sequence — no UDF, no shuffle. */
+  def sampleFrames(df: DataFrame, frameEvery: Int, payload: String = "payload",
+                   id: String = "doc_id"): DataFrame =
+    df.select(col(id), col(payload),
+        posexplode(sequence(lit(1), octet_length(col(payload)), lit(frameEvery)))
+          .as(Seq("frame_idx", "offset")))
+      .select(
+        col(id),
+        col("frame_idx"),
+        col("offset"),
+        hex(substring_index_bytes(col(payload), col("offset"))).as("frame_hex"))
+
+  /** One byte of `payload` at 1-based `offset` (substring on binary). */
+  private def substring_index_bytes(payload: org.apache.spark.sql.Column,
+                                    offset: org.apache.spark.sql.Column) =
+    call_function("substring", payload, offset, lit(1))
+}

