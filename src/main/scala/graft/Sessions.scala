@@ -21,6 +21,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode file splitting: the test/bench parquet files are a
+      // few MB, which the 128 MB default maps to ONE partition — every
+      // scan-side operator would run on one core. 4 MB keeps tiny
+      // inputs parallel; on a real cluster with TB-scale inputs,
+      // override back to the default (or higher) at submit time.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")

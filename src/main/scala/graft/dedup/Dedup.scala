@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word k-shingles of `text`. */
-  def shingles(text: Column, k: Int = 3): Column =
-    array_distinct(TextFunctions.wordNgrams(split(text, " "), k))
+  /** Distinct word k-shingles of `text` (native codegen expression —
+    * see [[graft.functions.expr.WordShingles]]). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    ofExpr(graft.functions.expr.WordShingles(toExpr(text), k, distinct = true))
+  }
 
   // ---- exact ----
 
@@ -54,7 +57,13 @@ object Dedup {
                    minJaccard: Double, k: Int = 3, maxDocFreq: Long = 0L): DataFrame = {
     val sh = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
       .withColumn("n_sh", size(col("s")))
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("s")).as("sh"))
+    // join on the 64-bit shingle hash, not the (long) shingle string —
+    // an 8-byte shuffle key instead of ~60 chars. The repartition is an
+    // exchange-reuse barrier: both join branches read ONE materialized
+    // explode instead of recomputing the shingling per side.
+    val ex = sh.select(col("doc_id"), col("n_sh"),
+        explode(transform(col("s"), x => xxhash64(x))).as("sh"))
+      .repartition(col("sh"))
     val pruned =
       if (maxDocFreq > 0) {
         val hot = ex.groupBy("sh").count().filter(col("count") > maxDocFreq).select("sh")
@@ -85,15 +94,16 @@ object Dedup {
   }
 
   /** MinHash signature (`numPerm` longs) of a string-array column.
-    * Base-hashes each element once, then takes per-permutation minima —
-    * all inside one projection, zero shuffles, ANSI-safe (operands stay
-    * < 2^31 so products fit a long). */
+    * Base-hashes each element once, then a single codegen'd loop takes
+    * every per-permutation minimum ([[graft.functions.expr.MinHashSignature]])
+    * — one projection, zero shuffles, operands stay < 2^31 so products
+    * fit a long. */
   def minhashSignature(elems: Column, numPerm: Int = 128, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     val base = transform(elems, e => pmod(xxhash64(e), lit(MinHashP)))
-    val mins = coeffs(numPerm, seed).map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
-    }
-    array(mins: _*)
+    val cs = coeffs(numPerm, seed)
+    ofExpr(graft.functions.expr.MinHashSignature(
+      toExpr(base), cs.map(_._1).toArray, cs.map(_._2).toArray, MinHashP))
   }
 
   /** LSH band keys: hash of each `rowsPerBand`-slice of the signature.
@@ -114,7 +124,11 @@ object Dedup {
     val r = numPerm / bands
     val sh = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
       .filter(size(col("s")) > 0)
-    val sig = sh.withColumn("bh", bandHashes(minhashSignature(col("s"), numPerm, seed), bands, r))
+    // barrier (see simhashPairs): materialize the signature once
+    // instead of letting CollapseProject recompute it per band hash
+    val sig = graft.sources.PlanUtils.fanout(
+        sh.select(col("doc_id"), minhashSignature(col("s"), numPerm, seed).as("sig")))
+      .withColumn("bh", bandHashes(col("sig"), bands, r))
     val bandsEx = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
     val cand = bandsEx.select(col("band"), col("h"), col("doc_id").as("doc_a"))
       .join(bandsEx.select(col("band"), col("h"), col("doc_id").as("doc_b")), Seq("band", "h"))
@@ -134,26 +148,11 @@ object Dedup {
   // ---- SimHash ----
 
   /** 64-bit SimHash of a string-array column: per-bit ±1 votes from
-    * each element's xxhash64, packed into a long. Pure expression
-    * (array-state fold + bit ops), ANSI-safe. */
+    * each element's xxhash64, packed into a long — one codegen'd pass
+    * ([[graft.functions.expr.SimHash64]]). */
   def simhash(elems: Column): Column = {
-    val hs = transform(elems, e => xxhash64(e))
-    // 64 vote counters in one pass over the elements
-    val votes = aggregate(
-      hs,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          k => when(call_function("shiftrightunsigned", h, k).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L))),
-        (a, v) => a + v))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, k) => acc.bitwiseOR(
-        when(element_at(votes, k + 1) > 0,
-          call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    ofExpr(graft.functions.expr.SimHash64(toExpr(transform(elems, e => xxhash64(e)))))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -167,8 +166,14 @@ object Dedup {
     * exactly → equi-join on (block_idx, block_value) finds all pairs. */
   def simhashPairs(df: DataFrame, text: Column, id: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-block pigeonhole is only complete for hamming <= 3")
+    // repartition = materialization barrier: without it CollapseProject
+    // inlines the signature expression into all 4 block computations
+    // and both join sides (recomputing tokenization + hashing each
+    // time); with it the shuffle carries 16 bytes/doc and fans the
+    // downstream join out across the cluster.
     val sigs = df.select(col(id).as("doc_id"),
         simhash(TextFunctions.words(text)).as("sig"))
+      .repartition(col("doc_id"))
     val blocks = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "v")))
@@ -190,7 +195,8 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val v = df.select(col(id).as("vec_id"), vec.as("v")).withColumn("nrm", norm(col("v")))
     val a = v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val b = graft.sources.PlanUtils.fanout(
+      v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cosine") >= minCosine)

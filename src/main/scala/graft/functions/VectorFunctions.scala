@@ -3,23 +3,26 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns as native HOF
-  * expressions — codegen'd, no UDF, no MLlib Vector conversion.
+/** Vector math over `array<float>` embedding columns via native
+  * Catalyst expressions (graft.functions.expr) — tight primitive loops
+  * inside WholeStageCodegen; no UDF, no MLlib Vector conversion, no
+  * interpreted HOF walk (the `aggregate(zip_with(...))` formulation is
+  * ~100× slower on pair joins).
   *
-  * Determinism note: every fold is an explicit left fold
-  * (`aggregate`), so results are bit-reproducible and match any other
-  * engine that folds left over the same doubles — which is what the
-  * DuckDB oracles do via `list_reduce`.
+  * Determinism note: the codegen loop is a strict left fold in double,
+  * so results are bit-reproducible and match any engine folding left
+  * over the same doubles — which is what the DuckDB oracles do via
+  * `list_reduce`.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+  import graft.functions.expr.{FloatVectorDot, FloatVectorNorm}
 
   /** Elementwise product fold: Σ aᵢ·bᵢ in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ofExpr(FloatVectorDot(toExpr(a), toExpr(b)))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = ofExpr(FloatVectorNorm(toExpr(a)))
 
   /** Cosine similarity; NULL when either norm is 0. */
   def cosine(a: Column, b: Column): Column =
@@ -45,13 +48,10 @@ object VectorFunctions {
   def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     require(nBits <= 63, "signature must fit a long")
     val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes: Seq[Array[Float]] =
+      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
     val bits = planes.zipWithIndex.map { case (plane, k) =>
-      val proj = aggregate(
-        zip_with(vec, lit(plane.toArray), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+      when(dot(vec, lit(plane)) >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

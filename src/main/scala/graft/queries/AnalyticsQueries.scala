@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *  - fact-fact joins (`orders` ⋈ `lineitem`) shuffle once on the join
   *    key; AQE coalesces/skew-splits;
   *  - every aggregate is partial-agg friendly (sum/count/min/max);
-  *  - monetary sums go through `DECIMAL(30,6)` so results are exact and
+  *  - monetary sums go through `DECIMAL(18,6)` so results are exact and
   *    association-order-independent — a double sum differs between
   *    plans/engines at 1e-6 once partial aggregation reorders it.
   */
@@ -26,7 +26,7 @@ object AnalyticsQueries {
   /** Exact, order-independent sum of a double expression: cast each
     * value to decimal, sum exactly, surface as double. */
   private def dsum(c: Column): Column =
-    sum(c.cast("decimal(30,6)")).cast("double")
+    sum(c.cast("decimal(18,6)")).cast("double")
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
@@ -144,7 +144,7 @@ object AnalyticsQueries {
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .withColumn("running_value",
-        sum(col("value").cast("decimal(30,6)")).over(w).cast("double"))
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
       .drop("value")
   }
 
@@ -266,7 +266,7 @@ object AnalyticsQueries {
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =
-    s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+    s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
   private val revSql = "l_extendedprice * (1 - l_discount)"
 
   val oracles: Map[String, String] = Map(
@@ -326,7 +326,7 @@ object AnalyticsQueries {
         |WHERE rn <= 3""".stripMargin,
     "window_running" ->
       """SELECT event_id, user_id, ts,
-        |       CAST(sum(CAST(value AS DECIMAL(30,6)))
+        |       CAST(sum(CAST(value AS DECIMAL(18,6)))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,

@@ -46,15 +46,19 @@ object TextQueries {
       fingerprint(col("text")).as("fp64"),
       rollingHash(col("text")).as("rolling_fp"))
 
-  /** Corpus-wide top-20 bigrams: per-row n-gram expansion (HOF, no
-    * UDF), one explode, one count shuffle, deterministic tiebreak. */
-  def textNgrams(spark: SparkSession, dir: String): DataFrame =
+  /** Corpus-wide top-20 bigrams: per-row n-gram expansion (native
+    * WordShingles expression, non-distinct so counts are true), one
+    * explode, one count shuffle, deterministic tiebreak. */
+  def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     docs(spark, dir)
-      .select(explode(wordNgrams(split(col("text"), " "), 2)).as("bigram"))
+      .select(explode(ofExpr(graft.functions.expr.WordShingles(
+        toExpr(col("text")), 2, distinct = false))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),

@@ -29,8 +29,9 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val c = graft.sources.PlanUtils.fanout(
+      corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+        .withColumn("cn", norm(col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).crossJoin(c)
@@ -64,7 +65,7 @@ object Similarity {
           posexplode(bandedSignatures(col("vec"), bands, bitsPerBand, dim, seed)).as(Seq("p", "bk")))
         .select(col(idc), col(vc), col("bk.band").as("band"), col("bk.key").as("key"))
     val q = withBands(queries, "query_id", "qv")
-    val c = withBands(corpus, "neighbor_id", "cv")
+    val c = withBands(graft.sources.PlanUtils.fanout(corpus), "neighbor_id", "cv")
     val cand = broadcast(q).join(c, Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()

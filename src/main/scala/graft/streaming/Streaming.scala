@@ -34,7 +34,7 @@ object Streaming {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(30,6)")).cast("double").as("total_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
   }

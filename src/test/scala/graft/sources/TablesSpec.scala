@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TablesSpec extends SparkSpec {
+  private def dir = sf("any")
+
+  private def scanLine(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    s.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+      .mkString("\n")
+  }
+
+  test("filters and projections push into the parquet scan") {
+    val df = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") >= 5000)
+      .select("c_custkey", "c_acctbal")
+    val s = scanLine(df)
+    assert(s.contains("GreaterThanOrEqual(c_acctbal,5000"), s)
+    assert(s.contains("c_custkey") && !s.contains("c_mktsegment"),
+      "ReadSchema must prune to the 2 selected columns:\n" + s)
+  }
+
+  test("incremental load pushes the date range down") {
+    val df = Tables.loadIncremental(spark, dir, "orders", "o_orderdate", 30, "2001-08-01")
+    val s = scanLine(df)
+    assert(s.contains("GreaterThanOrEqual(o_orderdate") && s.contains("LessThanOrEqual(o_orderdate"), s)
+  }
+
+  test("column-pruned load selects exactly the requested columns") {
+    val df = Tables.load(spark, dir, "customer", Seq("c_custkey", "c_name"))
+    assert(df.columns.toSeq == Seq("c_custkey", "c_name"))
+  }
+
+  test("csv / json / orc round-trip through the generic reader") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.load(spark, dir, "nation")
+    for (fmt <- Seq("csv", "json", "orc")) {
+      val path = s"$base/$fmt"
+      src.write.format(fmt).option("header", "true").save(path)
+      val opts: Map[String, String] =
+        if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true")
+        else Map.empty[String, String]
+      val back = Tables.load(spark, path, fmt, opts)
+      assert(back.count() == src.count(), s"$fmt row count")
+      assert(back.columns.sorted.sameElements(src.columns.sorted), s"$fmt columns")
+    }
+  }
+
+  test("snapshot events ts arrives as microsecond timestamp despite nanos parquet") {
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    val r = df.orderBy("event_id").select("ts").head().getTimestamp(0)
+    assert(r.getNanos % 1000 == 0, "micros precision expected")
+  }
+}
