@@ -40,6 +40,17 @@ object TagMerger {
       .drop("existing_tag_ids")
   }
 
+  /** Merge-result validation (tag_merger.py:253-287): structurally
+    * sound = one row per user, no null/empty tag arrays. Returns the
+    * offending counts so callers can alert instead of throwing. */
+  def validate(userTags: DataFrame): (Long, Long) = {
+    val dupUsers = userTags.groupBy("user_id").count()
+      .filter(col("count") > 1).count()
+    val badRows = userTags
+      .filter(col("tag_ids").isNull || size(col("tag_ids")) === 0).count()
+    (dupUsers, badRows)
+  }
+
   /** Coverage statistics (tag_merger.py:289-326) — one aggregation, no
     * driver-side collect of per-user rows. */
   def statistics(userTags: DataFrame): DataFrame =

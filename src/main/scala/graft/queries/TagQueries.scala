@@ -167,6 +167,31 @@ object TagQueries {
   def stats(spark: SparkSession, dir: String): DataFrame =
     TagMerger.statistics(profiles(spark, dir))
 
+  /** Rules-as-data end-to-end (reference rule_reader pipeline): rules
+    * live in a DataFrame with JSON rule bodies, grouped per source
+    * table, one single-pass engine run per table, memory-merged. */
+  def rulesFromTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rulesDf = Seq(
+      (1, "high_balance", "wealth", "customer",
+        """{"conditions":[{"field":"c_acctbal","operator":">=","value":5000}]}"""),
+      (3, "builder", "segment", "customer",
+        """{"conditions":[{"field":"c_mktsegment","operator":"=","value":"BUILDING"}]}"""),
+      (8, "top_nations", "geo", "customer",
+        """{"conditions":[{"field":"c_nationkey","operator":"in","value":[1,5,10,15,20]}]}"""),
+      (201, "active_90d", "activity", "user_activity",
+        """{"logic":"AND","conditions":[{"field":"last_order","operator":"recent_days","value":90}]}"""),
+      (999, "broken", "meta", "customer", """{"conditions":[{"field":"x"}]}"""))
+      .toDF("tag_id", "tag_name", "tag_category", "source_table", "rule_json")
+    val (entries, invalid) = RuleCatalog.fromDataFrame(rulesDf)
+    require(invalid.map(_._1) == Seq(999), s"exactly the malformed rule is rejected: $invalid")
+    val byTable = RuleCatalog.byTable(entries)
+    val perTable = Seq(
+      engine.tagAssignments(customer(spark, dir), byTable("customer"), "c_custkey"),
+      engine.tagAssignments(lastOrder(spark, dir), byTable("user_activity")))
+    TagMerger.memoryMerge(perTable)
+  }
+
   // ---- DuckDB oracles ----
 
   /** Tag-hit CASE expression per customer rule, for list-building oracles. */
@@ -276,6 +301,20 @@ object TagQueries {
          |         list_sort(list_filter([$caseItems], x -> x IS NOT NULL)) AS tag_ids
          |  FROM customer WHERE c_custkey IN (1, 7, 13, 25, 42, 99))
          |WHERE len(tag_ids) > 0""".stripMargin,
+    "tag_rules_from_table" ->
+      s"""SELECT user_id, list_sort(list(DISTINCT tag_id)) AS tag_ids FROM (
+         |  SELECT c_custkey AS user_id,
+         |         unnest(list_filter([CASE WHEN c_acctbal >= 5000 THEN 1 END,
+         |                             CASE WHEN c_mktsegment = 'BUILDING' THEN 3 END,
+         |                             CASE WHEN c_nationkey IN (1, 5, 10, 15, 20) THEN 8 END],
+         |                            x -> x IS NOT NULL)) AS tag_id
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT user_id,
+         |         unnest(list_filter([CASE WHEN last_order >= DATE '$OrdersAnchor' - 90 THEN 201 END],
+         |                            x -> x IS NOT NULL)) AS tag_id
+         |  FROM (SELECT o_custkey AS user_id, max(o_orderdate) AS last_order FROM orders GROUP BY 1))
+         |GROUP BY user_id""".stripMargin,
     "tag_stats" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS total_users,
          |       CAST(sum(len(tag_ids)) AS BIGINT) AS total_tag_assignments,
@@ -301,5 +340,6 @@ object TagQueries {
     "tag_merge_existing" -> (mergeExisting _),
     "tag_incremental_users" -> (incrementalUsers _),
     "tag_specific_users" -> (specificUsers _),
+    "tag_rules_from_table" -> (rulesFromTable _),
     "tag_stats" -> (stats _))
 }

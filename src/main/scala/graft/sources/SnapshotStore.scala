@@ -46,6 +46,12 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       overwrite(kept.unionByName(df.select(existing.columns.map(col): _*)))
   }
 
+  /** Post-write validation (optimized_mysql_writer.py:180-220): every
+    * key written must be present in the snapshot. Returns the number
+    * of missing keys (0 = good). */
+  def validateWrite(written: DataFrame): Long =
+    written.select(key).distinct().join(keys(), Seq(key), "left_anti").count()
+
   /** Distinct keys currently in the snapshot (used by incremental-user
     * detection, scenario_scheduler.py:514-531). */
   def keys(): DataFrame = read() match {
