@@ -87,7 +87,7 @@ object Dedup {
 
   /** Deterministic (a, b) coefficients for the universal hash family
     * h_i(x) = (aᵢ·x + bᵢ) mod P. */
-  private def coeffs(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def coeffs(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPerm)((1L + rnd.nextInt((MinHashP - 1).toInt).toLong,
                        rnd.nextInt(MinHashP.toInt).toLong))

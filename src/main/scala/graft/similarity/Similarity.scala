@@ -23,6 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Bounded top-k aggregation: `topk_by_score` keeps k rows per group
+    * per partition map-side, so the shuffle carries ≤ partitions·|Q|·k
+    * rows — the window formulation would shuffle every scored pair. */
+  private def topkAgg(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val topk = ofExpr(graft.functions.expr.TopKByScore(
+      toExpr(col("cosine")), toExpr(col("neighbor_id")), k).toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(topk.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** `(query_id, neighbor_id, cosine, rank)` — exact top-k by cosine,
     * ties broken by neighbor id (deterministic). `queries`/`corpus`
     * need `(id, vec)` columns. */
@@ -32,14 +48,10 @@ object Similarity {
     val c = graft.sources.PlanUtils.fanout(
       corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
         .withColumn("cn", norm(col("cv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topkAgg(scored, k)
   }
 
   /** Banded random-hyperplane signatures: `bands` keys of `bitsPerBand`
@@ -69,13 +81,7 @@ object Similarity {
     val cand = broadcast(q).join(c, Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topkAgg(cand.withColumn("cosine", cosine(col("qv"), col("cv"))), k)
   }
 
   /** Majority label among the k nearest neighbors; ties broken by
