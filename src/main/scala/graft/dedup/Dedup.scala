@@ -186,7 +186,42 @@ object Dedup {
     cand.filter(col("hamming") <= maxHamming)
   }
 
-  // ---- embedding cosine ----
+  // ---- cluster resolution (dedup EXECUTION, not just detection) ----
+
+  /** Resolve near-dup pairs into clusters: every doc that appears in a
+    * pair is assigned the minimum doc id reachable through the pair
+    * graph (its "canonical" survivor). Iterative min-label propagation
+    * — the standard large-scale connected-components: O(log n)
+    * rounds, each one join + aggregate on ids only (no payloads).
+    * `localCheckpoint` cuts lineage growth per round.
+    *
+    * Returns `(doc_id, canonical_id)` for every doc in a pair;
+    * `doc_id == canonical_id` marks the survivor. Docs in no pair are
+    * implicitly their own canonical (callers left-anti join to drop
+    * losers). */
+  def resolveClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "b_doc"), col("b") === col("b_doc"))
+        .select(col("a").as("doc_id"), col("lbl"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("canonical_id"))
+  }
 
   /** Brute-force cosine near-dup pairs (correctness baseline; see
     * graft.similarity for the LSH-bucketed scale path). Norms are

@@ -35,13 +35,19 @@ object DedupQueries {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embs(spark, dir), col("embedding"), "vec_id", minCosine = 0.4)
 
+  /** Dedup execution: near-dup pairs → canonical survivor per doc via
+    * distributed connected components. */
+  def dedupResolve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(dedupNgramJaccard(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_resolve" -> (dedupResolve _))
 
   /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
     * distinct). */
@@ -67,6 +73,24 @@ object DedupQueries {
          |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |jpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION SELECT doc_b, doc_a FROM jpairs),
+         |cc(doc_id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b)
+         |SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (
         |  SELECT vec_id, embedding,

@@ -53,16 +53,17 @@ object Streaming {
 
   /** 30-minute-gap sessionization via flatMapGroupsWithState — custom
     * state machine per user. In batch mode each group's full history
-    * arrives at once (sorted here); on a stream the same function is
-    * fed incrementally with event-time timeouts. Emits CLOSED sessions
-    * only in streaming append mode; in batch it emits every session. */
+    * arrives at once (sorted here) and every session is emitted
+    * (matches the SQL oracle). On a stream the same function runs
+    * incrementally: closed sessions emit immediately, and the open
+    * session is held in state with an EVENT-TIME TIMEOUT of one gap —
+    * when the watermark passes `last + gap` the session emits without
+    * needing another event from that user. Callers must set
+    * `.withWatermark("ts", ...)` on the streaming input. */
   def sessionize(events: Dataset[Ev], gapMinutes: Long = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    // In batch every session is emitted (matches the SQL oracle); on a
-    // stream the still-open session stays in state and is emitted once
-    // a later event closes it.
-    val emitOpen = !events.isStreaming
+    val streaming = events.isStreaming
 
     def micros(i: java.time.Instant): Long =
       i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -71,6 +72,13 @@ object Streaming {
         Math.floorMod(us, 1000000L) * 1000L)
 
     def flush(userId: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
+      if (streaming && state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        return if (st.n > 0L)
+          Iterator(Session(userId, st.seq, st.n, instant(st.start), instant(st.last)))
+        else Iterator.empty
+      }
       val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var st = state.getOption.getOrElse(SessState(0L, 0L, 0L, Long.MinValue))
       val out = Seq.newBuilder[Session]
@@ -82,13 +90,18 @@ object Streaming {
           st = SessState(st.seq + 1, 1L, t, t)
         } else st = st.copy(n = st.n + 1, last = t)
       }
-      if (st.n > 0L && emitOpen)
+      if (st.n > 0L && !streaming)
         out += Session(userId, st.seq, st.n, instant(st.start), instant(st.last))
       state.update(st)
+      if (streaming)
+        state.setTimeoutTimestamp(Math.floorDiv(st.last + gapUs, 1000L)) // ms
       out.result().iterator
     }
 
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(flush)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(flush)
   }
 }

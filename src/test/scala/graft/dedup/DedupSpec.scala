@@ -70,6 +70,15 @@ class DedupSpec extends SparkSpec {
       "planted ~0.99 pairs share rare shingles; a 50-doc DF cap must not lose them")
   }
 
+  test("resolveClusters: chains collapse to the minimum id (transitive)") {
+    import spark.implicits._
+    // 1-2, 2-3 (chain) and 7-9; 3 never pairs with 1 directly
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("embedding pairs: cosine is symmetric-safe and bounded") {
     val out = DedupQueries.dedupEmbedding(spark, dir)
     val rows = out.collect()

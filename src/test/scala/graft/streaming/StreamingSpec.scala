@@ -57,7 +57,8 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val input = MemoryStream[Ev]
-    val q = Streaming.sessionize(input.toDS())
+    val q = Streaming.sessionize(
+        input.toDS().withWatermark("ts", "10 minutes").as[Ev])
       .writeStream.format("memory").queryName("sess").outputMode("append").start()
     def inst(t: String) = ts(t).toInstant
     input.addData(Ev(1L, 1L, inst("2024-01-01 10:00:00")), Ev(1L, 2L, inst("2024-01-01 10:10:00")))
@@ -69,5 +70,28 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))) // (session_seq, n_events)
     q.stop()
     assert(sessions.toSeq == Seq((1L, 2L)))
+  }
+
+  test("streaming sessionize: watermark timeout closes a session with no further events") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.sessionize(
+        input.toDS().withWatermark("ts", "10 minutes").as[Ev])
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    def inst(t: String) = ts(t).toInstant
+    input.addData(Ev(1L, 1L, inst("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    assert(spark.table("sess_to").count() == 0)
+    // a DIFFERENT user's much-later event advances the watermark past
+    // user 1's last+gap; user 1's open session must emit via timeout
+    input.addData(Ev(2L, 9L, inst("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    input.addData(Ev(2L, 10L, inst("2024-01-01 13:00:01"))) // extra trigger
+    q.processAllAvailable()
+    val got = spark.table("sess_to").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.stop()
+    assert(got.contains((1L, 1L, 1L)), s"user 1 session should time out; got ${got.toSeq}")
   }
 }
