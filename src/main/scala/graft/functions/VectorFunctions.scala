@@ -33,13 +33,9 @@ object VectorFunctions {
   def cosinePrenormed(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / (normA * normB)
 
-  /** Squared L2 distance. */
+  /** Squared L2 distance via the codegen'd dot (‖a‖² + ‖b‖² − 2a·b). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
   /** Random-hyperplane LSH signature: `nBits` sign bits of projections
     * onto deterministic pseudo-random hyperplanes, packed into a long.

