@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, DedupQueries, MultimodalQueries, SimilarityQueries, StreamQueries, TagQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, DedupQueries, MultimodalQueries, PipelineQueries, SimilarityQueries, StreamQueries, TagQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,8 @@ object SparkEntry {
     DedupQueries.queries,
     SimilarityQueries.queries,
     MultimodalQueries.queries,
-    StreamQueries.queries)
+    StreamQueries.queries,
+    PipelineQueries.queries)
 
   def oracleGroups: Seq[Map[String, String]] = Seq(
     TagQueries.oracles,
@@ -31,7 +32,8 @@ object SparkEntry {
     DedupQueries.oracles,
     SimilarityQueries.oracles,
     MultimodalQueries.oracles,
-    StreamQueries.oracles)
+    StreamQueries.oracles,
+    PipelineQueries.oracles)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.reduce(_ ++ _)

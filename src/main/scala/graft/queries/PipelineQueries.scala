@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data preparation pipeline — the composition the
+  * individual operators exist for: near-dup removal (keep the
+  * canonical survivor of every cluster) + quality filtering + token
+  * accounting, in one declarative plan.
+  *
+  * At 100 TB this runs as: pair detection via MinHash-LSH banding,
+  * cluster resolution on the (tiny) pair set, a broadcast anti-join of
+  * losers against the corpus, then pure per-row scoring — the corpus
+  * is scanned twice (detection + final pass) and shuffled never. */
+object PipelineQueries {
+  val QualityFloor = 0.5
+
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, col("text"), "doc_id", minJaccard = 0.8)
+    val losers = Dedup.resolveClusters(pairs)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    docs
+      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= QualityFloor)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("quality"),
+        size(words(col("text"))).as("n_words"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_clean" -> (corpusClean _))
+
+  /** The whole pipeline in one DuckDB query: recursive-CTE cluster
+    * resolution + the quality formula (shared with text_quality). */
+  val oracles: Map[String, String] = Map(
+    "corpus_clean" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(generate_series(1, len(ws) - 2),
+         |                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+         |    ELSE [] END) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |jpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE j >= 0.8),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION SELECT doc_b, doc_a FROM jpairs),
+         |cc(doc_id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b),
+         |losers AS (
+         |  SELECT doc_id FROM (SELECT doc_id, min(lbl) AS canon FROM cc GROUP BY doc_id)
+         |  WHERE doc_id != canon),
+         |scored AS (
+         |  SELECT doc_id, lang, text,
+         |         length(text) AS n_chars,
+         |         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         |         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         |         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         |                         w -> w IN (${stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop
+         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |fin AS (
+         |  SELECT doc_id, lang,
+         |         least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+         |          + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
+         |          + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
+         |          + (1.0 - least(CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
+         |           AS quality,
+         |         n_words,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+         |  FROM scored)
+         |SELECT doc_id, lang, quality, n_words, n_bpe_tokens
+         |FROM fin WHERE quality >= $QualityFloor""".stripMargin)
+}
