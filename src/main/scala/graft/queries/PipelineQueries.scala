@@ -36,12 +36,30 @@ object PipelineQueries {
         size(bpeTokens(col("text"))).as("n_bpe_tokens"))
   }
 
+  /** Deterministic stratified sampling: per-language keep rates
+    * rebalance an over-represented stratum (1-in-5 for `en`, 1-in-2
+    * elsewhere). The keep decision is a pure function of the row key —
+    * reproducible across runs/cluster sizes, no rand(), and expressible
+    * as a WHERE clause so it pushes into the scan. At real scale the
+    * modulo runs on a uniform hash of the key. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = coalesce(
+      map(lit("en"), lit(5)).getItem(col("lang")), lit(2))
+    Tables.load(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), rate) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_clean" -> (corpusClean _))
+    "corpus_clean" -> (corpusClean _),
+    "sample_stratified" -> (sampleStratified _))
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,
     "corpus_clean" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
