@@ -54,15 +54,13 @@ object TextFunctions {
     wordTerm * lit(0.4) + punctTerm * lit(0.2) + stopTerm * lit(0.2) + caseTerm * lit(0.2)
   }
 
-  /** Polynomial rolling hash over the characters of `text` (base-31
-    * Horner fold modulo a ~2^50 prime — modular, not wraparound, so it
-    * is ANSI-safe and portable) as a codegen'd HOF fold. */
+  /** Polynomial rolling hash over the UTF-8 bytes of `text` (base-31
+    * Horner fold modulo a ~2^50 prime — modular, ANSI-safe), as a
+    * native codegen expression ([[graft.functions.expr.RollingHash]]). */
   def rollingHash(text: Column): Column = {
-    val p = 1125899906842597L // prime < 2^51; 31*p fits a long
-    aggregate(
-      split(text, ""),
-      lit(17L),
-      (acc, ch) => (acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L))) % lit(p))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    ofExpr(graft.functions.expr.RollingHash(toExpr(text),
+      seed = 17L, p = 1125899906842597L))
   }
 
   /** Stable 64-bit content fingerprint (xxhash64 of normalized text):

@@ -35,6 +35,48 @@ object ShingleUtil {
   }
 }
 
+/** Polynomial rolling hash over the UTF-8 bytes of a string:
+  * Horner fold `acc = (acc*31 + byte) mod p` from a seed — modular
+  * (ANSI-safe) and one compiled loop instead of a per-character
+  * interpreted HOF over `split(text, "")`. */
+case class RollingHash(child: Expression, seed: Long, p: Long)
+    extends UnaryExpression {
+
+  require(p > 0 && p <= (Long.MaxValue / 32), "31*p + 255 must fit a long")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[UTF8String].getBytes
+    var acc = seed % p
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xFF)) % p
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val bytes = ctx.freshName("bytes")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |final byte[] $bytes = $x.getBytes();
+         |long $acc = ${seed}L % ${p}L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $acc = ($acc * 31L + ($bytes[$i] & 0xFF)) % ${p}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 /** Word k-shingles of a string column as ONE native expression.
   *
   * The composed form (`array_distinct(transform(sequence(...), i ->

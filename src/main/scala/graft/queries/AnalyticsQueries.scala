@@ -211,6 +211,37 @@ object AnalyticsQueries {
       .agg(dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
   }
 
+  // ---- funnel analysis ----
+
+  /** Ordered funnel signup → view → purchase: each stage counts only
+    * if its FIRST qualifying event happens after the previous stage's
+    * timestamp. Three aggregations, all hash-partitioned on `user_id`,
+    * so the extra passes reuse one partitioning. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("signup_ts"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(when(col("event_type") === "view" && col("ts") > col("signup_ts"), col("ts"))).as("view_ts"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .groupBy(col("user_id"), col("signup_ts"), col("view_ts"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("view_ts"), col("ts"))).as("purchase_ts"))
+    s3.select(
+      col("user_id"), col("signup_ts"), col("view_ts"), col("purchase_ts"),
+      when(col("purchase_ts").isNotNull, 3)
+        .when(col("view_ts").isNotNull, 2)
+        .when(col("signup_ts").isNotNull, 1)
+        .otherwise(0).as("funnel_stage"))
+  }
+
+  /** Exact quantiles of event value per type (the scale path is
+    * approx_percentile with the same call shape). */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(Array(0.25, 0.5, 0.75, 0.95))).as("qs"))
+
   // ---- as-of join ----
 
   /** As-of join: each event picks the latest order of the same user
@@ -263,6 +294,8 @@ object AnalyticsQueries {
     "events_windowed" -> (eventsWindowed _),
     "pivot_segment_nation" -> (pivotSegmentNation _),
     "rollup_revenue" -> (rollupRevenue _),
+    "events_funnel" -> (eventsFunnel _),
+    "value_quantiles" -> (valueQuantiles _),
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =
@@ -366,6 +399,29 @@ object AnalyticsQueries {
          |  JOIN nation ON c_nationkey = n_nationkey
          |  JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.signup_ts,
+        |         min(CASE WHEN e.event_type = 'view' AND e.ts > s1.signup_ts THEN e.ts END) AS view_ts
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  GROUP BY e.user_id, s1.signup_ts),
+        |s3 AS (
+        |  SELECT e.user_id, s2.signup_ts, s2.view_ts,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.view_ts THEN e.ts END) AS purchase_ts
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  GROUP BY e.user_id, s2.signup_ts, s2.view_ts)
+        |SELECT user_id, signup_ts, view_ts, purchase_ts,
+        |       CASE WHEN purchase_ts IS NOT NULL THEN 3
+        |            WHEN view_ts IS NOT NULL THEN 2
+        |            WHEN signup_ts IS NOT NULL THEN 1
+        |            ELSE 0 END AS funnel_stage
+        |FROM s3""".stripMargin,
+    "value_quantiles" ->
+      """SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
+        |FROM events GROUP BY event_type""".stripMargin,
     "asof_join_events_orders" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,

@@ -167,6 +167,13 @@ object TagQueries {
   def stats(spark: SparkSession, dir: String): DataFrame =
     TagMerger.statistics(profiles(spark, dir))
 
+  /** Per-tag user counts — the reference logs a hit count per computed
+    * tag (tag_computer.py:60, an eager action per rule!); here it is
+    * one scan + one small aggregation over the exploded assignments. */
+  def hitCounts(spark: SparkSession, dir: String): DataFrame =
+    engine.tagAssignments(customer(spark, dir), customerRules, "c_custkey")
+      .groupBy("tag_id").agg(count(lit(1)).as("n_users"))
+
   /** Rules-as-data end-to-end (reference rule_reader pipeline): rules
     * live in a DataFrame with JSON rule bodies, grouped per source
     * table, one single-pass engine run per table, memory-merged. */
@@ -315,6 +322,11 @@ object TagQueries {
          |                            x -> x IS NOT NULL)) AS tag_id
          |  FROM (SELECT o_custkey AS user_id, max(o_orderdate) AS last_order FROM orders GROUP BY 1))
          |GROUP BY user_id""".stripMargin,
+    "tag_hit_counts" ->
+      s"""SELECT CAST(tag_id AS INTEGER) AS tag_id, count(*) AS n_users FROM (
+         |  SELECT unnest(list_filter([$caseItems], x -> x IS NOT NULL)) AS tag_id
+         |  FROM customer)
+         |GROUP BY tag_id""".stripMargin,
     "tag_stats" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS total_users,
          |       CAST(sum(len(tag_ids)) AS BIGINT) AS total_tag_assignments,
@@ -341,5 +353,6 @@ object TagQueries {
     "tag_incremental_users" -> (incrementalUsers _),
     "tag_specific_users" -> (specificUsers _),
     "tag_rules_from_table" -> (rulesFromTable _),
+    "tag_hit_counts" -> (hitCounts _),
     "tag_stats" -> (stats _))
 }
