@@ -51,6 +51,20 @@ object Streaming {
         when(r.rule.compile(anchor), lit(r.tagId))): _*)).as("tag_ids"))
       .filter(size(col("tag_ids")) > 0)
 
+  /** Streaming exact dedup: first occurrence of each `keyCol` wins;
+    * with a watermark set, state for keys older than the watermark is
+    * dropped (bounded state — the requirement for an infinite stream).
+    * Batch input degrades to a plain dropDuplicates. */
+  def dedupStream(df: DataFrame, keyCol: String, watermark: Option[String] = None): DataFrame = {
+    val src = watermark match {
+      case Some(w) if df.isStreaming => df.withWatermark("ts", w)
+      case _ => df
+    }
+    if (src.isStreaming && watermark.isDefined)
+      src.dropDuplicatesWithinWatermark(Seq(keyCol))
+    else src.dropDuplicates(Seq(keyCol))
+  }
+
   /** 30-minute-gap sessionization via flatMapGroupsWithState — custom
     * state machine per user. In batch mode each group's full history
     * arrives at once (sorted here) and every session is emitted

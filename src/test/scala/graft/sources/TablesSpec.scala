@@ -49,6 +49,36 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located buckets)") {
+    for (t <- Seq("g_orders_b", "g_customer_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    val a = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_totalprice"))
+    val b = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_acctbal"))
+    Tables.writeBucketed(a, "g_orders_b", "user_id", 8)
+    Tables.writeBucketed(b, "g_customer_b", "user_id", 8)
+    // force the sort-merge path: with broadcast on, the planner would
+    // (correctly) skip bucketing for the tiny test table
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_orders_b").join(spark.table("g_customer_b"), Seq("user_id"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle either side:\n" + plan)
+      assert(plan.contains("Bucketed: true"), "scan should use buckets:\n" + plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("snapshot events ts arrives as microsecond timestamp despite nanos parquet") {
     val df = Tables.load(spark, dir, "events")
     assert(df.schema("ts").dataType.typeName == "timestamp")

@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq == Seq((1L, 2L)))
   }
 
+  test("streaming dedup: duplicate keys within the watermark emit once") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming.dedupStream(df, "doc_id", Some("1 hour"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:05:00"), "a-dup"),
+      (2L, ts("2024-01-01 10:06:00"), "b"))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 10:10:00"), "a-dup-2"))
+    q.processAllAvailable()
+    val ids = spark.table("dd").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+  }
+
   test("streaming sessionize: watermark timeout closes a session with no further events") {
     val s = spark
     import s.implicits._
