@@ -99,9 +99,18 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col("id"), col("vec"))
       .withColumn("fv", array_to_vector(col("vec")))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    // quantizer quality needs only a representative sample and a few
+    // iterations — centroids don't have to be optimal, just stable.
+    // At 100 TB the fit reads a ~100k-row sample, never the corpus.
+    val fitSample = {
+      val n = corpusVec.count()
+      val target = 20000L
+      if (n > target) corpusVec.sample(withReplacement = false, target.toDouble / n, seed)
+      else corpusVec
+    }
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(corpusVec)
+      .fit(fitSample)
     val cells = model.clusterCenters.map(c => c.toArray.map(_.toFloat))
     // corpus side: one cell per vector (the model's own assignment)
     val c = model.transform(corpusVec)
