@@ -51,6 +51,22 @@ object Streaming {
         when(r.rule.compile(anchor), lit(r.tagId))): _*)).as("tag_ids"))
       .filter(size(col("tag_ids")) > 0)
 
+  /** Continuous tag materialization: each micro-batch UPSERTs into the
+    * keyed snapshot store — the streaming closure of the reference's
+    * nightly compute→merge→write loop. foreachBatch gives exactly-once
+    * per-batch semantics against the store's atomic swap; dedup within
+    * the batch keeps the upsert key unique. */
+  def sinkToSnapshot(tagged: DataFrame, store: graft.sources.SnapshotStore,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val deduped = batch.dropDuplicates("user_id")
+        if (!deduped.isEmpty) store.upsert(deduped)
+      }
+      .start()
+
   /** Streaming exact dedup: first occurrence of each `keyCol` wins;
     * with a watermark set, state for keys older than the watermark is
     * dropped (bounded state — the requirement for an infinite stream).

@@ -72,6 +72,33 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq == Seq((1L, 2L)))
   }
 
+  test("stream -> snapshot sink: each batch upserts; latest tags win") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_snap").toString
+    val store = new graft.sources.SnapshotStore(spark, s"$base/snap")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val tagged = Streaming.tagStream(
+      input.toDF().toDF("user_id", "ts", "event_type", "value"),
+      StreamQueries.eventRules, current_date())
+    val q = Streaming.sinkToSnapshot(tagged, store, s"$base/ckpt")
+    input.addData((1L, ts("2024-01-01 10:00:00"), "purchase", 450.0))
+    q.processAllAvailable()
+    assert(store.read().get.count() == 1)
+    val tags1 = store.read().get.filter(col("user_id") === 1L)
+      .select("tag_ids").head().getSeq[Int](0)
+    assert(tags1 == Seq(301, 302))
+    // second batch: same user, different rule hits -> upsert replaces
+    input.addData((1L, ts("2024-01-01 11:00:00"), "view", 1.0),
+                  (2L, ts("2024-01-01 11:00:00"), "purchase", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val byUser = store.read().get.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(byUser(1L) == Seq(303), "latest batch replaces user 1's tags")
+    assert(byUser(2L) == Seq(301))
+  }
+
   test("streaming dedup: duplicate keys within the watermark emit once") {
     val s = spark
     import s.implicits._
