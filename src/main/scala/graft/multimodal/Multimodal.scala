@@ -50,6 +50,7 @@ object Multimodal {
 
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("features", ArrayType(FloatType)),
@@ -67,8 +68,9 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         val n = batch.size
         batch.iterator.map { r =>
-          val (w, h, feat) = StubDecoder.decode(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), w, h, feat.toSeq, n)
+          val payload = r.getAs[Array[Byte]](1)
+          val (w, h, feat) = StubDecoder.decode(payload)
+          Row(r.getLong(0), payload.length, w, h, feat.toSeq, n)
         }
       }
     }

@@ -235,12 +235,22 @@ object AnalyticsQueries {
         .otherwise(0).as("funnel_stage"))
   }
 
+  /** The quantile levels value_quantiles reports. */
+  val QuantileLevels: Array[Double] = Array(0.25, 0.5, 0.75, 0.95)
+
   /** Exact quantiles of event value per type (the scale path is
-    * approx_percentile with the same call shape). */
+    * approx_percentile with the same call shape). One row per
+    * (event_type, level) — scalar output so the driver's row-compare
+    * can hash it; the array form is a pivot away. */
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy("event_type")
-      .agg(percentile(col("value"), lit(Array(0.25, 0.5, 0.75, 0.95))).as("qs"))
+      .agg(percentile(col("value"), lit(QuantileLevels)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "q_value")))
+      .select(
+        col("event_type"),
+        element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
+        col("q_value"))
 
   // ---- as-of join ----
 
@@ -420,8 +430,10 @@ object AnalyticsQueries {
         |            ELSE 0 END AS funnel_stage
         |FROM s3""".stripMargin,
     "value_quantiles" ->
-      """SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
-        |FROM events GROUP BY event_type""".stripMargin,
+      """SELECT event_type, [0.25, 0.5, 0.75, 0.95][i] AS quantile, qs[i] AS q_value
+        |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
+        |      FROM events GROUP BY event_type)
+        |CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)""".stripMargin,
     "asof_join_events_orders" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,

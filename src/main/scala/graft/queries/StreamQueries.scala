@@ -38,13 +38,13 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (streamWindowedCounts _),
-    "stream_tagging" -> (streamTagging _),
+    "stream_tagging" -> GateFormat.js(streamTagging _),
     "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
     // identical semantics to events_windowed — same oracle
     "stream_windowed_counts" -> AnalyticsQueries.oracles("events_windowed"),
-    "stream_tagging" ->
+    "stream_tagging" -> GateFormat.j(
       """SELECT user_id, ts, tag_ids FROM (
         |  SELECT user_id, ts,
         |         list_filter([CASE WHEN event_type = 'purchase' THEN 301 END,
@@ -52,7 +52,7 @@ object StreamQueries {
         |                      CASE WHEN event_type IN ('click', 'view') THEN 303 END],
         |                     x -> x IS NOT NULL) AS tag_ids
         |  FROM events)
-        |WHERE len(tag_ids) > 0""".stripMargin,
+        |WHERE len(tag_ids) > 0""".stripMargin),
     // the stateful session machine must reproduce the SQL sessionization
     "stream_sessionize" -> AnalyticsQueries.oracles("events_sessionize"))
 }

@@ -259,6 +259,8 @@ object TagQueries {
        |  FROM (SELECT o_custkey AS user_id, max(o_orderdate) AS last_order FROM orders GROUP BY 1))
        |WHERE len(tag_ids) > 0""".stripMargin
 
+  import GateFormat.{j, js}
+
   val oracles: Map[String, String] = Map(
     "tag_rule_numeric" ->
       "SELECT c_custkey AS user_id, c_acctbal FROM customer WHERE c_acctbal >= 5000",
@@ -276,15 +278,15 @@ object TagQueries {
       "SELECT c_custkey AS user_id, c_name FROM customer WHERE starts_with(c_name, 'Customer#') AND contains(c_name, '00001') AND NOT contains(c_name, '9') AND ends_with(c_name, '7')",
     "tag_rule_null" ->
       "SELECT c_custkey AS user_id FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') u ON c.c_custkey = u.o_custkey WHERE u.o_custkey IS NULL",
-    "tag_rule_dates" -> ruleDatesSql,
-    "tag_profiles" -> profilesSql,
-    "tag_details" -> detailsSql,
+    "tag_rule_dates" -> j(ruleDatesSql),
+    "tag_profiles" -> j(profilesSql),
+    "tag_details" -> j(detailsSql),
     "tag_assignments" ->
       s"""SELECT user_id, CAST(tag_id AS INTEGER) AS tag_id FROM (
          |  SELECT c_custkey AS user_id,
          |         unnest(list_filter([$caseItems], x -> x IS NOT NULL)) AS tag_id
          |  FROM customer)""".stripMargin,
-    "tag_merge_memory" ->
+    "tag_merge_memory" -> j(
       s"""SELECT user_id, list_sort(list(DISTINCT tag_id)) AS tag_ids FROM (
          |  SELECT c_custkey AS user_id,
          |         unnest(list_filter([$caseItems], x -> x IS NOT NULL)) AS tag_id
@@ -292,23 +294,23 @@ object TagQueries {
          |  UNION ALL
          |  SELECT user_id, unnest(list_filter([$activityCaseItems], x -> x IS NOT NULL)) AS tag_id
          |  FROM (SELECT o_custkey AS user_id, max(o_orderdate) AS last_order FROM orders GROUP BY 1))
-         |GROUP BY user_id""".stripMargin,
-    "tag_merge_existing" ->
+         |GROUP BY user_id""".stripMargin),
+    "tag_merge_existing" -> j(
       s"""WITH new_tags AS ($profilesSql),
          |existing AS (SELECT c_custkey AS user_id, [900] AS tag_ids FROM customer WHERE c_custkey % 3 = 0)
          |SELECT n.user_id,
          |       list_sort(list_distinct(list_concat(coalesce(e.tag_ids, []), n.tag_ids))) AS tag_ids
-         |FROM new_tags n LEFT JOIN existing e USING (user_id)""".stripMargin,
+         |FROM new_tags n LEFT JOIN existing e USING (user_id)""".stripMargin),
     "tag_incremental_users" ->
       s"""SELECT DISTINCT o_custkey AS user_id FROM orders
          |WHERE o_orderdate >= DATE '$OrdersAnchor' - 120 AND o_custkey % 3 != 0""".stripMargin,
-    "tag_specific_users" ->
+    "tag_specific_users" -> j(
       s"""SELECT user_id, tag_ids FROM (
          |  SELECT c_custkey AS user_id,
          |         list_sort(list_filter([$caseItems], x -> x IS NOT NULL)) AS tag_ids
          |  FROM customer WHERE c_custkey IN (1, 7, 13, 25, 42, 99))
-         |WHERE len(tag_ids) > 0""".stripMargin,
-    "tag_rules_from_table" ->
+         |WHERE len(tag_ids) > 0""".stripMargin),
+    "tag_rules_from_table" -> j(
       s"""SELECT user_id, list_sort(list(DISTINCT tag_id)) AS tag_ids FROM (
          |  SELECT c_custkey AS user_id,
          |         unnest(list_filter([CASE WHEN c_acctbal >= 5000 THEN 1 END,
@@ -321,7 +323,7 @@ object TagQueries {
          |         unnest(list_filter([CASE WHEN last_order >= DATE '$OrdersAnchor' - 90 THEN 201 END],
          |                            x -> x IS NOT NULL)) AS tag_id
          |  FROM (SELECT o_custkey AS user_id, max(o_orderdate) AS last_order FROM orders GROUP BY 1))
-         |GROUP BY user_id""".stripMargin,
+         |GROUP BY user_id""".stripMargin),
     "tag_hit_counts" ->
       s"""SELECT CAST(tag_id AS INTEGER) AS tag_id, count(*) AS n_users FROM (
          |  SELECT unnest(list_filter([$caseItems], x -> x IS NOT NULL)) AS tag_id
@@ -344,15 +346,15 @@ object TagQueries {
     "tag_rule_range" -> (ruleRange _),
     "tag_rule_string" -> (ruleString _),
     "tag_rule_null" -> (ruleNull _),
-    "tag_rule_dates" -> (ruleDates _),
-    "tag_profiles" -> (profiles _),
-    "tag_details" -> (details _),
+    "tag_rule_dates" -> js(ruleDates _),
+    "tag_profiles" -> js(profiles _),
+    "tag_details" -> js(details _),
     "tag_assignments" -> (assignments _),
-    "tag_merge_memory" -> (mergeMemory _),
-    "tag_merge_existing" -> (mergeExisting _),
+    "tag_merge_memory" -> js(mergeMemory _),
+    "tag_merge_existing" -> js(mergeExisting _),
     "tag_incremental_users" -> (incrementalUsers _),
-    "tag_specific_users" -> (specificUsers _),
-    "tag_rules_from_table" -> (rulesFromTable _),
+    "tag_specific_users" -> js(specificUsers _),
+    "tag_rules_from_table" -> js(rulesFromTable _),
     "tag_hit_counts" -> (hitCounts _),
     "tag_stats" -> (stats _))
 }

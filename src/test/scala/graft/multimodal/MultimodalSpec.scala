@@ -8,19 +8,29 @@ class MultimodalSpec extends SparkSpec {
   private def dir = sf("any")
 
   test("feature extraction: real batching, normalized histograms, deterministic") {
-    val out = MultimodalQueries.mmFeatures(spark, dir).cache()
+    val out = Multimodal.extractFeatures(MultimodalQueries.binaryDocs(spark, dir)).cache()
     val rows = out.collect()
     assert(rows.length == 500)
     // batches actually formed (batch_size surfaced from mapPartitions)
-    assert(rows.forall(r => r.getInt(4) >= 1 && r.getInt(4) <= 64))
-    assert(rows.exists(_.getInt(4) > 1), "expected multi-element batches")
+    assert(rows.forall(r => r.getInt(5) >= 1 && r.getInt(5) <= 64))
+    assert(rows.exists(_.getInt(5) > 1), "expected multi-element batches")
     // histogram sums to ~1 and dims are fixed
-    val feats = rows.map(_.getSeq[Float](3))
+    val feats = rows.map(_.getSeq[Float](4))
     assert(feats.forall(_.length == Multimodal.StubDecoder.FeatureDim))
     assert(feats.forall(f => math.abs(f.sum - 1.0) < 1e-3))
-    val again = MultimodalQueries.mmFeatures(spark, dir).collect()
+    val again = Multimodal.extractFeatures(MultimodalQueries.binaryDocs(spark, dir)).collect()
     assert(rows.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
     out.unpersist()
+  }
+
+  test("gate form recovers exact integer bin counts summing to n_bytes") {
+    import spark.implicits._
+    val bad = MultimodalQueries.mmFeatures(spark, dir)
+      .select(col("n_bytes"),
+        aggregate(from_json(col("feature_counts"), lit("array<int>")),
+          lit(0), (acc, x) => acc + x).as("count_sum"))
+      .filter(col("count_sum") =!= col("n_bytes")).count()
+    assert(bad == 0L, "rounded counts must sum back to the payload length")
   }
 
   test("payload bytes never shuffle: features plan has no exchange before mapPartitions") {

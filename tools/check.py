@@ -13,6 +13,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def array_cols(df: pd.DataFrame):
+    """Columns the DRIVER's pandas sort_values would crash on (its gate
+    sorts all columns; numpy arrays are unhashable). Any hit = red row."""
+    bad = []
+    for c in df.columns:
+        col = df[c].dropna()
+        if len(col) and (hasattr(col.iloc[0], "tolist") and not hasattr(col.iloc[0], "item")
+                         or isinstance(col.iloc[0], list)):
+            bad.append(c)
+    return bad
+
+
 def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
@@ -55,6 +67,10 @@ def main():
         except Exception as e:
             results[name] = f"ERROR: {e}"
             continue
+        bad = array_cols(spark_df)
+        if bad:
+            results[name] = f"ARRAY_OUTPUT {bad} (driver sort_values would crash)"
+            continue
         s, d = canon(spark_df), canon(duck_df)
         if list(sorted(spark_df.columns)) != list(sorted(duck_df.columns)):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
@@ -69,8 +85,15 @@ def main():
         name = pdir.rstrip("/").split("/")[-1]
         if name not in oracles:
             files = glob.glob(f"{pdir}/*.parquet")
-            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-            results[name] = f"ROWS_ONLY ({n} rows)"
+            if not files:
+                results[name] = "ROWS_ONLY (0 rows)"
+                continue
+            df = pd.concat([pd.read_parquet(f) for f in files])
+            bad = array_cols(df)
+            if bad:
+                results[name] = f"ARRAY_OUTPUT {bad} (driver sort_values would crash)"
+            else:
+                results[name] = f"ROWS_ONLY ({len(df)} rows)"
 
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in results.items():
