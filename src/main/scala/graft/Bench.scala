@@ -1,20 +1,41 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: times every SparkEntry query end-to-end on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * Queries run through the `noop` sink, NOT `.count()` — count lets
   * Catalyst prune every projection (a fingerprint query would "run" in
   * 0ms without hashing anything). noop executes the full plan and
-  * discards rows, which is the honest cost of producing the result. */
+  * discards rows, which is the honest cost of producing the result.
+  *
+  * Warmup: every query once at sf0.001 (same generated code, so JIT +
+  * codegen caches are hot) plus one scan of each target-SF table (OS
+  * page cache + parquet footers). Without this the first query to
+  * touch a big table absorbs the whole cold-start cost — round 1
+  * recorded q1 at 31.5s that is 2s warm.
+  *
+  * The JSON line is printed AFTER spark.stop() so it is the final
+  * stdout line (Spark logs go to stderr), and also written to
+  * `bench_out.json` for parsers that prefer a file. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val warmDir = "/root/testdata/sf0.001"
     val spark = Sessions.local(cpus)
-    // untimed warmup: JVM/codegen/parquet-reader paths
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // untimed warmup: JVM/codegen/parquet-reader paths on the tiny SF
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // untimed warmup: target-SF files into the OS page cache
+    new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath)
+        .write.format("noop").mode("overwrite").save())
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -27,7 +48,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
+    // last stdout line, after all Spark lifecycle logging
+    println(json)
+    System.out.flush()
   }
 }
