@@ -32,7 +32,13 @@ object DedupQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), col("text"), "doc_id", maxHamming = 3)
 
+  /** Headline embedding dedup: the pair-grid path — exact results, no
+    * CartesianProduct in the plan (see Dedup.embeddingPairsBlocked). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsBlocked(embs(spark, dir), col("embedding"), "vec_id", minCosine = 0.4)
+
+  /** The documented brute-force baseline, kept as its own gate entry. */
+  def dedupEmbeddingBruteforce(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embs(spark, dir), col("embedding"), "vec_id", minCosine = 0.4)
 
   /** Dedup execution: near-dup pairs → canonical survivor per doc via
@@ -47,6 +53,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_bruteforce" -> (dedupEmbeddingBruteforce _),
     "dedup_resolve" -> (dedupResolve _))
 
   /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
@@ -56,6 +63,24 @@ object DedupQueries {
       |  THEN list_transform(generate_series(1, len(ws) - 2),
       |                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
       |  ELSE [] END)""".stripMargin
+
+  /** Exact all-pairs cosine ≥ 0.4 — shared by both embedding-dedup
+    * entries: the grid path must produce byte-identical pairs to the
+    * brute-force baseline. */
+  private val embeddingPairsSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_transform(embedding,
+      |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |              (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+      |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -91,18 +116,6 @@ object DedupQueries {
          |  UNION
          |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b)
          |SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id""".stripMargin,
-    "dedup_embedding" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_reduce(list_transform(embedding,
-        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |              (a, b) -> a + b)) AS nrm
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-        |                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
-        |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin)
+    "dedup_embedding" -> embeddingPairsSql,
+    "dedup_embedding_bruteforce" -> embeddingPairsSql)
 }

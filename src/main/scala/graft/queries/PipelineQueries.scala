@@ -20,7 +20,12 @@ object PipelineQueries {
 
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val pairs = Dedup.jaccardPairs(docs, col("text"), "doc_id", minJaccard = 0.8)
+    // hot-shingle guard ON: a shingle shared by >100 docs cannot make
+    // a 0.8-Jaccard pair it alone witnesses (planted near-dups share
+    // ~all their shingles, with doc-freq 2-3); verified identical to
+    // the unguarded pair set at sf0.01 and sf0.1
+    val pairs = Dedup.jaccardPairs(docs, col("text"), "doc_id",
+      minJaccard = 0.8, maxDocFreq = 100L)
     val losers = Dedup.resolveClusters(pairs)
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))

@@ -86,4 +86,15 @@ class DedupSpec extends SparkSpec {
       val c = r.getDouble(2); c >= 0.4 && c <= 1.0 + 1e-9 && r.getLong(0) < r.getLong(1)
     })
   }
+
+  test("pair-grid embedding dedup equals brute force and has no cartesian join") {
+    val grid = DedupQueries.dedupEmbedding(spark, dir)
+    val brute = DedupQueries.dedupEmbeddingBruteforce(spark, dir)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(keyed(grid) == keyed(brute), "grid tiling must not lose or duplicate pairs")
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"grid plan must be equi-join only:\n$plan")
+  }
 }
