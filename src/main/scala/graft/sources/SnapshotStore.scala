@@ -9,41 +9,67 @@ import org.apache.spark.sql.functions._
   * `INSERT ... ON DUPLICATE KEY UPDATE` writer (reference:
   * src/writers/optimized_mysql_writer.py:73-178).
   *
-  * Implementation: parquet read-merge-write keyed on `user_id`
-  * (incoming row wins; absent users carried forward). Writes go to a
-  * temp dir then atomically swap, so a failed job never corrupts the
-  * snapshot and we never overwrite a path we are lazily reading.
+  * Layout: parquet hash-partitioned into `buckets` directories on
+  * `hash(key) % buckets`. An upsert touches ONLY the bucket
+  * directories its keys fall in — the incremental nightly batch
+  * (thousands of users against a billions-row snapshot) re-reads and
+  * rewrites a bounded slice instead of O(snapshot) I/O per call.
+  * Merged buckets are written to a temp dir first and swapped in
+  * per-directory, so a failed job never corrupts the snapshot and we
+  * never overwrite a path we are lazily reading.
   * On a lakehouse table format (Delta/Iceberg) the same call maps to
   * `MERGE INTO` — the API is the contract, not the file layout.
   */
-final class SnapshotStore(spark: SparkSession, path: String, key: String = "user_id") {
+final class SnapshotStore(spark: SparkSession, path: String, key: String = "user_id",
+                          buckets: Int = 32) {
 
-  def exists: Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** Partition column — internal to the store; never surfaced by read(). */
+  private val BucketCol = "snap_bucket"
 
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(col(key)), lit(buckets)))
+
+  def exists: Boolean = fs.exists(new Path(path))
+
+  /** The snapshot in its logical schema (partition column dropped). */
   def read(): Option[DataFrame] =
-    if (exists) Some(spark.read.parquet(path)) else None
+    if (exists) Some(spark.read.parquet(path).drop(BucketCol)) else None
 
-  /** Full overwrite (safe swap). */
+  /** Full overwrite (safe swap of the whole snapshot). */
   def overwrite(df: DataFrame): Unit = {
     val tmp = path + ".__tmp__"
-    df.write.mode("overwrite").parquet(tmp)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withBucket(df).write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
     fs.delete(new Path(path), true)
     fs.rename(new Path(tmp), new Path(path))
   }
 
-  /** UPSERT: rows in `df` replace snapshot rows with the same key;
-    * all other snapshot rows are kept (mysql_writer UPSERT semantics).
-    * One key-partitioned anti-join + union — both sides shuffle on the
-    * key once; AQE handles skew. */
+  /** UPSERT: rows in `df` replace snapshot rows with the same key; all
+    * other snapshot rows are kept (mysql_writer UPSERT semantics).
+    * Only the bucket partitions containing incoming keys are read
+    * (partition pruning on the filter), merged (one key-partitioned
+    * anti-join + union), and swapped — untouched bucket directories
+    * are never opened. The touched-bucket list is a ≤`buckets`-element
+    * driver collect, not a data-sized one. */
   def upsert(df: DataFrame): Unit = read() match {
     case None => overwrite(df)
     case Some(existing) =>
-      val kept = existing.join(df.select(key).distinct(), Seq(key), "left_anti")
-      overwrite(kept.unionByName(df.select(existing.columns.map(col): _*)))
+      val incoming = withBucket(df.select(existing.columns.map(col).toIndexedSeq: _*))
+      val touched = incoming.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existingTouched = spark.read.parquet(path)
+        .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+      val kept = existingTouched.join(df.select(key).distinct(), Seq(key), "left_anti")
+      val merged = kept.unionByName(incoming.select(existingTouched.columns.map(col).toIndexedSeq: _*))
+      val tmp = path + ".__tmp__"
+      merged.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
+      touched.foreach { b =>
+        val dir = s"$BucketCol=$b"
+        fs.delete(new Path(path, dir), true)
+        fs.rename(new Path(tmp, dir), new Path(path, dir))
+      }
+      fs.delete(new Path(tmp), true)
   }
 
   /** Post-write validation (optimized_mysql_writer.py:180-220): every
