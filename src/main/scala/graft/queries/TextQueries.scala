@@ -64,12 +64,24 @@ object TextQueries {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _),
+    // gate form keeps the DuckDB-reproducible polynomial hash; fp64
+    // (xxhash64, no DuckDB twin) is pinned by TextSpec instead
+    "text_fingerprint" -> ((s: SparkSession, d: String) =>
+      textFingerprint(s, d).select("doc_id", "rolling_fp")),
     "text_ngrams" -> (textNgrams _))
 
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // mirrors graft.functions.expr.RollingHash exactly: Horner fold
+    // (acc*31 + byte) mod P over UTF-8 bytes, seeded 17 (texts are
+    // ASCII, so codepoints == bytes)
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(17 % 1125899906842597,
+        |                     list_transform(string_split_regex(text, ''), ch -> ord(ch))),
+        |                   (a, b) -> (a * 31 + b) % 1125899906842597) AS rolling_fp
+        |FROM documents""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,
