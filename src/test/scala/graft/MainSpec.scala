@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.DataQuality
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end runner coverage: rules table → quality gate → compute →
+  * snapshot → statistics, through the same entry `graft.Main` exposes
+  * on the CLI (reference surface: main_scheduler.py:84-276). */
+class MainSpec extends SparkSpec {
+
+  private def freshEnv(): (String, Map[String, String]) = {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main").toString
+    Seq(
+      (1L, 1500L, "ok"), (2L, 10L, "ok"), (3L, 5000L, "pending"), (4L, -5L, "ok")
+    ).toDF("uid", "assets", "kyc").write.parquet(s"$base/app_users.parquet")
+    Seq(
+      (1, "rich", "wealth", "app_users",
+        """{"conditions":[{"field":"assets","operator":">=","value":1000}]}"""),
+      (2, "verified", "compliance", "app_users",
+        """{"conditions":[{"field":"kyc","operator":"=","value":"ok"}]}"""),
+      (9, "broken", "meta", "app_users", """{"conditions":[{"field":"x"}]}""")
+    ).toDF("tag_id", "tag_name", "tag_category", "source_table", "rule_json")
+      .write.parquet(s"$base/rules.parquet")
+    val env = Map(
+      "GRAFT_DATA_DIR" -> base,
+      "GRAFT_SNAPSHOT" -> s"$base/snap/user_tags",
+      "GRAFT_RULES" -> s"$base/rules.parquet",
+      "GRAFT_USER_COLS" -> "app_users=uid")
+    (base, env)
+  }
+
+  private def snapshot(cfg: GraftConfig): Map[Long, List[Int]] =
+    new graft.sources.SnapshotStore(spark, cfg.snapshotPath).read().get
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[scala.collection.Seq[Int]]("tag_ids").toList)
+      .toMap
+
+  test("full run: computes, upserts, reports stats; bad rule skipped not fatal") {
+    val (_, env) = freshEnv()
+    val cfg = GraftConfig.fromEnv(env)
+    val stats = Main.run(spark, cfg, Seq("full"))
+    assert(stats.usersTagged == 4) // every user hits >= 1 of the 2 valid rules
+    assert(stats.invalidRules.map(_._1) == Seq(9))
+    assert(stats.perTagHits == Map(1 -> 2, 2 -> 3))
+    assert(stats.missingAfterWrite == 0L)
+    assert(snapshot(cfg) == Map(
+      1L -> List(1, 2), 2L -> List(2), 3L -> List(1), 4L -> List(2)))
+  }
+
+  test("tag-subset run merges with the existing snapshot; incremental skips known users") {
+    val (_, env) = freshEnv()
+    val cfg = GraftConfig.fromEnv(env)
+    Main.run(spark, cfg, Seq("full"))
+    // subset run must not erase tag 2 for user 1
+    val subset = Main.run(spark, cfg, Seq("full", "tags=1"))
+    assert(subset.perTagHits.keySet == Set(1))
+    assert(snapshot(cfg)(1L) == List(1, 2), "out-of-scope tag erased by subset run")
+    // incremental: all users already in snapshot -> nothing tagged
+    val incr = Main.run(spark, cfg, Seq("incremental"))
+    assert(incr.usersTagged == 0)
+  }
+
+  test("quality gate skips a table that fails its null-rate threshold") {
+    val s = spark
+    import s.implicits._
+    val (base, env) = freshEnv()
+    // a second source table whose rule field is 90% null
+    Seq.tabulate(10)(i => (100L + i, if (i == 0) Some(1000L) else None))
+      .toDF("uid", "balance").write.parquet(s"$base/flaky.parquet")
+    val rules = spark.read.parquet(s"$base/rules.parquet").unionByName(
+      Seq((5, "flaky_tag", "meta", "flaky",
+        """{"conditions":[{"field":"balance","operator":">=","value":1}]}"""))
+        .toDF("tag_id", "tag_name", "tag_category", "source_table", "rule_json"))
+    rules.write.mode("overwrite").parquet(s"$base/rules2.parquet")
+    val cfg = GraftConfig.fromEnv(env +
+      ("GRAFT_RULES" -> s"$base/rules2.parquet",
+        "GRAFT_USER_COLS" -> "app_users=uid,flaky=uid",
+        "GRAFT_MAX_NULL_RATE" -> "0.5"))
+    val stats = Main.run(spark, cfg, Seq("full"))
+    assert(stats.skippedTables == Seq("flaky"))
+    assert(stats.perTagHits.keySet == Set(1, 2), "flaky table's tag must not appear")
+  }
+
+  test("data-quality report frame carries per-column null rates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, None)).toDF("id", "v")
+    val rep = DataQuality.validate(df, "t", Seq("id", "v", "missing_col"), 1L, 0.5)
+    assert(!rep.passed && rep.failures.exists(_.contains("missing_col")) &&
+      rep.failures.exists(_.contains("null rate")))
+    assert(rep.nullRates("v") > 0.66 && rep.nullRates("v") < 0.67)
+    val frame = DataQuality.reportFrame(spark, Seq(rep)).collect()
+    assert(frame.length == 2 && frame.forall(!_.getBoolean(4)))
+  }
+
+  test("config parses user-column bindings and defaults") {
+    val cfg = GraftConfig.fromEnv(Map("GRAFT_USER_COLS" -> "a=x, b=y"))
+    assert(cfg.userCol("a") == "x" && cfg.userCol("b") == "y" && cfg.userCol("c") == "user_id")
+  }
+}
