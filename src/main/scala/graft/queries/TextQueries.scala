@@ -82,6 +82,26 @@ object TextQueries {
         |                     list_transform(string_split_regex(text, ''), ch -> ord(ch))),
         |                   (a, b) -> (a * 31 + b) % 1125899906842597) AS rolling_fp
         |FROM documents""".stripMargin,
+    // mirrors TextFunctions.langId token-for-token (word-set hit counts
+    // over whitespace tokens of the lowercased text, CJK char count,
+    // same tie-break order)
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, lower(text) AS lt,
+        |                  string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, w -> w IN ('the','and','of','to','is','that','it','with'))) AS en,
+        |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS de,
+        |  len(list_filter(ws, w -> w IN ('le','la','les','et','est','une','que','dans'))) AS fr,
+        |  len(list_filter(ws, w -> w IN ('el','los','las','es','una','que','por','con'))) AS es,
+        |  length(lt) - length(regexp_replace(lt, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        | FROM t)
+        |SELECT doc_id, lang,
+        | CASE WHEN cjk > 0 THEN 'zh'
+        |      WHEN de >= en AND de >= fr AND de >= es AND de > 0 THEN 'de'
+        |      WHEN fr >= en AND fr >= es AND fr > 0 THEN 'fr'
+        |      WHEN es >= en AND es > 0 THEN 'es'
+        |      ELSE 'en' END AS predicted_lang
+        |FROM c""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,

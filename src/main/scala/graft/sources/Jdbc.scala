@@ -33,10 +33,14 @@ object Jdbc {
     spark.read.jdbc(url, table, props)
 
   /** Batched write; `batchSize` maps to the JDBC fetch/batch size the
-    * reference tunes per-partition (optimized_mysql_writer.py:95). */
+    * reference tunes per-partition (optimized_mysql_writer.py:95), and
+    * `retries` to its retry-with-backoff loop around failed batches. */
   def write(df: DataFrame, url: String, table: String, mode: SaveMode,
-            batchSize: Int = 5000, props: Properties = new Properties()): Unit = {
+            batchSize: Int = 5000, retries: Int = 3,
+            props: Properties = new Properties()): Unit = {
     props.setProperty("batchsize", batchSize.toString)
-    df.write.mode(mode).jdbc(url, table, props)
+    Retry.withRetry(retries) {
+      df.write.mode(mode).jdbc(url, table, props)
+    }
   }
 }

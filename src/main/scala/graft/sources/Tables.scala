@@ -55,6 +55,28 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Cache of hot tables, keyed per session so a stopped session's
+    * plans are never reused (reference: hive_reader.py:17,63,177
+    * caches tables it reads more than once). */
+  private val hotCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Read-through cached load: the first call marks the table for
+    * Spark block-cache storage; subsequent calls in the same session
+    * reuse the cached plan (scans hit memory, not parquet). Use for
+    * dims/rules read by several queries in one run — NOT for the
+    * once-scanned fact table, where caching only wastes memory. */
+  def loadCached(spark: SparkSession, dir: String, name: String): DataFrame =
+    hotCache.getOrElseUpdate((spark, dir, name), load(spark, dir, name).cache())
+
+  /** Drop one cached table (or all for the session with name = null). */
+  def uncache(spark: SparkSession, dir: String = null, name: String = null): Unit = {
+    val doomed = hotCache.keys.filter { case (s, d, n) =>
+      (s eq spark) && (dir == null || d == dir) && (name == null || n == name)
+    }
+    doomed.foreach { k => hotCache.remove(k).foreach(_.unpersist()) }
+  }
+
   /** Incremental read: rows whose `dateField` falls in the last
     * `daysBack` days before `anchor` (hive_reader.py:75-95) — a plain
     * filter, so it prunes partitions / pushes down at the source. */

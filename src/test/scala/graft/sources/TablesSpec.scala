@@ -85,4 +85,33 @@ class TablesSpec extends SparkSpec {
     val r = df.orderBy("event_id").select("ts").head().getTimestamp(0)
     assert(r.getNanos % 1000 == 0, "micros precision expected")
   }
+
+  test("hot-table cache: repeated loads reuse one in-memory relation") {
+    try {
+      val first = Tables.loadCached(spark, dir, "nation")
+      first.count() // materialize the block cache
+      val second = Tables.loadCached(spark, dir, "nation")
+      assert(first eq second, "same session+table must return the memoized frame")
+      val plan = second.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"expected cached scan:\n$plan")
+      assert(second.count() == Tables.load(spark, dir, "nation").count())
+    } finally Tables.uncache(spark)
+  }
+
+  test("retry: backoff schedule doubles and caps; exhaustion rethrows") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val got = Retry.withRetry(attempts = 5, initialBackoffMs = 100, maxBackoffMs = 400,
+      onRetry = (_, _) => (), sleep = sleeps += _) {
+      calls += 1
+      if (calls < 4) sys.error(s"boom $calls") else "ok"
+    }
+    assert(got == "ok" && calls == 4 && sleeps.toSeq == Seq(100L, 200L, 400L))
+    val ex = intercept[Retry.RetriesExhausted] {
+      Retry.withRetry(attempts = 2, onRetry = (_, _) => (), sleep = _ => ()) {
+        sys.error("always")
+      }
+    }
+    assert(ex.getCause.getMessage == "always")
+  }
 }
