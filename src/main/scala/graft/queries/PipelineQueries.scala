@@ -55,13 +55,46 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing any word
+    * 5-gram with a held-out eval set (here: the deterministic
+    * `doc_id % 23 == 0` slice stands in for the benchmark). The
+    * standard pre-training hygiene pass: training text overlapping the
+    * eval set inflates scores. Shape: distinct 5-gram hashes exploded
+    * once per side, eval side broadcast (benchmarks are tiny next to a
+    * 100 TB corpus), equi-join on the 8-byte hash, one count per doc. */
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(Dedup.shingles(col("text"), 5), x => xxhash64(x))).as("sh"))
+    val eval = sh.filter(col("doc_id") % 23 === 0).select("sh").distinct()
+    sh.filter(col("doc_id") % 23 =!= 0)
+      .join(broadcast(eval), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_5grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
+    "corpus_decontaminate" -> (corpusDecontaminate _),
     "sample_stratified" -> (sampleStratified _))
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
   val oracles: Map[String, String] = Map(
+    "corpus_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(CASE WHEN len(ws) >= 5
+        |           THEN list_transform(generate_series(1, len(ws) - 4),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |                       ws[i+3] || ' ' || ws[i+4])
+        |           ELSE [] END)) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 23 = 0)
+        |SELECT doc_id, count(*) AS n_shared_5grams
+        |FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 23 != 0
+        |GROUP BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,

@@ -46,6 +46,41 @@ object TextQueries {
       fingerprint(col("text")).as("fp64"),
       rollingHash(col("text")).as("rolling_fp"))
 
+  /** Repetition scoring (the Gopher-rules duplicate-n-gram signal):
+    * fraction of word bigrams that are repeats of an earlier bigram in
+    * the same document. High values flag boilerplate/spam — a standard
+    * LLM-training-data quality filter. Pure per-row expressions. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    def bigrams(distinct: Boolean) = ofExpr(graft.functions.expr.WordShingles(
+      toExpr(col("text")), 2, distinct = distinct))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(bigrams(distinct = false)).as("n_bigrams"),
+        size(bigrams(distinct = true)).as("n_distinct_bigrams"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** PII detection + scrubbing: count and redact email addresses,
+    * URLs, and long digit runs — the pre-training privacy pass every
+    * production corpus gets. Patterns are cross-engine-stable (no
+    * lookarounds), all per-row codegen. */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ \\t\\n]+"
+    val digits = "[0-9]{7,}"
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(digits), lit(0))).as("n_long_digits"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), url, "<URL>"), digits, "<NUM>").as("scrubbed"))
+  }
+
   /** Corpus-wide top-20 bigrams: per-row n-gram expansion (native
     * WordShingles expression, non-distinct so counts are true), one
     * explode, one count shuffle, deterministic tiebreak. */
@@ -68,7 +103,9 @@ object TextQueries {
     // (xxhash64, no DuckDB twin) is pinned by TextSpec instead
     "text_fingerprint" -> ((s: SparkSession, d: String) =>
       textFingerprint(s, d).select("doc_id", "rolling_fp")),
-    "text_ngrams" -> (textNgrams _))
+    "text_ngrams" -> (textNgrams _),
+    "text_repetition" -> (textRepetition _),
+    "text_pii" -> (textPii _))
 
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -129,6 +166,30 @@ object TextQueries {
          |        + (1.0 - least(CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
          |         AS quality
          |FROM base""".stripMargin,
+    "text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(ws) >= 2
+        |              THEN list_transform(generate_series(1, len(ws) - 1),
+        |                                  i -> ws[i] || ' ' || ws[i + 1])
+        |              ELSE [] END AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        |SELECT doc_id, len(bg) AS n_bigrams,
+        |       len(list_distinct(bg)) AS n_distinct_bigrams,
+        |       CASE WHEN len(bg) > 0
+        |            THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+        |            ELSE 0.0 END AS dup_bigram_frac
+        |FROM b""".stripMargin,
+    "text_pii" ->
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+        |       len(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_digits,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         'https?://[^ \t\n]+', '<URL>', 'g'),
+        |         '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
     "text_ngrams" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |bg AS (SELECT unnest(CASE WHEN len(ws) >= 2
