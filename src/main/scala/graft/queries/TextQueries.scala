@@ -50,11 +50,15 @@ object TextQueries {
     * fraction of word bigrams that are repeats of an earlier bigram in
     * the same document. High values flag boilerplate/spam — a standard
     * LLM-training-data quality filter. Pure per-row expressions. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionScore(docs(spark, dir))
+
+  /** The repetition transform on any `(doc_id, text)` frame. */
+  def repetitionScore(in: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     def bigrams(distinct: Boolean) = ofExpr(graft.functions.expr.WordShingles(
       toExpr(col("text")), 2, distinct = distinct))
-    docs(spark, dir)
+    in
       .select(col("doc_id"),
         size(bigrams(distinct = false)).as("n_bigrams"),
         size(bigrams(distinct = true)).as("n_distinct_bigrams"))
@@ -68,11 +72,15 @@ object TextQueries {
     * URLs, and long digit runs — the pre-training privacy pass every
     * production corpus gets. Patterns are cross-engine-stable (no
     * lookarounds), all per-row codegen. */
-  def textPii(spark: SparkSession, dir: String): DataFrame = {
+  def textPii(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(docs(spark, dir))
+
+  /** The PII transform on any `(doc_id, text)` frame. */
+  def piiScrub(in: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[^ \\t\\n]+"
     val digits = "[0-9]{7,}"
-    docs(spark, dir).select(
+    in.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(url), lit(0))).as("n_urls"),

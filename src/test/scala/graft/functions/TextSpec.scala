@@ -58,4 +58,41 @@ class TextSpec extends SparkSpec {
       .collect().map(_.getSeq[String](0))
     assert(out(0).isEmpty && out(1).isEmpty && out(2) == Seq("two words"))
   }
+
+  test("repetition score: repeated phrases raise the duplicate-bigram fraction") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "every word here appears exactly once"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.repetitionScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) > 0.7, s"heavy repetition must score high: ${got(1L)}")
+    assert(got(2L) == 0.0 && got(3L) == 0.0)
+  }
+
+  test("pii scrub: counts and redacts emails, urls, long digit runs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@site.example.org or see https://ex.org/a?b=1 card 12345678901"),
+      (2L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val rows = TextQueries.piiScrub(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val hit = rows(1L)
+    assert(hit.getInt(1) == 1 && hit.getInt(2) == 1 && hit.getInt(3) == 1)
+    assert(hit.getString(4) == "mail me at <EMAIL> or see <URL> card <NUM>")
+    val clean = rows(2L)
+    assert(clean.getInt(1) == 0 && clean.getInt(2) == 0 && clean.getInt(3) == 0 &&
+      clean.getString(4) == "nothing sensitive here")
+  }
+
+  test("decontamination: flagged docs are outside the eval slice with positive overlap") {
+    val rows = graft.queries.PipelineQueries.corpusDecontaminate(spark, sf("any")).collect()
+    assert(rows.nonEmpty, "corpus plants near-dups across the eval slice")
+    assert(rows.forall(r => r.getLong(0) % 23 != 0 && r.getLong(1) > 0))
+  }
 }
