@@ -19,6 +19,14 @@ object StreamQueries {
       Cond("event_type", "=", "purchase"), Cond("value", ">=", 400L)))),
     TagRule(303, "engaged", "stream", Cond("event_type", "in", Seq("click", "view"))))
 
+  /** Rules over the enriched (event ⋈ customer-dim) stream. */
+  val enrichedRules: Seq[TagRule] = Seq(
+    TagRule(311, "building_buyer", "stream", And(Seq(
+      Cond("event_type", "=", "purchase"), Cond("c_mktsegment", "=", "BUILDING")))),
+    TagRule(312, "machinery_browser", "stream", And(Seq(
+      Cond("event_type", "in", Seq("view", "click")),
+      Cond("c_mktsegment", "=", "MACHINERY")))))
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
 
@@ -27,6 +35,16 @@ object StreamQueries {
 
   def streamTagging(spark: SparkSession, dir: String): DataFrame =
     Streaming.tagStream(events(spark, dir), eventRules, current_date())
+
+  /** Stream-static enrichment then tagging: the dim broadcast-joins
+    * onto the event stream and rules see both sides' columns. */
+  def streamEnrichedTagging(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = Streaming.enrich(events(spark, dir), dim,
+      col("user_id") === col("c_custkey"))
+    Streaming.tagStream(enriched, enrichedRules, current_date())
+  }
 
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     val s = spark
@@ -39,6 +57,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_tagging" -> GateFormat.js(streamTagging _),
+    "stream_enriched_tagging" -> GateFormat.js(streamEnrichedTagging _),
     "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -52,6 +71,14 @@ object StreamQueries {
         |                      CASE WHEN event_type IN ('click', 'view') THEN 303 END],
         |                     x -> x IS NOT NULL) AS tag_ids
         |  FROM events)
+        |WHERE len(tag_ids) > 0""".stripMargin),
+    "stream_enriched_tagging" -> GateFormat.j(
+      """SELECT user_id, ts, tag_ids FROM (
+        |  SELECT user_id, ts,
+        |         list_filter([CASE WHEN event_type = 'purchase' AND c_mktsegment = 'BUILDING' THEN 311 END,
+        |                      CASE WHEN event_type IN ('view', 'click') AND c_mktsegment = 'MACHINERY' THEN 312 END],
+        |                     x -> x IS NOT NULL) AS tag_ids
+        |  FROM events JOIN customer ON user_id = c_custkey)
         |WHERE len(tag_ids) > 0""".stripMargin),
     // the stateful session machine must reproduce the SQL sessionization
     "stream_sessionize" -> AnalyticsQueries.oracles("events_sessionize"))

@@ -51,6 +51,17 @@ object Streaming {
         when(r.rule.compile(anchor), lit(r.tagId))): _*)).as("tag_ids"))
       .filter(size(col("tag_ids")) > 0)
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * live stream before tagging — the streaming counterpart of the
+    * reference's behavior-table ⋈ attribute-table joins. The static
+    * side is `broadcast()` (dims are small next to an unbounded
+    * stream; Spark re-reads the static source per micro-batch, so a
+    * snapshot-consistent dim works unchanged). Batch input runs the
+    * identical plan. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             joinExpr: org.apache.spark.sql.Column): DataFrame =
+    events.join(broadcast(dim), joinExpr, "inner")
+
   /** Continuous tag materialization: each micro-batch UPSERTs into the
     * keyed snapshot store — the streaming closure of the reference's
     * nightly compute→merge→write loop. foreachBatch gives exactly-once

@@ -53,6 +53,29 @@ class StreamingSpec extends SparkSpec {
     assert(!got.contains(3L)) // no rule hits -> filtered
   }
 
+  test("stream-static enrichment join tags with dimension attributes") {
+    val s = spark
+    import s.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"), (3L, "HOUSEHOLD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val enriched = Streaming.enrich(
+      input.toDF().toDF("user_id", "ts", "event_type", "value"),
+      dim, col("user_id") === col("c_custkey"))
+    val out = Streaming.tagStream(enriched, StreamQueries.enrichedRules, current_date())
+    val q = out.writeStream.format("memory").queryName("enr").outputMode("append").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 10.0), // BUILDING buyer -> 311
+      (2L, ts("2024-01-01 10:01:00"), "view", 1.0),      // MACHINERY browser -> 312
+      (3L, ts("2024-01-01 10:02:00"), "purchase", 5.0),  // HOUSEHOLD -> no rule
+      (9L, ts("2024-01-01 10:03:00"), "purchase", 5.0))  // unknown user -> dropped by join
+    q.processAllAvailable()
+    val got = spark.table("enr").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toList).toMap
+    q.stop()
+    assert(got == Map(1L -> List(311), 2L -> List(312)))
+  }
+
   test("streaming sessionize: open session held in state, closed on later event") {
     val s = spark
     import s.implicits._
