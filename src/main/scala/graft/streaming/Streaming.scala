@@ -92,6 +92,86 @@ object Streaming {
     else src.dropDuplicates(Seq(keyCol))
   }
 
+  /** Streaming near-duplicate dedup against all history: each
+    * micro-batch MinHash-signs its documents, drops intra-batch
+    * near-dups (exact Jaccard verification — texts are in hand), then
+    * LSH-checks survivors against the accumulated signature index and
+    * drops docs whose signature-estimated Jaccard vs any historical
+    * candidate is ≥ the threshold. Surviving docs are emitted via
+    * `sink` and their signatures appended to the index store.
+    *
+    * State is the signature index, NOT the corpus: numPerm longs + band
+    * keys per surviving doc (~1 KB/doc at 128 perms) — at 10⁹ docs
+    * that's ~1 TB of parquet, queried per batch through an equi-join on
+    * (band, hash), never scanned per doc. Signature-estimated Jaccard
+    * (matching components / numPerm) has stderr √(j(1−j)/128) ≈ 0.035:
+    * planted ~0.99 near-dups and unrelated ~0.0 docs are both many
+    * sigmas from a 0.8 threshold, so the estimator neither loses
+    * unique docs nor keeps dups on this kind of corpus.
+    */
+  def dedupNearStream(docs: DataFrame, index: graft.sources.SnapshotStore,
+                      sink: DataFrame => Unit, checkpoint: String,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 16,
+                      k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors = dedupNearBatch(batch.toDF(), index, textCol, idCol,
+          minJaccard, numPerm, bands, k)
+        if (!survivors.isEmpty) sink(survivors)
+      }
+      .start()
+
+  /** One micro-batch of [[dedupNearStream]] (also the testable unit). */
+  def dedupNearBatch(batch: DataFrame, index: graft.sources.SnapshotStore,
+                     textCol: String, idCol: String, minJaccard: Double,
+                     numPerm: Int, bands: Int, k: Int): DataFrame = {
+    import graft.dedup.Dedup
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+
+    // intra-batch: exact LSH-verified pairs -> keep cluster canonicals
+    val losers = Dedup.resolveClusters(
+        Dedup.minhashLshPairs(batch, col(textCol), idCol, minJaccard, numPerm, bands, k))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    val unique = batch.join(losers, Seq(idCol), "left_anti")
+
+    // signatures + band keys of the intra-batch survivors
+    val signed = graft.sources.PlanUtils.fanout(
+      unique.select(col(idCol),
+          Dedup.minhashSignature(Dedup.shingles(col(textCol), k), numPerm).as("sig"))
+        .filter(size(col("sig")) > 0))
+      .withColumn("bh", Dedup.bandHashes(col("sig"), bands, r))
+      .localCheckpoint()
+
+    // candidates vs history: equi-join on (band, band hash)
+    val newDocs = index.read() match {
+      case None => signed
+      case Some(hist) =>
+        val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
+        val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
+        val cand = bNew.join(bOld, Seq("band", "h")).select(idCol, "old_id").distinct()
+        val est = cand
+          .join(signed.select(col(idCol), col("sig")), Seq(idCol))
+          .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
+          .withColumn("est_jaccard",
+            aggregate(zip_with(col("sig"), col("old_sig"),
+                (a, b) => when(a === b, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / lit(numPerm))
+        val dupIds = est.filter(col("est_jaccard") >= minJaccard)
+          .select(col(idCol)).distinct()
+        signed.join(dupIds, Seq(idCol), "left_anti")
+    }
+
+    // append the survivors' signatures to the index, emit their rows
+    val survivors = newDocs.localCheckpoint()
+    if (!survivors.isEmpty) index.upsert(survivors.select(idCol, "sig", "bh"))
+    batch.join(survivors.select(idCol), Seq(idCol), "left_semi")
+  }
+
   /** 30-minute-gap sessionization via flatMapGroupsWithState — custom
     * state machine per user. In batch mode each group's full history
     * arrives at once (sorted here) and every session is emitted

@@ -76,6 +76,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> List(311), 2L -> List(312)))
   }
 
+  test("streaming near-dup dedup: history and intra-batch dups dropped across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "doc_id")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val textB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val textC = "entirely different content about completely other subjects and various unrelated things here"
+    val survived = scala.collection.mutable.SortedSet.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.dedupNearStream(
+      input.toDF().toDF("doc_id", "text"), index,
+      df => survived ++= df.select("doc_id").collect().map(_.getLong(0)),
+      s"$base/ckpt")
+    input.addData((1L, textA), (2L, textB))
+    q.processAllAvailable()
+    assert(survived.toSet == Set(1L, 2L))
+    // batch 2: 3 = copy of A (history dup), 4+5 = identical new docs
+    // (intra-batch dup, min id wins), 6 = genuinely new
+    val textD = "fresh prose with plenty of novel vocabulary nothing resembling previous documents at all"
+    input.addData((3L, textA), (4L, textC), (5L, textC), (6L, textD))
+    q.processAllAvailable()
+    q.stop()
+    assert(survived.toSet == Set(1L, 2L, 4L, 6L),
+      s"expected history dup 3 and intra-batch dup 5 dropped, got $survived")
+    // the index accumulated exactly the survivors
+    assert(index.read().get.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 4L, 6L))
+  }
+
   test("streaming sessionize: open session held in state, closed on later event") {
     val s = spark
     import s.implicits._
