@@ -3,73 +3,167 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
 
 /** Keyed snapshot store with UPSERT semantics — the Spark-native
   * stand-in for the reference's MySQL `user_tags` table and its
   * `INSERT ... ON DUPLICATE KEY UPDATE` writer (reference:
   * src/writers/optimized_mysql_writer.py:73-178).
   *
-  * Layout: parquet hash-partitioned into `buckets` directories on
-  * `hash(key) % buckets`. An upsert touches ONLY the bucket
-  * directories its keys fall in — the incremental nightly batch
-  * (thousands of users against a billions-row snapshot) re-reads and
-  * rewrites a bounded slice instead of O(snapshot) I/O per call.
-  * Merged buckets are written to a temp dir first and swapped in
-  * per-directory, so a failed job never corrupts the snapshot and we
-  * never overwrite a path we are lazily reading.
-  * On a lakehouse table format (Delta/Iceberg) the same call maps to
-  * `MERGE INTO` — the API is the contract, not the file layout.
+  * Layout + commit protocol (object-store safe, Delta/Iceberg style):
+  * rows are hash-bucketed on `hash(key) % buckets` into immutable
+  * parquet files under unique `data-*` directories — files are NEVER
+  * overwritten or renamed. A versioned text manifest lists the live
+  * files per bucket; committing a write is ONE atomic single-file
+  * manifest publish. Consequences:
+  *
+  *  - an upsert reads and replaces only the buckets its keys touch
+  *    (manifest-driven file pruning — the incremental nightly batch
+  *    does bounded I/O against a billions-row snapshot);
+  *  - a crashed job leaves orphan data files but never a corrupt or
+  *    half-visible snapshot (readers follow the last manifest);
+  *  - lazy readers opened BEFORE an upsert keep reading their
+  *    version's files afterwards (snapshot isolation) — directory
+  *    rename/delete protocols break exactly this on object stores;
+  *  - [[vacuum]] reclaims files no manifest references.
+  *
+  * On a lakehouse table format the same calls map to `MERGE INTO` —
+  * the API is the contract, not the file layout.
   */
 final class SnapshotStore(spark: SparkSession, path: String, key: String = "user_id",
                           buckets: Int = 32) {
 
-  /** Partition column — internal to the store; never surfaced by read(). */
   private val BucketCol = "snap_bucket"
+  private val ManifestPrefix = "manifest-"
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn(BucketCol, pmod(hash(col(key)), lit(buckets)))
 
-  def exists: Boolean = fs.exists(new Path(path))
+  // ---- manifest protocol ----
 
-  /** The snapshot in its logical schema (partition column dropped). */
+  /** `(version, bucket → relative file paths)` of the newest manifest. */
+  private[sources] def latestManifest(): Option[(Long, Map[Int, Seq[String]])] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && n.endsWith(".txt"))
+      .map(n => n.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong)
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = fs.open(new Path(path, f"$ManifestPrefix$v%012d.txt"))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val mapping = text.linesIterator.filter(_.nonEmpty).toSeq
+      .map { line => val Array(b, f) = line.split("\t", 2); (b.toInt, f) }
+      .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
+    Some((v, mapping))
+  }
+
+  /** Publish a new manifest version: write to a unique temp name, then
+    * a single-file rename — the one atomic primitive object stores
+    * give us (locally: POSIX rename). */
+  private def commit(version: Long, mapping: Map[Int, Seq[String]]): Unit = {
+    fs.mkdirs(new Path(path))
+    val body = mapping.toSeq.sortBy(_._1)
+      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") }
+      .mkString("\n")
+    val tmp = new Path(path, s".tmp-manifest-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.rename(tmp, new Path(path, f"$ManifestPrefix$version%012d.txt"))
+  }
+
+  /** Write `df` (already bucketed) into a fresh immutable data dir;
+    * return bucket → relative file paths. */
+  private def writeData(bucketed: DataFrame): Map[Int, Seq[String]] = {
+    val dataDir = s"data-${java.util.UUID.randomUUID}"
+    bucketed.write.partitionBy(BucketCol).parquet(s"$path/$dataDir")
+    val out = scala.collection.mutable.Map.empty[Int, Vector[String]]
+    for (dir <- fs.listStatus(new Path(s"$path/$dataDir"))
+         if dir.isDirectory && dir.getPath.getName.startsWith(s"$BucketCol=")) {
+      val b = dir.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+      for (f <- fs.listStatus(dir.getPath) if f.getPath.getName.endsWith(".parquet"))
+        out(b) = out.getOrElse(b, Vector.empty) :+ s"$dataDir/${dir.getPath.getName}/${f.getPath.getName}"
+    }
+    out.toMap
+  }
+
+  private def readFiles(files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(f => s"$path/$f"): _*))
+
+  // ---- public API ----
+
+  def exists: Boolean = latestManifest().isDefined
+
+  /** The snapshot at the newest committed version. The plan pins the
+    * version's file list, so later upserts don't disturb it. */
   def read(): Option[DataFrame] =
-    if (exists) Some(spark.read.parquet(path).drop(BucketCol)) else None
+    latestManifest().flatMap { case (_, m) => readFiles(m.values.flatten.toSeq) }
 
-  /** Full overwrite (safe swap of the whole snapshot). */
+  /** Full overwrite: new data files + new manifest listing only them. */
   def overwrite(df: DataFrame): Unit = {
-    val tmp = path + ".__tmp__"
-    withBucket(df).write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+    val v = latestManifest().map(_._1).getOrElse(0L)
+    commit(v + 1, writeData(withBucket(df)))
   }
 
   /** UPSERT: rows in `df` replace snapshot rows with the same key; all
     * other snapshot rows are kept (mysql_writer UPSERT semantics).
-    * Only the bucket partitions containing incoming keys are read
-    * (partition pruning on the filter), merged (one key-partitioned
-    * anti-join + union), and swapped — untouched bucket directories
-    * are never opened. The touched-bucket list is a ≤`buckets`-element
-    * driver collect, not a data-sized one. */
-  def upsert(df: DataFrame): Unit = read() match {
+    * Reads ONLY the files of the buckets the incoming keys hash into
+    * (the touched-bucket list is a ≤`buckets`-element driver collect),
+    * merges with one key-partitioned anti-join + union, writes new
+    * files for those buckets, and publishes a manifest that reuses
+    * every untouched bucket's existing files verbatim. */
+  def upsert(df: DataFrame): Unit = latestManifest() match {
     case None => overwrite(df)
-    case Some(existing) =>
-      val incoming = withBucket(df.select(existing.columns.map(col).toIndexedSeq: _*))
+    case Some((v, mapping)) =>
+      val incoming = withBucket(df)
       val touched = incoming.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val existingTouched = spark.read.parquet(path)
-        .filter(col(BucketCol).isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
-      val kept = existingTouched.join(df.select(key).distinct(), Seq(key), "left_anti")
-      val merged = kept.unionByName(incoming.select(existingTouched.columns.map(col).toIndexedSeq: _*))
-      val tmp = path + ".__tmp__"
-      merged.write.partitionBy(BucketCol).mode("overwrite").parquet(tmp)
-      touched.foreach { b =>
-        val dir = s"$BucketCol=$b"
-        fs.delete(new Path(path, dir), true)
-        fs.rename(new Path(tmp, dir), new Path(path, dir))
+        .collect().map(_.getInt(0)).toSet
+      val merged = readFiles(touched.toSeq.sorted.flatMap(mapping.getOrElse(_, Nil))) match {
+        case None => incoming
+        case Some(existing) =>
+          val kept = withBucket(existing)
+            .join(df.select(key).distinct(), Seq(key), "left_anti")
+          kept.unionByName(incoming.select(kept.columns.map(col).toIndexedSeq: _*))
       }
-      fs.delete(new Path(tmp), true)
+      commit(v + 1, (mapping -- touched) ++ writeData(merged))
+  }
+
+  /** Delete data files no manifest version references and manifests
+    * older than the newest `keepVersions`. Run out-of-band, like any
+    * lakehouse vacuum. Returns the number of files deleted. */
+  def vacuum(keepVersions: Int = 1): Long = latestManifest() match {
+    case None => 0L
+    case Some((latest, _)) =>
+      val keep = fs.listStatus(new Path(path)).map(_.getPath.getName)
+        .filter(n => n.startsWith(ManifestPrefix))
+        .map(n => n.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong)
+        .filter(_ > latest - keepVersions)
+        .toSet
+      val live = keep.flatMap { v =>
+        val in = fs.open(new Path(path, f"$ManifestPrefix$v%012d.txt"))
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+        text.linesIterator.filter(_.nonEmpty).map(_.split("\t", 2)(1)).toSet
+      }
+      var deleted = 0L
+      for (entry <- fs.listStatus(new Path(path))) {
+        val name = entry.getPath.getName
+        if (entry.isDirectory && name.startsWith("data-")) {
+          for (bucketDir <- fs.listStatus(entry.getPath) if bucketDir.isDirectory;
+               f <- fs.listStatus(bucketDir.getPath)) {
+            val rel = s"$name/${bucketDir.getPath.getName}/${f.getPath.getName}"
+            if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel)) {
+              fs.delete(f.getPath, false); deleted += 1
+            }
+          }
+        } else if (name.startsWith(ManifestPrefix) &&
+          !keep.contains(name.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong)) {
+          fs.delete(entry.getPath, false)
+        }
+      }
+      deleted
   }
 
   /** Post-write validation (optimized_mysql_writer.py:180-220): every

@@ -2,39 +2,60 @@ package graft.sources
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.file.Files
 
 class SnapshotStoreSpec extends SparkSpec {
 
-  /** parquet files per bucket directory (dir name → file names). */
-  private def bucketFiles(root: String): Map[String, Set[String]] =
-    Files.walk(Paths.get(root)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .toSeq
-      .groupBy(_.getParent.getFileName.toString)
-      .map { case (d, fs) => d -> fs.map(_.getFileName.toString).toSet }
-
-  test("upsert touching one user rewrites exactly one bucket partition") {
+  test("upsert touching one user replaces exactly one bucket's files in the manifest") {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("graft_snap_part").toString + "/snap"
     val store = new SnapshotStore(spark, dir, buckets = 8)
     store.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("user_id", "v"))
-    val before = bucketFiles(dir)
+    val (v1, before) = store.latestManifest().get
     assert(before.size > 1, "100 users over 8 buckets must span several partitions")
 
     store.upsert(Seq((5L, "updated")).toDF("user_id", "v"))
-    val after = bucketFiles(dir)
-    val changed = after.keySet.union(before.keySet)
-      .filter(d => before.get(d) != after.get(d))
-    assert(changed.size == 1, s"one-user upsert must rewrite one bucket, got $changed")
+    val (v2, after) = store.latestManifest().get
+    assert(v2 == v1 + 1)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"one-user upsert must replace one bucket, got $changed")
+    // untouched buckets reference the SAME immutable files — zero rewrite
+    (before.keySet - changed.head).foreach(b => assert(before(b) == after(b)))
 
     val snap = store.read().get
     assert(snap.count() == 100)
     assert(snap.filter(col("user_id") === 5L).select("v").head().getString(0) == "updated")
-    // logical schema hides the partition column
     assert(snap.columns.toSeq == Seq("user_id", "v"))
+  }
+
+  test("snapshot isolation: a reader opened before an upsert keeps its version") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_iso").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite(Seq((1L, "old"), (2L, "x")).toDF("user_id", "v"))
+    val reader = store.read().get // lazy plan pinned to version-1 files
+    store.upsert(Seq((1L, "new")).toDF("user_id", "v"))
+    // old files were not deleted or renamed, so the pinned plan still works
+    assert(reader.filter(col("user_id") === 1L).select("v").head().getString(0) == "old")
+    assert(store.read().get.filter(col("user_id") === 1L)
+      .select("v").head().getString(0) == "new")
+  }
+
+  test("vacuum removes files of dropped versions and keeps the live ones") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_vac").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 2)
+    store.overwrite(Seq((1L, "a"), (2L, "b")).toDF("user_id", "v"))
+    store.upsert(Seq((1L, "a2")).toDF("user_id", "v"))
+    val deleted = store.vacuum(keepVersions = 1)
+    assert(deleted >= 1, "version-1 file for user 1's bucket must be reclaimed")
+    val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b"))
+    assert(store.vacuum() == 0L, "second vacuum finds nothing")
   }
 
   test("upsert inserts unseen keys and validateWrite sees them") {
