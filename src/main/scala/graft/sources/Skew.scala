@@ -44,6 +44,28 @@ object Skew {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Measure key skew on a sample and suggest a salt factor: the ratio
+    * of the hottest key's share to a uniform share, clamped to
+    * [1, maxBuckets]. 1 means "don't salt" — salting un-skewed data
+    * only adds a merge phase. The sample is a single small aggregation
+    * (never a full-data histogram); `fraction` rows decide, which is
+    * plenty: a key hot enough to matter dominates any sample. */
+  def suggestSaltFactor(df: DataFrame, key: String, fraction: Double = 0.05,
+                        maxBuckets: Int = 64, seed: Long = 42L): Int = {
+    val counts = df.sample(fraction, seed).groupBy(col(key)).count()
+      .agg(coalesce(max(col("count")), lit(0L)).as("hottest"),
+        coalesce(sum(col("count")), lit(0L)).as("n"),
+        count(lit(1)).as("n_keys"))
+      .head()
+    val (hottest, n, nKeys) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    if (n == 0L || nKeys == 0L) 1
+    else {
+      val uniform = n.toDouble / nKeys
+      math.min(maxBuckets, math.max(1, math.ceil(hottest / uniform).toInt))
+    }
+  }
+
   /** Hot-key-tolerant broadcast join: the big side gets a salt, the
     * (small) right side is replicated once per bucket, and the join
     * key becomes (key, salt) — so a key whose rows would all land in

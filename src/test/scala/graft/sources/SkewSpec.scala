@@ -43,4 +43,18 @@ class SkewSpec extends SparkSpec {
       .distinct().count()
     assert(buckets >= 12, s"expected most of 16 buckets used, got $buckets")
   }
+
+  test("suggestSaltFactor: high for a dominant key, 1 for uniform keys") {
+    val s = spark
+    import s.implicits._
+    // one key holds ~90% of rows across 11 keys
+    val skewed = ((1 to 9000).map(i => ("HOT", i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 10}", i.toLong))).toDF("k", "id")
+    val hotFactor = Skew.suggestSaltFactor(skewed, "k", fraction = 0.5)
+    assert(hotFactor >= 4, s"dominant key must demand salting, got $hotFactor")
+    val uniform = (1 to 10000).map(i => (s"k${i % 100}", i.toLong)).toDF("k", "id")
+    val uniFactor = Skew.suggestSaltFactor(uniform, "k", fraction = 0.5)
+    assert(uniFactor <= 2, s"uniform keys must not demand salting, got $uniFactor")
+    assert(Skew.suggestSaltFactor(skewed.limit(0), "k", fraction = 0.5) == 1)
+  }
 }
