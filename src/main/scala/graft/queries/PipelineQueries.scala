@@ -73,14 +73,54 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_shared_5grams"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences. Docs are hash-bucketed (packs are independent, so
+    * packing runs per-bucket in parallel — the window never sees more
+    * than one bucket), ordered deterministically, and placed by
+    * cumulative token count: pack = floor(tokens-before-this-doc /
+    * budget). This is the shuffle-cheap streaming approximation of
+    * first-fit (a doc straddling a boundary overflows its pack by at
+    * most itself — the standard trade; exact bin packing needs a
+    * sequential scan). Oversized docs count as one full budget so they
+    * get a pack of their own. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = 512, buckets: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        least(size(bpeTokens(col("text"))), lit(budget)).as("n_tokens"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        (col("bucket").cast("long") * 1000000L +
+          floor(col("tokens_before") / lit(budget))).as("pack_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
+    "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "sample_stratified" -> (sampleStratified _))
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         least(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 512) AS n_tokens,
+        |         doc_id % 16 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket, n_tokens,
+        |       bucket * 1000000 + CAST(floor(
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |         / 512.0) AS BIGINT) AS pack_id
+        |FROM t""".stripMargin,
     "corpus_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

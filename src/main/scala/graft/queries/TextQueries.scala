@@ -89,6 +89,22 @@ object TextQueries {
         email, "<EMAIL>"), url, "<URL>"), digits, "<NUM>").as("scrubbed"))
   }
 
+  /** Document chunking for context-bounded training samples: fixed
+    * word windows of `chunkWords` at `strideWords` steps (overlap =
+    * chunk − stride). One posexplode per doc — no shuffle, no UDF;
+    * trailing chunks may be short (they end at the document). */
+  def chunkDocs(in: DataFrame, chunkWords: Int, strideWords: Int): DataFrame =
+    in.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1), greatest(size(col("ws")), lit(1)), lit(strideWords)))
+          .as(Seq("chunk_idx", "s")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("s"), lit(chunkWords))).as("chunk_text"),
+        size(slice(col("ws"), col("s"), lit(chunkWords))).as("n_chunk_words"))
+
+  def textChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(docs(spark, dir), chunkWords = 64, strideWords = 48)
+
   /** Corpus-wide top-20 bigrams: per-row n-gram expansion (native
     * WordShingles expression, non-distinct so counts are true), one
     * explode, one count shuffle, deterministic tiebreak. */
@@ -113,7 +129,8 @@ object TextQueries {
       textFingerprint(s, d).select("doc_id", "rolling_fp")),
     "text_ngrams" -> (textNgrams _),
     "text_repetition" -> (textRepetition _),
-    "text_pii" -> (textPii _))
+    "text_pii" -> (textPii _),
+    "text_chunks" -> (textChunks _))
 
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -174,6 +191,14 @@ object TextQueries {
          |        + (1.0 - least(CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
          |         AS quality
          |FROM base""".stripMargin,
+    // DuckDB list slicing is 1-based inclusive: ws[s : s+chunk-1]
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |       array_to_string(ws[1 + k * 48 : k * 48 + 64], ' ') AS chunk_text,
+        |       CAST(len(ws[1 + k * 48 : k * 48 + 64]) AS INTEGER) AS n_chunk_words
+        |FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |       CAST(floor((greatest(len(ws), 1) - 1) / 48.0) AS BIGINT))) AS k)""".stripMargin,
     "text_repetition" ->
       """WITH b AS (
         |  SELECT doc_id,

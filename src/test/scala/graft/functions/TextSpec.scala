@@ -90,6 +90,32 @@ class TextSpec extends SparkSpec {
       clean.getString(4) == "nothing sensitive here")
   }
 
+  test("chunking: windows cover every word with the configured overlap") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val chunks = TextQueries.chunkDocs(Seq((1L, text)).toDF("doc_id", "text"),
+        chunkWords = 30, strideWords = 20)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length == 5) // starts at 1, 21, 41, 61, 81
+    assert(chunks.forall(_.getInt(3) <= 30))
+    assert(chunks.head.getString(2).startsWith("w1 w2") &&
+      chunks.last.getString(2).endsWith("w100"))
+    // consecutive chunks overlap by chunk - stride = 10 words
+    val first = chunks(0).getString(2).split(" ")
+    val second = chunks(1).getString(2).split(" ")
+    assert(first.takeRight(10).sameElements(second.take(10)))
+  }
+
+  test("sequence packing: no pack exceeds budget by more than one straddling doc") {
+    val packs = graft.queries.PipelineQueries.packSequences(spark, sf("any"))
+      .groupBy("pack_id").agg(sum("n_tokens").as("total"))
+      .collect().map(_.getLong(1))
+    assert(packs.nonEmpty)
+    // every doc is capped at budget, so the straddler bound is 2*budget
+    assert(packs.forall(_ < 2 * 512), s"pack overflow beyond straddler bound: ${packs.max}")
+  }
+
   test("decontamination: flagged docs are outside the eval slice with positive overlap") {
     val rows = graft.queries.PipelineQueries.corpusDecontaminate(spark, sf("any")).collect()
     assert(rows.nonEmpty, "corpus plants near-dups across the eval slice")
