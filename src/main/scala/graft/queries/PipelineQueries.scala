@@ -100,8 +100,25 @@ object PipelineQueries {
           floor(col("tokens_before") / lit(budget))).as("pack_id"))
   }
 
+  /** Per-language corpus report: doc counts, token budget, exact
+    * order-independent mean quality (decimal-summed), and the median
+    * document length — the dashboard numbers a data curator reads
+    * before and after every cleaning run. One aggregation pass. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(bpeTokens(col("text"))).cast("long")).as("total_bpe_tokens"),
+        (sum(qualityScore(col("text")).cast("decimal(18,12)")).cast("double") /
+          count(lit(1))).as("avg_quality"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
+    "corpus_stats" -> (corpusStats _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "sample_stratified" -> (sampleStratified _))
@@ -109,6 +126,27 @@ object PipelineQueries {
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
   val oracles: Map[String, String] = Map(
+    "corpus_stats" ->
+      s"""WITH q AS (
+         |  SELECT lang, n_chars,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+         |         least(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |          + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                         / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
+         |          + least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         |                          w -> w IN (${stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
+         |                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
+         |          + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+         |                         / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
+         |           AS quality
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+         |       CAST(sum(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_quality,
+         |       min(n_chars) AS min_chars,
+         |       max(n_chars) AS max_chars,
+         |       quantile_cont(n_chars, 0.5) AS median_chars
+         |FROM q GROUP BY lang""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -119,6 +119,30 @@ object TextQueries {
       .limit(20)
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·ln((N+1)/(df+1)), stopwords excluded, ties broken by term.
+    * Two shuffles total — term-frequency aggregation and the small
+    * document-frequency aggregate (broadcast back) — then a per-doc
+    * top-k window. The emitted columns are integers + rank (the float
+    * score stays internal, so cross-engine float noise can't flip the
+    * gate). */
+  def textKeywords(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
+      .filter(!col("word").isInCollection(stopwords))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).count()
+    tf.join(broadcast(dfreq), Seq("word"))
+      .withColumn("score",
+        col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "rank", "word", "tf", "df")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -130,7 +154,8 @@ object TextQueries {
     "text_ngrams" -> (textNgrams _),
     "text_repetition" -> (textRepetition _),
     "text_pii" -> (textPii _),
-    "text_chunks" -> (textChunks _))
+    "text_chunks" -> (textChunks _),
+    "text_keywords" -> ((s: SparkSession, d: String) => textKeywords(s, d)))
 
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -191,6 +216,23 @@ object TextQueries {
          |        + (1.0 - least(CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
          |         AS quality
          |FROM base""".stripMargin,
+    "text_keywords" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM terms
+         |  WHERE word NOT IN ($stopwordsSql) GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |scored AS (
+         |  SELECT doc_id, word, tf, df,
+         |         tf * ln(((SELECT count(*) FROM documents) + 1.0) / (df + 1.0)) AS score
+         |  FROM tf JOIN dfreq USING (word))
+         |SELECT doc_id, rank, word, tf, df FROM (
+         |  SELECT doc_id, word, tf, df,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     // DuckDB list slicing is 1-based inclusive: ws[s : s+chunk-1]
     "text_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
