@@ -1,0 +1,26 @@
+package graft
+
+/** Global plan-shape regression guard: no gate query may acquire a
+  * cartesian/nested-loop join. The only allowed exceptions are the
+  * deliberate brute-force baselines, where the small side is broadcast
+  * against the corpus by design (exact ANN / kNN over a bounded query
+  * set, and the documented embedding-dedup baseline). A new query — or
+  * a refactor of an old one — that introduces an n×n join fails here
+  * before it fails at 100 TB. */
+class PlanGuardSpec extends SparkSpec {
+
+  private val allowedCartesian = Set(
+    "ann_bruteforce_topk",      // bounded query set × corpus, broadcast by design
+    "knn_label_vote",           // same shape: k-NN scoring of a small query set
+    "dedup_embedding_bruteforce") // documented exact baseline (grid path is the headline)
+
+  test("no gate query plans a cartesian or nested-loop join (except documented baselines)") {
+    val dir = sf("any")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop")
+      if (cartesian && !allowedCartesian(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian joins crept into: $offenders")
+  }
+}
