@@ -252,6 +252,33 @@ object AnalyticsQueries {
         element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
         col("q_value"))
 
+  /** Per-type z-score outliers (|z| > 3). Mean/variance come from
+    * exact decimal sums (Σx, Σx²) cast to double, so z is bit-identical
+    * across engines and plans — a naive double stddev drifts with
+    * partial-aggregation order. Tiny stats frame broadcast back. */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast("decimal(18,6)")).cast("double").as("s2"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        (col("value") - col("s1") / col("n")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      .filter(abs(col("z")) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  /** Sliding 1-hour windows every 15 minutes — the overlapping-window
+    * counterpart of eventsWindowed (each event lands in 4 windows);
+    * identical call shape on a stream. */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
   // ---- as-of join ----
 
   /** As-of join: each event picks the latest order of the same user
@@ -306,6 +333,8 @@ object AnalyticsQueries {
     "rollup_revenue" -> (rollupRevenue _),
     "events_funnel" -> (eventsFunnel _),
     "value_quantiles" -> (valueQuantiles _),
+    "events_outliers" -> (eventsOutliers _),
+    "events_sliding" -> (eventsSliding _),
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =
@@ -434,6 +463,22 @@ object AnalyticsQueries {
         |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
         |      FROM events GROUP BY event_type)
         |CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)""".stripMargin,
+    "events_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |       (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3""".stripMargin,
+    "events_sliding" ->
+      """SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+        |         - k * 900)::TIMESTAMP AS window_start,
+        |       event_type, count(*) AS n_events
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        |GROUP BY 1, event_type""".stripMargin,
     "asof_join_events_orders" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM (
         |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
