@@ -252,6 +252,37 @@ object AnalyticsQueries {
         element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
         col("q_value"))
 
+  /** RFM segmentation — the classic user-scoring rollup a tag
+    * warehouse feeds into wealth/activity tags: per-user recency
+    * (days since last order at the pinned anchor), frequency and
+    * exact monetary total, quintile-scored 1–5 with deterministic
+    * tiebreaks. ntile needs a total order; at 100 TB derive the four
+    * breakpoints per metric with approx_percentile and map by range
+    * instead — same output contract, no global sort. */
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchor = lit(TagQueries.OrdersAnchor).cast("date")
+    val base = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(
+        datediff(anchor, max(col("o_orderdate")).cast("date")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    base
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular"))
+  }
+
   /** Per-type z-score outliers (|z| > 3). Mean/variance come from
     * exact decimal sums (Σx, Σx²) cast to double, so z is bit-identical
     * across engines and plans — a naive double stddev drifts with
@@ -335,6 +366,7 @@ object AnalyticsQueries {
     "value_quantiles" -> (valueQuantiles _),
     "events_outliers" -> (eventsOutliers _),
     "events_sliding" -> (eventsSliding _),
+    "user_rfm" -> (userRfm _),
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =
@@ -463,6 +495,26 @@ object AnalyticsQueries {
         |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
         |      FROM events GROUP BY event_type)
         |CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)""".stripMargin,
+    "user_rfm" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey AS user_id,
+         |         date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '${TagQueries.OrdersAnchor}') AS recency_days,
+         |         count(*) AS frequency,
+         |         ${dsumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |scored AS (
+         |  SELECT user_id, recency_days, frequency, monetary,
+         |         ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         |         ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+         |         ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+         |  FROM base)
+         |SELECT user_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+         |       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         |            WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+         |            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         |            WHEN r_score <= 2 THEN 'hibernating'
+         |            ELSE 'regular' END AS segment
+         |FROM scored""".stripMargin,
     "events_outliers" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,
