@@ -252,6 +252,21 @@ object AnalyticsQueries {
         element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
         col("q_value"))
 
+  /** Weekly cohort retention: users grouped by first-activity week
+    * (ISO Monday truncation), distinct-active counts per weeks-since-
+    * cohort offset — the retention triangle. Two aggregations, both
+    * hash-partitioned on user_id before the small final rollup. */
+  def eventsCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(cohort, Seq("user_id"))
+      .withColumn("weeks_since",
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   /** RFM segmentation — the classic user-scoring rollup a tag
     * warehouse feeds into wealth/activity tags: per-user recency
     * (days since last order at the pinned anchor), frequency and
@@ -367,6 +382,7 @@ object AnalyticsQueries {
     "events_outliers" -> (eventsOutliers _),
     "events_sliding" -> (eventsSliding _),
     "user_rfm" -> (userRfm _),
+    "events_cohorts" -> (eventsCohorts _),
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =
@@ -495,6 +511,15 @@ object AnalyticsQueries {
         |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qs
         |      FROM events GROUP BY event_type)
         |CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i)""".stripMargin,
+    "events_cohorts" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, date_trunc('week', ts)) / 7 AS INTEGER) AS weeks_since,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "user_rfm" ->
       s"""WITH base AS (
          |  SELECT o_custkey AS user_id,
