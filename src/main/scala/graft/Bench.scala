@@ -33,7 +33,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // untimed warmup: target-SF files into the OS page cache
-    new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet"))
+    // (listFiles is null for a missing/non-directory path — fall
+    // through and let each timed query report its own failure)
+    Option(new java.io.File(sfDir).listFiles((_, n) => n.endsWith(".parquet")))
+      .getOrElse(Array.empty)
       .foreach(f => spark.read.parquet(f.getPath)
         .write.format("noop").mode("overwrite").save())
     // min of 2 runs per query: the honest steady-state number — a GC

@@ -132,12 +132,18 @@ object TextQueries {
     val terms = docs(spark, dir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
       .filter(!col("word").isInCollection(stopwords))
-    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // fanout barrier: tf feeds both the df aggregate and the join probe
+    // — without it the term explode + count re-runs per consumer
+    val tf = graft.sources.PlanUtils.fanout(
+      terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = docs(spark, dir).count()
+    // corpus size as a 1-row broadcast, not an eager driver count():
+    // building the plan must not launch a job
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(dfreq), Seq("word"))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))))
+        col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select("doc_id", "rank", "word", "tf", "df")

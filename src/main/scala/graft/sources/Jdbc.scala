@@ -34,12 +34,23 @@ object Jdbc {
 
   /** Batched write; `batchSize` maps to the JDBC fetch/batch size the
     * reference tunes per-partition (optimized_mysql_writer.py:95), and
-    * `retries` to its retry-with-backoff loop around failed batches. */
+    * `retries` to its retry-with-backoff loop around failed batches.
+    *
+    * Retrying is only safe when the write is idempotent: a re-run of
+    * `Append` after a partial failure duplicates the partitions that
+    * already committed (the reference's per-batch retry is idempotent
+    * because it upserts ON DUPLICATE KEY). Append therefore gets ONE
+    * attempt unless the caller explicitly opts in via
+    * `retryNonIdempotent` (e.g. the target has a primary key that
+    * rejects duplicates, or the table is staged-then-swapped). */
   def write(df: DataFrame, url: String, table: String, mode: SaveMode,
             batchSize: Int = 5000, retries: Int = 3,
+            retryNonIdempotent: Boolean = false,
             props: Properties = new Properties()): Unit = {
     props.setProperty("batchsize", batchSize.toString)
-    Retry.withRetry(retries) {
+    val attempts =
+      if (mode == SaveMode.Append && !retryNonIdempotent) 1 else retries
+    Retry.withRetry(attempts) {
       df.write.mode(mode).jdbc(url, table, props)
     }
   }

@@ -26,10 +26,18 @@ object Retry {
     while (true) {
       try return f
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError or an interrupt is not a
+        // transient write failure — retrying masks fatal state and
+        // delays shutdown
+        case scala.util.control.NonFatal(e) =>
           if (attempt >= attempts) throw new RetriesExhausted(attempts, e)
           onRetry(attempt, e)
-          sleep(backoff)
+          try sleep(backoff)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw new RetriesExhausted(attempts, ie)
+          }
           backoff = math.min(backoff * 2, maxBackoffMs)
           attempt += 1
       }

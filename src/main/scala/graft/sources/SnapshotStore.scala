@@ -38,13 +38,17 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn(BucketCol, pmod(hash(col(key)), lit(buckets)))
+  private def withBucket(df: DataFrame, bucketCount: Int = buckets): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(col(key)), lit(bucketCount)))
 
   // ---- manifest protocol ----
 
-  /** `(version, bucket → relative file paths)` of the newest manifest. */
-  private[sources] def latestManifest(): Option[(Long, Map[Int, Seq[String]])] = {
+  /** `(version, recorded bucket count, bucket → relative files)` of the
+    * newest manifest. The bucket count is part of the layout — an
+    * upsert MUST hash with the count the snapshot was written with, or
+    * a key's new row lands in a different bucket than its old one and
+    * the upsert silently duplicates the key. */
+  private def latestRaw(): Option[(Long, Option[Int], Map[Int, Seq[String]])] = {
     val root = new Path(path)
     if (!fs.exists(root)) return None
     val versions = fs.listStatus(root).map(_.getPath.getName)
@@ -54,19 +58,27 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     val v = versions.max
     val in = fs.open(new Path(path, f"$ManifestPrefix$v%012d.txt"))
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    val mapping = text.linesIterator.filter(_.nonEmpty).toSeq
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val recorded = lines.collectFirst {
+      case l if l.startsWith("#buckets=") => l.stripPrefix("#buckets=").toInt
+    }
+    val mapping = lines.filterNot(_.startsWith("#"))
       .map { line => val Array(b, f) = line.split("\t", 2); (b.toInt, f) }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
-    Some((v, mapping))
+    Some((v, recorded, mapping))
   }
+
+  private[sources] def latestManifest(): Option[(Long, Map[Int, Seq[String]])] =
+    latestRaw().map { case (v, _, m) => (v, m) }
 
   /** Publish a new manifest version: write to a unique temp name, then
     * a single-file rename — the one atomic primitive object stores
     * give us (locally: POSIX rename). */
-  private def commit(version: Long, mapping: Map[Int, Seq[String]]): Unit = {
+  private def commit(version: Long, bucketCount: Int,
+                     mapping: Map[Int, Seq[String]]): Unit = {
     fs.mkdirs(new Path(path))
-    val body = mapping.toSeq.sortBy(_._1)
-      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") }
+    val body = (s"#buckets=$bucketCount" +: mapping.toSeq.sortBy(_._1)
+      .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
       .mkString("\n")
     val tmp = new Path(path, s".tmp-manifest-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
@@ -102,10 +114,12 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   def read(): Option[DataFrame] =
     latestManifest().flatMap { case (_, m) => readFiles(m.values.flatten.toSeq) }
 
-  /** Full overwrite: new data files + new manifest listing only them. */
+  /** Full overwrite: new data files + new manifest listing only them
+    * (the whole layout is replaced, so the constructor's bucket count
+    * takes effect). */
   def overwrite(df: DataFrame): Unit = {
-    val v = latestManifest().map(_._1).getOrElse(0L)
-    commit(v + 1, writeData(withBucket(df)))
+    val v = latestRaw().map(_._1).getOrElse(0L)
+    commit(v + 1, buckets, writeData(withBucket(df)))
   }
 
   /** UPSERT: rows in `df` replace snapshot rows with the same key; all
@@ -115,26 +129,33 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     * merges with one key-partitioned anti-join + union, writes new
     * files for those buckets, and publishes a manifest that reuses
     * every untouched bucket's existing files verbatim. */
-  def upsert(df: DataFrame): Unit = latestManifest() match {
+  def upsert(df: DataFrame): Unit = latestRaw() match {
     case None => overwrite(df)
-    case Some((v, mapping)) =>
-      val incoming = withBucket(df)
+    case Some((v, recorded, mapping)) =>
+      // hash with the count the snapshot was WRITTEN with — a store
+      // opened with a different constructor value must not re-bucket
+      val bc = recorded.getOrElse(buckets)
+      val incoming = withBucket(df, bc)
       val touched = incoming.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
       val merged = readFiles(touched.toSeq.sorted.flatMap(mapping.getOrElse(_, Nil))) match {
         case None => incoming
         case Some(existing) =>
-          val kept = withBucket(existing)
+          val kept = withBucket(existing, bc)
             .join(df.select(key).distinct(), Seq(key), "left_anti")
           kept.unionByName(incoming.select(kept.columns.map(col).toIndexedSeq: _*))
       }
-      commit(v + 1, (mapping -- touched) ++ writeData(merged))
+      commit(v + 1, bc, (mapping -- touched) ++ writeData(merged))
   }
 
   /** Delete data files no manifest version references and manifests
-    * older than the newest `keepVersions`. Run out-of-band, like any
-    * lakehouse vacuum. Returns the number of files deleted. */
-  def vacuum(keepVersions: Int = 1): Long = latestManifest() match {
+    * older than the newest `keepVersions`. `minAgeMs` is the retention
+    * grace: files younger than it are NEVER deleted, because an
+    * in-flight writer may have produced them but not yet committed its
+    * manifest (the same reason every lakehouse vacuum has a retention
+    * window). Run out-of-band. Returns the number of files deleted. */
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
+    latestManifest() match {
     case None => 0L
     case Some((latest, _)) =>
       val keep = fs.listStatus(new Path(path)).map(_.getPath.getName)
@@ -145,8 +166,10 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       val live = keep.flatMap { v =>
         val in = fs.open(new Path(path, f"$ManifestPrefix$v%012d.txt"))
         val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-        text.linesIterator.filter(_.nonEmpty).map(_.split("\t", 2)(1)).toSet
+        text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.split("\t", 2)(1)).toSet
       }
+      val cutoff = System.currentTimeMillis() - minAgeMs
       var deleted = 0L
       for (entry <- fs.listStatus(new Path(path))) {
         val name = entry.getPath.getName
@@ -154,12 +177,14 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
           for (bucketDir <- fs.listStatus(entry.getPath) if bucketDir.isDirectory;
                f <- fs.listStatus(bucketDir.getPath)) {
             val rel = s"$name/${bucketDir.getPath.getName}/${f.getPath.getName}"
-            if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel)) {
+            if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel) &&
+                f.getModificationTime < cutoff) {
               fs.delete(f.getPath, false); deleted += 1
             }
           }
         } else if (name.startsWith(ManifestPrefix) &&
-          !keep.contains(name.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong)) {
+          !keep.contains(name.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong) &&
+          entry.getModificationTime < cutoff) {
           fs.delete(entry.getPath, false)
         }
       }

@@ -66,8 +66,14 @@ object Tables {
     * reuse the cached plan (scans hit memory, not parquet). Use for
     * dims/rules read by several queries in one run — NOT for the
     * once-scanned fact table, where caching only wastes memory. */
-  def loadCached(spark: SparkSession, dir: String, name: String): DataFrame =
+  def loadCached(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // sweep entries of stopped sessions — keying per session prevents
+    // cross-session reuse but would otherwise pin dead sessions (and
+    // their cached plans) for the JVM lifetime
+    hotCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(hotCache.remove)
     hotCache.getOrElseUpdate((spark, dir, name), load(spark, dir, name).cache())
+  }
 
   /** Drop one cached table (or all for the session with name = null). */
   def uncache(spark: SparkSession, dir: String = null, name: String = null): Unit = {

@@ -139,13 +139,18 @@ object Streaming {
       .select(col("doc_id").as(idCol))
     val unique = batch.join(losers, Seq(idCol), "left_anti")
 
-    // signatures + band keys of the intra-batch survivors
+    // signatures + band keys of the intra-batch survivors. Docs too
+    // short to shingle (< k words) can't participate in near-dup
+    // detection — they pass through unexamined rather than being
+    // silently dropped (they are also not indexed: nothing can match
+    // an empty signature).
     val signed = graft.sources.PlanUtils.fanout(
       unique.select(col(idCol),
           Dedup.minhashSignature(Dedup.shingles(col(textCol), k), numPerm).as("sig"))
         .filter(size(col("sig")) > 0))
       .withColumn("bh", Dedup.bandHashes(col("sig"), bands, r))
       .localCheckpoint()
+    val unshingleable = unique.join(signed.select(idCol), Seq(idCol), "left_anti")
 
     // candidates vs history: equi-join on (band, band hash)
     val newDocs = index.read() match {
@@ -167,9 +172,12 @@ object Streaming {
     }
 
     // append the survivors' signatures to the index, emit their rows
+    // (plus the unshingleable pass-throughs)
     val survivors = newDocs.localCheckpoint()
     if (!survivors.isEmpty) index.upsert(survivors.select(idCol, "sig", "bh"))
-    batch.join(survivors.select(idCol), Seq(idCol), "left_semi")
+    batch.join(
+      survivors.select(idCol).unionByName(unshingleable.select(idCol)),
+      Seq(idCol), "left_semi")
   }
 
   /** 30-minute-gap sessionization via flatMapGroupsWithState — custom

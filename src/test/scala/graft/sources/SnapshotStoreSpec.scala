@@ -51,11 +51,29 @@ class SnapshotStoreSpec extends SparkSpec {
     val store = new SnapshotStore(spark, dir, buckets = 2)
     store.overwrite(Seq((1L, "a"), (2L, "b")).toDF("user_id", "v"))
     store.upsert(Seq((1L, "a2")).toDF("user_id", "v"))
-    val deleted = store.vacuum(keepVersions = 1)
+    // grace period respected: fresh files survive a default vacuum
+    assert(store.vacuum(keepVersions = 1) == 0L,
+      "files younger than the retention grace must never be reclaimed")
+    val deleted = store.vacuum(keepVersions = 1, minAgeMs = 0L)
     assert(deleted >= 1, "version-1 file for user 1's bucket must be reclaimed")
     val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a2", 2L -> "b"))
-    assert(store.vacuum() == 0L, "second vacuum finds nothing")
+    assert(store.vacuum(minAgeMs = 0L) == 0L, "second vacuum finds nothing")
+  }
+
+  test("a store reopened with a different bucket count upserts without duplicating keys") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_bc").toString + "/snap"
+    new SnapshotStore(spark, dir, buckets = 32)
+      .overwrite((1L to 50L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+    // different constructor bucket count must hash with the RECORDED one
+    val reopened = new SnapshotStore(spark, dir, buckets = 8)
+    reopened.upsert(Seq((7L, "updated")).toDF("user_id", "v"))
+    val rows = reopened.read().get.filter(col("user_id") === 7L).collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "updated",
+      s"key 7 must appear exactly once, got ${rows.toSeq}")
+    assert(reopened.read().get.count() == 50)
   }
 
   test("upsert inserts unseen keys and validateWrite sees them") {

@@ -16,11 +16,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def array_cols(df: pd.DataFrame):
     """Columns the DRIVER's pandas sort_values would crash on (its gate
     sorts all columns; numpy arrays are unhashable). Any hit = red row."""
+    import numpy as np
     bad = []
     for c in df.columns:
         col = df[c].dropna()
-        if len(col) and (hasattr(col.iloc[0], "tolist") and not hasattr(col.iloc[0], "item")
-                         or isinstance(col.iloc[0], list)):
+        if len(col) and isinstance(col.iloc[0], (np.ndarray, list, tuple, dict)):
             bad.append(c)
     return bad
 
