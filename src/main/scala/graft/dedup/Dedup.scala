@@ -52,7 +52,11 @@ object Dedup {
   /** All pairs `(id_a < id_b)` with shingle-Jaccard ≥ `minJaccard`.
     * `maxDocFreq` (0 = off) drops shingles shared by more than that
     * many docs before pairing — at web scale a handful of boilerplate
-    * shingles would otherwise dominate the join. */
+    * shingles would otherwise dominate the join. With the guard on,
+    * Jaccard is computed over the SURVIVING shingle universe (set
+    * sizes recounted after pruning, so intersection and sizes agree) —
+    * the standard stop-shingle-removal semantics; when no shingle
+    * exceeds the cap the result is identical to the exact join. */
   def jaccardPairs(df: DataFrame, text: Column, id: String,
                    minJaccard: Double, k: Int = 3, maxDocFreq: Long = 0L): DataFrame = {
     val sh = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
@@ -67,7 +71,14 @@ object Dedup {
     val pruned =
       if (maxDocFreq > 0) {
         val hot = ex.groupBy("sh").count().filter(col("count") > maxDocFreq).select("sh")
-        ex.join(broadcast(hot), Seq("sh"), "left_anti")
+        val surviving = ex.join(broadcast(hot), Seq("sh"), "left_anti")
+        // recount set sizes over the pruned universe so the Jaccard
+        // below stays internally consistent (inter ≤ n_a, n_b)
+        val nSurviving = surviving.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_surviving"))
+        surviving.drop("n_sh")
+          .join(nSurviving, Seq("doc_id"))
+          .withColumnRenamed("n_surviving", "n_sh")
       } else ex
     val a = pruned.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
     val b = pruned.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
