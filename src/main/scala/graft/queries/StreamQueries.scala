@@ -46,6 +46,15 @@ object StreamQueries {
     Streaming.tagStream(enriched, enrichedRules, current_date())
   }
 
+  /** Batch twin of the stream-stream attribution join: purchases
+    * matched to same-user views in the preceding hour. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    Streaming.attributionJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"))
+  }
+
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     val s = spark
     import s.implicits._
@@ -58,6 +67,7 @@ object StreamQueries {
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_tagging" -> GateFormat.js(streamTagging _),
     "stream_enriched_tagging" -> GateFormat.js(streamEnrichedTagging _),
+    "stream_attribution" -> (streamAttribution _),
     "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -80,6 +90,13 @@ object StreamQueries {
         |                     x -> x IS NOT NULL) AS tag_ids
         |  FROM events JOIN customer ON user_id = c_custkey)
         |WHERE len(tag_ids) > 0""".stripMargin),
+    "stream_attribution" ->
+      """SELECT v.user_id, p.event_id AS purchase_event_id, v.event_id AS view_event_id,
+        |       p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
     // the stateful session machine must reproduce the SQL sessionization
     "stream_sessionize" -> AnalyticsQueries.oracles("events_sessionize"))
 }

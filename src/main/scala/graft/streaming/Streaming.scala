@@ -51,6 +51,29 @@ object Streaming {
         when(r.rule.compile(anchor), lit(r.tagId))): _*)).as("tag_ids"))
       .filter(size(col("tag_ids")) > 0)
 
+  /** Stream-stream attribution join: each purchase matched to the same
+    * user's views in the preceding `window`. On streams both sides
+    * carry watermarks and the time-interval condition bounds the join
+    * state Spark must hold (the requirement for an unbounded
+    * stream-stream join); on batch frames the identical plan is a
+    * plain range-bounded equi-join. The per-user view×purchase fanout
+    * is bounded by the window. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      window: String = "1 hour"): DataFrame = {
+    val v0 = if (views.isStreaming) views.withWatermark("ts", window) else views
+    val p0 = if (purchases.isStreaming) purchases.withWatermark("ts", window) else purchases
+    val v = v0.select(col("event_id").as("view_event_id"),
+      col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val p = p0.select(col("event_id").as("purchase_event_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    v.join(p,
+      col("v_user") === col("user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("purchase_event_id"), col("view_event_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to a
     * live stream before tagging — the streaming counterpart of the
     * reference's behavior-table ⋈ attribute-table joins. The static

@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> List(311), 2L -> List(312)))
   }
 
+  test("stream-stream attribution join matches views to purchases within the window") {
+    val s = spark
+    import s.implicits._
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = Streaming.attributionJoin(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("attr").outputMode("append").start()
+    views.addData(
+      (10L, 1L, ts("2024-01-01 10:00:00")),  // in window of purchase at 10:30
+      (11L, 1L, ts("2024-01-01 08:00:00")),  // too old
+      (12L, 2L, ts("2024-01-01 10:10:00")))  // other user
+    purchases.addData((20L, 1L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    val got = spark.table("attr").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set((20L, 10L)), s"expected only the in-window same-user view, got $got")
+  }
+
   test("streaming near-dup dedup: history and intra-batch dups dropped across micro-batches") {
     val s = spark
     import s.implicits._
