@@ -30,6 +30,9 @@ object SimilarityQueries {
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K)
 
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pq.pqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
+
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
@@ -40,6 +43,7 @@ object SimilarityQueries {
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_pq_topk" -> (annPqTopk _),
     "knn_label_vote" -> (knnLabelVote _))
 
   /** Left-fold cosine identical to VectorFunctions.dot/norm (see

@@ -26,7 +26,7 @@ object Similarity {
   /** Bounded top-k aggregation: `topk_by_score` keeps k rows per group
     * per partition map-side, so the shuffle carries ≤ partitions·|Q|·k
     * rows — the window formulation would shuffle every scored pair. */
-  private def topkAgg(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def topkAgg(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     val topk = ofExpr(graft.functions.expr.TopKByScore(
       toExpr(col("cosine")), toExpr(col("neighbor_id")), k).toAggregateExpression())

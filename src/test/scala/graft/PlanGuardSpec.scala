@@ -13,6 +13,7 @@ class PlanGuardSpec extends SparkSpec {
     "ann_bruteforce_topk",      // bounded query set × corpus, broadcast by design
     "knn_label_vote",           // same shape: k-NN scoring of a small query set
     "dedup_embedding_bruteforce", // documented exact baseline (grid path is the headline)
+    "ann_pq_topk",              // PQ scans all CODES per query by design (8 B/vec ADC)
     "text_keywords")            // 1-row corpus-count scalar broadcast, not an n×n join
 
   test("no gate query plans a cartesian or nested-loop join (except documented baselines)") {

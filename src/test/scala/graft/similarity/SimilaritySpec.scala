@@ -45,6 +45,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size <= brute.size)
   }
 
+  test("PQ top-k: useful recall at 8 bytes per corpus vector") {
+    val brute = SimilarityQueries.annBruteforceTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityQueries.annPqTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ recall@10 = $recall%.3f (m=8 subspaces × 16 centroids = 8 B/vec vs 256 B raw)")
+    assert(recall > 0.15, f"PQ recall collapsed: $recall%.3f")
+    // determinism: fixed seed => identical output
+    val again = SimilarityQueries.annPqTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == again)
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
