@@ -33,6 +33,9 @@ object SimilarityQueries {
   def annPqTopk(spark: SparkSession, dir: String): DataFrame =
     graft.similarity.Pq.pqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
 
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pq.ivfPqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
+
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
@@ -44,6 +47,7 @@ object SimilarityQueries {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk" -> (annPqTopk _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "knn_label_vote" -> (knnLabelVote _))
 
   /** Left-fold cosine identical to VectorFunctions.dot/norm (see

@@ -98,4 +98,51 @@ object Pq {
           (col("qn") * col("cn")))
     Similarity.topkAgg(scored, topK)
   }
+
+  /** IVF-PQ: the full FAISS IVFADC shape — a coarse quantizer prunes
+    * each query's search to its `nProbe` closest cells (candidate
+    * reduction) AND members are scored through PQ codes (memory +
+    * compute reduction). At 100 TB this is the configuration that
+    * actually runs: cells bound the scan, codes bound the bytes. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
+                m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+                seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.VectorFunctions.l2sq
+    val model = fit(corpus, dim, m, k, seed = seed)
+    val corpusVec = corpus.select(col("id"), col("vec"))
+      .withColumn("fv", array_to_vector(col("vec")))
+    val fitSample = {
+      val n = corpusVec.count()
+      val target = 20000L
+      if (n > target) corpusVec.sample(withReplacement = false, target.toDouble / n, seed)
+      else corpusVec
+    }
+    val coarse = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitSample)
+    val cells = coarse.clusterCenters.map(c => c.toArray.map(_.toFloat))
+    val codes = graft.sources.PlanUtils.fanout(
+      coarse.transform(corpusVec)
+        .select(col("id").as("neighbor_id"), col("cell"),
+          ofExpr(PqEncode(toExpr(col("vec")), model.codebooks, model.m, model.k, model.subDim)).as("codes"),
+          norm(col("vec")).as("cn")))
+    val centroidDists = cells.zipWithIndex.map { case (ctr, idx) =>
+      struct(l2sq(col("qv"), lit(ctr)).as("d"), lit(idx).as("cell"))
+    }
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .withColumn("probe", slice(array_sort(array(centroidDists.toIndexedSeq: _*)), 1, nProbe))
+      .select(col("query_id"),
+        ofExpr(PqLut(toExpr(col("qv")), model.codebooks, model.m, model.k, model.subDim)).as("lut"),
+        norm(col("qv")).as("qn"),
+        explode(col("probe.cell")).as("cell"))
+    val scored = broadcast(q).join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        ofExpr(PqScore(toExpr(col("codes")), toExpr(col("lut")), model.k)) /
+          (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    Similarity.topkAgg(scored, topK)
+  }
 }

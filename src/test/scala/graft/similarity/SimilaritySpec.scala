@@ -62,6 +62,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == again)
   }
 
+  test("IVF-PQ: cells bound candidates while PQ bounds bytes; recall holds up") {
+    val brute = SimilarityQueries.annBruteforceTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = SimilarityQueries.annIvfPqTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    info(f"IVF-PQ recall@10 = $recall%.3f (nProbe=4/16 cells, 8 B/vec codes)")
+    assert(recall > 0.1, f"IVF-PQ recall collapsed: $recall%.3f")
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
