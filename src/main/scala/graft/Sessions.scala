@@ -33,7 +33,16 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int): SparkSession = {
-    val s = builder(s"local[$cores]", cores).getOrCreate()
+    // per-JVM derby home + warehouse: two local sessions in the same
+    // working directory otherwise fight over metastore_db's exclusive
+    // lock and every catalog operation (saveAsTable, bucketed writes)
+    // in the second JVM dies
+    val scratch = java.nio.file.Files.createTempDirectory("graft_session").toString
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", scratch)
+    val s = builder(s"local[$cores]", cores)
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
