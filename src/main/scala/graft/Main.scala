@@ -108,12 +108,20 @@ object Main {
     store.upsert(snap)
     val missing = store.validateWrite(snap)
 
-    val hits = assignments.groupBy("tag_id").count().collect()
+    // stats reflect the WRITTEN delta (the reference scheduler reports
+    // per-run counts): an incremental run must not report hits for
+    // users its anti-join excluded, and a tag-subset run must not count
+    // the whole merged snapshot as "tagged this run" — so every number
+    // below is restricted to the users this run actually touched
+    val touched = scopedUsers.select("user_id")
+    val written = snap.join(touched, Seq("user_id"), "left_semi")
+    val hits = assignments.join(touched, Seq("user_id"), "left_semi")
+      .groupBy("tag_id").count().collect()
       .map(r => r.getAs[Number]("tag_id").intValue() -> r.getLong(1)).toMap
     RunStats(
       command = command,
-      usersTagged = snap.count(),
-      totalAssignments = snap.agg(coalesce(sum(size(col("tag_ids"))), lit(0L)))
+      usersTagged = written.count(),
+      totalAssignments = written.agg(coalesce(sum(size(col("tag_ids"))), lit(0L)))
         .head().getLong(0),
       perTagHits = hits,
       invalidRules = invalid,

@@ -163,12 +163,28 @@ object Dedup {
 
   // ---- SimHash ----
 
+  /** Per-element 62-bit base hash for SimHash: two independent
+    * polynomial rolling hashes (base-31 Horner fold mod the Mersenne
+    * prime 2^31−1, seeds 17/131) packed as `h1·2^31 + h2`. Chosen over
+    * xxhash64 because the fold is exactly reproducible in plain SQL
+    * (`list_reduce` Horner fold — the same recipe the DuckDB oracle
+    * uses for `text_fingerprint`), which makes the whole simhash
+    * pipeline oracle-checkable. Bits 62–63 are structurally 0 — a
+    * constant across all docs, so Hamming distances are unaffected and
+    * each 16-bit pigeonhole block keeps ≥14 live bits. */
+  def simhashBaseHash(e: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    def poly(seed: Long) =
+      ofExpr(graft.functions.expr.RollingHash(toExpr(e), seed, 2147483647L))
+    poly(17L) * lit(2147483648L) + poly(131L)
+  }
+
   /** 64-bit SimHash of a string-array column: per-bit ±1 votes from
-    * each element's xxhash64, packed into a long — one codegen'd pass
-    * ([[graft.functions.expr.SimHash64]]). */
+    * each element's [[simhashBaseHash]], packed into a long — one
+    * codegen'd pass ([[graft.functions.expr.SimHash64]]). */
   def simhash(elems: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
-    ofExpr(graft.functions.expr.SimHash64(toExpr(transform(elems, e => xxhash64(e)))))
+    ofExpr(graft.functions.expr.SimHash64(toExpr(transform(elems, e => simhashBaseHash(e)))))
   }
 
   /** Hamming distance between two 64-bit signatures. */

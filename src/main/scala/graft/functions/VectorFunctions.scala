@@ -37,16 +37,21 @@ object VectorFunctions {
   def l2sq(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
+  /** The deterministic pseudo-random hyperplanes behind
+    * [[rhpSignature]]: seed-derived, so any engine (or an oracle SQL
+    * embedding them as literals) can reproduce the exact signatures. */
+  def rhpPlanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of projections
     * onto deterministic pseudo-random hyperplanes, packed into a long.
-    * Hyperplane components are derived per (bit, dim) from a hash —
+    * Hyperplane components are derived from the seed ([[rhpPlanes]]) —
     * no stored model, identical on every executor. */
   def rhpSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     require(nBits <= 63, "signature must fit a long")
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Array[Float]] =
-      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val bits = planes.zipWithIndex.map { case (plane, k) =>
+    val bits = rhpPlanes(nBits, dim, seed).zipWithIndex.map { case (plane, k) =>
       when(dot(vec, lit(plane)) >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

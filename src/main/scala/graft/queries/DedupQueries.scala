@@ -128,5 +128,33 @@ object DedupQueries {
          |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b)
          |SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id""".stripMargin,
     "dedup_embedding" -> embeddingPairsSql,
-    "dedup_embedding_bruteforce" -> embeddingPairsSql)
+    "dedup_embedding_bruteforce" -> embeddingPairsSql,
+    // brute-force twin of the pigeonhole block join (complete for
+    // hamming <= 3, so the pair sets are identical). Base hash mirrors
+    // Dedup.simhashBaseHash: two Horner folds mod 2^31-1 (seeds
+    // 17/131) packed h1*2^31 + h2; signature bit b is set when strictly
+    // more than half the word hashes have bit b set (SimHash64's
+    // votes > 0 rule). Bits 62-63 are structurally zero on both sides.
+    "dedup_simhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(ws, w ->
+        |      list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |          list_transform(string_split_regex(w, ''), ch -> ord(ch))),
+        |        (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
+        |    + list_reduce(list_prepend(CAST(131 AS BIGINT),
+        |          list_transform(string_split_regex(w, ''), ch -> ord(ch))),
+        |        (a, b) -> (a * 31 + b) % 2147483647)) AS hl
+        |  FROM w),
+        |sig AS (
+        |  SELECT doc_id, CAST(coalesce(list_sum(
+        |      list_transform(generate_series(0, 61), b ->
+        |        CASE WHEN 2 * len(list_filter(hl, x -> (x >> b) & 1 = 1)) > len(hl)
+        |             THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS sig
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin)
 }

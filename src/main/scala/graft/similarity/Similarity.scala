@@ -72,62 +72,99 @@ object Similarity {
     * → more candidates. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               bands: Int = 4, bitsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
-    def withBands(df: DataFrame, idc: String, vc: String): DataFrame =
-      df.select(col("id").as(idc), col("vec").as(vc),
-          posexplode(bandedSignatures(col("vec"), bands, bitsPerBand, dim, seed)).as(Seq("p", "bk")))
-        .select(col(idc), col(vc), col("bk.band").as("band"), col("bk.key").as("key"))
-    val q = withBands(queries, "query_id", "qv")
-    val c = withBands(graft.sources.PlanUtils.fanout(corpus), "neighbor_id", "cv")
-    val cand = broadcast(q).join(c, Seq("band", "key"))
+    def withBands(df: DataFrame, idc: String, vc: String, nc: String): DataFrame =
+      df.select(col("id").as(idc), col("vec").as(vc))
+        .withColumn(nc, norm(col(vc)))
+        .select(col(idc), col(vc), col(nc),
+          posexplode(bandedSignatures(col(vc), bands, bitsPerBand, dim, seed)).as(Seq("p", "bk")))
+        .select(col(idc), col(vc), col(nc), col("bk.band").as("band"), col("bk.key").as("key"))
+    val q = withBands(queries, "query_id", "qv", "qn")
+    val c = withBands(graft.sources.PlanUtils.fanout(corpus), "neighbor_id", "cv", "cn")
+    // Score DURING the band join — both vectors are already co-located
+    // (q is broadcast, cv comes straight off the scan), so no exchange
+    // ever carries a vector. A pair matching several bands is scored
+    // more than once (≤ `bands` cheap codegen'd dots), then collapsed
+    // by an ids-only aggregate whose shuffle rows are 24 bytes — the
+    // previous distinct() shuffled and compared the 512-byte vectors
+    // themselves, which made LSH slower than brute force.
+    val scored = broadcast(q).join(c, Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-    topkAgg(cand.withColumn("cosine", cosine(col("qv"), col("cv"))), k)
+      .withColumn("cosine", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    topkAgg(scored, k)
+  }
+
+  /** A fitted IVF coarse quantizer: just the centroids, as plain float
+    * arrays — small enough to live on the driver and be baked into
+    * codegen'd expressions as literals. A production index fits this
+    * ONCE (offline, on a bounded sample) and reuses it for every query
+    * batch; [[graft.queries.SimilarityQueries]] caches fits per
+    * (dataset, params) for exactly that reason. */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def nCells: Int = centroids.length
+  }
+
+  /** Fit the coarse quantizer on a bounded, count-free sample
+    * (`limit(sampleN)` — one action, no full-corpus `count()`).
+    * Quantizer quality needs stability, not optimality: at 100 TB the
+    * fit reads a ~20k-row prefix, never the corpus; callers who need
+    * an unbiased sample pass a pre-shuffled frame or a prefit model. */
+  def ivfFit(corpus: DataFrame, nCells: Int, seed: Long = 42L,
+             sampleN: Int = 20000): IvfModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fitSample = corpus.select(col("vec")).limit(sampleN)
+      .withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(fitSample)
+    IvfModel(model.clusterCenters.map(c => c.toArray.map(_.toFloat)))
+  }
+
+  /** Nearest-centroid id, as a pure codegen'd expression (argmin of
+    * `nCells` l2sq dots against literal centroids; ties → lower id).
+    * Used for BOTH corpus assignment and query probing, so the two
+    * sides always agree on cell geometry. */
+  def ivfAssign(vec: Column, model: IvfModel): Column =
+    element_at(probeCells(vec, model, 1), 1)
+
+  /** The `nProbe` closest cell ids for `vec`, closest first. */
+  def probeCells(vec: Column, model: IvfModel, nProbe: Int): Column = {
+    val dists = model.centroids.zipWithIndex.map { case (ctr, idx) =>
+      struct(l2sq(vec, lit(ctr)).as("d"), lit(idx).as("cell"))
+    }
+    slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe)("cell")
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the
     * corpus into `nCells` cells; each query probes its `nProbe`
     * closest cells and exact-scores only those members. Classic
-    * FAISS-style IVF-Flat, Spark-first: the quantizer is MLlib KMeans
-    * (fit on a sample at real scale), assignment is one projection,
-    * search is an equi-join on cell id + bounded top-k aggregate.
+    * FAISS-style IVF-Flat, Spark-first: assignment is one codegen'd
+    * projection, search is an equi-join on cell id + bounded top-k
+    * aggregate. Pass `prefit` to reuse a fitted quantizer (the
+    * production shape — fitting per query batch is wasted corpus
+    * passes); otherwise a bounded sample fit runs once per call.
     *
     * Compared to RHP-LSH: data-adaptive cells give much better
     * recall/cost on clustered corpora; cost is the one-off fit. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpusVec = corpus.select(col("id"), col("vec"))
-      .withColumn("fv", array_to_vector(col("vec")))
-    // quantizer quality needs only a representative sample and a few
-    // iterations — centroids don't have to be optimal, just stable.
-    // At 100 TB the fit reads a ~100k-row sample, never the corpus.
-    val fitSample = {
-      val n = corpusVec.count()
-      val target = 20000L
-      if (n > target) corpusVec.sample(withReplacement = false, target.toDouble / n, seed)
-      else corpusVec
-    }
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(fitSample)
-    val cells = model.clusterCenters.map(c => c.toArray.map(_.toFloat))
-    // corpus side: one cell per vector (the model's own assignment)
-    val c = model.transform(corpusVec)
-      .select(col("id").as("neighbor_id"), col("vec").as("cv"), col("cell"))
-    // query side: nProbe closest centroids, computed with the native
-    // dot/norm expressions against broadcast centroid literals
-    val centroidDists = cells.zipWithIndex.map { case (ctr, idx) =>
-      struct(l2sq(col("qv"), lit(ctr)).as("d"), lit(idx).as("cell"))
-    }
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              prefit: Option[IvfModel] = None): DataFrame = {
+    val model = prefit.getOrElse(ivfFit(corpus, nCells, seed))
+    // corpus side: one cell per vector — same argmin expression as the
+    // query probe, so both sides share the float centroid geometry
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      .withColumn("cell", ivfAssign(col("cv"), model))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .withColumn("probe",
-        slice(array_sort(array(centroidDists: _*)), 1, nProbe))
-      .select(col("query_id"), col("qv"), explode(col("probe.cell")).as("cell"))
+      .select(col("query_id"), col("qv"),
+        explode(probeCells(col("qv"), model, nProbe)).as("cell"))
+    // no distinct needed: each corpus vector lives in exactly one cell
+    // and probe cells are distinct, so a (query, neighbor) pair occurs
+    // at most once — the aggregate IS the dedup
     val scored = broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .select("query_id", "neighbor_id", "cosine").distinct()
     topkAgg(scored, k)
   }
 

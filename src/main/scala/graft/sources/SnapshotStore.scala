@@ -83,7 +83,14 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     val tmp = new Path(path, s".tmp-manifest-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fs.rename(tmp, new Path(path, f"$ManifestPrefix$version%012d.txt"))
+    val dst = new Path(path, f"$ManifestPrefix$version%012d.txt")
+    // the rename IS the publish — a silent false (existing destination
+    // = concurrent writer; cross-FS move; transient error) would leave
+    // the new data files as unreferenced orphans that vacuum() later
+    // deletes, i.e. a silently lost write
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"manifest commit conflict/failure for version $version ($tmp -> $dst)")
   }
 
   /** Write `df` (already bucketed) into a fresh immutable data dir;

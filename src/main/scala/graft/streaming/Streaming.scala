@@ -140,17 +140,28 @@ object Streaming {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val survivors = dedupNearBatch(batch.toDF(), index, textCol, idCol,
-          minJaccard, numPerm, bands, k)
+          minJaccard, numPerm, bands, k, batchId)
         if (!survivors.isEmpty) sink(survivors)
       }
       .start()
 
-  /** One micro-batch of [[dedupNearStream]] (also the testable unit). */
+  /** One micro-batch of [[dedupNearStream]] (also the testable unit).
+    *
+    * Replay safety (foreachBatch is at-least-once): index rows carry
+    * the `batch_id` that wrote them, and the history-candidate join
+    * excludes rows written by THIS batch id. If the job dies after
+    * `index.upsert` but before the sink finishes, the replayed batch
+    * would otherwise find its own (or its batch-siblings') signatures
+    * in the index at est_jaccard = 1.0 and drop every document — a
+    * permanent loss. With the exclusion the recomputation sees exactly
+    * the pre-batch index state, reproduces the same survivor set
+    * (everything here is deterministic), and the keyed upsert
+    * overwrites the same rows — idempotent end to end. */
   def dedupNearBatch(batch: DataFrame, index: graft.sources.SnapshotStore,
                      textCol: String, idCol: String, minJaccard: Double,
-                     numPerm: Int, bands: Int, k: Int): DataFrame = {
+                     numPerm: Int, bands: Int, k: Int, batchId: Long = -1L): DataFrame = {
     import graft.dedup.Dedup
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
@@ -175,13 +186,19 @@ object Streaming {
       .localCheckpoint()
     val unshingleable = unique.join(signed.select(idCol), Seq(idCol), "left_anti")
 
-    // candidates vs history: equi-join on (band, band hash)
+    // candidates vs history: equi-join on (band, band hash). History
+    // excludes this batch's own prior (replayed) writes, and a doc can
+    // never be deduped against itself.
     val newDocs = index.read() match {
       case None => signed
-      case Some(hist) =>
+      case Some(hist0) =>
+        val hist = if (hist0.columns.contains("batch_id"))
+          hist0.filter(col("batch_id") =!= lit(batchId)) else hist0
         val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
         val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
-        val cand = bNew.join(bOld, Seq("band", "h")).select(idCol, "old_id").distinct()
+        val cand = bNew.join(bOld, Seq("band", "h"))
+          .filter(col("old_id") =!= col(idCol))
+          .select(idCol, "old_id").distinct()
         val est = cand
           .join(signed.select(col(idCol), col("sig")), Seq(idCol))
           .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
@@ -197,7 +214,9 @@ object Streaming {
     // append the survivors' signatures to the index, emit their rows
     // (plus the unshingleable pass-throughs)
     val survivors = newDocs.localCheckpoint()
-    if (!survivors.isEmpty) index.upsert(survivors.select(idCol, "sig", "bh"))
+    if (!survivors.isEmpty)
+      index.upsert(survivors.select(col(idCol), col("sig"), col("bh"),
+        lit(batchId).as("batch_id")))
     batch.join(
       survivors.select(idCol).unionByName(unshingleable.select(idCol)),
       Seq(idCol), "left_semi")
