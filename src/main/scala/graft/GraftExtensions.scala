@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("sig_match_count"),
+      info("sig_match_count",
+        "sig_match_count(a, b) - positions where two equal-length array<long> signatures agree"),
+      (es: Seq[Expression]) => SigMatchCount(es(0), es(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score",
         "topk_by_score(score, id, k) - aggregate: top-k (score,id) pairs, score desc, id asc"),

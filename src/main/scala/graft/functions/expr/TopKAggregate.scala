@@ -10,8 +10,14 @@ import org.apache.spark.sql.types._
 /** Bounded top-k state: (score desc, id asc)-ordered selection of at
   * most k (score, id) pairs. Flat arrays + insertion sort — k is small
   * (10–100), so O(k) insert beats heap constant factors and the state
-  * serializes trivially. */
-final class TopKState(val k: Int) {
+  * serializes trivially.
+  *
+  * `dedupIds` keeps at most one (the best-scored) entry per id — for
+  * inputs where the same candidate can be scored more than once (e.g.
+  * an LSH pair matching several bands). Partial states dedup within
+  * their partition and `mergeFrom` dedups across, so the result is the
+  * exact distinct-by-id top-k without a separate pair-dedup shuffle. */
+final class TopKState(val k: Int, val dedupIds: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0
@@ -21,6 +27,17 @@ final class TopKState(val k: Int) {
     s > scores(i) || (s == scores(i) && id < ids(i))
 
   def insert(s: Double, id: Long): Unit = {
+    if (dedupIds) {
+      var e = 0
+      while (e < size && ids(e) != id) e += 1
+      if (e < size) {
+        if (!beats(s, id, e)) return // kept entry is at least as good
+        // strictly better duplicate: drop the kept one, insert below
+        var j = e
+        while (j < size - 1) { scores(j) = scores(j + 1); ids(j) = ids(j + 1); j += 1 }
+        size -= 1
+      }
+    }
     if (size == k && !beats(s, id, k - 1)) return // doesn't beat the worst kept
     var i = 0
     while (i < size && !beats(s, id, i)) i += 1 // skip better-ranked entries
@@ -51,6 +68,7 @@ case class TopKByScore(
     scoreExpr: Expression,
     idExpr: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKState] {
@@ -64,7 +82,7 @@ case class TopKByScore(
     containsNull = false)
   override def prettyName: String = "topk_by_score"
 
-  override def createAggregationBuffer(): TopKState = new TopKState(k)
+  override def createAggregationBuffer(): TopKState = new TopKState(k, dedupIds)
 
   override def update(buf: TopKState, input: InternalRow): TopKState = {
     val s = scoreExpr.eval(input)
@@ -99,7 +117,7 @@ case class TopKByScore(
   override def deserialize(bytes: Array[Byte]): TopKState = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val st = new TopKState(k)
+    val st = new TopKState(k, dedupIds)
     var i = 0
     // stored in order, so inserts are append-fast
     while (i < n) { st.insert(bb.getDouble, bb.getLong); i += 1 }

@@ -162,6 +162,126 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** All LSH band keys of a float vector in ONE compiled pass: project
+  * onto `planes` (literal hyperplanes baked into the expression), pack
+  * the sign bits into a signature, emit `bands` keys of `bitsPerBand`
+  * bits. The composed spelling (an OR-reduce of 24 `when(dot…)` terms
+  * referenced by 4 band structs) gets its whole 24-dot tree inlined
+  * into every struct by CollapseProject — this is one loop, one sig.
+  * Bit/key layout matches VectorFunctions.rhpSignature /
+  * Similarity.bandedSignatures exactly (dot ≥ 0 ⇒ bit k; key j =
+  * (sig >>> j·bitsPerBand) & mask), so the DuckDB oracle's literal
+  * reconstruction stays valid. */
+case class RhpBandKeys(child: Expression, planes: Array[Array[Float]],
+                       bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+
+  require(planes.length == bands * bitsPerBand, "need one plane per signature bit")
+  require(bands * bitsPerBand <= 63, "signature must fit a long")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_band_keys"
+
+  private val mask = (1L << bitsPerBand) - 1
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var kk = 0
+    while (kk < planes.length) {
+      val p = planes(kk)
+      var acc = 0.0
+      var d = 0
+      while (d < p.length) { acc += x.getFloat(d).toDouble * p(d).toDouble; d += 1 }
+      if (acc >= 0) sig |= (1L << kk)
+      kk += 1
+    }
+    val keys = new Array[Long](bands)
+    var j = 0
+    while (j < bands) { keys(j) = (sig >>> (j * bitsPerBand)) & mask; j += 1 }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("rhpPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val sig = ctx.freshName("sig")
+      val kk = ctx.freshName("kk")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val keys = ctx.freshName("keys")
+      val j = ctx.freshName("j")
+      s"""
+         |long $sig = 0L;
+         |for (int $kk = 0; $kk < ${planes.length}; $kk++) {
+         |  final float[] $p = $planesRef[$kk];
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $p.length; $d++) {
+         |    $acc += ((double) $x.getFloat($d)) * ((double) $p[$d]);
+         |  }
+         |  if ($acc >= 0) $sig |= (1L << $kk);
+         |}
+         |final long[] $keys = new long[$bands];
+         |for (int $j = 0; $j < $bands; $j++) {
+         |  $keys[$j] = ($sig >>> ($j * $bitsPerBand)) & ${mask}L;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpBandKeys =
+    copy(child = newChild)
+}
+
+/** Count of positions where two equal-length `array<long>` columns
+  * agree — the MinHash signature-match estimator (matches/numPerm ≈
+  * Jaccard). The HOF spelling `aggregate(zip_with(a, b, eq), 0, +)`
+  * never enters codegen (repo rule: HOFs interpret per element); this
+  * is one compiled loop. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n, s"signature length mismatch: $n vs ${y.numElements()}")
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) matches += 1
+      i += 1
+    }
+    matches
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException("signature length mismatch: " + $n +
+         |    " vs " + $y.numElements());
+         |}
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getLong($i) == $y.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature: for each (aᵢ, bᵢ) permutation pair, the minimum
   * of (aᵢ·x + bᵢ) mod P over the input hashes x (pre-reduced mod P).
   * Output: array<long> of `a.length` minima. Coefficients are literal

@@ -26,10 +26,11 @@ object Similarity {
   /** Bounded top-k aggregation: `topk_by_score` keeps k rows per group
     * per partition map-side, so the shuffle carries ≤ partitions·|Q|·k
     * rows — the window formulation would shuffle every scored pair. */
-  private[similarity] def topkAgg(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def topkAgg(scored: DataFrame, k: Int,
+                                  dedupIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     val topk = ofExpr(graft.functions.expr.TopKByScore(
-      toExpr(col("cosine")), toExpr(col("neighbor_id")), k).toAggregateExpression())
+      toExpr(col("cosine")), toExpr(col("neighbor_id")), k, dedupIds).toAggregateExpression())
     scored.groupBy(col("query_id")).agg(topk.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(
@@ -72,27 +73,32 @@ object Similarity {
     * → more candidates. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               bands: Int = 4, bitsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val planes = rhpPlanes(bands * bitsPerBand, dim, seed).toArray
+    // one compiled pass per row for all band keys (posexplode's pos IS
+    // the band index) — see RhpBandKeys for why the composed signature
+    // expression is a codegen hazard
     def withBands(df: DataFrame, idc: String, vc: String, nc: String): DataFrame =
       df.select(col("id").as(idc), col("vec").as(vc))
         .withColumn(nc, norm(col(vc)))
         .select(col(idc), col(vc), col(nc),
-          posexplode(bandedSignatures(col(vc), bands, bitsPerBand, dim, seed)).as(Seq("p", "bk")))
-        .select(col(idc), col(vc), col(nc), col("bk.band").as("band"), col("bk.key").as("key"))
+          posexplode(ofExpr(graft.functions.expr.RhpBandKeys(
+            toExpr(col(vc)), planes, bands, bitsPerBand))).as(Seq("band", "key")))
     val q = withBands(queries, "query_id", "qv", "qn")
     val c = withBands(graft.sources.PlanUtils.fanout(corpus), "neighbor_id", "cv", "cn")
     // Score DURING the band join — both vectors are already co-located
     // (q is broadcast, cv comes straight off the scan), so no exchange
     // ever carries a vector. A pair matching several bands is scored
-    // more than once (≤ `bands` cheap codegen'd dots), then collapsed
-    // by an ids-only aggregate whose shuffle rows are 24 bytes — the
-    // previous distinct() shuffled and compared the 512-byte vectors
-    // themselves, which made LSH slower than brute force.
+    // more than once (≤ `bands` cheap codegen'd dots — duplicates have
+    // bit-identical cosines), and the id-deduping top-k aggregate
+    // collapses them map-side: ONE bounded aggregation, shuffle ≤
+    // partitions·|Q|·k rows. The round-2 version shuffled the 512-byte
+    // vectors through a distinct() (slower than brute force); a
+    // pair-level dedup aggregate would still shuffle every candidate.
     val scored = broadcast(q).join(c, Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cosine")).as("cosine"))
-    topkAgg(scored, k)
+    topkAgg(scored, k, dedupIds = true)
   }
 
   /** A fitted IVF coarse quantizer: just the centroids, as plain float

@@ -199,13 +199,16 @@ object Streaming {
         val cand = bNew.join(bOld, Seq("band", "h"))
           .filter(col("old_id") =!= col(idCol))
           .select(idCol, "old_id").distinct()
-        val est = cand
-          .join(signed.select(col(idCol), col("sig")), Seq(idCol))
-          .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
-          .withColumn("est_jaccard",
-            aggregate(zip_with(col("sig"), col("old_sig"),
-                (a, b) => when(a === b, 1).otherwise(0)),
-              lit(0), (acc, x) => acc + x).cast("double") / lit(numPerm))
+        val est = {
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+          cand
+            .join(signed.select(col(idCol), col("sig")), Seq(idCol))
+            .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
+            .withColumn("est_jaccard",
+              ofExpr(graft.functions.expr.SigMatchCount(
+                toExpr(col("sig")), toExpr(col("old_sig"))))
+                .cast("double") / lit(numPerm))
+        }
         val dupIds = est.filter(col("est_jaccard") >= minJaccard)
           .select(col(idCol)).distinct()
         signed.join(dupIds, Seq(idCol), "left_anti")

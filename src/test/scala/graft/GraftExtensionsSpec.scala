@@ -38,6 +38,41 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
   }
 
+  test("SQL surface: sig_match_count equals the HOF estimator") {
+    import org.apache.spark.sql.functions.col
+    assert(spark.sql(
+      "SELECT sig_match_count(array(1L,2L,3L,4L), array(1L,9L,3L,0L)) AS m")
+      .head().getInt(0) == 2)
+    // pin against the interpreted aggregate(zip_with(...)) spelling it
+    // replaced in the streaming near-dup estimator
+    val df = spark.range(100).selectExpr(
+      "transform(sequence(1, 32), i -> xxhash64(concat(cast(id AS string), '-', cast(i AS string)))) AS a",
+      "transform(sequence(1, 32), i -> CASE WHEN i % 3 = 0 THEN " +
+        "xxhash64(concat(cast(id AS string), '-', cast(i AS string))) ELSE cast(i AS bigint) END) AS b")
+    val both = df.selectExpr(
+      "sig_match_count(a, b) AS m",
+      "aggregate(zip_with(a, b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) AS h")
+    assert(both.filter(col("m") =!= col("h")).isEmpty)
+    assert(both.head().getInt(0) == 10) // i = 3,6,...,30
+  }
+
+  test("topk_by_score dedupIds: multi-band duplicates occupy one slot") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // candidate 10 scored twice (equal score, as LSH band dupes are),
+    // candidate 11 once — k=2 must hold BOTH distinct ids
+    val scored = Seq((1, 0.9, 10L), (1, 0.9, 10L), (1, 0.5, 11L))
+      .toDF("q", "cosine", "neighbor_id")
+    val topk = ofExpr(graft.functions.expr.TopKByScore(
+      toExpr(col("cosine")), toExpr(col("neighbor_id")), 2,
+      dedupIds = true).toAggregateExpression())
+    val top = scored.groupBy("q").agg(topk.as("top"))
+      .head().getSeq[org.apache.spark.sql.Row](1)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 10L), (0.5, 11L)))
+  }
+
   test("bad literal args produce clear errors") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b', 'x')").collect()

@@ -87,6 +87,24 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("doc-freq guard is inert on the gate corpus: guarded == exact jaccard pairs") {
+    // corpus_clean runs jaccardPairs with maxDocFreq=100 while its
+    // DuckDB oracle computes exact all-shingle Jaccard — sound only
+    // while no shingle in the gate corpus exceeds doc-freq 100. This
+    // pins that data-dependent assumption so a corpus change (a hotter
+    // boilerplate shingle) fails HERE, loudly, instead of silently
+    // diverging from the documented exact semantics.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val exact = keyed(Dedup.jaccardPairs(docs, col("text"), "doc_id", 0.8))
+    val guarded = keyed(Dedup.jaccardPairs(docs, col("text"), "doc_id", 0.8, maxDocFreq = 100))
+    assert(guarded == exact,
+      "a shingle now exceeds doc-freq 100 on the gate corpus: corpus_clean's " +
+        "oracle SQL must mirror the prune (or the guard must be re-tuned)")
+  }
+
   test("pair-grid embedding dedup equals brute force and has no cartesian join") {
     val grid = DedupQueries.dedupEmbedding(spark, dir)
     val brute = DedupQueries.dedupEmbeddingBruteforce(spark, dir)

@@ -127,6 +127,27 @@ class StreamingSpec extends SparkSpec {
       == Set(1L, 2L, 4L, 6L))
   }
 
+  test("near-dup replay: a re-run micro-batch (same batchId) emits the same survivors") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "doc_id")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val textB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val batch = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Set[Long] =
+      Streaming.dedupNearBatch(df, index, "text", "doc_id", 0.8, 128, 16, 3, batchId = id)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(batch, 7L) == Set(1L, 2L))
+    // crash-after-upsert: the index already holds batch 7's signatures;
+    // without the batch_id exclusion the replay would match every doc
+    // against its own (or its sibling's) entry and emit nothing — the
+    // docs would be permanently lost
+    assert(run(batch, 7L) == Set(1L, 2L), "replay of the same batch must be idempotent")
+    // a genuinely later batch still dedups against batch 7's history
+    assert(run(Seq((3L, textA)).toDF("doc_id", "text"), 8L) == Set.empty[Long])
+  }
+
   test("streaming sessionize: open session held in state, closed on later event") {
     val s = spark
     import s.implicits._
