@@ -52,6 +52,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // stderr progress per query: a hung/pathological query at a new
+      // SF is identifiable without thread dumps
+      System.err.println(f"[bench] $name ${times.min}%.2fs")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

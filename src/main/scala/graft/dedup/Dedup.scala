@@ -195,8 +195,19 @@ object Dedup {
     * within Hamming ≤ 15 agrees exactly on ≥ 0 blocks only if
     * maxHamming ≥ 4·16… for maxHamming ≤ 3, two of the 4 blocks can
     * differ at most 3 bits total, so at least ONE block matches
-    * exactly → equi-join on (block_idx, block_value) finds all pairs. */
-  def simhashPairs(df: DataFrame, text: Column, id: String, maxHamming: Int = 3): DataFrame = {
+    * exactly → equi-join on (block_idx, block_value) finds all pairs.
+    *
+    * `maxBucket` (0 = off, the exact default) drops (block, value)
+    * buckets holding more than that many docs before pairing — the
+    * degenerate-corpus guard. A corpus whose vocabulary is dominated
+    * by a handful of tokens collapses most signatures onto a few
+    * values (measured: an 8-word stopword-spam corpus put ~all of 50k
+    * docs in the same buckets → ~n²/2 candidates); capping hot
+    * buckets bounds the join at the cost of recall ONLY among docs
+    * inside those over-full buckets — the same trade `jaccardPairs`
+    * makes with `maxDocFreq`. */
+  def simhashPairs(df: DataFrame, text: Column, id: String, maxHamming: Int = 3,
+                   maxBucket: Long = 0L): DataFrame = {
     require(maxHamming < 4, "4-block pigeonhole is only complete for hamming <= 3")
     // repartition = materialization barrier: without it CollapseProject
     // inlines the signature expression into all 4 block computations
@@ -206,9 +217,15 @@ object Dedup {
     val sigs = df.select(col(id).as("doc_id"),
         simhash(TextFunctions.words(text)).as("sig"))
       .repartition(col("doc_id"))
-    val blocks = sigs.select(col("doc_id"), col("sig"),
+    val blocksAll = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "v")))
+    val blocks =
+      if (maxBucket > 0) {
+        val hot = blocksAll.groupBy("blk", "v").count()
+          .filter(col("count") > maxBucket).select("blk", "v")
+        blocksAll.join(broadcast(hot), Seq("blk", "v"), "left_anti")
+      } else blocksAll
     val cand = blocks.select(col("blk"), col("v"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(blocks.select(col("blk"), col("v"), col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         Seq("blk", "v"))

@@ -148,6 +148,91 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int, sub
     copy(child = newChild)
 }
 
+/** Residual against a coarse centroid: `vec − centroids[cell]`, the
+  * IVFADC refinement — PQ codebooks quantize the (much lower-variance)
+  * residual instead of the raw vector, buying recall at the same
+  * bits/vector. Centroids ride along as a literal float[][]. */
+case class CentroidResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Float]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val ctr = centroids(b.asInstanceOf[Int])
+    require(x.numElements() == ctr.length, "vector/centroid dim mismatch")
+    val out = new Array[Float](ctr.length)
+    var d = 0
+    while (d < ctr.length) { out(d) = x.getFloat(d) - ctr(d); d += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, (x, cell) => {
+      val (ctr, out, d) = (ctx.freshName("ctr"), ctx.freshName("out"), ctx.freshName("d"))
+      s"""
+         |final float[] $ctr = $cs[$cell];
+         |if ($x.numElements() != $ctr.length) {
+         |  throw new IllegalArgumentException("vector/centroid dim mismatch");
+         |}
+         |final float[] $out = new float[$ctr.length];
+         |for (int $d = 0; $d < $ctr.length; $d++) {
+         |  $out[$d] = $x.getFloat($d) - $ctr[$d];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot(vec, centroids[cell])` in double — the exact query-to-centroid
+  * term of the residual-ADC cosine:
+  * `dot(q, x̂) = dot(q, c_cell) + dot(q, r̂)`. */
+case class CentroidDot(left: Expression, right: Expression,
+                       centroids: Array[Array[Float]])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centroid_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val ctr = centroids(b.asInstanceOf[Int])
+    require(x.numElements() == ctr.length, "vector/centroid dim mismatch")
+    var acc = 0.0
+    var d = 0
+    while (d < ctr.length) { acc += x.getFloat(d).toDouble * ctr(d).toDouble; d += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, (x, cell) => {
+      val (ctr, acc, d) = (ctx.freshName("ctr"), ctx.freshName("acc"), ctx.freshName("d"))
+      s"""
+         |final float[] $ctr = $cs[$cell];
+         |if ($x.numElements() != $ctr.length) {
+         |  throw new IllegalArgumentException("vector/centroid dim mismatch");
+         |}
+         |double $acc = 0.0;
+         |for (int $d = 0; $d < $ctr.length; $d++) {
+         |  $acc += ((double) $x.getFloat($d)) * ((double) $ctr[$d]);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ADC score: `Σ_j lut[j·k + codes[j]]` — the approximate dot product
   * of the (exact) query against the quantized corpus vector. m array
   * lookups per pair instead of `m·subDim` multiplies. */

@@ -23,14 +23,20 @@ object PipelineQueries {
     // hot-shingle guard ON: a shingle shared by >100 docs cannot make
     // a 0.8-Jaccard pair it alone witnesses (planted near-dups share
     // ~all their shingles, with doc-freq 2-3); verified identical to
-    // the unguarded pair set at sf0.01 and sf0.1
+    // the unguarded pair set at sf0.01 and sf0.1 — and DedupSpec pins
+    // that equivalence so a corpus change fails loudly
     val pairs = Dedup.jaccardPairs(docs, col("text"), "doc_id",
       minJaccard = 0.8, maxDocFreq = 100L)
     val losers = Dedup.resolveClusters(pairs)
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
-    docs
-      .join(broadcast(losers), Seq("doc_id"), "left_anti")
+    scoreAndFloor(docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+  }
+
+  /** The quality floor + token accounting shared by the full and
+    * incremental cleans. */
+  private def scoreAndFloor(kept: DataFrame): DataFrame =
+    kept
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= QualityFloor)
       .select(
@@ -39,7 +45,27 @@ object PipelineQueries {
         col("quality"),
         size(words(col("text"))).as("n_words"),
         size(bpeTokens(col("text"))).as("n_bpe_tokens"))
-  }
+
+  /** CDC-incremental corpus hygiene: clean ONLY `newDocs` against the
+    * accumulated signature index of prior survivors — history
+    * participates as (signature, band-hash) rows, never as text, so
+    * batch N+1 does no re-shingling (or even re-reading) of batch N.
+    *
+    * Composition: [[graft.streaming.Streaming.dedupNearBatch]] (intra-
+    * batch LSH dedup + signature-estimated near-dup check vs the
+    * index; survivors' signatures appended under `batchId` for replay
+    * idempotency) followed by the same quality floor + token
+    * accounting as [[corpusClean]]. At 100 TB this turns a daily
+    * full-corpus clean into a scan of the day's delta plus an
+    * equi-join against the (≈1 KB/doc) index — the canonical survivor
+    * is first-seen-wins instead of min-id, which IS the CDC semantics
+    * (history is already published and must not be retracted). */
+  def corpusCleanIncremental(newDocs: DataFrame,
+                             index: graft.sources.SnapshotStore,
+                             batchId: Long): DataFrame =
+    scoreAndFloor(graft.streaming.Streaming.dedupNearBatch(
+      newDocs, index, "text", "doc_id",
+      minJaccard = 0.8, numPerm = 128, bands = 16, k = 3, batchId = batchId))
 
   /** Deterministic stratified sampling: per-language keep rates
     * rebalance an over-represented stratum (1-in-5 for `en`, 1-in-2

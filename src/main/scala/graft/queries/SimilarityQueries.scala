@@ -48,6 +48,18 @@ object SimilarityQueries {
     pqFits.computeIfAbsent((dir, m, k, seed),
       _ => graft.similarity.Pq.fit(asIdVec(embs(spark, dir)), Dim, m, k, seed = seed))
 
+  // residual codebooks (IVF-PQ) are a different model from the raw-
+  // vector ones: they quantize vec − c_cell, so they key off the same
+  // params but live in their own cache
+  private val pqResidualFits =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), graft.similarity.Pq.Model]()
+
+  private def pqResidualFitFor(spark: SparkSession, dir: String,
+                               m: Int = 8, k: Int = 16, seed: Long = 42L): graft.similarity.Pq.Model =
+    pqResidualFits.computeIfAbsent((dir, m, k, seed),
+      _ => graft.similarity.Pq.fitResidual(asIdVec(embs(spark, dir)),
+        ivfFitFor(spark, dir), Dim, m, k, seed = seed))
+
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K,
       prefit = Some(ivfFitFor(spark, dir)))
@@ -58,7 +70,7 @@ object SimilarityQueries {
 
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
     graft.similarity.Pq.ivfPqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
-      prefit = Some(pqFitFor(spark, dir)),
+      prefit = Some(pqResidualFitFor(spark, dir)),
       prefitCoarse = Some(ivfFitFor(spark, dir)))
 
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {

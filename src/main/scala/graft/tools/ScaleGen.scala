@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize an sf1-scale dataset (10× sf0.1) under
+  * `bench_scratch/sf1` for scaling experiments — NOT gate input (the
+  * driver's own testdata stays the only correctness corpus).
+  *
+  * Relational tables are amplified by key-shifted copies: every key
+  * column moves by `k · stride` in copy k, so foreign keys stay
+  * consistent (orders of copy k reference customers of copy k) and no
+  * artificial duplicate keys appear. `documents`/`embeddings` are NOT
+  * copied — textual/vector copies would over-plant near-duplicates and
+  * turn the pair queries into adversarial quadratic inputs instead of
+  * "the same distribution, bigger". They are re-synthesized from
+  * per-row seeds with planted duplicate rates comparable to the
+  * driver's corpora (~5% near-dups, ~1% exact dups; random 64-dim
+  * gaussians whose pairwise cosine noise floor sits well under the 0.4
+  * dedup threshold).
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "bench_scratch/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import spark.implicits._
+
+    def amplify(name: String, shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val union = (0 until copies).map { k =>
+        shifts.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(k * stride))
+        }
+      }.reduce(_ unionByName _)
+      union.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name x$copies")
+    }
+    amplify("customer", Map("c_custkey" -> 1000000L))
+    amplify("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    amplify("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+      "l_suppkey" -> 1000000L))
+    amplify("part", Map("p_partkey" -> 1000000L))
+    amplify("supplier", Map("s_suppkey" -> 1000000L))
+    amplify("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // ---- documents: fresh synthesis, seeded per doc ----
+    // 2/3 content words from a 20k vocab, 1/3 stopwords: vocabulary
+    // DIVERSITY matters — a stopword-dominated corpus collapses every
+    // SimHash signature onto the same few values and turns the
+    // block-bucket join quadratic (observed: 8-word stopword spam made
+    // dedup_simhash's candidate set ~n²/2 at 50k docs)
+    val stop = Vector("the", "and", "of", "to", "in", "is", "it", "that")
+    def baseText(id: Long): String = {
+      val rnd = new scala.util.Random(id * 2654435761L + 13)
+      val n = 30 + rnd.nextInt(120)
+      (1 to n).map { i =>
+        if (i % 3 == 0) stop(rnd.nextInt(stop.size)) else s"w${rnd.nextInt(20000)}"
+      }.mkString(" ")
+    }
+    val langs = Vector("en", "en", "en", "de", "fr", "es")
+    val nDocs = 5000L * copies
+    val docs = (0L until nDocs).map { id =>
+      val text =
+        if (id % 97 == 3 && id >= 3) baseText(id - 3) // exact dup
+        else if (id % 20 == 1) { // near dup: last word altered
+          val ws = baseText(id - 1).split(' '); ws(ws.length - 1) = "altered"; ws.mkString(" ")
+        } else baseText(id)
+      val lang = langs((id % langs.size).toInt)
+      (id, text, lang, "synthetic", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"[scalegen] documents $nDocs")
+
+    // ---- embeddings: seeded gaussians, ~2% planted near-dups ----
+    def vec(id: Long): Array[Float] = {
+      val rnd = new scala.util.Random(id * 1099511628211L + 7)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
+    val nVecs = 2000L * copies
+    val embs = (0L until nVecs).map { id =>
+      val v =
+        if (id % 50 == 1 && id >= 1) { val b = vec(id - 1); b(0) += 0.01f; b }
+        else vec(id)
+      (id, v, (id % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    embs.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scalegen] embeddings $nVecs")
+    spark.stop()
+  }
+}

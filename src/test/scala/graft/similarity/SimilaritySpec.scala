@@ -62,16 +62,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == again)
   }
 
-  test("IVF-PQ: cells bound candidates while PQ bounds bytes; recall holds up") {
+  test("IVF-PQ: residual encoding beats raw-vector PQ at the same 8 B/vec") {
     val brute = SimilarityQueries.annBruteforceTopk(spark, dir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfpq = SimilarityQueries.annIvfPqTopk(spark, dir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityQueries.annPqTopk(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivfpq).size.toDouble / brute.size
-    info(f"IVF-PQ recall@10 = $recall%.3f (nProbe=4/16 cells, 8 B/vec codes)")
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    info(f"IVF-PQ(residual) recall@10 = $recall%.3f vs plain PQ $pqRecall%.3f " +
+      "(nProbe=4/16 cells, 8 B/vec codes both)")
     assert(recall > 0.1, f"IVF-PQ recall collapsed: $recall%.3f")
+    // the point of residual encoding: codebooks only cover within-cell
+    // variance, so recall must at least match raw-vector PQ even
+    // though IVF-PQ ALSO prunes 12 of 16 cells per query
+    assert(recall >= pqRecall,
+      f"residual IVF-PQ ($recall%.3f) fell below raw PQ ($pqRecall%.3f)")
   }
 
   test("knn vote is deterministic and votes sum to <= k") {
