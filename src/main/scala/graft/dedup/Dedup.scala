@@ -165,18 +165,29 @@ object Dedup {
 
   /** Per-element 62-bit base hash for SimHash: two independent
     * polynomial rolling hashes (base-31 Horner fold mod the Mersenne
-    * prime 2^31−1, seeds 17/131) packed as `h1·2^31 + h2`. Chosen over
-    * xxhash64 because the fold is exactly reproducible in plain SQL
-    * (`list_reduce` Horner fold — the same recipe the DuckDB oracle
-    * uses for `text_fingerprint`), which makes the whole simhash
-    * pipeline oracle-checkable. Bits 62–63 are structurally 0 — a
-    * constant across all docs, so Hamming distances are unaffected and
-    * each 16-bit pigeonhole block keeps ≥14 live bits. */
+    * prime 2^31−1, seeds 17/131), each REMIXED through a universal
+    * hash `(h·A + B) mod p`, packed as `h1'·2^31 + h2'`. Chosen over
+    * xxhash64 because every step is exactly reproducible in plain SQL
+    * (`list_reduce` Horner fold + modular affine map), which makes the
+    * whole simhash pipeline oracle-checkable.
+    *
+    * The remix is load-bearing: a word of ≤ 6 bytes never wraps the
+    * fold (31⁶·255 < p), so the RAW fold's high bits encode word
+    * length/prefix — on short-word corpora all signatures then share
+    * those bits and the block join degenerates toward n² (measured:
+    * 38 M spurious Hamming ≤ 3 pairs on a 50k-doc synthetic corpus).
+    * Multiplying by a large odd constant mod p scatters small values
+    * across the full range. Bits 62–63 remain structurally 0 —
+    * constant for every doc, so Hamming distances are unaffected. */
   def simhashBaseHash(e: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
-    def poly(seed: Long) =
-      ofExpr(graft.functions.expr.RollingHash(toExpr(e), seed, 2147483647L))
-    poly(17L) * lit(2147483648L) + poly(131L)
+    val p = 2147483647L
+    def poly(seed: Long, a: Long, b: Long) = {
+      val h = ofExpr(graft.functions.expr.RollingHash(toExpr(e), seed, p))
+      pmod(h * lit(a) + lit(b), lit(p))
+    }
+    poly(17L, 1103515245L, 12345L) * lit(2147483648L) +
+      poly(131L, 1140671485L, 12820163L)
   }
 
   /** 64-bit SimHash of a string-array column: per-bit ±1 votes from
@@ -213,10 +224,15 @@ object Dedup {
     // inlines the signature expression into all 4 block computations
     // and both join sides (recomputing tokenization + hashing each
     // time); with it the shuffle carries 16 bytes/doc and fans the
-    // downstream join out across the cluster.
+    // downstream join out across the cluster. The partition count is
+    // PINNED (repartition(n, col), which AQE must respect): signatures
+    // are 16 bytes/doc, so AQE's size-based coalescing would collapse
+    // the exchange to one partition and serialize the (potentially
+    // quadratic) block join onto one core — observed 22 min single-task
+    // on a degenerate 50k-doc corpus.
     val sigs = df.select(col(id).as("doc_id"),
         simhash(TextFunctions.words(text)).as("sig"))
-      .repartition(col("doc_id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val blocksAll = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("blk", "v")))

@@ -132,20 +132,22 @@ object DedupQueries {
     // brute-force twin of the pigeonhole block join (complete for
     // hamming <= 3, so the pair sets are identical). Base hash mirrors
     // Dedup.simhashBaseHash: two Horner folds mod 2^31-1 (seeds
-    // 17/131) packed h1*2^31 + h2; signature bit b is set when strictly
-    // more than half the word hashes have bit b set (SimHash64's
-    // votes > 0 rule). Bits 62-63 are structurally zero on both sides.
+    // 17/131), each remixed (h*A + B) % p for avalanche, packed
+    // h1'*2^31 + h2'; signature bit b is set when strictly more than
+    // half the word hashes have bit b set (SimHash64's votes > 0
+    // rule). Bits 62-63 are structurally zero on both sides.
     "dedup_simhash" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws FROM documents),
         |h AS (
         |  SELECT doc_id, list_transform(ws, w ->
-        |      list_reduce(list_prepend(CAST(17 AS BIGINT),
+        |      ((list_reduce(list_prepend(CAST(17 AS BIGINT),
         |          list_transform(string_split_regex(w, ''), ch -> ord(ch))),
-        |        (a, b) -> (a * 31 + b) % 2147483647) * 2147483648
-        |    + list_reduce(list_prepend(CAST(131 AS BIGINT),
+        |        (a, b) -> (a * 31 + b) % 2147483647) * 1103515245 + 12345) % 2147483647)
+        |      * 2147483648
+        |    + ((list_reduce(list_prepend(CAST(131 AS BIGINT),
         |          list_transform(string_split_regex(w, ''), ch -> ord(ch))),
-        |        (a, b) -> (a * 31 + b) % 2147483647)) AS hl
+        |        (a, b) -> (a * 31 + b) % 2147483647) * 1140671485 + 12820163) % 2147483647)) AS hl
         |  FROM w),
         |sig AS (
         |  SELECT doc_id, CAST(coalesce(list_sum(

@@ -53,12 +53,25 @@ object ScaleGen {
     // SimHash signature onto the same few values and turns the
     // block-bucket join quadratic (observed: 8-word stopword spam made
     // dedup_simhash's candidate set ~n²/2 at 50k docs)
-    val stop = Vector("the", "and", "of", "to", "in", "is", "it", "that")
+    // ALL-LETTER vocabulary: TextFunctions.words() extracts
+    // [A-Za-z]+ runs, so digit-suffixed tokens ("w123") would collapse
+    // to one token and make every SimHash signature identical
+    // (observed: n²/2 candidate pairs → OOM). Function-word pool: the
+    // real stopwords (quality/langid signal) plus letter-coded filler,
+    // 64 distinct like real English's common-word set; content words
+    // letter-code a 20k vocab.
+    def alpha(n: Int): String = {
+      var v = n; val sb = new StringBuilder
+      do { sb.append(('a' + v % 26).toChar); v /= 26 } while (v > 0)
+      sb.result()
+    }
+    val stop = Vector("the", "and", "of", "to", "in", "is", "it", "that") ++
+      (0 until 56).map(i => "f" + alpha(i))
     def baseText(id: Long): String = {
       val rnd = new scala.util.Random(id * 2654435761L + 13)
       val n = 30 + rnd.nextInt(120)
       (1 to n).map { i =>
-        if (i % 3 == 0) stop(rnd.nextInt(stop.size)) else s"w${rnd.nextInt(20000)}"
+        if (i % 3 == 0) stop(rnd.nextInt(stop.size)) else "w" + alpha(rnd.nextInt(20000))
       }.mkString(" ")
     }
     val langs = Vector("en", "en", "en", "de", "fr", "es")
