@@ -27,47 +27,40 @@ object Pq {
 
   final case class Model(codebooks: Array[Float], m: Int, k: Int, subDim: Int)
 
-  /** Fit per-subspace codebooks on a bounded, count-free sample of
-    * `corpus.vec` (`limit(sampleN)` is one action — no full-corpus
-    * `count()`; codebooks need stability, not an unbiased sample). */
+  /** Fit per-subspace codebooks on a bounded, count-free
+    * [[Similarity.hashSample]] of `corpus` (`(id, vec)` columns):
+    * deterministic and independent of file layout — a `limit()` prefix
+    * of a clustered corpus would train codebooks on one region only. */
   def fit(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
-          sampleN: Int = 2000, iters: Int = 10, seed: Long = 42L): Model = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val subDim = dim / m
-    val sample = corpus.select("vec").limit(sampleN).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    val cb = new Array[Float](m * k * subDim)
-    for (j <- 0 until m) {
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-      val cents = lloyd(sub, k, iters, seed + j)
-      for (c <- 0 until k; d <- 0 until subDim)
-        cb((j * k + c) * subDim + d) = cents(c)(d)
-    }
-    Model(cb, m, k, subDim)
-  }
+          sampleN: Int = 2000, iters: Int = 10, seed: Long = 42L): Model =
+    fitOn(sampleVecs(corpus, sampleN), dim, m, k, iters, seed)
 
   /** Fit codebooks on RESIDUALS `vec − nearest coarse centroid` (the
     * IVFADC refinement): residuals have far lower variance than raw
     * vectors, so the same m×k codebook budget quantizes them much more
-    * tightly — measured as a recall jump in SimilaritySpec. Sample is
-    * bounded and count-free like [[fit]]; assignment happens driver-
-    * side against the (driver-held) coarse centroids. */
+    * tightly — measured as a recall jump in SimilaritySpec. Same
+    * bounded sample as [[fit]]; assignment happens driver-side against
+    * the (driver-held) coarse centroids. */
   def fitResidual(corpus: DataFrame, coarse: Similarity.IvfModel, dim: Int,
                   m: Int = 8, k: Int = 16, sampleN: Int = 2000,
-                  iters: Int = 10, seed: Long = 42L): Model = {
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val subDim = dim / m
-    val sample = corpus.select("vec").limit(sampleN).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    val residuals = sample.map { v =>
+                  iters: Int = 10, seed: Long = 42L): Model =
+    fitOn(sampleVecs(corpus, sampleN).map { v =>
       val ctr = coarse.centroids(nearestCentroid(v, coarse))
       Array.tabulate(v.length)(d => v(d) - ctr(d))
-    }
+    }, dim, m, k, iters, seed)
+
+  private def sampleVecs(corpus: DataFrame, sampleN: Int): Array[Array[Float]] =
+    Similarity.hashSample(corpus, sampleN).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  private def fitOn(sample: Array[Array[Float]], dim: Int, m: Int, k: Int,
+                    iters: Int, seed: Long): Model = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(sample.nonEmpty, "empty corpus")
+    val subDim = dim / m
     val cb = new Array[Float](m * k * subDim)
     for (j <- 0 until m) {
-      val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
       val cents = lloyd(sub, k, iters, seed + j)
       for (c <- 0 until k; d <- 0 until subDim)
         cb((j * k + c) * subDim + d) = cents(c)(d)

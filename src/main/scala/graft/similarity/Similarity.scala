@@ -111,16 +111,26 @@ object Similarity {
     def nCells: Int = centroids.length
   }
 
-  /** Fit the coarse quantizer on a bounded, count-free sample
-    * (`limit(sampleN)` — one action, no full-corpus `count()`).
+  /** Deterministic, layout-independent sample of `(id, vec)` rows: the
+    * `sampleN` smallest by hash(id) — a hash order is a pseudo-random
+    * permutation, so this is an unbiased sample that does NOT depend on
+    * file order (a time- or cluster-sorted corpus layout would make a
+    * `limit()` prefix cover one region of embedding space and collapse
+    * the quantizer), needs no corpus `count()`, and plans as
+    * TakeOrdered (per-partition partial top-N, no full sort shuffle). */
+  private[similarity] def hashSample(corpus: DataFrame, sampleN: Int): DataFrame =
+    corpus.select(col("vec"), xxhash64(col("id")).as("__h"))
+      .orderBy("__h").limit(sampleN).select("vec")
+
+  /** Fit the coarse quantizer on a bounded, count-free [[hashSample]].
     * Quantizer quality needs stability, not optimality: at 100 TB the
-    * fit reads a ~20k-row prefix, never the corpus; callers who need
-    * an unbiased sample pass a pre-shuffled frame or a prefit model. */
+    * fit reads one pass for a ~20k-row sample; production callers fit
+    * once and reuse via `prefit`. */
   def ivfFit(corpus: DataFrame, nCells: Int, seed: Long = 42L,
              sampleN: Int = 20000): IvfModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val fitSample = corpus.select(col("vec")).limit(sampleN)
+    val fitSample = hashSample(corpus, sampleN)
       .withColumn("fv", array_to_vector(col("vec")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell")

@@ -87,14 +87,26 @@ object Jdbc {
       keyCols.map(k => s"$k = ?").mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
       cols.map(_ => "?").mkString(", ") + ")"
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    // one row per key: two versions of a key in one batch would insert
+    // the same PK twice after the delete — a deterministic violation no
+    // retry can fix (survivor among true in-frame duplicates is
+    // arbitrary, as with any unordered upsert source)
+    df.dropDuplicates(keyCols).foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url, props)
+        var conn: java.sql.Connection = null
+        def closeQuietly(): Unit =
+          if (conn != null) { try conn.close() catch { case _: Throwable => () }; conn = null }
         try {
-          conn.setAutoCommit(false)
           rows.grouped(batchSize).foreach { batch =>
             Retry.withRetry(retries) {
               onBatchStart()
+              // reconnect per attempt when the connection died — the
+              // canonical transient JDBC failure the retry exists for
+              if (conn == null || !conn.isValid(5)) {
+                closeQuietly()
+                conn = DriverManager.getConnection(url, props)
+                conn.setAutoCommit(false)
+              }
               val del = conn.prepareStatement(deleteSql)
               val ins = conn.prepareStatement(insertSql)
               try {
@@ -110,11 +122,18 @@ object Jdbc {
                 ins.executeBatch()
                 conn.commit()
               } catch {
-                case e: Throwable => conn.rollback(); throw e
-              } finally { del.close(); ins.close() }
+                case e: Throwable =>
+                  // rollback best-effort: its own failure (dead conn)
+                  // must not mask the write error the caller retries on
+                  try conn.rollback() catch { case re: Throwable => e.addSuppressed(re) }
+                  throw e
+              } finally {
+                try del.close() catch { case _: Throwable => () }
+                try ins.close() catch { case _: Throwable => () }
+              }
             }
           }
-        } finally conn.close()
+        } finally closeQuietly()
       }
     }
   }

@@ -150,7 +150,11 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
         case Some(existing) =>
           val kept = withBucket(existing, bc)
             .join(df.select(key).distinct(), Seq(key), "left_anti")
-          kept.unionByName(incoming.select(kept.columns.map(col).toIndexedSeq: _*))
+          // schema evolution: a column the incoming frame adds (e.g. a
+          // later code version's batch_id) must land in the snapshot,
+          // null-filled on kept rows — projecting incoming onto kept's
+          // columns would silently drop it forever
+          kept.unionByName(incoming, allowMissingColumns = true)
       }
       commit(v + 1, bc, (mapping -- touched) ++ writeData(merged))
   }

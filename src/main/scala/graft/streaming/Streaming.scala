@@ -161,7 +161,7 @@ object Streaming {
     * overwrites the same rows — idempotent end to end. */
   def dedupNearBatch(batch: DataFrame, index: graft.sources.SnapshotStore,
                      textCol: String, idCol: String, minJaccard: Double,
-                     numPerm: Int, bands: Int, k: Int, batchId: Long = -1L): DataFrame = {
+                     numPerm: Int, bands: Int, k: Int, batchId: Long): DataFrame = {
     import graft.dedup.Dedup
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
@@ -192,8 +192,12 @@ object Streaming {
     val newDocs = index.read() match {
       case None => signed
       case Some(hist0) =>
+        // null batch_id (rows written before the column existed, or
+        // null-filled by schema evolution) is HISTORY, not this batch —
+        // a plain =!= would null-out and wrongly exclude those rows
         val hist = if (hist0.columns.contains("batch_id"))
-          hist0.filter(col("batch_id") =!= lit(batchId)) else hist0
+          hist0.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
+        else hist0
         val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
         val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
         val cand = bNew.join(bOld, Seq("band", "h"))

@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("simhash maxBucket guard drops only hot-bucket pairs (degenerate-corpus bound)") {
+    val s = spark
+    import s.implicits._
+    val spamText = "copy paste boilerplate navigation footer menu login register search home " * 8
+    val pairText = "one singular rather particular document about unusual botanical specimens " * 8
+    val noise = (200L until 215L).map(i =>
+      (i, s"distinct${i}a words${i}b about${i}c topic${i}d number${i}e " * 12))
+    val df = ((1L to 40L).map(i => (i, spamText)) ++
+      Seq((100L, pairText), (101L, pairText)) ++ noise).toDF("doc_id", "text")
+    def pairs(maxBucket: Long) =
+      Dedup.simhashPairs(df, col("text"), "doc_id", maxHamming = 3, maxBucket = maxBucket)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unguarded = pairs(0)
+    assert(unguarded.contains((100L, 101L)) && unguarded.size >= 40 * 39 / 2 + 1,
+      s"expected the full spam clique + the small pair, got ${unguarded.size}")
+    // cap at 10: the 40-doc spam cluster's buckets are dropped; the
+    // 2-doc cluster's buckets survive — bounded join, targeted recall cost
+    val guarded = pairs(10)
+    assert(guarded == Set((100L, 101L)),
+      s"guard must drop exactly the hot-bucket pairs, got $guarded")
+  }
+
   test("doc-freq guard is inert on the gate corpus: guarded == exact jaccard pairs") {
     // corpus_clean runs jaccardPairs with maxDocFreq=100 while its
     // DuckDB oracle computes exact all-shingle Jaccard — sound only
