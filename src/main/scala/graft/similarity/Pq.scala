@@ -152,25 +152,28 @@ object Pq {
     * per (query, probed cell), the second through the LUT. Same
     * 8 B/vec; materially higher recall than raw-vector PQ because the
     * codebooks only have to cover the within-cell residual variance. */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
-                m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 4,
-                seed: Long = 42L, prefit: Option[Model] = None,
-                prefitCoarse: Option[Similarity.IvfModel] = None): DataFrame = {
-    val coarse = prefitCoarse.getOrElse(Similarity.ivfFit(corpus, nCells, seed))
-    val model = prefit.getOrElse(fitResidual(corpus, coarse, dim, m, k, seed = seed))
-    // corpus side: coarse cell, then PQ codes of the RESIDUAL — one
-    // codegen'd pass, no MLlib transform / array_to_vector detour
-    val codes = graft.sources.PlanUtils.fanout(
-      corpus.select(col("id").as("neighbor_id"), col("vec"),
-          Similarity.ivfAssign(col("vec"), coarse).as("cell"))
-        .select(col("neighbor_id"), col("cell"),
-          ofExpr(PqEncode(
-            toExpr(ofExpr(CentroidResidual(toExpr(col("vec")), toExpr(col("cell")), coarse.centroids))),
-            model.codebooks, model.m, model.k, model.subDim)).as("codes"),
-          norm(col("vec")).as("cn")))
-    // query side: the LUT is the query's RAW subspace dots (it scores
-    // the residual codebooks), the exact dot(q, c_cell) term rides per
-    // probed cell
+  /** Corpus side of IVF-PQ: `(neighbor_id, cell, codes, cn)` — coarse
+    * cell, then PQ codes of the RESIDUAL, one codegen'd pass. This is
+    * the frame a persistent index stores ([[PqIndex]]) and what a new
+    * corpus delta is encoded into under FROZEN models. */
+  def encodeIvfPq(corpus: DataFrame, model: Model,
+                  coarse: Similarity.IvfModel): DataFrame =
+    corpus.select(col("id").as("neighbor_id"), col("vec"),
+        Similarity.ivfAssign(col("vec"), coarse).as("cell"))
+      .select(col("neighbor_id"), col("cell"),
+        ofExpr(PqEncode(
+          toExpr(ofExpr(CentroidResidual(toExpr(col("vec")), toExpr(col("cell")), coarse.centroids))),
+          model.codebooks, model.m, model.k, model.subDim)).as("codes"),
+        norm(col("vec")).as("cn"))
+
+  /** Query side + search over an already-encoded `(neighbor_id, cell,
+    * codes, cn)` frame: the LUT is the query's RAW subspace dots (it
+    * scores the residual codebooks), the exact dot(q, c_cell) term
+    * rides per probed cell. No distinct needed — one cell per corpus
+    * vector × distinct probe cells means each pair scores once. */
+  def searchCodes(queries: DataFrame, codes: DataFrame, topK: Int,
+                  model: Model, coarse: Similarity.IvfModel,
+                  nProbe: Int = 4): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
       .select(col("query_id"), col("qv"),
         ofExpr(PqLut(toExpr(col("qv")), model.codebooks, model.m, model.k, model.subDim)).as("lut"),
@@ -178,13 +181,21 @@ object Pq {
         explode(Similarity.probeCells(col("qv"), coarse, nProbe)).as("cell"))
       .select(col("query_id"), col("lut"), col("qn"), col("cell"),
         ofExpr(CentroidDot(toExpr(col("qv")), toExpr(col("cell")), coarse.centroids)).as("cdot"))
-    // no distinct: one cell per corpus vector × distinct probe cells
-    // means each (query, neighbor) pair is scored exactly once
     val scored = broadcast(q).join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         (col("cdot") + ofExpr(PqScore(toExpr(col("codes")), toExpr(col("lut")), model.k))) /
           (col("qn") * col("cn")))
     Similarity.topkAgg(scored, topK)
+  }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
+                m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+                seed: Long = 42L, prefit: Option[Model] = None,
+                prefitCoarse: Option[Similarity.IvfModel] = None): DataFrame = {
+    val coarse = prefitCoarse.getOrElse(Similarity.ivfFit(corpus, nCells, seed))
+    val model = prefit.getOrElse(fitResidual(corpus, coarse, dim, m, k, seed = seed))
+    val codes = graft.sources.PlanUtils.fanout(encodeIvfPq(corpus, model, coarse))
+    searchCodes(queries, codes, topK, model, coarse, nProbe)
   }
 }

@@ -1,0 +1,112 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+
+/** Persistent IVF-PQ index: the serving shape of the ANN stack.
+  *
+  * Layout under `dir`:
+  *  - `codes/` — a [[graft.sources.SnapshotStore]] keyed by
+  *    `neighbor_id` holding `(neighbor_id, cell, codes, cn)`: 8 B of
+  *    PQ codes + a cell id + a norm per vector, NOT the vectors. At
+  *    100 TB of raw embeddings this is the ~32×-smaller table that
+  *    actually gets scanned per query batch.
+  *  - `models.txt` — the frozen quantizers (PQ codebooks + coarse
+  *    centroids), a few KB of floats. Production semantics: models
+  *    are fit ONCE at build time; corpus deltas are encoded under the
+  *    frozen models ([[add]] — the manifest-commit upsert keeps
+  *    readers snapshot-isolated), and a model refresh is an explicit
+  *    [[build]] (re-encode), never a silent drift.
+  *
+  * Serving: [[topK]] for a batch of queries, [[serveStream]] for a
+  * Structured Streaming query stream — each micro-batch searches the
+  * index as of its own read (concurrent [[add]]s become visible at
+  * the next batch).
+  */
+class PqIndex(spark: SparkSession, dir: String,
+              dim: Int = 64, m: Int = 8, k: Int = 16,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
+
+  private val store =
+    new graft.sources.SnapshotStore(spark, s"$dir/codes", key = "neighbor_id")
+  private val modelPath = new Path(s"$dir/models.txt")
+  private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fit quantizers on `corpus` (`(id, vec)`), persist them, and
+    * (re-)encode the full corpus. */
+  def build(corpus: DataFrame): Unit = {
+    val coarse = Similarity.ivfFit(corpus, nCells, seed)
+    val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
+    saveModels(model, coarse)
+    store.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
+  }
+
+  /** Encode a corpus delta under the FROZEN models and upsert it —
+    * new ids append, re-sent ids replace (CDC semantics). */
+  def add(vectors: DataFrame): Unit = {
+    val (model, coarse) = models()
+    store.upsert(Pq.encodeIvfPq(vectors, model, coarse))
+  }
+
+  /** Top-k for a query batch against the stored codes. */
+  def topK(queries: DataFrame, topKn: Int): DataFrame = {
+    val (model, coarse) = models()
+    Pq.searchCodes(queries, codesTable(), topKn, model, coarse, nProbe)
+  }
+
+  /** Serve a streaming frame of `(id, vec)` queries: each micro-batch
+    * is searched against the index as of that batch and handed to
+    * `sink`. Models load once per stream (frozen); codes re-read per
+    * batch so concurrent adds become visible. */
+  def serveStream(queries: DataFrame, topKn: Int, sink: DataFrame => Unit,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (model, coarse) = models()
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          sink(Pq.searchCodes(batch.toDF(), codesTable(), topKn, model, coarse, nProbe))
+      }
+      .start()
+  }
+
+  private def codesTable(): DataFrame =
+    store.read().getOrElse(sys.error(s"no index built at $dir"))
+      .select("neighbor_id", "cell", "codes", "cn")
+
+  /** The frozen quantizers (PQ codebooks + coarse centroids). */
+  def models(): (Pq.Model, Similarity.IvfModel) = loadModels()
+
+  // models.txt: line-oriented, Float.toString round-trips exactly
+  private def saveModels(model: Pq.Model, coarse: Similarity.IvfModel): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"dim=$dim m=${model.m} k=${model.k} subDim=${model.subDim}\n")
+    sb.append("codebooks=").append(model.codebooks.mkString(",")).append('\n')
+    coarse.centroids.foreach(c => sb.append("centroid=").append(c.mkString(",")).append('\n'))
+    val tmp = new Path(s"$dir/.tmp-models-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(sb.result().getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(modelPath)) fs.delete(modelPath, false)
+    if (!fs.rename(tmp, modelPath))
+      throw new java.io.IOException(s"model publish failed for $modelPath")
+  }
+
+  private def loadModels(): (Pq.Model, Similarity.IvfModel) = {
+    require(fs.exists(modelPath), s"no models at $modelPath — build() first")
+    val in = fs.open(modelPath)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val head = lines.head.split(' ').map { kv =>
+      val Array(a, b) = kv.split('='); a -> b.toInt
+    }.toMap
+    val cb = lines.collectFirst { case l if l.startsWith("codebooks=") =>
+      l.stripPrefix("codebooks=").split(',').map(_.toFloat)
+    }.get
+    val cents = lines.filter(_.startsWith("centroid="))
+      .map(_.stripPrefix("centroid=").split(',').map(_.toFloat)).toArray
+    (Pq.Model(cb, head("m"), head("k"), head("subDim")),
+      Similarity.IvfModel(cents))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index: build → serve parity with the inline
+  * query path, frozen-model CDC adds, and the streaming serve loop. */
+class PqIndexSpec extends SparkSpec {
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private def dir = sf("any")
+
+  private def corpus: DataFrame =
+    graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queries: DataFrame = SimilarityQueries.queriesDf(spark, dir)
+
+  private def rows(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("built index serves the same top-k as the inline IVF-PQ query") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex").toString
+    val index = new PqIndex(spark, s"$base/idx")
+    index.build(corpus)
+    val (model, coarse) = index.models()
+    val served = index.topK(queries, SimilarityQueries.K)
+    val inline = Pq.ivfPqTopK(queries, corpus, SimilarityQueries.K, SimilarityQueries.Dim,
+      prefit = Some(model), prefitCoarse = Some(coarse))
+    assert(rows(served) == rows(inline),
+      "index-served results must equal the inline path under the same frozen models")
+    // model round-trip through the sidecar is exact
+    val (m2, c2) = index.models()
+    assert(m2.codebooks.toSeq == model.codebooks.toSeq)
+    assert(c2.centroids.map(_.toSeq).toSeq == coarse.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("add() under frozen models: a planted duplicate becomes retrievable") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex2").toString
+    val index = new PqIndex(spark, s"$base/idx")
+    index.build(corpus)
+    // plant: a copy of vector 0 under a fresh id
+    val v0 = corpus.filter(col("id") === 0L).select("vec").head().getSeq[Float](0).toArray
+    index.add(Seq((900001L, v0)).toDF("id", "vec"))
+    val got = index.topK(Seq((0L, v0)).toDF("id", "vec"), 5)
+      .select("neighbor_id", "rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.contains(900001L),
+      s"the identical planted vector must rank in the top-5, got $got")
+    assert(got(900001L) == 1, "an exact copy is the nearest neighbor")
+  }
+
+  test("serveStream: each micro-batch equals the batch topK") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex3").toString
+    val index = new PqIndex(spark, s"$base/idx")
+    index.build(corpus)
+    val qvecs = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = index.serveStream(
+      input.toDF().toDF("id", "vec"), SimilarityQueries.K,
+      df => got ++= rows(df), s"$base/ckpt")
+    input.addData(qvecs.take(3).toSeq: _*)
+    q.processAllAvailable()
+    input.addData(qvecs.slice(3, 6).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expect = rows(index.topK(
+      qvecs.take(6).toSeq.toDF("id", "vec"), SimilarityQueries.K))
+    assert(got.toSet == expect, "streamed results must equal the batch search")
+  }
+}
