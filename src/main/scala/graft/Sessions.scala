@@ -25,8 +25,10 @@ object Sessions {
       // local-mode file splitting: the test/bench parquet files are a
       // few MB, which the 128 MB default maps to ONE partition — every
       // scan-side operator would run on one core. 4 MB keeps tiny
-      // inputs parallel; on a real cluster with TB-scale inputs,
-      // override back to the default (or higher) at submit time.
+      // inputs parallel; measured: 1 MB is a net loss at sf0.1 (task
+      // overhead on the heavy queries outweighs the extra splits). On
+      // a real cluster with TB-scale inputs, override back to the
+      // default (or higher) at submit time.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")

@@ -255,18 +255,59 @@ object Dedup {
 
   /** Resolve near-dup pairs into clusters: every doc that appears in a
     * pair is assigned the minimum doc id reachable through the pair
-    * graph (its "canonical" survivor). Iterative min-label propagation
-    * — the standard large-scale connected-components: O(log n)
-    * rounds, each one join + aggregate on ids only (no payloads).
-    * `localCheckpoint` cuts lineage growth per round.
+    * graph (its "canonical" survivor).
+    *
+    * Hybrid execution — the pair set is ∝ near-duplicates, not corpus
+    * size, so even a 100 TB corpus usually yields a pair set that fits
+    * one bounded collect. Up to `driverMaxPairs` (default 2M ≈ 32 MB)
+    * the resolution is a driver-side union-find: ONE job instead of
+    * O(log n) shuffle rounds, each of which costs a driver round-trip
+    * that dominates when the graph is small. Above the bound, the
+    * standard distributed min-label propagation runs (id-only joins,
+    * `localCheckpoint` per round to cut lineage, convergence checks
+    * batched two rounds per action).
     *
     * Returns `(doc_id, canonical_id)` for every doc in a pair;
     * `doc_id == canonical_id` marks the survivor. Docs in no pair are
     * implicitly their own canonical (callers left-anti join to drop
     * losers). */
-  def resolveClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+  def resolveClusters(pairs: DataFrame, driverMaxPairs: Long = 2000000L): DataFrame = {
+    val und = pairs.select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+    if (und.count() <= driverMaxPairs) resolveOnDriver(und)
+    else resolveDistributed(und)
+  }
+
+  /** Bounded union-find with path compression + min-id canonicals. */
+  private def resolveOnDriver(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    for (row <- und.collect()) {
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (x <- parent.keys) {
+      val r = find(x)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), x)
+    }
+    parent.keys.toSeq.sorted
+      .map(x => (x, minOfRoot(find(x))))
+      .toDF("doc_id", "canonical_id")
+  }
+
+  private def resolveDistributed(und: DataFrame): DataFrame = {
+    val edges = und.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(und.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id"))

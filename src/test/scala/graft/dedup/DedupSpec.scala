@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("resolveClusters: driver union-find equals distributed min-label") {
+    import spark.implicits._
+    // cycle, chain, singleton pair — all shapes in one graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 9L), (9L, 7L),
+      (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L)).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = asMap(Dedup.resolveClusters(pairs))
+    val dist = asMap(Dedup.resolveClusters(pairs, driverMaxPairs = 0L))
+    assert(driver == dist, "the two execution paths must agree exactly")
+    assert(driver(3L) == 1L && driver(7L) == 5L && driver(33L) == 30L)
+  }
+
   test("embedding pairs: cosine is symmetric-safe and bounded") {
     val out = DedupQueries.dedupEmbedding(spark, dir)
     val rows = out.collect()
