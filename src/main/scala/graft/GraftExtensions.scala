@@ -78,6 +78,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(text[, seed, p]) - base-31 Horner fold of the UTF-8 bytes mod p"),
+      (es: Seq[Expression]) => RollingHash(es(0),
+        if (es.length > 1) intLit(es(1), "seed").toLong else 17L,
+        if (es.length > 2) es(2) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(s"p must be an integer literal, got $other")
+        } else 1125899906842597L)))
+
+    ext.injectFunction((
       FunctionIdentifier("sig_match_count"),
       info("sig_match_count",
         "sig_match_count(a, b) - positions where two equal-length array<long> signatures agree"),

@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
   }
 
+  test("SQL surface: rolling_hash matches the Scala column function") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val viaSql = spark.sql("SELECT rolling_hash('hello world') AS h").head().getLong(0)
+    val viaApi = spark.range(1)
+      .select(graft.functions.TextFunctions.rollingHash(lit("hello world")).as("h"))
+      .head().getLong(0)
+    assert(viaSql == viaApi)
+    // custom seed/prime variant used by the simhash base hash
+    val small = spark.sql("SELECT rolling_hash('abc', 17, 2147483647L) AS h").head().getLong(0)
+    assert(small == ((((17L * 31 + 'a') * 31 + 'b') * 31 + 'c') % 2147483647L))
+  }
+
   test("SQL surface: sig_match_count equals the HOF estimator") {
     import org.apache.spark.sql.functions.col
     assert(spark.sql(
