@@ -19,6 +19,8 @@ final case class GraftConfig(
     dataDir: String,
     snapshotPath: String,
     rulesPath: Option[String],
+    rulesJdbcUrl: Option[String],
+    rulesJdbcTable: String,
     anchorDate: Option[String],
     incrementalDays: Int,
     minRowCount: Long,
@@ -46,6 +48,11 @@ object GraftConfig {
       dataDir = env.getOrElse("GRAFT_DATA_DIR", "/root/testdata/sf0.001"),
       snapshotPath = env.getOrElse("GRAFT_SNAPSHOT", "/tmp/graft_snapshot/user_tags"),
       rulesPath = env.get("GRAFT_RULES"),
+      // rules-from-database, the reference's actual rule source
+      // (rule_reader pulls from MySQL); takes precedence over the
+      // parquet path when set
+      rulesJdbcUrl = env.get("GRAFT_RULES_JDBC_URL"),
+      rulesJdbcTable = env.getOrElse("GRAFT_RULES_JDBC_TABLE", "tag_rules"),
       anchorDate = env.get("GRAFT_ANCHOR"),
       incrementalDays = env.getOrElse("GRAFT_INCREMENTAL_DAYS", "120").toInt,
       minRowCount = env.getOrElse("GRAFT_MIN_ROWS", "1").toLong,

@@ -59,11 +59,16 @@ object Main {
     val engine = cfg.anchorDate.map(TagEngine.at).getOrElse(new TagEngine())
 
     // rules-as-data (reference rule_reader): bad rules are reported,
-    // not fatal — matching the reference's skip-and-log behavior
-    val rulesDf = cfg.rulesPath
-      .map(p => spark.read.parquet(p))
-      .getOrElse(sys.error("GRAFT_RULES must point to a rules table (parquet with " +
-        "tag_id, tag_name, tag_category, source_table, rule_json)"))
+    // not fatal — matching the reference's skip-and-log behavior.
+    // Source precedence: JDBC (the reference reads rules from MySQL)
+    // over parquet path.
+    val rulesDf = (cfg.rulesJdbcUrl, cfg.rulesPath) match {
+      case (Some(url), _) =>
+        graft.sources.Jdbc.read(spark, url, cfg.rulesJdbcTable, new java.util.Properties())
+      case (None, Some(p)) => spark.read.parquet(p)
+      case _ => sys.error("GRAFT_RULES (parquet) or GRAFT_RULES_JDBC_URL must point to a " +
+        "rules table with tag_id, tag_name, tag_category, source_table, rule_json")
+    }
     val (entries, invalid) = RuleCatalog.fromDataFrame(rulesDf)
     val scoped = tagScope.fold(entries)(ids => entries.filter(e => ids(e.tagRule.tagId)))
     require(scoped.nonEmpty, "no valid rules in scope")

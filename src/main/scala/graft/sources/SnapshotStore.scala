@@ -74,8 +74,8 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   /** Publish a new manifest version: write to a unique temp name, then
     * a single-file rename — the one atomic primitive object stores
     * give us (locally: POSIX rename). */
-  private def commit(version: Long, bucketCount: Int,
-                     mapping: Map[Int, Seq[String]]): Unit = {
+  private[sources] def commit(version: Long, bucketCount: Int,
+                              mapping: Map[Int, Seq[String]]): Unit = {
     fs.mkdirs(new Path(path))
     val body = (s"#buckets=$bucketCount" +: mapping.toSeq.sortBy(_._1)
       .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
@@ -84,10 +84,18 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val dst = new Path(path, f"$ManifestPrefix$version%012d.txt")
-    // the rename IS the publish — a silent false (existing destination
-    // = concurrent writer; cross-FS move; transient error) would leave
-    // the new data files as unreferenced orphans that vacuum() later
-    // deletes, i.e. a silently lost write
+    // the rename IS the publish — a silent failure (concurrent writer,
+    // cross-FS move, transient error) would leave the new data files
+    // as unreferenced orphans that vacuum() later deletes, i.e. a
+    // silently lost write. The existence check matters on POSIX, where
+    // rename REPLACES an existing destination and returns true — that
+    // would overwrite a concurrent writer's committed manifest (lost
+    // update) rather than fail. Object stores with atomic
+    // if-none-match publish make the check-then-rename race-free;
+    // locally it narrows the race to the commit instant.
+    if (fs.exists(dst))
+      throw new java.io.IOException(
+        s"manifest version $version already published — concurrent writer conflict ($dst)")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"manifest commit conflict/failure for version $version ($tmp -> $dst)")

@@ -51,6 +51,21 @@ class MainSpec extends SparkSpec {
       1L -> List(1, 2), 2L -> List(2), 3L -> List(1), 4L -> List(2)))
   }
 
+  test("rules from a JDBC source (the reference's MySQL rule store) drive the same run") {
+    val (base, env) = freshEnv()
+    val url = s"jdbc:derby:$base/rulesdb;create=true"
+    graft.sources.Jdbc.write(
+      spark.read.parquet(s"$base/rules.parquet"), url, "tag_rules",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val cfg = GraftConfig.fromEnv(env - "GRAFT_RULES" + ("GRAFT_RULES_JDBC_URL" -> url))
+    val stats = Main.run(spark, cfg, Seq("full"))
+    assert(stats.usersTagged == 4)
+    assert(stats.invalidRules.map(_._1) == Seq(9))
+    assert(stats.perTagHits == Map(1 -> 2, 2 -> 3))
+    assert(snapshot(cfg) == Map(
+      1L -> List(1, 2), 2L -> List(2), 3L -> List(1), 4L -> List(2)))
+  }
+
   test("tag-subset run merges with the existing snapshot; incremental skips known users") {
     val (_, env) = freshEnv()
     val cfg = GraftConfig.fromEnv(env)

@@ -30,6 +30,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(snap.columns.toSeq == Seq("user_id", "v"))
   }
 
+  test("a concurrently published manifest version makes the commit throw, not lose a write") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_conflict").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite(Seq((1L, "a"), (2L, "b")).toDF("user_id", "v"))
+    val (v1, _) = store.latestManifest().get
+    // simulate the race: a concurrent writer publishes v1+1 after this
+    // writer decided on the same target version. On POSIX a bare
+    // rename would silently REPLACE it (lost update); commit must
+    // refuse instead.
+    val conflicting = new org.apache.hadoop.fs.Path(dir, f"manifest-${v1 + 1}%012d.txt")
+    val fs = conflicting.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(conflicting, true)
+    out.write("#buckets=4\n".getBytes("UTF-8")); out.close()
+    val e = intercept[java.io.IOException] {
+      store.commit(v1 + 1, 4, Map.empty)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the concurrent writer's manifest survives untouched
+    val in = fs.open(conflicting)
+    assert(new String(in.readAllBytes(), "UTF-8").startsWith("#buckets=4")); in.close()
+  }
+
   test("snapshot isolation: a reader opened before an upsert keeps its version") {
     val s = spark
     import s.implicits._
