@@ -162,6 +162,60 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Dense matrix × float-vector product with a LITERAL row-major
+  * matrix: `out[i] = Σ_j M[i·cols + j] · v[j]`, accumulated in double,
+  * emitted as float. Used to apply OPQ's learned orthogonal rotation
+  * before product quantization — one compiled loop per row, the
+  * matrix rides as a codegen reference object. */
+case class MatVecFloat(child: Expression, mat: Array[Float], rows: Int, cols: Int)
+    extends UnaryExpression {
+
+  require(mat.length == rows * cols, "matrix shape mismatch")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "matvec_float"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    require(x.numElements() == cols, s"vector dim ${x.numElements()} != $cols")
+    val out = new Array[Float](rows)
+    var i = 0
+    while (i < rows) {
+      var acc = 0.0
+      var j = 0
+      while (j < cols) { acc += mat(i * cols + j).toDouble * x.getFloat(j).toDouble; j += 1 }
+      out(i) = acc.toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matvecMat", mat, "float[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val (i, j, acc, out) =
+        (ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("acc"), ctx.freshName("out"))
+      s"""
+         |if ($x.numElements() != $cols) {
+         |  throw new IllegalArgumentException("vector dim " + $x.numElements() + " != $cols");
+         |}
+         |final float[] $out = new float[$rows];
+         |for (int $i = 0; $i < $rows; $i++) {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $cols; $j++) {
+         |    $acc += ((double) $m[$i * $cols + $j]) * ((double) $x.getFloat($j));
+         |  }
+         |  $out[$i] = (float) $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecFloat =
+    copy(child = newChild)
+}
+
 /** All LSH band keys of a float vector in ONE compiled pass: project
   * onto `planes` (literal hyperplanes baked into the expression), pack
   * the sign bits into a signature, emit `bands` keys of `bitsPerBand`

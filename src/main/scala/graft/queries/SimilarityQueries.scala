@@ -68,6 +68,18 @@ object SimilarityQueries {
     graft.similarity.Pq.pqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
       prefit = Some(pqFitFor(spark, dir)))
 
+  private val opqFits =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), graft.similarity.Pq.OpqModel]()
+
+  private def opqFitFor(spark: SparkSession, dir: String,
+                        m: Int = 8, k: Int = 16, seed: Long = 42L): graft.similarity.Pq.OpqModel =
+    opqFits.computeIfAbsent((dir, m, k, seed),
+      _ => graft.similarity.Pq.fitOpq(asIdVec(embs(spark, dir)), Dim, m, k, seed = seed))
+
+  def annOpqTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pq.opqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
+      prefit = Some(opqFitFor(spark, dir)))
+
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
     graft.similarity.Pq.ivfPqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
       prefit = Some(pqResidualFitFor(spark, dir)),
@@ -84,6 +96,7 @@ object SimilarityQueries {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_pq_topk" -> (annPqTopk _),
+    "ann_opq_topk" -> (annOpqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "knn_label_vote" -> (knnLabelVote _))
 

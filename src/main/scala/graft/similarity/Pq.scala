@@ -53,6 +53,120 @@ object Pq {
     Similarity.hashSample(corpus, sampleN).collect()
       .map(_.getSeq[Float](0).toArray)
 
+  // ---- OPQ: learned orthogonal pre-rotation (non-parametric) ----
+
+  /** A fitted OPQ model: the rotation (row-major d×d, orthogonal) and
+    * the PQ codebooks trained in the rotated space. */
+  final case class OpqModel(rotation: Array[Float], dim: Int, pq: Model)
+
+  /** Rotate driver-side with the SAME arithmetic as the MatVecFloat
+    * expression (float matrix, double accumulation, float result) so
+    * fit-time and query-time geometry agree bit-for-bit. */
+  private def rotF(r: Array[Float], dim: Int, v: Array[Float]): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += r(i * dim + j).toDouble * v(j).toDouble; j += 1 }
+      out(i) = acc.toFloat
+      i += 1
+    }
+    out
+  }
+
+  private def encodeOne(model: Model, v: Array[Float]): Array[Int] = {
+    val out = new Array[Int](model.m)
+    var j = 0
+    while (j < model.m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < model.k) {
+        var d2 = 0.0; var d = 0
+        while (d < model.subDim) {
+          val diff = v(j * model.subDim + d).toDouble -
+            model.codebooks((j * model.k + c) * model.subDim + d)
+          d2 += diff * diff; d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(j) = best; j += 1
+    }
+    out
+  }
+
+  private def decodeOne(model: Model, codes: Array[Int]): Array[Float] = {
+    val out = new Array[Float](model.m * model.subDim)
+    var j = 0
+    while (j < model.m) {
+      var d = 0
+      while (d < model.subDim) {
+        out(j * model.subDim + d) = model.codebooks((j * model.k + codes(j)) * model.subDim + d)
+        d += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** OPQ-NP (Ge et al.): alternate (a) fit PQ codebooks in the rotated
+    * space, (b) update the rotation by orthogonal Procrustes —
+    * `R = U·Vᵀ` from the SVD of `Ŷ·Xᵀ` (decoded × original), which
+    * minimizes ‖R·X − Ŷ‖ over orthogonal R. Balances variance across
+    * subspaces so no codebook wastes its budget; the win appears on
+    * ANISOTROPIC data (on isotropic gaussians R ≈ any rotation).
+    * Driver-side on the bounded sample, like every other fit here. */
+  def fitOpq(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+             sampleN: Int = 2000, opqIters: Int = 8, lloydIters: Int = 10,
+             seed: Long = 42L): OpqModel = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val x = sampleVecs(corpus, sampleN)
+    require(x.nonEmpty, "empty corpus")
+    val n = x.length
+    var r = Array.tabulate(dim * dim)(i => if (i / dim == i % dim) 1.0f else 0.0f)
+    var model: Model = null
+    for (_ <- 1 to opqIters) {
+      val rotated = x.map(v => rotF(r, dim, v))
+      model = fitOn(rotated, dim, m, k, lloydIters, seed)
+      val decoded = rotated.map(v => decodeOne(model, encodeOne(model, v)))
+      // Procrustes: M = Ŷ·Xᵀ (d×d), R = U·Vᵀ
+      val mAcc = DenseMatrix.zeros[Double](dim, dim)
+      var s = 0
+      while (s < n) {
+        val xv = x(s); val yv = decoded(s)
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { mAcc(i, j) += yv(i).toDouble * xv(j).toDouble; j += 1 }
+          i += 1
+        }
+        s += 1
+      }
+      val dec = svd(mAcc)
+      val rNew = dec.U * dec.Vt
+      r = Array.tabulate(dim * dim)(idx => rNew(idx / dim, idx % dim).toFloat)
+    }
+    // final codebooks under the final rotation
+    val rotated = x.map(v => rotF(r, dim, v))
+    OpqModel(r, dim, fitOn(rotated, dim, m, k, lloydIters, seed))
+  }
+
+  /** PQ top-k in the OPQ-rotated space: both sides rotate through the
+    * codegen'd MatVecFloat (orthogonal ⇒ dots and norms are preserved,
+    * so the ADC cosine estimates the ORIGINAL cosine), then the plain
+    * PQ search shape. */
+  def opqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
+              m: Int = 8, k: Int = 16, seed: Long = 42L,
+              prefit: Option[OpqModel] = None): DataFrame = {
+    val model = prefit.getOrElse(fitOpq(corpus, dim, m, k, seed = seed))
+    def rotated(df: DataFrame) = df.select(col("id"),
+      ofExpr(graft.functions.expr.MatVecFloat(
+        toExpr(col("vec")), model.rotation, dim, dim)).as("vec"))
+    pqTopK(rotated(queries), rotated(corpus), topK, dim, m, k, seed,
+      prefit = Some(model.pq))
+  }
+
   private def fitOn(sample: Array[Array[Float]], dim: Int, m: Int, k: Int,
                     iters: Int, seed: Long): Model = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")

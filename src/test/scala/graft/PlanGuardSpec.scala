@@ -14,6 +14,7 @@ class PlanGuardSpec extends SparkSpec {
     "knn_label_vote",           // same shape: k-NN scoring of a small query set
     "dedup_embedding_bruteforce", // documented exact baseline (grid path is the headline)
     "ann_pq_topk",              // PQ scans all CODES per query by design (8 B/vec ADC)
+    "ann_opq_topk",             // same scan-all-codes shape, in the OPQ-rotated space
     "text_keywords")            // 1-row corpus-count scalar broadcast, not an n×n join
 
   test("no gate query plans a cartesian or nested-loop join (except documented baselines)") {

@@ -84,6 +84,52 @@ class SimilaritySpec extends SparkSpec {
       f"residual IVF-PQ ($recall%.3f) fell below raw PQ ($pqRecall%.3f)")
   }
 
+  test("OPQ rotation beats plain PQ on anisotropic data (and is orthogonal)") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // anisotropic synthetic: strongly decaying spectrum, then a fixed
+    // random rotation so the energy is NOT axis-aligned — plain PQ's
+    // fixed subspace split mixes high- and low-variance directions,
+    // which is exactly what the learned rotation undoes
+    val rnd = new scala.util.Random(7)
+    val q0 = Array.fill(dim, dim)(rnd.nextGaussian())
+    // Gram-Schmidt for an exact orthogonal mixing matrix
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(t => q0(i)(t) * q0(j)(t)).sum
+        for (t <- 0 until dim) q0(i)(t) -= d * q0(j)(t)
+      }
+      val nrm = math.sqrt((0 until dim).map(t => q0(i)(t) * q0(i)(t)).sum)
+      for (t <- 0 until dim) q0(i)(t) /= nrm
+    }
+    def mkVec(id: Long): Array[Float] = {
+      val r2 = new scala.util.Random(id * 911382323L + 3)
+      val z = Array.tabulate(dim)(d => r2.nextGaussian() * math.pow(0.82, d))
+      Array.tabulate(dim)(i => (0 until dim).map(j => q0(i)(j) * z(j)).sum.toFloat)
+    }
+    val corpus = (0L until 1500L).map(i => (i, mkVec(i))).toDF("id", "vec")
+    val queries = (0L until 1500L by 50).map(i => (i, mkVec(i))).toDF("id", "vec")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.bruteForceTopK(queries, corpus, 10))
+    val pq = ids(Pq.pqTopK(queries, corpus, 10, dim))
+    val opqModel = Pq.fitOpq(corpus, dim)
+    val opq = ids(Pq.opqTopK(queries, corpus, 10, dim, prefit = Some(opqModel)))
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    val opqRecall = (brute & opq).size.toDouble / brute.size
+    info(f"anisotropic corpus: OPQ recall@10 = $opqRecall%.3f vs plain PQ $pqRecall%.3f")
+    assert(opqRecall > pqRecall,
+      f"learned rotation must beat the fixed subspace split: $opqRecall%.3f <= $pqRecall%.3f")
+    // the learned rotation is orthogonal: R·Rᵀ ≈ I
+    val r = opqModel.rotation
+    for (i <- 0 until dim by 13; j <- 0 until dim by 13) {
+      val dot = (0 until dim).map(t => r(i * dim + t).toDouble * r(j * dim + t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4)
+    }
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
