@@ -72,6 +72,25 @@ class PqIndex(spark: SparkSession, dir: String,
       .start()
   }
 
+  /** Maintain the index from a streaming `(id, vec)` frame: every
+    * micro-batch is encoded under the frozen models and upserted
+    * (keyed — replayed batches overwrite the same rows, so
+    * at-least-once delivery is idempotent). The ingestion twin of
+    * [[serveStream]]: one stream feeds the index while another
+    * queries it, coordinated only through the manifest commit. */
+  def maintainStream(vectors: DataFrame,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (model, coarse) = models()
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          store.upsert(Pq.encodeIvfPq(batch.toDF(), model, coarse))
+      }
+      .start()
+  }
+
   private def codesTable(): DataFrame =
     store.read().getOrElse(sys.error(s"no index built at $dir"))
       .select("neighbor_id", "cell", "codes", "cn")

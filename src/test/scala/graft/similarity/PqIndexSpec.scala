@@ -54,6 +54,31 @@ class PqIndexSpec extends SparkSpec {
     assert(got(900001L) == 1, "an exact copy is the nearest neighbor")
   }
 
+  test("maintainStream: streamed vectors become retrievable; replayed rows are idempotent") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex4").toString
+    val index = new PqIndex(spark, s"$base/idx")
+    index.build(corpus)
+    val v0 = corpus.filter(col("id") === 0L).select("vec").head().getSeq[Float](0).toArray
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = index.maintainStream(input.toDF().toDF("id", "vec"), s"$base/ckpt")
+    input.addData((910001L, v0))
+    q.processAllAvailable()
+    // same row again (an at-least-once replay): keyed upsert, no dup
+    input.addData((910001L, v0))
+    q.processAllAvailable()
+    q.stop()
+    val got = index.topK(Seq((0L, v0)).toDF("id", "vec"), 3)
+      .select("neighbor_id", "rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.get(910001L).contains(1), s"streamed vector must be the top hit, got $got")
+    // exactly one copy of the id in the index
+    import graft.sources.SnapshotStore
+    val n = new SnapshotStore(spark, s"$base/idx/codes", key = "neighbor_id")
+      .read().get.filter(col("neighbor_id") === 910001L).count()
+    assert(n == 1L)
+  }
+
   test("serveStream: each micro-batch equals the batch topK") {
     val s = spark
     import s.implicits._
