@@ -167,6 +167,50 @@ object Pq {
       prefit = Some(model.pq))
   }
 
+  // ---- OPQ + IVF-PQ composed (FAISS "OPQ,IVF,PQ" index chain) ----
+
+  /** Composed model: OPQ rotation, then coarse quantizer AND residual
+    * codebooks fit in the ROTATED space — rotation balances variance
+    * across PQ subspaces, cells bound the scan, residual codes bound
+    * the bytes. The full production chain for anisotropic corpora
+    * (real embedding models emit strongly anisotropic vectors). */
+  final case class OpqIvfPqModel(rotation: Array[Float], dim: Int,
+                                 coarse: Similarity.IvfModel, pq: Model)
+
+  private def rotatedFrame(df: DataFrame, rotation: Array[Float], dim: Int): DataFrame =
+    df.select(col("id"),
+      ofExpr(graft.functions.expr.MatVecFloat(
+        toExpr(col("vec")), rotation, dim, dim)).as("vec"))
+
+  /** Rotation is learned by the OPQ-NP loop (plain-PQ reconstruction
+    * proxy, [[fitOpq]]); the coarse cells and residual codebooks are
+    * then fit in the rotated space so search geometry and training
+    * geometry agree. One bounded-sample pass each, like every fit. */
+  def fitOpqIvfPq(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+                  nCells: Int = 16, sampleN: Int = 2000,
+                  seed: Long = 42L): OpqIvfPqModel = {
+    val rotation = fitOpq(corpus, dim, m, k, sampleN, seed = seed).rotation
+    val rot = rotatedFrame(corpus, rotation, dim)
+    val coarse = Similarity.ivfFit(rot, nCells, seed)
+    OpqIvfPqModel(rotation, dim, coarse,
+      fitResidual(rot, coarse, dim, m, k, sampleN, seed = seed))
+  }
+
+  /** IVF-PQ search in the OPQ-rotated space. The rotation is
+    * orthogonal, so rotated dots/norms equal the originals and the ADC
+    * cosine still estimates the ORIGINAL cosine; both sides rotate
+    * through one codegen'd MatVecFloat pass. */
+  def opqIvfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
+                   m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 4,
+                   seed: Long = 42L,
+                   prefit: Option[OpqIvfPqModel] = None): DataFrame = {
+    val model = prefit.getOrElse(fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed))
+    ivfPqTopK(rotatedFrame(queries, model.rotation, dim),
+      rotatedFrame(corpus, model.rotation, dim),
+      topK, dim, m, k, nCells, nProbe, seed,
+      prefit = Some(model.pq), prefitCoarse = Some(model.coarse))
+  }
+
   private def fitOn(sample: Array[Array[Float]], dim: Int, m: Int, k: Int,
                     iters: Int, seed: Long): Model = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
