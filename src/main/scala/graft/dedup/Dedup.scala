@@ -350,6 +350,56 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
+  /** Banded random-hyperplane LSH near-dup pairs over an embedding
+    * column, verified by exact cosine ≥ `minCosine` — the SCALE path
+    * for embedding dedup (the grid/brute-force entries below are the
+    * exact-at-any-threshold baselines). Same banding idea as
+    * [[minhashLshPairs]], in cosine space: `bands` keys of
+    * `bitsPerBand` hyperplane sign bits each ([[graft.functions.expr.RhpBandKeys]],
+    * one codegen pass per row); vectors agreeing on ANY band become
+    * candidates; only candidates are exact-scored. Candidate volume is
+    * ∝ bucket collisions — in the near-dup regime (τ ≥ 0.9, where a
+    * training-corpus dedup actually operates) that is ∝ true dups, not
+    * n², so the shape survives a 100× corpus where the all-pairs
+    * baselines cannot.
+    *
+    * Plan shape: the band exchange carries (band, key, id) — 20 bytes
+    * per row per band, never a vector; candidate id pairs are
+    * distinct-ed and ONLY then re-joined to vectors (each corpus
+    * vector crosses an exchange a constant number of times,
+    * independent of `bands`). Deterministic: planes derive from the
+    * seed ([[graft.functions.VectorFunctions.rhpPlanes]]), so an
+    * oracle can replay the exact candidate set as plane literals in
+    * SQL — see DedupQueries.
+    *
+    * Output contract matches [[embeddingPairs]]: `(vec_a < vec_b,
+    * cosine)`, restricted to LSH candidates. Recall vs the exact join
+    * is the band-collision curve `1-(1-p^bits)^bands`, `p = 1-θ/π` —
+    * at τ=0.9 pick wide bands (e.g. 16×4) for recall ≈ 1; DedupSpec
+    * pins candidate completeness on a planted near-dup corpus. */
+  def embeddingLshPairs(df: DataFrame, vec: Column, id: String, minCosine: Double,
+                        dim: Int, bands: Int = 6, bitsPerBand: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val planes = rhpPlanes(bands * bitsPerBand, dim, seed).toArray
+    val v = graft.sources.PlanUtils.fanout(
+      df.select(col(id).as("vec_id"), vec.as("v")).withColumn("nrm", norm(col("v"))))
+    val keyed = v.select(col("vec_id"),
+      posexplode(ofExpr(graft.functions.expr.RhpBandKeys(
+        toExpr(col("v")), planes, bands, bitsPerBand))).as(Seq("band", "bkey")))
+    val cand = keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
+      .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_b")), Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .withColumn("cosine", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Exact cosine near-dup pairs via the distributed pair-grid: hash
     * every vector into one of `blocks` buckets; the B(B+1)/2 unordered
     * bucket pairs become equi-join cells, each holding one grid tile of

@@ -41,6 +41,24 @@ object DedupQueries {
   def dedupEmbeddingBruteforce(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(embs(spark, dir), col("embedding"), "vec_id", minCosine = 0.4)
 
+  // gate params for the LSH path — shared with the oracle builder so
+  // the SQL plane literals always match the Spark expression's planes
+  private val LshBands = 6
+  private val LshBits = 8
+  private val LshDim = 64
+
+  /** The SCALE path for embedding dedup: banded RHP-LSH candidates +
+    * exact-cosine verification (Dedup.embeddingLshPairs). The gate runs
+    * it at the corpus's only populated threshold (0.4 — inside the
+    * noise floor, hostile to LSH by construction), so the result is
+    * the DETERMINISTIC set "LSH candidates ∩ cosine ≥ 0.4" and the
+    * oracle replays the banding exactly from seed-derived plane
+    * literals; the near-dup regime (τ=0.9, recall 1.0) is pinned by
+    * DedupSpec on a planted corpus where the exact join agrees. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingLshPairs(embs(spark, dir), col("embedding"), "vec_id",
+      minCosine = 0.4, dim = LshDim, bands = LshBands, bitsPerBand = LshBits)
+
   /** Dedup execution: near-dup pairs → canonical survivor per doc via
     * distributed connected components. */
   def dedupResolve(spark: SparkSession, dir: String): DataFrame =
@@ -54,6 +72,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_bruteforce" -> (dedupEmbeddingBruteforce _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_resolve" -> (dedupResolve _))
 
   /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
@@ -97,6 +116,48 @@ object DedupQueries {
       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
 
+  /** Replays Dedup.embeddingLshPairs step for step in DuckDB: the
+    * seed-derived hyperplanes are embedded as FLOAT[] literals (the
+    * exact floats RhpBandKeys bakes into codegen — Float.toString
+    * round-trips), signature = packed sign bits of double-fold
+    * projections, band keys = integer shifts, candidates = band
+    * equi-join, verification = the same a<b-ordered exact cosine as
+    * [[embeddingPairsSql]]. Works because RHP-LSH has no
+    * data-dependent state (cf. SimilarityQueries.lshOracleSql). */
+  private def embeddingLshOracleSql: String = {
+    val bands = LshBands; val bits = LshBits
+    val planes = graft.functions.VectorFunctions.rhpPlanes(bands * bits, LshDim)
+    def dotSql(p: Array[Float]): String =
+      s"""list_reduce(list_transform(list_zip(e.embedding, CAST([${p.mkString(", ")}] AS FLOAT[])),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+    val sigExpr = planes.zipWithIndex.map { case (p, k) =>
+      s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n   + ")
+    s"""WITH sigs AS (
+       |  SELECT e.vec_id, ($sigExpr) AS sig FROM embeddings e),
+       |bnd AS (
+       |  SELECT vec_id, j AS band, (sig >> (j * $bits)) & ${(1 << bits) - 1} AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ca, b.vec_id AS cb
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.vec_id < b.vec_id),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_reduce(list_transform(embedding,
+       |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |              (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT cand.ca AS vec_a, cand.cb AS vec_b,
+       |         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+       |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+       |  FROM cand JOIN v a ON cand.ca = a.vec_id
+       |            JOIN v b ON cand.cb = b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
@@ -129,6 +190,7 @@ object DedupQueries {
          |SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id""".stripMargin,
     "dedup_embedding" -> embeddingPairsSql,
     "dedup_embedding_bruteforce" -> embeddingPairsSql,
+    "dedup_embedding_lsh" -> embeddingLshOracleSql,
     // brute-force twin of the pigeonhole block join (complete for
     // hamming <= 3, so the pair sets are identical). Base hash mirrors
     // Dedup.simhashBaseHash: two Horner folds mod 2^31-1 (seeds

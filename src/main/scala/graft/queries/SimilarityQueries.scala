@@ -85,6 +85,21 @@ object SimilarityQueries {
       prefit = Some(pqResidualFitFor(spark, dir)),
       prefitCoarse = Some(ivfFitFor(spark, dir)))
 
+  // the fully composed "OPQ,IVF,PQ" chain: rotation + cells + residual
+  // codebooks are one model (all fit in the rotated space), cached as
+  // a unit like every other fit
+  private val opqIvfPqFits =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Long), graft.similarity.Pq.OpqIvfPqModel]()
+
+  private def opqIvfPqFitFor(spark: SparkSession, dir: String, m: Int = 8, k: Int = 16,
+                             nCells: Int = 16, seed: Long = 42L): graft.similarity.Pq.OpqIvfPqModel =
+    opqIvfPqFits.computeIfAbsent((dir, m, k, nCells, seed),
+      _ => graft.similarity.Pq.fitOpqIvfPq(asIdVec(embs(spark, dir)), Dim, m, k, nCells, seed = seed))
+
+  def annOpqIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.similarity.Pq.opqIvfPqTopK(queriesDf(spark, dir), asIdVec(embs(spark, dir)), K, Dim,
+      prefit = Some(opqIvfPqFitFor(spark, dir)))
+
   def knnLabelVote(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
@@ -98,6 +113,7 @@ object SimilarityQueries {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_opq_topk" -> (annOpqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "ann_opq_ivfpq_topk" -> (annOpqIvfPqTopk _),
     "knn_label_vote" -> (knnLabelVote _))
 
   /** Left-fold cosine identical to VectorFunctions.dot/norm (see

@@ -23,36 +23,69 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * Structured Streaming query stream — each micro-batch searches the
   * index as of its own read (concurrent [[add]]s become visible at
   * the next batch).
+  *
+  * `opq = true` builds the full FAISS-style "OPQ,IVF,PQ" chain: a
+  * learned orthogonal rotation ([[Pq.fitOpq]]) is applied to every
+  * vector BEFORE coarse assignment and residual encoding, balancing
+  * variance across PQ subspaces (the win shows on anisotropic
+  * corpora — i.e. real embedding models). The rotation is part of the
+  * frozen model set: persisted in `models.txt`, applied identically
+  * to corpus deltas ([[add]]/[[maintainStream]]) and queries
+  * ([[topK]]/[[serveStream]]); orthogonality means rotated cosines
+  * ARE the original cosines, so the output contract is unchanged.
   */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              opq: Boolean = false) {
 
   private val store =
     new graft.sources.SnapshotStore(spark, s"$dir/codes", key = "neighbor_id")
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Apply the frozen OPQ rotation (identity when the index was built
+    * without one) — one codegen'd MatVecFloat pass over `(id, vec)`. */
+  private def rotated(df: DataFrame, rotation: Option[Array[Float]]): DataFrame =
+    rotation match {
+      case None => df
+      case Some(r) =>
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+        df.select(col("id"),
+          ofExpr(graft.functions.expr.MatVecFloat(toExpr(col("vec")), r, dim, dim)).as("vec"))
+    }
+
   /** Fit quantizers on `corpus` (`(id, vec)`), persist them, and
-    * (re-)encode the full corpus. */
+    * (re-)encode the full corpus. With `opq` the rotation is learned
+    * first and the coarse + residual quantizers are fit in the
+    * ROTATED space (Pq.fitOpqIvfPq), so every later encode/search
+    * must — and does — rotate through the same frozen matrix. */
   def build(corpus: DataFrame): Unit = {
-    val coarse = Similarity.ivfFit(corpus, nCells, seed)
-    val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
-    saveModels(model, coarse)
-    store.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
+    if (opq) {
+      val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed)
+      saveModels(composed.pq, composed.coarse, Some(composed.rotation))
+      store.overwrite(Pq.encodeIvfPq(
+        rotated(corpus, Some(composed.rotation)), composed.pq, composed.coarse))
+    } else {
+      val coarse = Similarity.ivfFit(corpus, nCells, seed)
+      val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
+      saveModels(model, coarse, None)
+      store.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
+    }
   }
 
   /** Encode a corpus delta under the FROZEN models and upsert it —
     * new ids append, re-sent ids replace (CDC semantics). */
   def add(vectors: DataFrame): Unit = {
-    val (model, coarse) = models()
-    store.upsert(Pq.encodeIvfPq(vectors, model, coarse))
+    val (model, coarse, rot) = loadModels()
+    store.upsert(Pq.encodeIvfPq(rotated(vectors, rot), model, coarse))
   }
 
   /** Top-k for a query batch against the stored codes. */
   def topK(queries: DataFrame, topKn: Int): DataFrame = {
-    val (model, coarse) = models()
-    Pq.searchCodes(queries, codesTable(), topKn, model, coarse, nProbe)
+    val (model, coarse, rot) = loadModels()
+    Pq.searchCodes(rotated(queries, rot), codesTable(), topKn, model, coarse, nProbe)
   }
 
   /** Serve a streaming frame of `(id, vec)` queries: each micro-batch
@@ -61,13 +94,14 @@ class PqIndex(spark: SparkSession, dir: String,
     * batch so concurrent adds become visible. */
   def serveStream(queries: DataFrame, topKn: Int, sink: DataFrame => Unit,
                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (model, coarse) = models()
+    val (model, coarse, rot) = loadModels()
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
-          sink(Pq.searchCodes(batch.toDF(), codesTable(), topKn, model, coarse, nProbe))
+          sink(Pq.searchCodes(rotated(batch.toDF(), rot), codesTable(), topKn,
+            model, coarse, nProbe))
       }
       .start()
   }
@@ -80,13 +114,13 @@ class PqIndex(spark: SparkSession, dir: String,
     * queries it, coordinated only through the manifest commit. */
   def maintainStream(vectors: DataFrame,
                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (model, coarse) = models()
+    val (model, coarse, rot) = loadModels()
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
-          store.upsert(Pq.encodeIvfPq(batch.toDF(), model, coarse))
+          store.upsert(Pq.encodeIvfPq(rotated(batch.toDF(), rot), model, coarse))
       }
       .start()
   }
@@ -96,13 +130,21 @@ class PqIndex(spark: SparkSession, dir: String,
       .select("neighbor_id", "cell", "codes", "cn")
 
   /** The frozen quantizers (PQ codebooks + coarse centroids). */
-  def models(): (Pq.Model, Similarity.IvfModel) = loadModels()
+  def models(): (Pq.Model, Similarity.IvfModel) = {
+    val (m0, c0, _) = loadModels()
+    (m0, c0)
+  }
+
+  /** The frozen OPQ rotation, when the index was built with one. */
+  def rotation(): Option[Array[Float]] = loadModels()._3
 
   // models.txt: line-oriented, Float.toString round-trips exactly
-  private def saveModels(model: Pq.Model, coarse: Similarity.IvfModel): Unit = {
+  private def saveModels(model: Pq.Model, coarse: Similarity.IvfModel,
+                         rotation: Option[Array[Float]]): Unit = {
     val sb = new StringBuilder
     sb.append(s"dim=$dim m=${model.m} k=${model.k} subDim=${model.subDim}\n")
     sb.append("codebooks=").append(model.codebooks.mkString(",")).append('\n')
+    rotation.foreach(r => sb.append("rotation=").append(r.mkString(",")).append('\n'))
     coarse.centroids.foreach(c => sb.append("centroid=").append(c.mkString(",")).append('\n'))
     val tmp = new Path(s"$dir/.tmp-models-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
@@ -112,7 +154,7 @@ class PqIndex(spark: SparkSession, dir: String,
       throw new java.io.IOException(s"model publish failed for $modelPath")
   }
 
-  private def loadModels(): (Pq.Model, Similarity.IvfModel) = {
+  private def loadModels(): (Pq.Model, Similarity.IvfModel, Option[Array[Float]]) = {
     require(fs.exists(modelPath), s"no models at $modelPath — build() first")
     val in = fs.open(modelPath)
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
@@ -123,9 +165,12 @@ class PqIndex(spark: SparkSession, dir: String,
     val cb = lines.collectFirst { case l if l.startsWith("codebooks=") =>
       l.stripPrefix("codebooks=").split(',').map(_.toFloat)
     }.get
+    val rot = lines.collectFirst { case l if l.startsWith("rotation=") =>
+      l.stripPrefix("rotation=").split(',').map(_.toFloat)
+    }
     val cents = lines.filter(_.startsWith("centroid="))
       .map(_.stripPrefix("centroid=").split(',').map(_.toFloat)).toArray
     (Pq.Model(cb, head("m"), head("k"), head("subDim")),
-      Similarity.IvfModel(cents))
+      Similarity.IvfModel(cents), rot)
   }
 }

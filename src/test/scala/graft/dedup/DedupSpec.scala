@@ -140,6 +140,53 @@ class DedupSpec extends SparkSpec {
         "oracle SQL must mirror the prune (or the guard must be re-tuned)")
   }
 
+  test("embedding LSH: candidate set is complete at tau=0.9 on a planted near-dup corpus") {
+    // planted near-dup regime: 120 seeded gaussian base vectors, 25 of
+    // them duplicated with small noise (cosine ≈ 0.97) — the regime a
+    // training-corpus embedding dedup actually operates in. Wide-band
+    // params (15 bands × 4 bits, 60-bit signature): per-pair miss at
+    // cosine 0.95 is (1 - p^4)^15 ≈ 1e-7, and with this fixed seed the
+    // run is deterministic — LSH-then-verify must equal the exact join.
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 120).map(i => (i.toLong, unit()))
+    val dups = (0 until 25).map { i =>
+      val (id, v) = base(i)
+      val noisy = v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+      (1000L + id, noisy)
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def keyed(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val exact = keyed(Dedup.embeddingPairs(df, col("embedding"), "vec_id", 0.9))
+    val lsh = keyed(Dedup.embeddingLshPairs(df, col("embedding"), "vec_id", 0.9,
+      dim, bands = 15, bitsPerBand = 4))
+    assert(exact.size >= 25, s"corpus should contain the planted near-dups, got ${exact.size}")
+    assert(lsh == exact, s"LSH must find every exact pair at tau=0.9; missed ${exact.keySet -- lsh.keySet}")
+    // the plan must be banded equi-joins — no cartesian anywhere
+    val plan = Dedup.embeddingLshPairs(df, col("embedding"), "vec_id", 0.9,
+      dim, bands = 15, bitsPerBand = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LSH dedup plan must be equi-join only:\n$plan")
+  }
+
+  test("embedding LSH gate entry: subset of the exact join with identical cosines") {
+    val exact = DedupQueries.dedupEmbeddingBruteforce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val lsh = DedupQueries.dedupEmbeddingLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    assert(lsh.nonEmpty, "gate entry must be non-trivial on the gate corpus")
+    assert(lsh.keySet.subsetOf(exact.keySet), "verification must admit only true pairs")
+    assert(lsh.forall { case (k, v) => exact(k) == v }, "cosines must match the exact join bit-for-bit")
+  }
+
   test("pair-grid embedding dedup equals brute force and has no cartesian join") {
     val grid = DedupQueries.dedupEmbedding(spark, dir)
     val brute = DedupQueries.dedupEmbeddingBruteforce(spark, dir)

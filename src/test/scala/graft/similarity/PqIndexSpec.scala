@@ -38,6 +38,30 @@ class PqIndexSpec extends SparkSpec {
     assert(c2.centroids.map(_.toSeq).toSeq == coarse.centroids.map(_.toSeq).toSeq)
   }
 
+  test("OPQ-built index: parity with the inline composed chain; rotated adds retrievable") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_opq").toString
+    val index = new PqIndex(spark, s"$base/idx", opq = true)
+    index.build(corpus)
+    val (model, coarse) = index.models()
+    val rot = index.rotation()
+    assert(rot.isDefined && rot.get.length == SimilarityQueries.Dim * SimilarityQueries.Dim,
+      "an OPQ build must persist its rotation")
+    val served = index.topK(queries, SimilarityQueries.K)
+    val inline = Pq.opqIvfPqTopK(queries, corpus, SimilarityQueries.K, SimilarityQueries.Dim,
+      prefit = Some(Pq.OpqIvfPqModel(rot.get, SimilarityQueries.Dim, coarse, model)))
+    assert(rows(served) == rows(inline),
+      "OPQ index serving must equal the inline composed path under the same frozen models")
+    // CDC add under the frozen rotation: an exact copy must rank first
+    val v0 = corpus.filter(col("id") === 0L).select("vec").head().getSeq[Float](0).toArray
+    index.add(Seq((920001L, v0)).toDF("id", "vec"))
+    val got = index.topK(Seq((0L, v0)).toDF("id", "vec"), 5)
+      .select("neighbor_id", "rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.get(920001L).contains(1),
+      s"the planted copy must be the top hit through the rotated encode path, got $got")
+  }
+
   test("add() under frozen models: a planted duplicate becomes retrievable") {
     val s = spark
     import s.implicits._

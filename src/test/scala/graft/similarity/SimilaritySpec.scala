@@ -130,6 +130,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("OPQ+IVF-PQ composed: recall >= residual IVF-PQ on anisotropic data") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // same anisotropic construction as the OPQ test above: decaying
+    // spectrum mixed by a fixed orthogonal matrix, so PQ's axis-aligned
+    // subspace split is the thing the learned rotation must fix —
+    // composing the rotation INTO the IVF-PQ chain must not lose that
+    val rnd = new scala.util.Random(7)
+    val q0 = Array.fill(dim, dim)(rnd.nextGaussian())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(t => q0(i)(t) * q0(j)(t)).sum
+        for (t <- 0 until dim) q0(i)(t) -= d * q0(j)(t)
+      }
+      val nrm = math.sqrt((0 until dim).map(t => q0(i)(t) * q0(i)(t)).sum)
+      for (t <- 0 until dim) q0(i)(t) /= nrm
+    }
+    def mkVec(id: Long): Array[Float] = {
+      val r2 = new scala.util.Random(id * 911382323L + 3)
+      val z = Array.tabulate(dim)(d => r2.nextGaussian() * math.pow(0.82, d))
+      Array.tabulate(dim)(i => (0 until dim).map(j => q0(i)(j) * z(j)).sum.toFloat)
+    }
+    val corpus = (0L until 1500L).map(i => (i, mkVec(i))).toDF("id", "vec")
+    val queries = (0L until 1500L by 50).map(i => (i, mkVec(i))).toDF("id", "vec")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = ids(Similarity.bruteForceTopK(queries, corpus, 10))
+    val plain = ids(Pq.ivfPqTopK(queries, corpus, 10, dim))
+    val composed = ids(Pq.opqIvfPqTopK(queries, corpus, 10, dim))
+    val plainRecall = (brute & plain).size.toDouble / brute.size
+    val composedRecall = (brute & composed).size.toDouble / brute.size
+    info(f"anisotropic corpus: OPQ+IVF-PQ recall@10 = $composedRecall%.3f vs residual IVF-PQ $plainRecall%.3f")
+    assert(composedRecall >= plainRecall,
+      f"the learned rotation must not hurt the composed chain: $composedRecall%.3f < $plainRecall%.3f")
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
