@@ -112,18 +112,41 @@ class PqIndex(spark: SparkSession, dir: String,
     * at-least-once delivery is idempotent). The ingestion twin of
     * [[serveStream]]: one stream feeds the index while another
     * queries it, coordinated only through the manifest commit. */
-  def maintainStream(vectors: DataFrame,
-                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+  /** `compactEvery` (0 = off) runs [[compact]] after every that many
+    * micro-batches: each upsert writes its touched buckets as fresh
+    * part files, so an unbounded maintenance stream otherwise degrades
+    * every future read with O(batches) small files. Compaction is
+    * layout-only (results unchanged — PqIndexSpec pins it) and cheap
+    * relative to the encode, so a small period is fine; superseded
+    * generations are reclaimed by an out-of-band [[vacuum]]. */
+  def maintainStream(vectors: DataFrame, checkpoint: String,
+                     compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val (model, coarse, rot) = loadModels()
+    var sinceCompact = 0
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           store.upsert(Pq.encodeIvfPq(rotated(batch.toDF(), rot), model, coarse))
+          sinceCompact += 1
+          if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            store.compact()
+            sinceCompact = 0
+          }
+        }
       }
       .start()
   }
+
+  /** Rewrite over-split code buckets into one file each (see
+    * SnapshotStore.compact). Returns buckets compacted. */
+  def compact(maxFilesPerBucket: Int = 1): Int = store.compact(maxFilesPerBucket)
+
+  /** Reclaim superseded code files + old manifests (see
+    * SnapshotStore.vacuum). Run out-of-band of serving. */
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
+    store.vacuum(keepVersions, minAgeMs)
 
   private def codesTable(): DataFrame =
     store.read().getOrElse(sys.error(s"no index built at $dir"))

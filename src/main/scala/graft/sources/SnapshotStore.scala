@@ -124,6 +124,11 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
 
   def exists: Boolean = latestManifest().isDefined
 
+  /** Data files the newest manifest references — the number every
+    * reader must open. Monitoring / compaction-trigger input. */
+  def liveFileCount: Int =
+    latestManifest().map(_._2.values.map(_.size).sum).getOrElse(0)
+
   /** The snapshot at the newest committed version. The plan pins the
     * version's file list, so later upserts don't disturb it. */
   def read(): Option[DataFrame] =
@@ -165,6 +170,35 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
           kept.unionByName(incoming, allowMissingColumns = true)
       }
       commit(v + 1, bc, (mapping -- touched) ++ writeData(merged))
+  }
+
+  /** Rewrite every bucket whose live file list exceeds
+    * `maxFilesPerBucket` into ONE file and publish a new manifest —
+    * the small-file countermeasure for continuously maintained
+    * snapshots. A streaming upsert ([[upsert]] per micro-batch) writes
+    * each touched bucket as parallel part files, so N batches leave
+    * O(tasks) live files per hot bucket; every reader then pays that
+    * open/footer cost forever. Compaction is layout-only: rows are
+    * untouched (the merge is a read + union), readers of older
+    * versions keep their pinned file lists (snapshot isolation), and
+    * the superseded files become vacuum food. Each over-split bucket
+    * lands in exactly one partition (repartition on the bucket column)
+    * so the rewrite emits exactly one file per bucket. Returns the
+    * number of buckets compacted. */
+  def compact(maxFilesPerBucket: Int = 1): Int = latestRaw() match {
+    case None => 0
+    case Some((v, recorded, mapping)) =>
+      val bc = recorded.getOrElse(buckets)
+      val fat = mapping.filter(_._2.size > maxFilesPerBucket)
+      if (fat.isEmpty) 0
+      else {
+        val merged = fat.keys.toSeq.sorted
+          .map(b => readFiles(fat(b)).get.withColumn(BucketCol, lit(b)))
+          .reduce(_ unionByName _)
+          .repartition(fat.size, col(BucketCol))
+        commit(v + 1, bc, mapping ++ writeData(merged))
+        fat.size
+      }
   }
 
   /** Delete data files no manifest version references and manifests

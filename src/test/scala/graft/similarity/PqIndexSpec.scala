@@ -103,6 +103,46 @@ class PqIndexSpec extends SparkSpec {
     assert(n == 1L)
   }
 
+  test("maintenance lifecycle: auto-compaction bounds live files, vacuum reclaims, topK stable") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex5").toString
+    val index = new PqIndex(spark, s"$base/idx")
+    index.build(corpus)
+    val store = new graft.sources.SnapshotStore(spark, s"$base/idx/codes", key = "neighbor_id")
+    val probe = corpus.limit(3).collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def topIds() = rows(index.topK(probe.toSeq.toDF("id", "vec"), 5))
+
+    // 6 micro-batches of fresh vectors, auto-compacting every 2: live
+    // file count must stay bounded by the bucket count instead of
+    // growing with the batch count
+    val vecs = corpus.limit(40).collect().map(_.getSeq[Float](1).toArray)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = index.maintainStream(input.toDF().toDF("id", "vec"), s"$base/ckpt", compactEvery = 2)
+    var expectIds = Set.empty[Long]
+    for (b <- 0 until 6) {
+      val ids = (0 until 5).map(i => 930000L + b * 10 + i)
+      expectIds ++= ids
+      input.addData(ids.zipWithIndex.map { case (id, i) => (id, vecs(b * 5 + i)) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val live = store.liveFileCount
+    assert(live <= 32, s"6 maintained batches must stay compacted (<= bucket count files), got $live")
+    // every streamed id still present exactly once
+    val streamed = store.read().get.filter(col("neighbor_id") >= 930000L)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(streamed.length == expectIds.size && streamed.toSet == expectIds)
+
+    // vacuum reclaims the superseded generations; search is unchanged
+    val beforeVacuum = topIds()
+    val reclaimed = index.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(reclaimed > 0, "a maintained index must have vacuum food")
+    assert(topIds() == beforeVacuum, "vacuum must not change search results")
+    // and a manual compact on the already-compacted store is a no-op
+    assert(index.compact() == 0)
+  }
+
   test("serveStream: each micro-batch equals the batch topK") {
     val s = spark
     import s.implicits._

@@ -30,6 +30,37 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(snap.columns.toSeq == Seq("user_id", "v"))
   }
 
+  test("compact: one live file per bucket, rows unchanged, vacuum reclaims the rest") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_compact").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    // overwrite from a 6-way-partitioned frame: up to 6 part files per
+    // bucket, the layout a parallel write / micro-batch stream leaves
+    store.overwrite((1L to 200L).map(i => (i, s"v$i")).toDF("user_id", "v").repartition(6))
+    // a few upserts pile on more generations of touched buckets
+    store.upsert((1L to 50L).map(i => (i, s"u$i")).toDF("user_id", "v").repartition(6))
+    store.upsert((51L to 90L).map(i => (i, s"u$i")).toDF("user_id", "v").repartition(6))
+    val before = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(store.liveFileCount > 4, s"setup should be over-split, got ${store.liveFileCount}")
+
+    val compacted = store.compact(maxFilesPerBucket = 1)
+    assert(compacted > 0)
+    assert(store.liveFileCount == 4, s"each bucket must compact to one file, got ${store.liveFileCount}")
+    val after = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after == before, "compaction is layout-only; rows must be untouched")
+    // compacting an already-compact store is a no-op (no new version)
+    val (vAfter, _) = store.latestManifest().get
+    assert(store.compact(maxFilesPerBucket = 1) == 0)
+    assert(store.latestManifest().get._1 == vAfter)
+
+    // superseded generations + old manifests are vacuum food
+    val reclaimed = store.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(reclaimed > 0, "pre-compaction files must be reclaimable")
+    assert(store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before,
+      "vacuum must never touch the live version")
+  }
+
   test("a concurrently published manifest version makes the commit throw, not lose a write") {
     val s = spark
     import s.implicits._
