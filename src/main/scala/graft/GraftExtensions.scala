@@ -96,6 +96,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SigMatchCount(es(0), es(1))))
 
     ext.injectFunction((
+      FunctionIdentifier("rhp_band_keys"),
+      info("rhp_band_keys",
+        "rhp_band_keys(vec, bands, bitsPerBand, dim[, seed]) - banded random-hyperplane " +
+          "LSH keys of a float vector; planes derive from the seed (default 42)"),
+      (es: Seq[Expression]) => {
+        // the hyperplanes themselves are not SQL-expressible as an
+        // argument — this wrapper re-derives them from (seed, dim),
+        // which is exactly what the Scala path does (rhpPlanes), so
+        // SQL and column API produce identical keys for equal params
+        val bands = intLit(es(1), "bands")
+        val bits = intLit(es(2), "bitsPerBand")
+        val dim = intLit(es(3), "dim")
+        val seed = if (es.length > 4) intLit(es(4), "seed").toLong else 42L
+        RhpBandKeys(es(0),
+          graft.functions.VectorFunctions.rhpPlanes(bands * bits, dim, seed).toArray,
+          bands, bits)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score",
         "topk_by_score(score, id, k) - aggregate: top-k (score,id) pairs, score desc, id asc"),

@@ -252,6 +252,24 @@ object AnalyticsQueries {
         element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
         col("q_value"))
 
+  /** The 100 TB swap for [[valueQuantiles]]: `approx_percentile`
+    * (Greenwald-Khanna sketch) with the same call shape and output
+    * contract. The exact path sorts every group's values; the sketch
+    * is a bounded-memory partial aggregate that map-side-combines like
+    * any other agg — rank error ≤ n/accuracy, pinned against the exact
+    * twin in AnalyticsSpec. Gate entry is rows-only by design: the
+    * sketch's chosen elements are engine-specific (no cross-engine
+    * oracle exists for an approximate algorithm). */
+  def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_percentile(col("value"), lit(QuantileLevels), lit(10000)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "q_value")))
+      .select(
+        col("event_type"),
+        element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
+        col("q_value"))
+
   /** Weekly cohort retention: users grouped by first-activity week
     * (ISO Monday truncation), distinct-active counts per weeks-since-
     * cohort offset — the retention triangle. Two aggregations, both
@@ -290,6 +308,47 @@ object AnalyticsQueries {
         ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
       .withColumn("m_score",
         ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular"))
+  }
+
+  /** The 100 TB swap for [[userRfm]] the Scaladoc above promises:
+    * instead of three `ntile` windows (each a GLOBAL total-order sort —
+    * the one shape that cannot scale out), derive the four quintile
+    * breakpoints per metric with one `approx_percentile` aggregate (a
+    * tiny 1-row frame), broadcast them, and map each user to a score
+    * by range: `score = 1 + #breakpoints strictly below the value`
+    * (recency reversed — lower days = better). Same output contract
+    * and segment rules; scores can differ from ntile's only near
+    * breakpoints and on heavy ties (ntile splits equal values across
+    * buckets by tiebreak, range-mapping scores them identically —
+    * arguably the more defensible semantics). Agreement with the exact
+    * twin is pinned in AnalyticsSpec; gate entry rows-only (sketch
+    * output is engine-specific). */
+  def userRfmApprox(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit(TagQueries.OrdersAnchor).cast("date")
+    val base = t(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(
+        datediff(anchor, max(col("o_orderdate")).cast("date")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val levels = Array(0.2, 0.4, 0.6, 0.8)
+    val bp = base.agg(
+      approx_percentile(col("recency_days"), lit(levels), lit(10000)).as("r_bp"),
+      approx_percentile(col("frequency"), lit(levels), lit(10000)).as("f_bp"),
+      approx_percentile(col("monetary"), lit(levels), lit(10000)).as("m_bp"))
+    def rangeScore(metric: Column, bps: Column): Column =
+      (lit(1) + size(filter(bps, b => b < metric))).cast("int")
+    base.join(broadcast(bp))
+      .withColumn("r_score", (lit(6) - rangeScore(col("recency_days"), col("r_bp"))).cast("int"))
+      .withColumn("f_score", rangeScore(col("frequency"), col("f_bp")))
+      .withColumn("m_score", rangeScore(col("monetary"), col("m_bp")))
+      .drop("r_bp", "f_bp", "m_bp")
       .withColumn("segment",
         when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
           .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
@@ -379,6 +438,8 @@ object AnalyticsQueries {
     "rollup_revenue" -> (rollupRevenue _),
     "events_funnel" -> (eventsFunnel _),
     "value_quantiles" -> (valueQuantiles _),
+    "value_quantiles_approx" -> (valueQuantilesApprox _),
+    "user_rfm_approx" -> (userRfmApprox _),
     "events_outliers" -> (eventsOutliers _),
     "events_sliding" -> (eventsSliding _),
     "user_rfm" -> (userRfm _),

@@ -50,6 +50,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(small == ((((17L * 31 + 'a') * 31 + 'b') * 31 + 'c') % 2147483647L))
   }
 
+  test("SQL surface: rhp_band_keys equals the Scala expression path") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val dim = 8; val bands = 4; val bits = 5
+    // deterministic little corpus of float vectors
+    val df = spark.range(20).selectExpr(
+      s"id", s"transform(sequence(1, $dim), j -> CAST(sin(id * 7 + j) AS FLOAT)) AS vec")
+    df.createOrReplaceTempView("rhp_vecs")
+    def keyList(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaSql = keyList(spark.sql(
+      s"SELECT id, b.pos AS band, b.col AS key FROM rhp_vecs " +
+        s"LATERAL VIEW posexplode(rhp_band_keys(vec, $bands, $bits, $dim)) b"))
+    val planes = graft.functions.VectorFunctions.rhpPlanes(bands * bits, dim).toArray
+    val viaApi = keyList(df.select(col("id"),
+      posexplode(ofExpr(graft.functions.expr.RhpBandKeys(
+        toExpr(col("vec")), planes, bands, bits))).as(Seq("band", "key"))))
+    assert(viaSql == viaApi && viaSql.nonEmpty,
+      "SQL wrapper and Scala column path must produce identical band keys")
+    // an explicit seed changes the planes; the default seed is 42
+    val seeded = keyList(spark.sql(
+      s"SELECT id, b.pos AS band, b.col AS key FROM rhp_vecs " +
+        s"LATERAL VIEW posexplode(rhp_band_keys(vec, $bands, $bits, $dim, 7)) b"))
+    assert(seeded != viaSql, "a different seed must derive different planes")
+  }
+
   test("SQL surface: sig_match_count equals the HOF estimator") {
     import org.apache.spark.sql.functions.col
     assert(spark.sql(

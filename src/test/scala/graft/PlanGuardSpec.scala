@@ -15,7 +15,8 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_embedding_bruteforce", // documented exact baseline (grid path is the headline)
     "ann_pq_topk",              // PQ scans all CODES per query by design (8 B/vec ADC)
     "ann_opq_topk",             // same scan-all-codes shape, in the OPQ-rotated space
-    "text_keywords")            // 1-row corpus-count scalar broadcast, not an n×n join
+    "text_keywords",            // 1-row corpus-count scalar broadcast, not an n×n join
+    "user_rfm_approx")          // 1-row quantile-breakpoint frame broadcast to every user
 
   test("no gate query plans a cartesian or nested-loop join (except documented baselines)") {
     val dir = sf("any")

@@ -70,4 +70,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.length == graft.sources.Tables.load(spark, dir, "events").count())
     assert(rows.forall(_._2 >= 0))
   }
+
+  test("value_quantiles_approx: within the sketch's rank-error band of the exact twin") {
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = keyed(AnalyticsQueries.valueQuantiles(spark, dir))
+    val approx = keyed(AnalyticsQueries.valueQuantilesApprox(spark, dir))
+    assert(approx.keySet == exact.keySet, "same (event_type, level) grid")
+    // accuracy=10000 ⇒ rank error ≤ n/10000 < 1 row at this scale: the
+    // sketch must return a genuine element adjacent to the exact value.
+    // Exact `percentile` interpolates between elements, so allow the
+    // one-element gap plus a small relative band.
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 0.5),
+        s"$k: approx $a too far from exact $e")
+    }
+    // and no global sort in the plan: the sketch is a hash aggregate
+    val p = plan(AnalyticsQueries.valueQuantilesApprox(spark, dir)).toString
+    assert(!p.contains("Sort "), s"approx quantiles must not sort:\n$p")
+  }
+
+  test("user_rfm_approx: no global sort; scores track the ntile twin within one notch") {
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap
+    val exact = keyed(AnalyticsQueries.userRfm(spark, dir))
+    val approx = keyed(AnalyticsQueries.userRfmApprox(spark, dir))
+    assert(approx.keySet == exact.keySet, "same user universe")
+    val n = exact.size
+    def within1(f: ((Int, Int, Int, String)) => Int) =
+      exact.count { case (u, ex) => math.abs(f(ex) - f(approx(u))) <= 1 }.toDouble / n
+    // range-mapping agrees with ntile except near breakpoints/ties —
+    // at least 90% of users within one notch on every axis
+    assert(within1(_._1) >= 0.9, f"r_score drift: ${within1(_._1)}%.3f")
+    assert(within1(_._2) >= 0.9, f"f_score drift: ${within1(_._2)}%.3f")
+    assert(within1(_._3) >= 0.9, f"m_score drift: ${within1(_._3)}%.3f")
+    val segAgree = exact.count { case (u, ex) => ex._4 == approx(u)._4 }.toDouble / n
+    assert(segAgree >= 0.7, f"segment agreement collapsed: $segAgree%.3f")
+    // the point of the swap: no ntile total-order sort in the plan
+    val p = plan(AnalyticsQueries.userRfmApprox(spark, dir)).toString
+    assert(!p.contains("Window") && !p.contains("Sort "), s"approx RFM must not sort a total order:\n$p")
+  }
 }
