@@ -24,6 +24,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val warmDir = "/root/testdata/sf0.001"
+    val loadAtStart =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val spark = Sessions.local(cpus)
     val names = SparkEntry.queries.keys.toSeq.sorted
     // untimed warmup: JVM/codegen/parquet-reader paths on the tiny SF
@@ -60,7 +62,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // load markers: a run that shared the host with other work is
+    // self-identifying (round 3's driver bench recorded 2-3× inflated
+    // times that round 4 would otherwise chase as regressions). A
+    // loadavg well above this JVM's own parallelism at the END of the
+    // run means the numbers above were taken on a contended machine.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
+      f""""load_avg_start":$loadAtStart%.2f,"load_avg_end":${os.getSystemLoadAverage}%.2f"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
     // last stdout line, after all Spark lifecycle logging
