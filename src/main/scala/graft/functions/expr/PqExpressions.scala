@@ -233,6 +233,180 @@ case class CentroidDot(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** The WHOLE corpus-side IVF-PQ encode in one codegen pass:
+  * `struct(cell, codes, cn)` from a raw vector — optional OPQ
+  * rotation (empty array = identity), coarse-cell argmin, residual
+  * against the chosen centroid, per-subspace code argmin, and the L2
+  * norm, all over ONE rotated buffer.
+  *
+  * Exists because the composed spelling
+  * (`PqEncode(CentroidResidual(vec, ivfAssign(vec), …))` over a
+  * rotated `vec`) references the rotated vector from ~19 expression
+  * sites after CollapseProject, and neither a repartition (the
+  * optimizer pulls a deterministic project above any exchange) nor
+  * codegen subexpression elimination (the argmin sites live inside
+  * array_sort/struct trees) stops the 4096-FLOP MatVecFloat from
+  * re-running per site — measured 2× on the whole composed search at
+  * sf0.1. One expression = one rotation per row, no barrier, nothing
+  * materialized — the shape [[graft.similarity.PqIndex]] encodes a
+  * 100 TB corpus through.
+  *
+  * Arithmetic mirrors the composed path EXACTLY (same float/double
+  * casts, same fold order, strict-< argmin with ties to the lower id,
+  * matching `Similarity.probeCells`'s `‖c‖² − 2·v·c` ranking), so
+  * swapping it in changes no results. */
+case class IvfPqEncode(child: Expression, rotation: Array[Float],
+                       centroids: Array[Array[Float]],
+                       codebooks: Array[Float], m: Int, k: Int, subDim: Int)
+    extends UnaryExpression {
+
+  private val dim = m * subDim
+  require(rotation.isEmpty || rotation.length == dim * dim, "rotation shape mismatch")
+  require(centroids.forall(_.length == dim), "centroid dim mismatch")
+  require(codebooks.length == m * k * subDim, "codebook shape mismatch")
+
+  // ‖c‖² per cell, driver-side, same fold as probeCells' literal
+  private val cellNorm2: Array[Double] =
+    centroids.map(_.map(x => x.toDouble * x.toDouble).sum)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("cn", DoubleType, nullable = false)))
+  override def prettyName: String = "ivf_pq_encode"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    require(x.numElements() == dim, s"vector dim ${x.numElements()} != $dim")
+    val v = new Array[Float](dim)
+    if (rotation.isEmpty) {
+      var d = 0
+      while (d < dim) { v(d) = x.getFloat(d); d += 1 }
+    } else {
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += rotation(i * dim + j).toDouble * x.getFloat(j).toDouble; j += 1 }
+        v(i) = acc.toFloat
+        i += 1
+      }
+    }
+    var n2 = 0.0
+    var d = 0
+    while (d < dim) { n2 += v(d).toDouble * v(d).toDouble; d += 1 }
+    var cell = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var dot = 0.0
+      var t = 0
+      while (t < dim) { dot += v(t).toDouble * ctr(t).toDouble; t += 1 }
+      val dist = cellNorm2(c) - 2.0 * dot
+      if (dist < bestD) { bestD = dist; cell = c }
+      c += 1
+    }
+    val ctr = centroids(cell)
+    val r = new Array[Float](dim)
+    var t = 0
+    while (t < dim) { r(t) = v(t) - ctr(t); t += 1 }
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var cc = 0
+      while (cc < k) {
+        var d2 = 0.0
+        var dd = 0
+        while (dd < subDim) {
+          val diff = r(j * subDim + dd).toDouble - codebooks((j * k + cc) * subDim + dd)
+          d2 += diff * diff
+          dd += 1
+        }
+        if (d2 < bd) { bd = d2; best = cc }
+        cc += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cell, new GenericArrayData(codes), math.sqrt(n2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rot = ctx.addReferenceObj("opqRotation", rotation, "float[]")
+    val cs = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    val cn2 = ctx.addReferenceObj("cellNorm2", cellNorm2, "double[]")
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val v = ctx.freshName("v"); val r = ctx.freshName("r")
+      val n2 = ctx.freshName("n2"); val cell = ctx.freshName("cell")
+      val bestD = ctx.freshName("bestD"); val codes = ctx.freshName("codes")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val ctr = ctx.freshName("ctr")
+      val dist = ctx.freshName("dist"); val best = ctx.freshName("best")
+      val bd = ctx.freshName("bd"); val d2 = ctx.freshName("d2")
+      val diff = ctx.freshName("diff"); val fields = ctx.freshName("fields")
+      s"""
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException("vector dim " + $x.numElements() + " != $dim");
+         |}
+         |final float[] $v = new float[$dim];
+         |if ($rot.length == 0) {
+         |  for (int $i = 0; $i < $dim; $i++) { $v[$i] = $x.getFloat($i); }
+         |} else {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $acc += ((double) $rot[$i * $dim + $j]) * ((double) $x.getFloat($j));
+         |    }
+         |    $v[$i] = (float) $acc;
+         |  }
+         |}
+         |double $n2 = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) { $n2 += ((double) $v[$i]) * ((double) $v[$i]); }
+         |int $cell = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |  final float[] $ctr = $cs[$c];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $acc += ((double) $v[$i]) * ((double) $ctr[$i]);
+         |  }
+         |  final double $dist = $cn2[$c] - 2.0 * $acc;
+         |  if ($dist < $bestD) { $bestD = $dist; $cell = $c; }
+         |}
+         |final float[] $r = new float[$dim];
+         |for (int $i = 0; $i < $dim; $i++) { $r[$i] = $v[$i] - $cs[$cell][$i]; }
+         |final int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d2 = 0.0;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      final double $diff = ((double) $r[$j * $subDim + $d])
+         |        - $cb[($j * $k + $c) * $subDim + $d];
+         |      $d2 += $diff * $diff;
+         |    }
+         |    if ($d2 < $bd) { $bd = $d2; $best = $c; }
+         |  }
+         |  $codes[$j] = $best;
+         |}
+         |Object[] $fields = new Object[3];
+         |$fields[0] = $cell;
+         |$fields[1] = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |$fields[2] = java.lang.Math.sqrt($n2);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($fields);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
 /** ADC score: `Σ_j lut[j·k + codes[j]]` — the approximate dot product
   * of the (exact) query against the quantized corpus vector. m array
   * lookups per pair instead of `m·subDim` multiplies. */

@@ -32,8 +32,11 @@ object DedupQueries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(spark, dir), col("text"), "doc_id", maxHamming = 3)
 
-  /** Headline embedding dedup: the pair-grid path — exact results, no
-    * CartesianProduct in the plan (see Dedup.embeddingPairsBlocked). */
+  /** EXACT embedding dedup via the distributed pair-grid — no
+    * CartesianProduct in the plan, but necessarily all-pairs work
+    * (τ=0.4 sits inside the noise floor; see
+    * Dedup.embeddingPairsBlocked). The SCALE headline is
+    * [[dedupEmbeddingLsh]]; this is the exact baseline. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairsBlocked(embs(spark, dir), col("embedding"), "vec_id", minCosine = 0.4)
 

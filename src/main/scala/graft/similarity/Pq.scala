@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.VectorFunctions.norm
-import graft.functions.expr.{CentroidDot, CentroidResidual, PqEncode, PqLut, PqScore}
+import graft.functions.expr.{CentroidDot, PqEncode, PqLut, PqScore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
@@ -198,17 +198,22 @@ object Pq {
 
   /** IVF-PQ search in the OPQ-rotated space. The rotation is
     * orthogonal, so rotated dots/norms equal the originals and the ADC
-    * cosine still estimates the ORIGINAL cosine; both sides rotate
-    * through one codegen'd MatVecFloat pass. */
+    * cosine still estimates the ORIGINAL cosine. The corpus-side
+    * rotation is FUSED into the one-pass encode expression
+    * ([[graft.functions.expr.IvfPqEncode]]) — one rotation per row by
+    * construction, no barrier, nothing materialized. */
   def opqIvfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
                    m: Int = 8, k: Int = 16, nCells: Int = 16, nProbe: Int = 4,
                    seed: Long = 42L,
                    prefit: Option[OpqIvfPqModel] = None): DataFrame = {
     val model = prefit.getOrElse(fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed))
-    ivfPqTopK(rotatedFrame(queries, model.rotation, dim),
-      rotatedFrame(corpus, model.rotation, dim),
-      topK, dim, m, k, nCells, nProbe, seed,
-      prefit = Some(model.pq), prefitCoarse = Some(model.coarse))
+    // corpus side: rotation FUSED into the one-pass encode expression
+    // (no barrier, nothing materialized); query side: the rotated
+    // frame feeds the probe projection — |Q| rows, negligible
+    val codes = graft.sources.PlanUtils.fanout(
+      encodeIvfPq(corpus, model.pq, model.coarse, Some(model.rotation)))
+    searchCodes(rotatedFrame(queries, model.rotation, dim), codes,
+      topK, model.pq, model.coarse, nProbe)
   }
 
   private def fitOn(sample: Array[Array[Float]], dim: Int, m: Int, k: Int,
@@ -311,18 +316,23 @@ object Pq {
     * 8 B/vec; materially higher recall than raw-vector PQ because the
     * codebooks only have to cover the within-cell residual variance. */
   /** Corpus side of IVF-PQ: `(neighbor_id, cell, codes, cn)` — coarse
-    * cell, then PQ codes of the RESIDUAL, one codegen'd pass. This is
-    * the frame a persistent index stores ([[PqIndex]]) and what a new
-    * corpus delta is encoded into under FROZEN models. */
-  def encodeIvfPq(corpus: DataFrame, model: Model,
-                  coarse: Similarity.IvfModel): DataFrame =
-    corpus.select(col("id").as("neighbor_id"), col("vec"),
-        Similarity.ivfAssign(col("vec"), coarse).as("cell"))
-      .select(col("neighbor_id"), col("cell"),
-        ofExpr(PqEncode(
-          toExpr(ofExpr(CentroidResidual(toExpr(col("vec")), toExpr(col("cell")), coarse.centroids))),
-          model.codebooks, model.m, model.k, model.subDim)).as("codes"),
-        norm(col("vec")).as("cn"))
+    * cell, then PQ codes of the RESIDUAL, with the optional OPQ
+    * rotation fused in front: ONE codegen pass over one rotated
+    * buffer ([[graft.functions.expr.IvfPqEncode]] — see its doc for
+    * why the composed spelling re-ran the rotation ~19× per row).
+    * This is the frame a persistent index stores ([[PqIndex]]) and
+    * what a new corpus delta is encoded into under FROZEN models.
+    * The explode-of-1-array is a Generate: field extraction reads the
+    * generator's output column instead of collapsing three copies of
+    * the encode expression into the projection. */
+  def encodeIvfPq(corpus: DataFrame, model: Model, coarse: Similarity.IvfModel,
+                  rotation: Option[Array[Float]] = None): DataFrame =
+    corpus.select(col("id").as("neighbor_id"),
+        explode(array(ofExpr(graft.functions.expr.IvfPqEncode(
+          toExpr(col("vec")), rotation.getOrElse(Array.empty[Float]),
+          coarse.centroids, model.codebooks, model.m, model.k, model.subDim)))).as("enc"))
+      .select(col("neighbor_id"), col("enc.cell").as("cell"),
+        col("enc.codes").as("codes"), col("enc.cn").as("cn"))
 
   /** Query side + search over an already-encoded `(neighbor_id, cell,
     * codes, cn)` frame: the LUT is the query's RAW subspace dots (it

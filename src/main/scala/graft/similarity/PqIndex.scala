@@ -65,8 +65,8 @@ class PqIndex(spark: SparkSession, dir: String,
     if (opq) {
       val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed)
       saveModels(composed.pq, composed.coarse, Some(composed.rotation))
-      store.overwrite(Pq.encodeIvfPq(
-        rotated(corpus, Some(composed.rotation)), composed.pq, composed.coarse))
+      store.overwrite(Pq.encodeIvfPq(corpus, composed.pq, composed.coarse,
+        Some(composed.rotation)))
     } else {
       val coarse = Similarity.ivfFit(corpus, nCells, seed)
       val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
@@ -79,7 +79,7 @@ class PqIndex(spark: SparkSession, dir: String,
     * new ids append, re-sent ids replace (CDC semantics). */
   def add(vectors: DataFrame): Unit = {
     val (model, coarse, rot) = loadModels()
-    store.upsert(Pq.encodeIvfPq(rotated(vectors, rot), model, coarse))
+    store.upsert(Pq.encodeIvfPq(vectors, model, coarse, rot))
   }
 
   /** Top-k for a query batch against the stored codes. */
@@ -128,7 +128,7 @@ class PqIndex(spark: SparkSession, dir: String,
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          store.upsert(Pq.encodeIvfPq(rotated(batch.toDF(), rot), model, coarse))
+          store.upsert(Pq.encodeIvfPq(batch.toDF(), model, coarse, rot))
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
             store.compact()

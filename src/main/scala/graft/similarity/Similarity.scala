@@ -145,10 +145,19 @@ object Similarity {
   def ivfAssign(vec: Column, model: IvfModel): Column =
     element_at(probeCells(vec, model, 1), 1)
 
-  /** The `nProbe` closest cell ids for `vec`, closest first. */
+  /** The `nProbe` closest cell ids for `vec`, closest first. The
+    * ranking key is `‖c‖² − 2·v·c`, NOT the full `‖v−c‖²`: the
+    * dropped `‖v‖²` term is constant per row, so the cell ORDER is
+    * identical — and it matters that it's gone, because CollapseProject
+    * inlines this whole array into every consumer, so each centroid's
+    * `dot(vec, vec)` would re-evaluate the vec expression twice more
+    * per cell (measured 3× on the OPQ-rotated encode, where `vec` is a
+    * 4096-FLOP MatVecFloat). */
   def probeCells(vec: Column, model: IvfModel, nProbe: Int): Column = {
+    import graft.functions.VectorFunctions.dot
     val dists = model.centroids.zipWithIndex.map { case (ctr, idx) =>
-      struct(l2sq(vec, lit(ctr)).as("d"), lit(idx).as("cell"))
+      val cNormSq = ctr.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(ctr))).as("d"), lit(idx).as("cell"))
     }
     slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe)("cell")
   }
