@@ -68,8 +68,11 @@ object Bench {
     // loadavg well above this JVM's own parallelism at the END of the
     // run means the numbers above were taken on a contended machine.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Double.toString, not f"%.2f": the interpolator is locale-aware
+    // and a comma-decimal default locale would emit invalid JSON
+    def r2(x: Double): Double = math.rint(x * 100) / 100
     val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
-      f""""load_avg_start":$loadAtStart%.2f,"load_avg_end":${os.getSystemLoadAverage}%.2f"""
+      s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

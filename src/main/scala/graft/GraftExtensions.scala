@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
   private def boolLit(e: Expression, what: String): Boolean = e match {
     case Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
@@ -71,7 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_signature(hashes, numPerm, seed) - minhash signature of an array<long>"),
       (es: Seq[Expression]) => {
         val numPerm = intLit(es(1), "numPerm")
-        val seed = if (es.length > 2) intLit(es(2), "seed").toLong else 42L
+        val seed = if (es.length > 2) longLit(es(2), "seed") else 42L
         val cs = graft.dedup.Dedup.coeffs(numPerm, seed)
         MinHashSignature(es(0), cs.map(_._1).toArray, cs.map(_._2).toArray,
           graft.dedup.Dedup.MinHashP)
@@ -82,12 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash",
         "rolling_hash(text[, seed, p]) - base-31 Horner fold of the UTF-8 bytes mod p"),
       (es: Seq[Expression]) => RollingHash(es(0),
-        if (es.length > 1) intLit(es(1), "seed").toLong else 17L,
-        if (es.length > 2) es(2) match {
-          case Literal(v: Long, _) => v
-          case Literal(v: Int, _) => v.toLong
-          case other => throw new IllegalArgumentException(s"p must be an integer literal, got $other")
-        } else 1125899906842597L)))
+        if (es.length > 1) longLit(es(1), "seed") else 17L,
+        if (es.length > 2) longLit(es(2), "p") else 1125899906842597L)))
 
     ext.injectFunction((
       FunctionIdentifier("sig_match_count"),
@@ -108,7 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bands = intLit(es(1), "bands")
         val bits = intLit(es(2), "bitsPerBand")
         val dim = intLit(es(3), "dim")
-        val seed = if (es.length > 4) intLit(es(4), "seed").toLong else 42L
+        val seed = if (es.length > 4) longLit(es(4), "seed") else 42L
         RhpBandKeys(es(0),
           graft.functions.VectorFunctions.rhpPlanes(bands * bits, dim, seed).toArray,
           bands, bits)

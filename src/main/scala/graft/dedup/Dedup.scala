@@ -375,8 +375,9 @@ object Dedup {
     * Output contract matches [[embeddingPairs]]: `(vec_a < vec_b,
     * cosine)`, restricted to LSH candidates. Recall vs the exact join
     * is the band-collision curve `1-(1-p^bits)^bands`, `p = 1-θ/π` —
-    * at τ=0.9 pick wide bands (e.g. 16×4) for recall ≈ 1; DedupSpec
-    * pins candidate completeness on a planted near-dup corpus. */
+    * at τ=0.9 pick wide bands (e.g. 15×4; bands·bits ≤ 63 so the
+    * signature fits a long) for recall ≈ 1; DedupSpec pins candidate
+    * completeness on a planted near-dup corpus. */
   def embeddingLshPairs(df: DataFrame, vec: Column, id: String, minCosine: Double,
                         dim: Int, bands: Int = 6, bitsPerBand: Int = 8,
                         seed: Long = 42L): DataFrame = {

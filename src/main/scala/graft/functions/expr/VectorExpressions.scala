@@ -232,14 +232,20 @@ case class RhpBandKeys(child: Expression, planes: Array[Array[Float]],
 
   require(planes.length == bands * bitsPerBand, "need one plane per signature bit")
   require(bands * bitsPerBand <= 63, "signature must fit a long")
+  require(planes.forall(_.length == planes.head.length), "planes must share one dim")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rhp_band_keys"
 
   private val mask = (1L << bitsPerBand) - 1
+  private val dim = planes.head.length
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    // guard the declared dim against the actual vector: a mismatch
+    // (e.g. a wrong `dim` arg to the SQL wrapper) would otherwise
+    // read out of bounds or silently sign only a prefix
+    require(x.numElements() == dim, s"vector dim ${x.numElements()} != $dim")
     var sig = 0L
     var kk = 0
     while (kk < planes.length) {
@@ -267,6 +273,9 @@ case class RhpBandKeys(child: Expression, planes: Array[Array[Float]],
       val keys = ctx.freshName("keys")
       val j = ctx.freshName("j")
       s"""
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException("vector dim " + $x.numElements() + " != $dim");
+         |}
          |long $sig = 0L;
          |for (int $kk = 0; $kk < ${planes.length}; $kk++) {
          |  final float[] $p = $planesRef[$kk];

@@ -238,19 +238,25 @@ object AnalyticsQueries {
   /** The quantile levels value_quantiles reports. */
   val QuantileLevels: Array[Double] = Array(0.25, 0.5, 0.75, 0.95)
 
-  /** Exact quantiles of event value per type (the scale path is
-    * approx_percentile with the same call shape). One row per
-    * (event_type, level) — scalar output so the driver's row-compare
-    * can hash it; the array form is a pivot away. */
-  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+  /** Shared shape of both quantile entries — only the aggregate
+    * differs between the exact and sketch twins, so the (event_type,
+    * level) grid the spec compares them on cannot drift. */
+  private def quantileShape(spark: SparkSession, dir: String, agg: Column): DataFrame =
     t(spark, dir, "events")
       .groupBy("event_type")
-      .agg(percentile(col("value"), lit(QuantileLevels)).as("qs"))
+      .agg(agg.as("qs"))
       .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "q_value")))
       .select(
         col("event_type"),
         element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
         col("q_value"))
+
+  /** Exact quantiles of event value per type (the scale path is
+    * approx_percentile with the same call shape). One row per
+    * (event_type, level) — scalar output so the driver's row-compare
+    * can hash it; the array form is a pivot away. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantileShape(spark, dir, percentile(col("value"), lit(QuantileLevels)))
 
   /** The 100 TB swap for [[valueQuantiles]]: `approx_percentile`
     * (Greenwald-Khanna sketch) with the same call shape and output
@@ -261,29 +267,43 @@ object AnalyticsQueries {
     * sketch's chosen elements are engine-specific (no cross-engine
     * oracle exists for an approximate algorithm). */
   def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .groupBy("event_type")
-      .agg(approx_percentile(col("value"), lit(QuantileLevels), lit(10000)).as("qs"))
-      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "q_value")))
-      .select(
-        col("event_type"),
-        element_at(typedLit(QuantileLevels), col("pos") + 1).as("quantile"),
-        col("q_value"))
+    quantileShape(spark, dir,
+      approx_percentile(col("value"), lit(QuantileLevels), lit(10000)))
 
   /** Weekly cohort retention: users grouped by first-activity week
     * (ISO Monday truncation), distinct-active counts per weeks-since-
     * cohort offset — the retention triangle. Two aggregations, both
     * hash-partitioned on user_id before the small final rollup. */
-  def eventsCohorts(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared (user_id, cohort_week, weeks_since) grid of both cohort
+    * entries — the exact and HLL twins differ only in the final
+    * distinct-count aggregate. */
+  private def cohortGrid(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events").select(col("user_id"), col("ts"))
     val cohort = ev.groupBy("user_id")
       .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
     ev.join(cohort, Seq("user_id"))
       .withColumn("weeks_since",
         (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7).cast("int"))
+  }
+
+  def eventsCohorts(spark: SparkSession, dir: String): DataFrame =
+    cohortGrid(spark, dir)
       .groupBy("cohort_week", "weeks_since")
       .agg(countDistinct(col("user_id")).as("n_active"))
-  }
+
+  /** The 100 TB swap for [[eventsCohorts]]: HyperLogLog++
+    * `approx_count_distinct` (relative sd 1%) instead of exact
+    * `countDistinct`. The exact form expands each (cohort, offset)
+    * group to its full distinct-user set before counting — a
+    * two-stage shuffle carrying every (group, user) pair; the HLL
+    * sketch is a fixed ~KB register set per group that map-side
+    * combines like any aggregate, so shuffle volume is groups, not
+    * users. Error band vs the exact twin pinned in AnalyticsSpec;
+    * rows-only gate entry (HLL registers are engine-specific). */
+  def eventsCohortsApprox(spark: SparkSession, dir: String): DataFrame =
+    cohortGrid(spark, dir)
+      .groupBy("cohort_week", "weeks_since")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_active"))
 
   /** RFM segmentation — the classic user-scoring rollup a tag
     * warehouse feeds into wealth/activity tags: per-user recency
@@ -292,28 +312,38 @@ object AnalyticsQueries {
     * tiebreaks. ntile needs a total order; at 100 TB derive the four
     * breakpoints per metric with approx_percentile and map by range
     * instead — same output contract, no global sort. */
-  def userRfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared per-user (recency, frequency, monetary) rollup of both
+    * RFM entries. */
+  private def rfmBase(spark: SparkSession, dir: String): DataFrame = {
     val anchor = lit(TagQueries.OrdersAnchor).cast("date")
-    val base = t(spark, dir, "orders")
+    t(spark, dir, "orders")
       .groupBy(col("o_custkey").as("user_id"))
       .agg(
         datediff(anchor, max(col("o_orderdate")).cast("date")).as("recency_days"),
         count(lit(1)).as("frequency"),
         dsum(col("o_totalprice")).as("monetary"))
-    base
+  }
+
+  /** Shared segment rules over (r_score, f_score, m_score) — ONE copy,
+    * so the exact and approx twins (whose spec pins their agreement)
+    * cannot diverge on the naming thresholds. */
+  private def withRfmSegment(scored: DataFrame): DataFrame =
+    scored.withColumn("segment",
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+        .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+        .when(col("r_score") <= 2, "hibernating")
+        .otherwise("regular"))
+
+  def userRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withRfmSegment(rfmBase(spark, dir)
       .withColumn("r_score",
         ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))))
       .withColumn("f_score",
         ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
       .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
-      .withColumn("segment",
-        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
-          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
-          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
-          .when(col("r_score") <= 2, "hibernating")
-          .otherwise("regular"))
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))))
   }
 
   /** The 100 TB swap for [[userRfm]] the Scaladoc above promises:
@@ -330,13 +360,7 @@ object AnalyticsQueries {
     * twin is pinned in AnalyticsSpec; gate entry rows-only (sketch
     * output is engine-specific). */
   def userRfmApprox(spark: SparkSession, dir: String): DataFrame = {
-    val anchor = lit(TagQueries.OrdersAnchor).cast("date")
-    val base = t(spark, dir, "orders")
-      .groupBy(col("o_custkey").as("user_id"))
-      .agg(
-        datediff(anchor, max(col("o_orderdate")).cast("date")).as("recency_days"),
-        count(lit(1)).as("frequency"),
-        dsum(col("o_totalprice")).as("monetary"))
+    val base = rfmBase(spark, dir)
     val levels = Array(0.2, 0.4, 0.6, 0.8)
     val bp = base.agg(
       approx_percentile(col("recency_days"), lit(levels), lit(10000)).as("r_bp"),
@@ -344,17 +368,11 @@ object AnalyticsQueries {
       approx_percentile(col("monetary"), lit(levels), lit(10000)).as("m_bp"))
     def rangeScore(metric: Column, bps: Column): Column =
       (lit(1) + size(filter(bps, b => b < metric))).cast("int")
-    base.join(broadcast(bp))
+    withRfmSegment(base.join(broadcast(bp))
       .withColumn("r_score", (lit(6) - rangeScore(col("recency_days"), col("r_bp"))).cast("int"))
       .withColumn("f_score", rangeScore(col("frequency"), col("f_bp")))
       .withColumn("m_score", rangeScore(col("monetary"), col("m_bp")))
-      .drop("r_bp", "f_bp", "m_bp")
-      .withColumn("segment",
-        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
-          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
-          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
-          .when(col("r_score") <= 2, "hibernating")
-          .otherwise("regular"))
+      .drop("r_bp", "f_bp", "m_bp"))
   }
 
   /** Per-type z-score outliers (|z| > 3). Mean/variance come from
@@ -444,6 +462,7 @@ object AnalyticsQueries {
     "events_sliding" -> (eventsSliding _),
     "user_rfm" -> (userRfm _),
     "events_cohorts" -> (eventsCohorts _),
+    "events_cohorts_approx" -> (eventsCohortsApprox _),
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =

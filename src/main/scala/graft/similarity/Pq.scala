@@ -177,7 +177,7 @@ object Pq {
   final case class OpqIvfPqModel(rotation: Array[Float], dim: Int,
                                  coarse: Similarity.IvfModel, pq: Model)
 
-  private def rotatedFrame(df: DataFrame, rotation: Array[Float], dim: Int): DataFrame =
+  private[similarity] def rotatedFrame(df: DataFrame, rotation: Array[Float], dim: Int): DataFrame =
     df.select(col("id"),
       ofExpr(graft.functions.expr.MatVecFloat(
         toExpr(col("vec")), rotation, dim, dim)).as("vec"))

@@ -44,17 +44,12 @@ class PqIndex(spark: SparkSession, dir: String,
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Apply the frozen OPQ rotation (identity when the index was built
-    * without one) — one codegen'd MatVecFloat pass over `(id, vec)`. */
+  /** Apply the frozen OPQ rotation to a `(id, vec)` query frame
+    * (identity when the index was built without one) — delegates to
+    * the one shared rotation projection ([[Pq.rotatedFrame]]) so index
+    * serving and the inline composed path cannot drift arithmetically. */
   private def rotated(df: DataFrame, rotation: Option[Array[Float]]): DataFrame =
-    rotation match {
-      case None => df
-      case Some(r) =>
-        import org.apache.spark.sql.functions.col
-        import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
-        df.select(col("id"),
-          ofExpr(graft.functions.expr.MatVecFloat(toExpr(col("vec")), r, dim, dim)).as("vec"))
-    }
+    rotation.fold(df)(r => Pq.rotatedFrame(df, r, dim))
 
   /** Fit quantizers on `corpus` (`(id, vec)`), persist them, and
     * (re-)encode the full corpus. With `opq` the rotation is learned
@@ -151,6 +146,13 @@ class PqIndex(spark: SparkSession, dir: String,
   private def codesTable(): DataFrame =
     store.read().getOrElse(sys.error(s"no index built at $dir"))
       .select("neighbor_id", "cell", "codes", "cn")
+
+  /** The full frozen model set in ONE models.txt read/parse: PQ
+    * codebooks, coarse centroids, and the OPQ rotation if the index
+    * was built with one. Prefer this when more than one piece is
+    * needed — the sidecar holds dim² + m·k·subDim floats as text. */
+  def modelsWithRotation(): (Pq.Model, Similarity.IvfModel, Option[Array[Float]]) =
+    loadModels()
 
   /** The frozen quantizers (PQ codebooks + coarse centroids). */
   def models(): (Pq.Model, Similarity.IvfModel) = {

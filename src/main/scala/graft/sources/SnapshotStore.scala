@@ -116,9 +116,17 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     out.toMap
   }
 
+  // mergeSchema: a snapshot legitimately mixes file generations
+  // (upsert rewrites only touched buckets), so after a schema
+  // evolution the live file set has both pre- and post-evolution
+  // footers — a plain read takes ONE footer's schema and silently
+  // drops or surfaces the evolved column depending on file order.
+  // Merging unions the footers (missing columns null), which is the
+  // same contract upsert's allowMissingColumns union promises.
   private def readFiles(files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None
-    else Some(spark.read.parquet(files.map(f => s"$path/$f"): _*))
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$path/$f"): _*))
 
   // ---- public API ----
 
@@ -192,9 +200,13 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       val fat = mapping.filter(_._2.size > maxFilesPerBucket)
       if (fat.isEmpty) 0
       else {
+        // schema evolution must survive compaction exactly as it
+        // survives upsert: readFiles merges mixed-generation footers
+        // per bucket, and buckets at different schema versions union
+        // with missing columns nulled
         val merged = fat.keys.toSeq.sorted
           .map(b => readFiles(fat(b)).get.withColumn(BucketCol, lit(b)))
-          .reduce(_ unionByName _)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
           .repartition(fat.size, col(BucketCol))
         commit(v + 1, bc, mapping ++ writeData(merged))
         fat.size

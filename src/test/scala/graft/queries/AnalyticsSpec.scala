@@ -91,6 +91,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"approx quantiles must not sort:\n$p")
   }
 
+  test("events_cohorts_approx: HLL counts within the rsd band of exact countDistinct") {
+    def keyed(df: DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = keyed(AnalyticsQueries.eventsCohorts(spark, dir))
+    val approx = keyed(AnalyticsQueries.eventsCohortsApprox(spark, dir))
+    assert(approx.keySet == exact.keySet, "same (cohort, offset) grid")
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      // rsd 1%; allow 5 sigma plus integer slack on small groups
+      assert(math.abs(a - e) <= math.max(0.05 * e, 2.0),
+        s"$k: approx $a outside the error band of exact $e")
+    }
+    // the point of the swap: no exact-distinct expand — the plan has
+    // exactly the two aggregation exchanges (cohort derivation + the
+    // final rollup), not countDistinct's extra expand stage
+    val p = plan(AnalyticsQueries.eventsCohortsApprox(spark, dir)).toString
+    assert(!p.contains("Expand"), s"HLL path must not expand distincts:\n$p")
+  }
+
   test("user_rfm_approx: no global sort; scores track the ntile twin within one notch") {
     def keyed(df: DataFrame) = df.collect()
       .map(r => r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap

@@ -44,8 +44,7 @@ class PqIndexSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_pqindex_opq").toString
     val index = new PqIndex(spark, s"$base/idx", opq = true)
     index.build(corpus)
-    val (model, coarse) = index.models()
-    val rot = index.rotation()
+    val (model, coarse, rot) = index.modelsWithRotation()
     assert(rot.isDefined && rot.get.length == SimilarityQueries.Dim * SimilarityQueries.Dim,
       "an OPQ build must persist its rotation")
     val served = index.topK(queries, SimilarityQueries.K)

@@ -61,6 +61,27 @@ class SnapshotStoreSpec extends SparkSpec {
       "vacuum must never touch the live version")
   }
 
+  test("compact preserves a schema-evolved column across mixed-generation buckets") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_compact_evo").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite((1L to 80L).map(i => (i, s"v$i")).toDF("user_id", "v").repartition(4))
+    // later code version starts writing batch_id: the upsert nulls it
+    // on kept rows (upsert's allowMissingColumns contract) — buckets
+    // now mix pre- and post-evolution file generations
+    store.upsert((1L to 20L).map(i => (i, s"u$i", 7L)).toDF("user_id", "v", "batch_id"))
+    val before = store.read().get.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(before(1L).contains(7L) && before(80L).isEmpty, "setup: mixed schema generations")
+
+    assert(store.compact(maxFilesPerBucket = 1) > 0)
+    val after = store.read().get.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(after == before,
+      "compaction must carry the evolved column through mixed-generation buckets")
+  }
+
   test("a concurrently published manifest version makes the commit throw, not lose a write") {
     val s = spark
     import s.implicits._
