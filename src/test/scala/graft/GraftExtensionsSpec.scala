@@ -74,6 +74,27 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SELECT id, b.pos AS band, b.col AS key FROM rhp_vecs " +
         s"LATERAL VIEW posexplode(rhp_band_keys(vec, $bands, $bits, $dim, 7)) b"))
     assert(seeded != viaSql, "a different seed must derive different planes")
+    // a BIGINT seed keeps its full 64 bits (an Int-truncating parse
+    // would collapse 2^32 to seed 0)
+    val bigSeed = keyList(spark.sql(
+      s"SELECT id, b.pos AS band, b.col AS key FROM rhp_vecs " +
+        s"LATERAL VIEW posexplode(rhp_band_keys(vec, $bands, $bits, $dim, 4294967296)) b"))
+    val zeroSeed = keyList(spark.sql(
+      s"SELECT id, b.pos AS band, b.col AS key FROM rhp_vecs " +
+        s"LATERAL VIEW posexplode(rhp_band_keys(vec, $bands, $bits, $dim, 0)) b"))
+    val bigApi = keyList(df.select(col("id"),
+      posexplode(ofExpr(graft.functions.expr.RhpBandKeys(
+        toExpr(col("vec")),
+        graft.functions.VectorFunctions.rhpPlanes(bands * bits, dim, 4294967296L).toArray,
+        bands, bits))).as(Seq("band", "key"))))
+    assert(bigSeed == bigApi && bigSeed != zeroSeed,
+      "BIGINT seeds must not truncate to Int")
+    // and a wrong dim errors loudly instead of reading out of bounds
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT rhp_band_keys(vec, $bands, $bits, ${dim * 2}) FROM rhp_vecs").collect()
+    }
+    assert(err.getMessage.contains("vector dim") ||
+      Option(err.getCause).exists(_.getMessage.contains("vector dim")))
   }
 
   test("SQL surface: sig_match_count equals the HOF estimator") {

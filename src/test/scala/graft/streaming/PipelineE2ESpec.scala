@@ -55,8 +55,11 @@ class PipelineE2ESpec extends SparkSpec {
     // the serving index: quantizers bootstrapped on a pre-existing
     // corpus (ids 9000+), then maintained only through the stream;
     // nProbe = nCells makes the tiny-corpus search exhaustive so the
-    // assertions are about composition, not recall
-    val pqIndex = new PqIndex(spark, s"$base/idx", dim = Dim, nCells = 4, nProbe = 4)
+    // assertions are about composition, not recall. opq = true runs
+    // the FULL composed chain (learned rotation + cells + residual
+    // codes) through every stage of the flowing loop.
+    val pqIndex = new PqIndex(spark, s"$base/idx", dim = Dim, nCells = 4, nProbe = 4,
+      opq = true)
     pqIndex.build((9000L until 9020L).map(i => (i, mkVec(i))).toDF("id", "vec"))
 
     val sigIndex = new graft.sources.SnapshotStore(spark, s"$base/sig", key = "doc_id")
