@@ -148,91 +148,6 @@ case class PqLut(child: Expression, codebooks: Array[Float], m: Int, k: Int, sub
     copy(child = newChild)
 }
 
-/** Residual against a coarse centroid: `vec − centroids[cell]`, the
-  * IVFADC refinement — PQ codebooks quantize the (much lower-variance)
-  * residual instead of the raw vector, buying recall at the same
-  * bits/vector. Centroids ride along as a literal float[][]. */
-case class CentroidResidual(left: Expression, right: Expression,
-                            centroids: Array[Array[Float]])
-    extends BinaryExpression {
-
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def prettyName: String = "centroid_residual"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val ctr = centroids(b.asInstanceOf[Int])
-    require(x.numElements() == ctr.length, "vector/centroid dim mismatch")
-    val out = new Array[Float](ctr.length)
-    var d = 0
-    while (d < ctr.length) { out(d) = x.getFloat(d) - ctr(d); d += 1 }
-    new GenericArrayData(out)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cs = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
-    nullSafeCodeGen(ctx, ev, (x, cell) => {
-      val (ctr, out, d) = (ctx.freshName("ctr"), ctx.freshName("out"), ctx.freshName("d"))
-      s"""
-         |final float[] $ctr = $cs[$cell];
-         |if ($x.numElements() != $ctr.length) {
-         |  throw new IllegalArgumentException("vector/centroid dim mismatch");
-         |}
-         |final float[] $out = new float[$ctr.length];
-         |for (int $d = 0; $d < $ctr.length; $d++) {
-         |  $out[$d] = $x.getFloat($d) - $ctr[$d];
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidResidual =
-    copy(left = newLeft, right = newRight)
-}
-
-/** `dot(vec, centroids[cell])` in double — the exact query-to-centroid
-  * term of the residual-ADC cosine:
-  * `dot(q, x̂) = dot(q, c_cell) + dot(q, r̂)`. */
-case class CentroidDot(left: Expression, right: Expression,
-                       centroids: Array[Array[Float]])
-    extends BinaryExpression {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "centroid_dot"
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val ctr = centroids(b.asInstanceOf[Int])
-    require(x.numElements() == ctr.length, "vector/centroid dim mismatch")
-    var acc = 0.0
-    var d = 0
-    while (d < ctr.length) { acc += x.getFloat(d).toDouble * ctr(d).toDouble; d += 1 }
-    acc
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cs = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
-    nullSafeCodeGen(ctx, ev, (x, cell) => {
-      val (ctr, acc, d) = (ctx.freshName("ctr"), ctx.freshName("acc"), ctx.freshName("d"))
-      s"""
-         |final float[] $ctr = $cs[$cell];
-         |if ($x.numElements() != $ctr.length) {
-         |  throw new IllegalArgumentException("vector/centroid dim mismatch");
-         |}
-         |double $acc = 0.0;
-         |for (int $d = 0; $d < $ctr.length; $d++) {
-         |  $acc += ((double) $x.getFloat($d)) * ((double) $ctr[$d]);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidDot =
-    copy(left = newLeft, right = newRight)
-}
-
 /** The WHOLE corpus-side IVF-PQ encode in one codegen pass:
   * `struct(cell, codes, cn)` from a raw vector — optional OPQ
   * rotation (empty array = identity), coarse-cell argmin, residual
@@ -404,6 +319,191 @@ case class IvfPqEncode(child: Expression, rotation: Array[Float],
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
+/** The query-side twin of [[IvfPqEncode]]: rotation (optional), the
+  * ADC lookup table, the query norm, and the `nProbe` closest cells
+  * WITH their exact query·centroid dots, in one codegen pass over one
+  * rotated buffer — `struct(lut, qn, probes: array<(cell, cdot)>)`.
+  * Same motivation (the composed spelling re-evaluates the rotated
+  * query from every consumer site) and the same arithmetic as the
+  * composed path: PqLut's fold for the LUT, FloatVectorNorm's fold
+  * for the norm, probeCells' `‖c‖² − 2·v·c` ranking with ties to the
+  * lower cell id, and CentroidDot-style direct folds for the dot
+  * (kept from the ranking pass, never reconstructed algebraically —
+  * float rounding would diverge). */
+case class IvfPqProbe(child: Expression, rotation: Array[Float],
+                      centroids: Array[Array[Float]],
+                      codebooks: Array[Float], m: Int, k: Int, subDim: Int,
+                      nProbe: Int)
+    extends UnaryExpression {
+
+  private val dim = m * subDim
+  require(rotation.isEmpty || rotation.length == dim * dim, "rotation shape mismatch")
+  require(centroids.forall(_.length == dim), "centroid dim mismatch")
+  require(codebooks.length == m * k * subDim, "codebook shape mismatch")
+  require(nProbe >= 1 && nProbe <= centroids.length, "nProbe out of range")
+
+  private val cellNorm2: Array[Double] =
+    centroids.map(_.map(x => x.toDouble * x.toDouble).sum)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lut", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("qn", DoubleType, nullable = false),
+    StructField("probes", ArrayType(StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("cdot", DoubleType, nullable = false))), containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "ivf_pq_probe"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    require(x.numElements() == dim, s"vector dim ${x.numElements()} != $dim")
+    val v = new Array[Float](dim)
+    if (rotation.isEmpty) {
+      var d = 0
+      while (d < dim) { v(d) = x.getFloat(d); d += 1 }
+    } else {
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += rotation(i * dim + j).toDouble * x.getFloat(j).toDouble; j += 1 }
+        v(i) = acc.toFloat
+        i += 1
+      }
+    }
+    val lut = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          acc += v(j * subDim + d).toDouble * codebooks((j * k + c) * subDim + d)
+          d += 1
+        }
+        lut(j * k + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    var n2 = 0.0
+    var d = 0
+    while (d < dim) { n2 += v(d).toDouble * v(d).toDouble; d += 1 }
+    val nc = centroids.length
+    val dots = new Array[Double](nc)
+    val dists = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val ctr = centroids(c)
+      var acc = 0.0
+      var t = 0
+      while (t < dim) { acc += v(t).toDouble * ctr(t).toDouble; t += 1 }
+      dots(c) = acc
+      dists(c) = cellNorm2(c) - 2.0 * acc
+      c += 1
+    }
+    // nProbe smallest by (dist, cell) — selection over ≤ a few dozen
+    // cells; `used` marks already-taken cells so ties fall to the
+    // next-lower id exactly like array_sort on (d, cell) structs
+    val probes = new Array[Any](nProbe)
+    val used = new Array[Boolean](nc)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nc) {
+        if (!used(c2) && (best < 0 || dists(c2) < dists(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      probes(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](best, dots(best)))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new GenericArrayData(lut), math.sqrt(n2), new GenericArrayData(probes)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rot = ctx.addReferenceObj("opqRotation", rotation, "float[]")
+    val cs = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    val cn2 = ctx.addReferenceObj("cellNorm2", cellNorm2, "double[]")
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "float[]")
+    val nc = centroids.length
+    nullSafeCodeGen(ctx, ev, x => {
+      val v = ctx.freshName("v"); val lut = ctx.freshName("lut")
+      val n2 = ctx.freshName("n2"); val dots = ctx.freshName("dots")
+      val dists = ctx.freshName("dists"); val used = ctx.freshName("used")
+      val probes = ctx.freshName("probes"); val fields = ctx.freshName("fields")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val ctr = ctx.freshName("ctr")
+      val p = ctx.freshName("p"); val best = ctx.freshName("best")
+      s"""
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException("vector dim " + $x.numElements() + " != $dim");
+         |}
+         |final float[] $v = new float[$dim];
+         |if ($rot.length == 0) {
+         |  for (int $i = 0; $i < $dim; $i++) { $v[$i] = $x.getFloat($i); }
+         |} else {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $acc += ((double) $rot[$i * $dim + $j]) * ((double) $x.getFloat($j));
+         |    }
+         |    $v[$i] = (float) $acc;
+         |  }
+         |}
+         |final double[] $lut = new double[${m * k}];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      $acc += ((double) $v[$j * $subDim + $d])
+         |        * $cb[($j * $k + $c) * $subDim + $d];
+         |    }
+         |    $lut[$j * $k + $c] = $acc;
+         |  }
+         |}
+         |double $n2 = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) { $n2 += ((double) $v[$i]) * ((double) $v[$i]); }
+         |final double[] $dots = new double[$nc];
+         |final double[] $dists = new double[$nc];
+         |for (int $c = 0; $c < $nc; $c++) {
+         |  final float[] $ctr = $cs[$c];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $acc += ((double) $v[$i]) * ((double) $ctr[$i]);
+         |  }
+         |  $dots[$c] = $acc;
+         |  $dists[$c] = $cn2[$c] - 2.0 * $acc;
+         |}
+         |final boolean[] $used = new boolean[$nc];
+         |final Object[] $probes = new Object[$nProbe];
+         |for (int $p = 0; $p < $nProbe; $p++) {
+         |  int $best = -1;
+         |  for (int $c = 0; $c < $nc; $c++) {
+         |    if (!$used[$c] && ($best < 0 || $dists[$c] < $dists[$best])) $best = $c;
+         |  }
+         |  $used[$best] = true;
+         |  $probes[$p] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { $best, $dots[$best] });
+         |}
+         |Object[] $fields = new Object[3];
+         |$fields[0] = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+         |$fields[1] = java.lang.Math.sqrt($n2);
+         |$fields[2] = new org.apache.spark.sql.catalyst.util.GenericArrayData($probes);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow($fields);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfPqProbe =
     copy(child = newChild)
 }
 

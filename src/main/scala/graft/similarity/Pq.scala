@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.VectorFunctions.norm
-import graft.functions.expr.{CentroidDot, PqEncode, PqLut, PqScore}
+import graft.functions.expr.{PqEncode, PqLut, PqScore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
@@ -207,13 +207,12 @@ object Pq {
                    seed: Long = 42L,
                    prefit: Option[OpqIvfPqModel] = None): DataFrame = {
     val model = prefit.getOrElse(fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed))
-    // corpus side: rotation FUSED into the one-pass encode expression
-    // (no barrier, nothing materialized); query side: the rotated
-    // frame feeds the probe projection — |Q| rows, negligible
+    // rotation FUSED into the one-pass expressions on BOTH sides
+    // (IvfPqEncode / IvfPqProbe) — no barrier, nothing materialized
     val codes = graft.sources.PlanUtils.fanout(
       encodeIvfPq(corpus, model.pq, model.coarse, Some(model.rotation)))
-    searchCodes(rotatedFrame(queries, model.rotation, dim), codes,
-      topK, model.pq, model.coarse, nProbe)
+    searchCodes(queries, codes, topK, model.pq, model.coarse, nProbe,
+      rotation = Some(model.rotation))
   }
 
   private def fitOn(sample: Array[Array[Float]], dim: Int, m: Int, k: Int,
@@ -338,17 +337,24 @@ object Pq {
     * codes, cn)` frame: the LUT is the query's RAW subspace dots (it
     * scores the residual codebooks), the exact dot(q, c_cell) term
     * rides per probed cell. No distinct needed — one cell per corpus
-    * vector × distinct probe cells means each pair scores once. */
+    * vector × distinct probe cells means each pair scores once.
+    * The whole query-side projection (optional rotation + LUT + norm +
+    * probe cells + centroid dots) is ONE fused pass per query row
+    * ([[graft.functions.expr.IvfPqProbe]] — the query twin of the
+    * encode-side fusion; matters when the query batch is itself
+    * large, e.g. corpus-vs-index joins or big serve micro-batches). */
   def searchCodes(queries: DataFrame, codes: DataFrame, topK: Int,
                   model: Model, coarse: Similarity.IvfModel,
-                  nProbe: Int = 4): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-      .select(col("query_id"), col("qv"),
-        ofExpr(PqLut(toExpr(col("qv")), model.codebooks, model.m, model.k, model.subDim)).as("lut"),
-        norm(col("qv")).as("qn"),
-        explode(Similarity.probeCells(col("qv"), coarse, nProbe)).as("cell"))
-      .select(col("query_id"), col("lut"), col("qn"), col("cell"),
-        ofExpr(CentroidDot(toExpr(col("qv")), toExpr(col("cell")), coarse.centroids)).as("cdot"))
+                  nProbe: Int = 4, rotation: Option[Array[Float]] = None): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+        explode(array(ofExpr(graft.functions.expr.IvfPqProbe(
+          toExpr(col("vec")), rotation.getOrElse(Array.empty[Float]),
+          coarse.centroids, model.codebooks, model.m, model.k, model.subDim,
+          nProbe)))).as("pb"))
+      .select(col("query_id"), col("pb.lut").as("lut"), col("pb.qn").as("qn"),
+        explode(col("pb.probes")).as("pr"))
+      .select(col("query_id"), col("lut"), col("qn"),
+        col("pr.cell").as("cell"), col("pr.cdot").as("cdot"))
     val scored = broadcast(q).join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",

@@ -44,13 +44,6 @@ class PqIndex(spark: SparkSession, dir: String,
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Apply the frozen OPQ rotation to a `(id, vec)` query frame
-    * (identity when the index was built without one) — delegates to
-    * the one shared rotation projection ([[Pq.rotatedFrame]]) so index
-    * serving and the inline composed path cannot drift arithmetically. */
-  private def rotated(df: DataFrame, rotation: Option[Array[Float]]): DataFrame =
-    rotation.fold(df)(r => Pq.rotatedFrame(df, r, dim))
-
   /** Fit quantizers on `corpus` (`(id, vec)`), persist them, and
     * (re-)encode the full corpus. With `opq` the rotation is learned
     * first and the coarse + residual quantizers are fit in the
@@ -80,7 +73,7 @@ class PqIndex(spark: SparkSession, dir: String,
   /** Top-k for a query batch against the stored codes. */
   def topK(queries: DataFrame, topKn: Int): DataFrame = {
     val (model, coarse, rot) = loadModels()
-    Pq.searchCodes(rotated(queries, rot), codesTable(), topKn, model, coarse, nProbe)
+    Pq.searchCodes(queries, codesTable(), topKn, model, coarse, nProbe, rot)
   }
 
   /** Serve a streaming frame of `(id, vec)` queries: each micro-batch
@@ -95,8 +88,8 @@ class PqIndex(spark: SparkSession, dir: String,
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
-          sink(Pq.searchCodes(rotated(batch.toDF(), rot), codesTable(), topKn,
-            model, coarse, nProbe))
+          sink(Pq.searchCodes(batch.toDF(), codesTable(), topKn,
+            model, coarse, nProbe, rot))
       }
       .start()
   }
