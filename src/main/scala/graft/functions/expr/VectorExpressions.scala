@@ -409,3 +409,113 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/** Random-hyperplane sign-bit signature WIDER than one long: bit `i`
+  * of the packed `array<long>` output (word `i / 64`, bit `i % 64`)
+  * is set when `dot(vec, planes(i)) >= 0` — the estimator signature
+  * for streaming embedding near-dup state, where ~16 B of bits stand
+  * in for a 256 B vector and `π·hamming/nBits` estimates the angle
+  * (Charikar's SimHash bound). One codegen pass, planes baked in as
+  * literals; same sign convention as [[RhpBandKeys]]/rhpSignature. */
+case class RhpBitSignature(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.forall(_.length == planes.head.length),
+    "planes must share one dim")
+
+  private val dim = planes.head.length
+  private val words = (planes.length + 63) / 64
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_bit_signature"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    require(x.numElements() == dim, s"vector dim ${x.numElements()} != $dim")
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) { acc += x.getFloat(d).toDouble * p(d).toDouble; d += 1 }
+      if (acc >= 0) out(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("rhpPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($x.numElements() != $dim) {
+         |  throw new IllegalArgumentException("vector dim " + $x.numElements() + " != $dim");
+         |}
+         |final long[] $out = new long[$words];
+         |for (int $i = 0; $i < ${planes.length}; $i++) {
+         |  final float[] $p = $planesRef[$i];
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    $acc += ((double) $x.getFloat($d)) * ((double) $p[$d]);
+         |  }
+         |  if ($acc >= 0) $out[$i / 64] |= (1L << ($i % 64));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpBitSignature =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two equal-length packed-bit `array<long>`
+  * signatures: `Σ bit_count(a[i] ^ b[i])` in one compiled loop (the
+  * [[SigMatchCount]] of bit signatures). */
+case class HammingBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_bits"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n, s"signature length mismatch: $n vs ${y.numElements()}")
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw new IllegalArgumentException("signature length mismatch: " + $n +
+         |    " vs " + $y.numElements());
+         |}
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingBits =
+    copy(left = newLeft, right = newRight)
+}

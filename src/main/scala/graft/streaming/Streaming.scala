@@ -229,6 +229,104 @@ object Streaming {
       Seq(idCol), "left_semi")
   }
 
+  /** Streaming EMBEDDING near-dup dedup against all history — the
+    * vector twin of [[dedupNearStream]]. Each micro-batch drops
+    * intra-batch near-dups exactly (vectors are in hand:
+    * banded-RHP candidates + exact cosine,
+    * [[graft.dedup.Dedup.embeddingLshPairs]]), then checks survivors
+    * against the accumulated SIGNATURE index: candidates from an
+    * equi-join on (band, key), similarity estimated from the Hamming
+    * distance of 128-plane sign-bit signatures —
+    * `est_cos = cos(π·hamming/128)` (Charikar's SimHash estimator).
+    *
+    * State is ~24 B/vec (two signature longs + band keys), NOT the
+    * 256 B vector — the same state-is-signatures answer the text path
+    * gives at 100 TB. Estimator margins at 128 bits: a planted
+    * near-dup at cos 0.97 estimates 0.96 ± 0.03 and an unrelated pair
+    * at cos ≤ 0.5 estimates ≤ 0.65 at +3σ — both many sigmas from a
+    * 0.8-0.85 threshold, so the estimator neither drops unique
+    * vectors nor keeps dups in the near-dup regime this operates in. */
+  def dedupNearEmbeddingStream(vectors: DataFrame, index: graft.sources.SnapshotStore,
+                               sink: DataFrame => Unit, checkpoint: String,
+                               vecCol: String = "vec", idCol: String = "id",
+                               minCosine: Double = 0.85, dim: Int = 64,
+                               bands: Int = 6, bitsPerBand: Int = 8,
+                               seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val survivors = dedupNearEmbeddingBatch(batch.toDF(), index, vecCol, idCol,
+          minCosine, dim, bands, bitsPerBand, seed, batchId)
+        if (!survivors.isEmpty) sink(survivors)
+      }
+      .start()
+
+  /** One micro-batch of [[dedupNearEmbeddingStream]] (the testable
+    * unit). Replay safety mirrors [[dedupNearBatch]]: index rows carry
+    * their writing `batch_id` and the history join excludes this
+    * batch's own (replayed) writes, so at-least-once foreachBatch
+    * delivery reproduces the same survivor set and the keyed upsert
+    * overwrites the same rows. */
+  def dedupNearEmbeddingBatch(batch: DataFrame, index: graft.sources.SnapshotStore,
+                              vecCol: String, idCol: String, minCosine: Double,
+                              dim: Int, bands: Int, bitsPerBand: Int,
+                              seed: Long, batchId: Long): DataFrame = {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val EstBits = 128
+
+    // intra-batch: exact LSH-verified pairs -> keep cluster canonicals
+    val losers = Dedup.resolveClusters(
+        Dedup.embeddingLshPairs(batch, col(vecCol), idCol, minCosine, dim,
+            bands, bitsPerBand, seed)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    val unique = batch.join(losers, Seq(idCol), "left_anti")
+
+    // signatures + band keys of the intra-batch survivors: the
+    // estimator planes (seed+1) are independent of the banding planes
+    // (seed), so a band collision carries no information about the
+    // estimate. One fused pass each; state never holds the vector.
+    val estPlanes = graft.functions.VectorFunctions.rhpPlanes(EstBits, dim, seed + 1).toArray
+    val bandPlanes = graft.functions.VectorFunctions.rhpPlanes(bands * bitsPerBand, dim, seed).toArray
+    val signed = graft.sources.PlanUtils.fanout(
+      unique.select(col(idCol),
+          ofExpr(graft.functions.expr.RhpBitSignature(toExpr(col(vecCol)), estPlanes)).as("sig"),
+          ofExpr(graft.functions.expr.RhpBandKeys(toExpr(col(vecCol)), bandPlanes,
+            bands, bitsPerBand)).as("bh")))
+      .localCheckpoint()
+
+    val newVecs = index.read() match {
+      case None => signed
+      case Some(hist0) =>
+        val hist = if (hist0.columns.contains("batch_id"))
+          hist0.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
+        else hist0
+        val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
+        val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
+        val cand = bNew.join(bOld, Seq("band", "h"))
+          .filter(col("old_id") =!= col(idCol))
+          .select(idCol, "old_id").distinct()
+        val est = cand
+          .join(signed.select(col(idCol), col("sig")), Seq(idCol))
+          .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
+          .withColumn("est_cos",
+            cos(lit(math.Pi) * ofExpr(graft.functions.expr.HammingBits(
+              toExpr(col("sig")), toExpr(col("old_sig")))).cast("double") / lit(EstBits)))
+        val dupIds = est.filter(col("est_cos") >= minCosine)
+          .select(col(idCol)).distinct()
+        signed.join(dupIds, Seq(idCol), "left_anti")
+    }
+
+    val survivors = newVecs.localCheckpoint()
+    if (!survivors.isEmpty)
+      index.upsert(survivors.select(col(idCol), col("sig"), col("bh"),
+        lit(batchId).as("batch_id")))
+    batch.join(survivors.select(idCol), Seq(idCol), "left_semi")
+  }
+
   /** 30-minute-gap sessionization via flatMapGroupsWithState — custom
     * state machine per user. In batch mode each group's full history
     * arrives at once (sorted here) and every session is emitted

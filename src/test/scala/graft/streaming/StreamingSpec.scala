@@ -148,6 +148,68 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq((3L, textA)).toDF("doc_id", "text"), 8L) == Set.empty[Long])
   }
 
+  test("streaming embedding near-dup: history and intra-batch dups dropped; signatures-only state") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_embdup").toString
+    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "id")
+    val dim = 64
+    def unit(seed: Long): Array[Float] = {
+      val rnd = new scala.util.Random(seed * 7919L + 13)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def nearDup(v: Array[Float], seed: Long): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      v.map(x => x + 0.03f * rnd.nextGaussian().toFloat) // cosine ≈ 0.97
+    }
+    val (va, vb, vc, vd) = (unit(1), unit(2), unit(3), unit(4))
+    val survived = scala.collection.mutable.SortedSet.empty[Long]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.dedupNearEmbeddingStream(
+      input.toDF().toDF("id", "vec"), index,
+      df => survived ++= df.select("id").collect().map(_.getLong(0)),
+      s"$base/ckpt")
+    input.addData((1L, va), (2L, vb))
+    q.processAllAvailable()
+    assert(survived.toSet == Set(1L, 2L))
+    // batch 2: 3 = near-dup of 1 (history), 4+5 = intra-batch
+    // near-dups of each other (min id wins), 6 = genuinely new
+    input.addData((3L, nearDup(va, 31L)), (4L, vc), (5L, nearDup(vc, 32L)), (6L, vd))
+    q.processAllAvailable()
+    q.stop()
+    assert(survived.toSet == Set(1L, 2L, 4L, 6L),
+      s"expected history dup 3 and intra-batch dup 5 dropped, got $survived")
+    // state is signatures only: no vector column, ~3 longs + bands/row
+    val stored = index.read().get
+    assert(!stored.columns.contains("vec"), "the index must hold signatures, not vectors")
+    assert(stored.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L, 6L))
+  }
+
+  test("embedding near-dup replay: a re-run micro-batch (same batchId) is idempotent") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_embreplay").toString
+    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "id")
+    val dim = 64
+    def unit(seed: Long): Array[Float] = {
+      val rnd = new scala.util.Random(seed * 7919L + 13)
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val batch = Seq((1L, unit(1)), (2L, unit(2))).toDF("id", "vec")
+    def run(df: org.apache.spark.sql.DataFrame, bid: Long): Set[Long] =
+      Streaming.dedupNearEmbeddingBatch(df, index, "vec", "id", 0.85, dim, 6, 8, 42L, bid)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(run(batch, 7L) == Set(1L, 2L))
+    assert(run(batch, 7L) == Set(1L, 2L), "replay of the same batch must be idempotent")
+    // a later batch still dedups against batch 7's history (identical
+    // vector -> hamming 0 -> est_cos 1.0)
+    assert(run(Seq((3L, unit(1))).toDF("id", "vec"), 8L) == Set.empty[Long])
+  }
+
   test("streaming sessionize: open session held in state, closed on later event") {
     val s = spark
     import s.implicits._
