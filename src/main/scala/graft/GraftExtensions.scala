@@ -116,6 +116,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("rhp_bit_signature"),
+      info("rhp_bit_signature",
+        "rhp_bit_signature(vec, nBits, dim[, seed]) - packed random-hyperplane sign bits " +
+          "as array<long>; planes derive from the seed (default 42)"),
+      (es: Seq[Expression]) => {
+        val nBits = intLit(es(1), "nBits")
+        val dim = intLit(es(2), "dim")
+        val seed = if (es.length > 3) longLit(es(3), "seed") else 42L
+        RhpBitSignature(es(0),
+          graft.functions.VectorFunctions.rhpPlanes(nBits, dim, seed).toArray)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("hamming_bits"),
+      info("hamming_bits",
+        "hamming_bits(a, b) - Hamming distance of two equal-length packed-bit array<long>s"),
+      (es: Seq[Expression]) => HammingBits(es(0), es(1))))
+
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score",
         "topk_by_score(score, id, k) - aggregate: top-k (score,id) pairs, score desc, id asc"),

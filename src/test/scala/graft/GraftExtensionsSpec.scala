@@ -97,6 +97,31 @@ class GraftExtensionsSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("vector dim")))
   }
 
+  test("SQL surface: rhp_bit_signature + hamming_bits estimate the angle") {
+    // identical vectors -> hamming 0; a vector vs its negation flips
+    // every sign bit -> hamming = nBits
+    val r = spark.sql(
+      """SELECT hamming_bits(rhp_bit_signature(v, 128, 4), rhp_bit_signature(v, 128, 4)) AS same,
+        |       hamming_bits(rhp_bit_signature(v, 128, 4),
+        |                    rhp_bit_signature(transform(v, x -> -x), 128, 4)) AS opposite
+        |FROM (SELECT array(CAST(0.3 AS FLOAT), CAST(-1.2 AS FLOAT),
+        |                   CAST(0.7 AS FLOAT), CAST(2.1 AS FLOAT)) AS v)""".stripMargin).head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 128)
+    // and the SQL wrapper derives the same planes as the Scala path
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(10).selectExpr(
+      "id", "transform(sequence(1, 8), j -> CAST(cos(id * 3 + j) AS FLOAT)) AS vec")
+    df.createOrReplaceTempView("bit_vecs")
+    val viaSql = spark.sql("SELECT id, rhp_bit_signature(vec, 96, 8) AS s FROM bit_vecs")
+      .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Long](1)).toMap
+    val viaApi = df.select(col("id"),
+        ofExpr(graft.functions.expr.RhpBitSignature(toExpr(col("vec")),
+          graft.functions.VectorFunctions.rhpPlanes(96, 8).toArray)).as("s"))
+      .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Long](1)).toMap
+    assert(viaSql == viaApi)
+  }
+
   test("SQL surface: sig_match_count equals the HOF estimator") {
     import org.apache.spark.sql.functions.col
     assert(spark.sql(

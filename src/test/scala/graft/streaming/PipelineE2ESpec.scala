@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
 
 /** The full training-data loop, composed end-to-end as it would run in
   * production: a stream of raw documents flows through CDC-incremental
-  * corpus hygiene (near-dup + quality drop against the accumulated
-  * signature index), survivors' embeddings flow into the persistent
-  * ANN index via its maintenance stream, and a query stream is served
+  * corpus hygiene (TEXT near-dup + quality drop against the
+  * accumulated signature index), the survivors' embeddings flow
+  * through the EMBEDDING near-dup stream (the paraphrase catcher:
+  * text-unique, embedding-near documents), what survives both
+  * maintains the persistent ANN index, and a query stream is served
   * against the continuously maintained index. Every stage exists and
   * is specced on its own; this pins that they actually COMPOSE — ids
-  * dropped by the clean never reach the index, survivors become
-  * retrievable, and the streamed serve equals the batch search. */
+  * dropped by either dedup stage never reach the index, survivors
+  * become retrievable, and the streamed serve equals the batch
+  * search. */
 class PipelineE2ESpec extends SparkSpec {
   implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
@@ -38,18 +41,28 @@ class PipelineE2ESpec extends SparkSpec {
     v.map(x => (x / n).toFloat)
   }
 
-  test("clean -> index maintenance -> serve: one flowing pipeline") {
+  test("clean -> embedding dedup -> index maintenance -> serve: one flowing pipeline") {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     val survivorsDir = s"$base/survivors"
+    val embSurvivorsDir = s"$base/emb_survivors"
     new java.io.File(survivorsDir).mkdirs()
+    new java.io.File(embSurvivorsDir).mkdirs()
 
     // embeddings for every raw doc: near-dup doc 3 carries (almost)
-    // doc 1's vector, as a real embedding model would produce
+    // doc 1's vector, as a real embedding model would produce; doc 7
+    // is the PARAPHRASE case — unique text, but its embedding is a
+    // near-dup of doc 2's (cosine ≈ 0.97), so only the embedding
+    // stage can catch it
+    def nearDup(v: Array[Float], seed: Long): Array[Float] = {
+      val rnd = new scala.util.Random(seed)
+      v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
     val vecOf = Map[Long, Array[Float]](
       1L -> mkVec(1), 2L -> mkVec(2),
-      3L -> mkVec(1).map(x => x + 1e-4f), 4L -> mkVec(4), 5L -> mkVec(5))
+      3L -> mkVec(1).map(x => x + 1e-4f), 4L -> mkVec(4), 5L -> mkVec(5),
+      7L -> nearDup(mkVec(2), 77L))
     val vecsDf = vecOf.toSeq.map { case (id, v) => (id, v) }.toDF("doc_id", "vec")
 
     // the serving index: quantizers bootstrapped on a pre-existing
@@ -78,35 +91,51 @@ class PipelineE2ESpec extends SparkSpec {
       }
       .start()
 
-    // stage 2 — the survivor feed maintains the ANN index
-    val survivorStream = spark.readStream
-      .schema(StructType(Seq(
-        StructField("id", LongType),
-        StructField("vec", ArrayType(FloatType)))))
-      .parquet(survivorsDir)
-    val maintainQ = pqIndex.maintainStream(survivorStream, s"$base/ckpt_maintain",
-      compactEvery = 2)
+    val survivorSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType))))
 
-    def drain(): Unit = { cleanQ.processAllAvailable(); maintainQ.processAllAvailable() }
+    // stage 2 — text-survivors flow through the EMBEDDING near-dup
+    // stream; its survivors land in the feed the index maintains
+    val embIndex = new graft.sources.SnapshotStore(spark, s"$base/embsig", key = "id")
+    val embQ = Streaming.dedupNearEmbeddingStream(
+      spark.readStream.schema(survivorSchema).parquet(survivorsDir), embIndex,
+      df => df.write.mode("append").parquet(embSurvivorsDir),
+      s"$base/ckpt_emb")
+
+    // stage 3 — the twice-deduped feed maintains the ANN index
+    val maintainQ = pqIndex.maintainStream(
+      spark.readStream.schema(survivorSchema).parquet(embSurvivorsDir),
+      s"$base/ckpt_maintain", compactEvery = 2)
+
+    def drain(): Unit = {
+      cleanQ.processAllAvailable()
+      embQ.processAllAvailable()
+      maintainQ.processAllAvailable()
+    }
 
     // batch 0: two clean docs — both survive
     docsIn.addData((1L, "en", prose("heron")), (2L, "en", prose("otter")))
     drain()
-    // batch 1: a near-dup of historical doc 1, a genuinely new doc,
-    // and a junk doc below the quality floor
+    // batch 1: a near-dup of historical doc 1 (text stage drops it), a
+    // genuinely new doc, a junk doc below the quality floor, and the
+    // paraphrase (7: unique text, embedding ≈ doc 2 — only the
+    // embedding stage drops it)
     docsIn.addData(
       (3L, "en", prose("heron") + " extra"),
       (4L, "en", prose("falcon")),
-      (5L, "en", "ZZZZ!!! @@@@ 9999 ####"))
+      (5L, "en", "ZZZZ!!! @@@@ 9999 ####"),
+      (7L, "en", prose("osprey")))
     drain()
-    cleanQ.stop(); maintainQ.stop()
+    cleanQ.stop(); embQ.stop(); maintainQ.stop()
 
-    // composition invariant: the index holds bootstrap + survivors,
-    // and NOTHING the clean dropped
+    // composition invariant: the index holds bootstrap + what survived
+    // BOTH dedup stages — not 3 (text dup), not 5 (junk), not 7
+    // (embedding paraphrase)
     val indexed = new graft.sources.SnapshotStore(spark, s"$base/idx/codes", key = "neighbor_id")
       .read().get.select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(indexed.filter(_ < 9000L) == Set(1L, 2L, 4L),
-      s"index must hold exactly the clean's survivors, got ${indexed.filter(_ < 9000L)}")
+      s"index must hold exactly the two-stage survivors, got ${indexed.filter(_ < 9000L)}")
 
     // stage 3 — a query stream served against the maintained index:
     // the dup's vector resolves to its SURVIVOR, the new doc to itself
