@@ -385,10 +385,20 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     val planes = rhpPlanes(bands * bitsPerBand, dim, seed).toArray
     val v = graft.sources.PlanUtils.fanout(
-      df.select(col(id).as("vec_id"), vec.as("v")).withColumn("nrm", norm(col("v"))))
-    val keyed = v.select(col("vec_id"),
-      posexplode(ofExpr(graft.functions.expr.RhpBandKeys(
-        toExpr(col("v")), planes, bands, bitsPerBand))).as(Seq("band", "bkey")))
+      df.select(col(id).as("vec_id"), vec.as("v"))
+        .withColumn("nrm", norm(col("v")))
+        .withColumn("bh", ofExpr(graft.functions.expr.RhpBandKeys(
+          toExpr(col("v")), planes, bands, bitsPerBand))))
+    embeddingLshPairsKeyed(v, minCosine)
+  }
+
+  /** Near-dup pairs from an already-banded `(vec_id, v, nrm, bh)`
+    * frame — callers that need the band keys for their own purposes
+    * (the streaming dedup keeps them as index state) compute them
+    * exactly once and share the frame. */
+  private[graft] def embeddingLshPairsKeyed(v: DataFrame, minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val keyed = v.select(col("vec_id"), posexplode(col("bh")).as(Seq("band", "bkey")))
     val cand = keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_a"))
       .join(keyed.select(col("band"), col("bkey"), col("vec_id").as("vec_b")), Seq("band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))

@@ -346,11 +346,15 @@ object Pq {
   def searchCodes(queries: DataFrame, codes: DataFrame, topK: Int,
                   model: Model, coarse: Similarity.IvfModel,
                   nProbe: Int = 4, rotation: Option[Array[Float]] = None): DataFrame = {
+    // clamp like the old probeCells/slice path: nProbe beyond the cell
+    // count means "probe everything", not an error (a tiny index with
+    // nCells < the caller's default nProbe must stay searchable)
+    val np = math.min(nProbe, coarse.nCells)
     val q = queries.select(col("id").as("query_id"),
         explode(array(ofExpr(graft.functions.expr.IvfPqProbe(
           toExpr(col("vec")), rotation.getOrElse(Array.empty[Float]),
           coarse.centroids, model.codebooks, model.m, model.k, model.subDim,
-          nProbe)))).as("pb"))
+          np)))).as("pb"))
       .select(col("query_id"), col("pb.lut").as("lut"), col("pb.qn").as("qn"),
         explode(col("pb.probes")).as("pr"))
       .select(col("query_id"), col("lut"), col("qn"),

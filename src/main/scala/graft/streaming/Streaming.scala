@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.engine.TagRule
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -186,36 +186,15 @@ object Streaming {
       .localCheckpoint()
     val unshingleable = unique.join(signed.select(idCol), Seq(idCol), "left_anti")
 
-    // candidates vs history: equi-join on (band, band hash). History
-    // excludes this batch's own prior (replayed) writes, and a doc can
-    // never be deduped against itself.
-    val newDocs = index.read() match {
-      case None => signed
-      case Some(hist0) =>
-        // null batch_id (rows written before the column existed, or
-        // null-filled by schema evolution) is HISTORY, not this batch —
-        // a plain =!= would null-out and wrongly exclude those rows
-        val hist = if (hist0.columns.contains("batch_id"))
-          hist0.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
-        else hist0
-        val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
-        val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
-        val cand = bNew.join(bOld, Seq("band", "h"))
-          .filter(col("old_id") =!= col(idCol))
-          .select(idCol, "old_id").distinct()
-        val est = {
-          import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
-          cand
-            .join(signed.select(col(idCol), col("sig")), Seq(idCol))
-            .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
-            .withColumn("est_jaccard",
-              ofExpr(graft.functions.expr.SigMatchCount(
-                toExpr(col("sig")), toExpr(col("old_sig"))))
-                .cast("double") / lit(numPerm))
-        }
-        val dupIds = est.filter(col("est_jaccard") >= minJaccard)
-          .select(col(idCol)).distinct()
-        signed.join(dupIds, Seq(idCol), "left_anti")
+    // candidates vs history: equi-join on (band, band hash), estimate
+    // = matching signature components / numPerm ≈ Jaccard
+    val newDocs = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+      dropHistoryDups(signed, index, idCol, batchId,
+        (sig, oldSig) =>
+          ofExpr(graft.functions.expr.SigMatchCount(toExpr(sig), toExpr(oldSig)))
+            .cast("double") / lit(numPerm),
+        minJaccard)
     }
 
     // append the survivors' signatures to the index, emit their rows
@@ -228,6 +207,40 @@ object Streaming {
       survivors.select(idCol).unionByName(unshingleable.select(idCol)),
       Seq(idCol), "left_semi")
   }
+
+  /** The history near-dup check shared by the text and embedding
+    * streams: candidates from an equi-join of the batch's band keys
+    * against the accumulated index's, similarity from `est` over the
+    * two signature columns, ids at/above `threshold` dropped.
+    * `signed` needs `(idCol, sig, bh)`; returns its surviving rows.
+    *
+    * History excludes this batch's own prior (replayed) writes — and a
+    * null batch_id (rows written before the column existed, or
+    * null-filled by schema evolution) is HISTORY, not this batch: a
+    * plain =!= would null-out and wrongly exclude those rows. A doc is
+    * never deduped against itself. */
+  private def dropHistoryDups(signed: DataFrame, index: graft.sources.SnapshotStore,
+                              idCol: String, batchId: Long,
+                              est: (Column, Column) => Column,
+                              threshold: Double): DataFrame =
+    index.read() match {
+      case None => signed
+      case Some(hist0) =>
+        val hist = if (hist0.columns.contains("batch_id"))
+          hist0.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
+        else hist0
+        val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
+        val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
+        val cand = bNew.join(bOld, Seq("band", "h"))
+          .filter(col("old_id") =!= col(idCol))
+          .select(idCol, "old_id").distinct()
+        val dupIds = cand
+          .join(signed.select(col(idCol), col("sig")), Seq(idCol))
+          .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
+          .filter(est(col("sig"), col("old_sig")) >= threshold)
+          .select(col(idCol)).distinct()
+        signed.join(dupIds, Seq(idCol), "left_anti")
+    }
 
   /** Streaming EMBEDDING near-dup dedup against all history — the
     * vector twin of [[dedupNearStream]]. Each micro-batch drops
@@ -276,49 +289,37 @@ object Streaming {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     val EstBits = 128
 
-    // intra-batch: exact LSH-verified pairs -> keep cluster canonicals
-    val losers = Dedup.resolveClusters(
-        Dedup.embeddingLshPairs(batch, col(vecCol), idCol, minCosine, dim,
-            bands, bitsPerBand, seed)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .filter(col("doc_id") =!= col("canonical_id"))
-      .select(col("doc_id").as(idCol))
-    val unique = batch.join(losers, Seq(idCol), "left_anti")
-
-    // signatures + band keys of the intra-batch survivors: the
-    // estimator planes (seed+1) are independent of the banding planes
-    // (seed), so a band collision carries no information about the
-    // estimate. One fused pass each; state never holds the vector.
+    // ONE pass per vector computes everything downstream needs: norm
+    // (intra-batch exact verify), band keys (both candidate joins) and
+    // the estimator bit signature. Estimator planes (seed+1) are
+    // independent of the banding planes (seed), so a band collision
+    // carries no information about the estimate.
     val estPlanes = graft.functions.VectorFunctions.rhpPlanes(EstBits, dim, seed + 1).toArray
     val bandPlanes = graft.functions.VectorFunctions.rhpPlanes(bands * bitsPerBand, dim, seed).toArray
-    val signed = graft.sources.PlanUtils.fanout(
-      unique.select(col(idCol),
-          ofExpr(graft.functions.expr.RhpBitSignature(toExpr(col(vecCol)), estPlanes)).as("sig"),
-          ofExpr(graft.functions.expr.RhpBandKeys(toExpr(col(vecCol)), bandPlanes,
-            bands, bitsPerBand)).as("bh")))
+    val keyed = graft.sources.PlanUtils.fanout(
+      batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v")))
+        .withColumn("bh", ofExpr(graft.functions.expr.RhpBandKeys(toExpr(col("v")),
+          bandPlanes, bands, bitsPerBand)))
+        .withColumn("sig", ofExpr(graft.functions.expr.RhpBitSignature(toExpr(col("v")), estPlanes))))
       .localCheckpoint()
 
-    val newVecs = index.read() match {
-      case None => signed
-      case Some(hist0) =>
-        val hist = if (hist0.columns.contains("batch_id"))
-          hist0.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
-        else hist0
-        val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
-        val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
-        val cand = bNew.join(bOld, Seq("band", "h"))
-          .filter(col("old_id") =!= col(idCol))
-          .select(idCol, "old_id").distinct()
-        val est = cand
-          .join(signed.select(col(idCol), col("sig")), Seq(idCol))
-          .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
-          .withColumn("est_cos",
-            cos(lit(math.Pi) * ofExpr(graft.functions.expr.HammingBits(
-              toExpr(col("sig")), toExpr(col("old_sig")))).cast("double") / lit(EstBits)))
-        val dupIds = est.filter(col("est_cos") >= minCosine)
-          .select(col(idCol)).distinct()
-        signed.join(dupIds, Seq(idCol), "left_anti")
-    }
+    // intra-batch: banded candidates + exact cosine (vectors in hand)
+    // -> keep cluster canonicals
+    val losers = Dedup.resolveClusters(
+        Dedup.embeddingLshPairsKeyed(keyed, minCosine)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as("vec_id"))
+    val signed = keyed.join(losers, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as(idCol), col("sig"), col("bh"))
+
+    // vs history: estimate = cos(π·hamming/bits) (Charikar)
+    val newVecs = dropHistoryDups(signed, index, idCol, batchId,
+      (sig, oldSig) =>
+        cos(lit(math.Pi) * ofExpr(graft.functions.expr.HammingBits(
+          toExpr(sig), toExpr(oldSig))).cast("double") / lit(EstBits)),
+      minCosine)
 
     val survivors = newVecs.localCheckpoint()
     if (!survivors.isEmpty)

@@ -61,6 +61,19 @@ class PqIndexSpec extends SparkSpec {
       s"the planted copy must be the top hit through the rotated encode path, got $got")
   }
 
+  test("a tiny index (nCells < default nProbe) stays searchable: probe clamps to all cells") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_tiny").toString
+    // nCells = 2 with the default nProbe = 4: the old probeCells/slice
+    // path tolerated this (probe everything); the fused probe must too
+    val index = new PqIndex(spark, s"$base/idx", nCells = 2)
+    index.build(corpus)
+    val got = index.topK(queries, 3)
+    assert(got.count() > 0)
+    assert(got.select("rank").collect().forall(_.getInt(0) <= 3))
+  }
+
   test("add() under frozen models: a planted duplicate becomes retrievable") {
     val s = spark
     import s.implicits._

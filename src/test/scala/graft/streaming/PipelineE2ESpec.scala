@@ -34,12 +34,7 @@ class PipelineE2ESpec extends SparkSpec {
       else Seq("the", "and", "of", "to", "in", "is", "it", "that")(i % 8)
     }.mkString(" ")
 
-  private def mkVec(seed: Long): Array[Float] = {
-    val rnd = new scala.util.Random(seed * 911382323L + 7)
-    val v = Array.fill(Dim)(rnd.nextGaussian())
-    val n = math.sqrt(v.map(x => x * x).sum)
-    v.map(x => (x / n).toFloat)
-  }
+  private def mkVec(seed: Long): Array[Float] = graft.VecFixtures.unit(Dim, seed)
 
   test("clean -> embedding dedup -> index maintenance -> serve: one flowing pipeline") {
     val s = spark
@@ -55,10 +50,7 @@ class PipelineE2ESpec extends SparkSpec {
     // is the PARAPHRASE case — unique text, but its embedding is a
     // near-dup of doc 2's (cosine ≈ 0.97), so only the embedding
     // stage can catch it
-    def nearDup(v: Array[Float], seed: Long): Array[Float] = {
-      val rnd = new scala.util.Random(seed)
-      v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
-    }
+    import graft.VecFixtures.nearDup
     val vecOf = Map[Long, Array[Float]](
       1L -> mkVec(1), 2L -> mkVec(2),
       3L -> mkVec(1).map(x => x + 1e-4f), 4L -> mkVec(4), 5L -> mkVec(5),

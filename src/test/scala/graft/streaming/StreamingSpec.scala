@@ -154,16 +154,8 @@ class StreamingSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_embdup").toString
     val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "id")
     val dim = 64
-    def unit(seed: Long): Array[Float] = {
-      val rnd = new scala.util.Random(seed * 7919L + 13)
-      val v = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / n).toFloat)
-    }
-    def nearDup(v: Array[Float], seed: Long): Array[Float] = {
-      val rnd = new scala.util.Random(seed)
-      v.map(x => x + 0.03f * rnd.nextGaussian().toFloat) // cosine ≈ 0.97
-    }
+    import graft.VecFixtures.{unit => unitV, nearDup}
+    def unit(seed: Long): Array[Float] = unitV(dim, seed)
     val (va, vb, vc, vd) = (unit(1), unit(2), unit(3), unit(4))
     val survived = scala.collection.mutable.SortedSet.empty[Long]
     val input = MemoryStream[(Long, Array[Float])]
@@ -193,12 +185,7 @@ class StreamingSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_embreplay").toString
     val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "id")
     val dim = 64
-    def unit(seed: Long): Array[Float] = {
-      val rnd = new scala.util.Random(seed * 7919L + 13)
-      val v = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / n).toFloat)
-    }
+    def unit(seed: Long): Array[Float] = graft.VecFixtures.unit(dim, seed)
     val batch = Seq((1L, unit(1)), (2L, unit(2))).toDF("id", "vec")
     def run(df: org.apache.spark.sql.DataFrame, bid: Long): Set[Long] =
       Streaming.dedupNearEmbeddingBatch(df, index, "vec", "id", 0.85, dim, 6, 8, 42L, bid)
