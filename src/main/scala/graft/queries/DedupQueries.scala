@@ -127,7 +127,7 @@ object DedupQueries {
     * equi-join, verification = the same a<b-ordered exact cosine as
     * [[embeddingPairsSql]]. Works because RHP-LSH has no
     * data-dependent state (cf. SimilarityQueries.lshOracleSql). */
-  private def embeddingLshOracleSql: String = {
+  private[queries] lazy val embeddingLshOracleSql: String = {
     val bands = LshBands; val bits = LshBits
     val planes = graft.functions.VectorFunctions.rhpPlanes(bands * bits, LshDim)
     def dotSql(p: Array[Float]): String =

@@ -67,6 +67,32 @@ object PipelineQueries {
       newDocs, index, "text", "doc_id",
       minJaccard = 0.8, numPerm = 128, bands = 16, k = 3, batchId = batchId))
 
+  /** Multimodal corpus hygiene: near-dup detection over BOTH
+    * modalities at once — word-shingle Jaccard on the text (the
+    * verbatim-copy signal) UNION banded-RHP cosine on the embedding
+    * (the paraphrase signal; `documents.doc_id` and
+    * `embeddings.vec_id` share one id space) — resolved through ONE
+    * connected-components pass so a cluster chained through either
+    * modality keeps a single survivor, then the same quality floor +
+    * token accounting. This is the batch twin of the e2e streaming
+    * loop's two dedup stages, and every leg is individually
+    * oracle-proven (corpus_clean + dedup_embedding_lsh), so the
+    * composition gets a full DuckDB oracle too. */
+  def corpusCleanMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val embs = Tables.load(spark, dir, "embeddings")
+    val textPairs = Dedup.jaccardPairs(docs, col("text"), "doc_id",
+        minJaccard = 0.8, maxDocFreq = 100L)
+      .select("doc_a", "doc_b")
+    val embPairs = Dedup.embeddingLshPairs(embs, col("embedding"), "vec_id",
+        minCosine = 0.4, dim = 64)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val losers = Dedup.resolveClusters(textPairs.unionByName(embPairs))
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    scoreAndFloor(docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+  }
+
   /** Deterministic stratified sampling: per-language keep rates
     * rebalance an over-represented stratum (1-in-5 for `en`, 1-in-2
     * elsewhere). The keep decision is a pure function of the row key —
@@ -144,6 +170,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_clean" -> (corpusClean _),
+    "corpus_clean_multimodal" -> (corpusCleanMultimodal _),
     "corpus_stats" -> (corpusStats _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -203,47 +230,64 @@ object PipelineQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,
     "corpus_clean" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-         |    THEN list_transform(generate_series(1, len(ws) - 2),
-         |                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
-         |    ELSE [] END) AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-         |jpairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE j >= 0.8),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
-         |          UNION SELECT doc_b, doc_a FROM jpairs),
-         |cc(doc_id, lbl) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b),
-         |losers AS (
-         |  SELECT doc_id FROM (SELECT doc_id, min(lbl) AS canon FROM cc GROUP BY doc_id)
-         |  WHERE doc_id != canon),
-         |scored AS (
-         |  SELECT doc_id, lang, text,
-         |         length(text) AS n_chars,
-         |         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
-         |         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-         |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
-         |         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
-         |                         w -> w IN (${stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop
-         |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-         |fin AS (
-         |  SELECT doc_id, lang,
-         |         least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
-         |          + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
-         |          + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
-         |          + (1.0 - least(CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
-         |           AS quality,
-         |         n_words,
-         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
-         |  FROM scored)
-         |SELECT doc_id, lang, quality, n_words, n_bpe_tokens
-         |FROM fin WHERE quality >= $QualityFloor""".stripMargin)
+      cleanOracleSql("allpairs AS (SELECT doc_a, doc_b FROM jpairs)"),
+    "corpus_clean_multimodal" ->
+      cleanOracleSql(
+        s"""epairs AS (
+           |  SELECT vec_a AS doc_a, vec_b AS doc_b
+           |  FROM (${DedupQueries.embeddingLshOracleSql}) lshq),
+           |allpairs AS (SELECT doc_a, doc_b FROM jpairs
+           |             UNION SELECT doc_a, doc_b FROM epairs)""".stripMargin))
+
+  /** Shared skeleton of the corpus-clean oracles — `pairCtes` must
+    * define a CTE `allpairs(doc_a, doc_b)` (it can reference the
+    * text-Jaccard `jpairs` CTE; the multimodal variant UNIONs in the
+    * embedding-LSH pairs, nested-WITH from DedupQueries so the plane
+    * literals stay single-sourced). One copy of the CC + scoring SQL,
+    * so the exact and multimodal cleans cannot drift. */
+  private def cleanOracleSql(pairCtes: String): String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(generate_series(1, len(ws) - 2),
+       |                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+       |    ELSE [] END) AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS j
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE j >= 0.8),
+       |$pairCtes,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM allpairs
+       |          UNION SELECT doc_b, doc_a FROM allpairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b),
+       |losers AS (
+       |  SELECT doc_id FROM (SELECT doc_id, min(lbl) AS canon FROM cc GROUP BY doc_id)
+       |  WHERE doc_id != canon),
+       |scored AS (
+       |  SELECT doc_id, lang, text,
+       |         length(text) AS n_chars,
+       |         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       |         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+       |         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+       |         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+       |                         w -> w IN (${stopwords.map(s => s"'$s'").mkString(", ")}))) AS n_stop
+       |  FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |fin AS (
+       |  SELECT doc_id, lang,
+       |         least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4
+       |          + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
+       |          + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
+       |          + (1.0 - least(CAST(n_upper AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
+       |           AS quality,
+       |         n_words,
+       |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+       |  FROM scored)
+       |SELECT doc_id, lang, quality, n_words, n_bpe_tokens
+       |FROM fin WHERE quality >= $QualityFloor""".stripMargin
 }

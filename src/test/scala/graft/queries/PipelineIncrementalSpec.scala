@@ -17,6 +17,24 @@ class PipelineIncrementalSpec extends SparkSpec {
       else Seq("the", "and", "of", "to", "in", "is", "it", "that")(i % 8)
     }.mkString(" ")
 
+  test("multimodal clean: subset of the text clean; extra drops traced to embedding pairs") {
+    val dir = sf("any")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val textOnly = ids(PipelineQueries.corpusClean(spark, dir))
+    val multi = ids(PipelineQueries.corpusCleanMultimodal(spark, dir))
+    assert(multi.subsetOf(textOnly),
+      "adding a modality can only drop more docs, never resurrect one")
+    val extraDropped = textOnly -- multi
+    assert(extraDropped.nonEmpty,
+      "the corpus has embedding near-dup pairs; the multimodal clean must act on them")
+    // every extra drop is explained by an embedding-LSH pair
+    val embPairIds = DedupQueries.dedupEmbeddingLsh(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(extraDropped.subsetOf(embPairIds),
+      s"unexplained drops: ${extraDropped -- embPairIds}")
+  }
+
   test("batch N+1 dedups against batch N via signatures only; quality floor applies") {
     val s = spark
     import s.implicits._
