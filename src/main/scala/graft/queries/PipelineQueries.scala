@@ -80,12 +80,13 @@ object PipelineQueries {
     * composition gets a full DuckDB oracle too. */
   def corpusCleanMultimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val embs = Tables.load(spark, dir, "embeddings")
     val textPairs = Dedup.jaccardPairs(docs, col("text"), "doc_id",
         minJaccard = 0.8, maxDocFreq = 100L)
       .select("doc_a", "doc_b")
-    val embPairs = Dedup.embeddingLshPairs(embs, col("embedding"), "vec_id",
-        minCosine = 0.4, dim = 64)
+    // the embedding leg IS the dedup_embedding_lsh gate query — one
+    // definition, so its oracle-pinned parameters (threshold, bands,
+    // dim, seed) cannot drift from the multimodal oracle's literals
+    val embPairs = DedupQueries.dedupEmbeddingLsh(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val losers = Dedup.resolveClusters(textPairs.unionByName(embPairs))
       .filter(col("doc_id") =!= col("canonical_id"))

@@ -28,11 +28,19 @@ class PipelineIncrementalSpec extends SparkSpec {
     val extraDropped = textOnly -- multi
     assert(extraDropped.nonEmpty,
       "the corpus has embedding near-dup pairs; the multimodal clean must act on them")
-    // every extra drop is explained by an embedding-LSH pair
+    // every extra drop lies in the UNION pair graph (a doc can lose
+    // canonicalship transitively, through a text pair, once an
+    // embedding pair merges its component — so membership in the
+    // embedding pairs alone is NOT implied), and the embedding
+    // modality itself accounts for at least one drop
     val embPairIds = DedupQueries.dedupEmbeddingLsh(spark, dir).collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-    assert(extraDropped.subsetOf(embPairIds),
-      s"unexplained drops: ${extraDropped -- embPairIds}")
+    val textPairIds = DedupQueries.dedupNgramJaccard(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(extraDropped.subsetOf(embPairIds ++ textPairIds),
+      s"drops outside the union pair graph: ${extraDropped -- embPairIds -- textPairIds}")
+    assert((extraDropped & embPairIds).nonEmpty,
+      "at least one drop must be directly embedding-witnessed")
   }
 
   test("batch N+1 dedups against batch N via signatures only; quality floor applies") {
