@@ -142,6 +142,37 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   def read(): Option[DataFrame] =
     latestManifest().flatMap { case (_, m) => readFiles(m.values.flatten.toSeq) }
 
+  /** Committed versions currently on disk, oldest first (shrinks as
+    * [[vacuum]] retires old manifests). */
+  def versions(): Seq[Long] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && n.endsWith(".txt"))
+      .map(_.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong)
+      .sorted.toSeq
+  }
+
+  /** Time travel: the snapshot as of a specific committed `version` —
+    * free, because manifests are immutable and data files are never
+    * rewritten (a version's file list IS the version). Readable until
+    * [[vacuum]] retires the manifest; None if it already has. The
+    * audit/debug answer ("what did the tags table say before last
+    * night's merge?") the reference's destructive MySQL UPSERT cannot
+    * give. */
+  def readVersion(version: Long): Option[DataFrame] = {
+    val mp = new Path(path, f"$ManifestPrefix$version%012d.txt")
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      val files = text.linesIterator
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split("\t", 2)(1)).toSeq
+      readFiles(files)
+    }
+  }
+
   /** Full overwrite: new data files + new manifest listing only them
     * (the whole layout is replaced, so the constructor's bucket count
     * takes effect). */

@@ -30,6 +30,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(snap.columns.toSeq == Seq("user_id", "v"))
   }
 
+  test("time travel: every committed version stays readable until vacuum retires it") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_tt").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite(Seq((1L, "a"), (2L, "b")).toDF("user_id", "v"))
+    store.upsert(Seq((2L, "b2"), (3L, "c")).toDF("user_id", "v"))
+    store.upsert(Seq((1L, "a3")).toDF("user_id", "v"))
+    val Seq(v1, v2, v3) = store.versions()
+    def snap(v: Long) = store.readVersion(v).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(v1) == Map(1L -> "a", 2L -> "b"))
+    assert(snap(v2) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(snap(v3) == Map(1L -> "a3", 2L -> "b2", 3L -> "c"))
+    assert(snap(v3) == store.read().get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(store.readVersion(v3 + 17).isEmpty, "unknown versions read as None")
+    // vacuum retires old versions; the live one survives
+    store.vacuum(keepVersions = 1, minAgeMs = 0L)
+    assert(store.readVersion(v1).isEmpty && store.versions() == Seq(v3))
+    assert(snap(v3) == Map(1L -> "a3", 2L -> "b2", 3L -> "c"))
+  }
+
   test("compact: one live file per bucket, rows unchanged, vacuum reclaims the rest") {
     val s = spark
     import s.implicits._
