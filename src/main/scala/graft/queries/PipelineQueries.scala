@@ -56,12 +56,15 @@ object PipelineQueries {
     * index; survivors' signatures appended under `batchId` for replay
     * idempotency) followed by the same quality floor + token
     * accounting as [[corpusClean]]. At 100 TB this turns a daily
-    * full-corpus clean into a scan of the day's delta plus an
-    * equi-join against the (≈1 KB/doc) index — the canonical survivor
-    * is first-seen-wins instead of min-id, which IS the CDC semantics
-    * (history is already published and must not be retracted). */
+    * full-corpus clean into a scan of the day's delta plus a PRUNED
+    * probe of the (≈1 KB/doc) signature index — only the batch's band
+    * partitions and the candidates' sig buckets are read
+    * ([[graft.streaming.SigIndex]]), never the whole index. The
+    * canonical survivor is first-seen-wins instead of min-id, which IS
+    * the CDC semantics (history is already published and must not be
+    * retracted). */
   def corpusCleanIncremental(newDocs: DataFrame,
-                             index: graft.sources.SnapshotStore,
+                             index: graft.streaming.SigIndex,
                              batchId: Long): DataFrame =
     scoreAndFloor(graft.streaming.Streaming.dedupNearBatch(
       newDocs, index, "text", "doc_id",

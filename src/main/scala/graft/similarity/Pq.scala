@@ -333,6 +333,23 @@ object Pq {
       .select(col("neighbor_id"), col("enc.cell").as("cell"),
         col("enc.codes").as("codes"), col("enc.cn").as("cn"))
 
+  /** The distinct coarse cells a query batch will probe — the
+    * partition-prune list for a cell-partitioned codes store
+    * ([[PqIndex]]). One pass over the (small) query side through the
+    * same fused [[graft.functions.expr.IvfPqProbe]] the search uses,
+    * so the prune list and the search's probe list cannot disagree;
+    * the codes side is never touched. Bounded driver collect: at most
+    * nCells ints. */
+  def probeCells(queries: DataFrame, model: Model, coarse: Similarity.IvfModel,
+                 nProbe: Int, rotation: Option[Array[Float]] = None): Seq[Int] = {
+    val np = math.min(nProbe, coarse.nCells)
+    queries.select(explode(array(ofExpr(graft.functions.expr.IvfPqProbe(
+        toExpr(col("vec")), rotation.getOrElse(Array.empty[Float]),
+        coarse.centroids, model.codebooks, model.m, model.k, model.subDim, np)))).as("pb"))
+      .select(explode(col("pb.probes.cell")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+  }
+
   /** Query side + search over an already-encoded `(neighbor_id, cell,
     * codes, cn)` frame: the LUT is the query's RAW subspace dots (it
     * scores the residual codebooks), the exact dot(q, c_cell) term

@@ -27,28 +27,56 @@ import java.nio.charset.StandardCharsets
   *    rename/delete protocols break exactly this on object stores;
   *  - [[vacuum]] reclaims files no manifest references.
   *
+  * READ pruning mirrors the write pruning: [[readForKeys]] opens only
+  * the buckets a probe's keys hash into (point lookups / validation /
+  * incremental-user detection do O(probed buckets) I/O, not
+  * O(snapshot)), and with `partitionCol` set the layout gains a second
+  * level — each bucket's files are split by that column's value, so
+  * [[readPartitions]] opens only the requested values' files. The
+  * partition column is how a serving-shaped store (ANN codes keyed by
+  * vector id but probed by cell; signature indexes keyed by doc id but
+  * probed by band key) reads O(probed fraction) instead of O(store)
+  * per query batch.
+  *
   * On a lakehouse table format the same calls map to `MERGE INTO` —
   * the API is the contract, not the file layout.
   */
 final class SnapshotStore(spark: SparkSession, path: String, key: String = "user_id",
-                          buckets: Int = 32) {
+                          buckets: Int = 32, partitionCol: Option[String] = None) {
 
   private val BucketCol = "snap_bucket"
+  private val PartDir = "snap_part"
   private val ManifestPrefix = "manifest-"
+  /** Commit-conflict retries for [[upsert]]: enough for realistic
+    * writer fan-in (each retry re-merges against the winner's state),
+    * small enough that a livelocked store fails loudly. */
+  private val UpsertAttempts = 5
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def withBucket(df: DataFrame, bucketCount: Int = buckets): DataFrame =
     df.withColumn(BucketCol, pmod(hash(col(key)), lit(bucketCount)))
 
+  /** Duplicate the partition column into the internal layout column:
+    * `partitionBy` strips its columns from the data files, so the
+    * user's column must survive as data while its copy becomes the
+    * directory. */
+  private def withPart(df: DataFrame, pcol: Option[String]): DataFrame =
+    pcol.fold(df)(c => df.withColumn(PartDir, col(c)))
+
   // ---- manifest protocol ----
 
-  /** `(version, recorded bucket count, bucket → relative files)` of the
-    * newest manifest. The bucket count is part of the layout — an
-    * upsert MUST hash with the count the snapshot was written with, or
-    * a key's new row lands in a different bucket than its old one and
-    * the upsert silently duplicates the key. */
-  private def latestRaw(): Option[(Long, Option[Int], Map[Int, Seq[String]])] = {
+  private final case class Manifest(version: Long, recordedBuckets: Option[Int],
+                                    recordedPcol: Option[String],
+                                    mapping: Map[Int, Seq[String]])
+
+  /** The newest manifest. The recorded bucket count is part of the
+    * layout — an upsert MUST hash with the count the snapshot was
+    * written with, or a key's new row lands in a different bucket than
+    * its old one and the upsert silently duplicates the key. The
+    * recorded partition column binds the same way: later writers keep
+    * splitting by it even if constructed without. */
+  private def latestRaw(): Option[Manifest] = {
     val root = new Path(path)
     if (!fs.exists(root)) return None
     val versions = fs.listStatus(root).map(_.getPath.getName)
@@ -62,22 +90,27 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     val recorded = lines.collectFirst {
       case l if l.startsWith("#buckets=") => l.stripPrefix("#buckets=").toInt
     }
+    val pcol = lines.collectFirst {
+      case l if l.startsWith("#pcol=") => l.stripPrefix("#pcol=")
+    }
     val mapping = lines.filterNot(_.startsWith("#"))
       .map { line => val Array(b, f) = line.split("\t", 2); (b.toInt, f) }
       .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2) }
-    Some((v, recorded, mapping))
+    Some(Manifest(v, recorded, pcol, mapping))
   }
 
   private[sources] def latestManifest(): Option[(Long, Map[Int, Seq[String]])] =
-    latestRaw().map { case (v, _, m) => (v, m) }
+    latestRaw().map(m => (m.version, m.mapping))
 
   /** Publish a new manifest version: write to a unique temp name, then
     * a single-file rename — the one atomic primitive object stores
     * give us (locally: POSIX rename). */
   private[sources] def commit(version: Long, bucketCount: Int,
-                              mapping: Map[Int, Seq[String]]): Unit = {
+                              mapping: Map[Int, Seq[String]],
+                              pcol: Option[String] = None): Unit = {
     fs.mkdirs(new Path(path))
-    val body = (s"#buckets=$bucketCount" +: mapping.toSeq.sortBy(_._1)
+    val header = s"#buckets=$bucketCount" +: pcol.map(c => s"#pcol=$c").toSeq
+    val body = (header ++ mapping.toSeq.sortBy(_._1)
       .flatMap { case (b, files) => files.sorted.map(f => s"$b\t$f") })
       .mkString("\n")
     val tmp = new Path(path, s".tmp-manifest-${java.util.UUID.randomUUID}")
@@ -101,17 +134,57 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
         s"manifest commit conflict/failure for version $version ($tmp -> $dst)")
   }
 
-  /** Write `df` (already bucketed) into a fresh immutable data dir;
-    * return bucket → relative file paths. */
-  private def writeData(bucketed: DataFrame): Map[Int, Seq[String]] = {
+  /** Test hook: runs after an upsert attempt has read its base version
+    * and written its data files, immediately before its commit — the
+    * window a concurrent writer races in. Specs inject a competing
+    * commit here to exercise the retry deterministically. */
+  private[sources] var onBeforeCommit: () => Unit = () => ()
+
+  private def isCommitConflict(e: Throwable): Boolean = e match {
+    case io: java.io.IOException =>
+      val m = Option(io.getMessage).getOrElse("")
+      m.contains("concurrent writer") || m.contains("manifest commit conflict")
+    case _ => false
+  }
+
+  /** Retry ONLY on commit conflicts (capped backoff): every other
+    * failure propagates on first occurrence — a schema error or a dead
+    * filesystem is not a race to wait out. */
+  private def withConflictRetry(f: => Unit): Unit = {
+    var attempt = 1
+    var backoff = 50L
+    while (true) {
+      try { f; return }
+      catch {
+        case e: Throwable if isCommitConflict(e) && attempt < UpsertAttempts =>
+          System.err.println(s"[graft] snapshot commit conflict, retry $attempt: ${e.getMessage}")
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 2000L)
+          attempt += 1
+      }
+    }
+  }
+
+  /** Write `df` (already bucketed/partitioned) into a fresh immutable
+    * data dir; return bucket → relative file paths. With a partition
+    * column the files sit one level deeper (`snap_bucket=B/snap_part=V/…`),
+    * which is what [[readPartitions]] prunes on. */
+  private def writeData(bucketed: DataFrame, pcol: Option[String]): Map[Int, Seq[String]] = {
     val dataDir = s"data-${java.util.UUID.randomUUID}"
-    bucketed.write.partitionBy(BucketCol).parquet(s"$path/$dataDir")
+    val layoutCols = BucketCol +: (if (pcol.isDefined) Seq(PartDir) else Nil)
+    bucketed.write.partitionBy(layoutCols: _*).parquet(s"$path/$dataDir")
     val out = scala.collection.mutable.Map.empty[Int, Vector[String]]
-    for (dir <- fs.listStatus(new Path(s"$path/$dataDir"))
-         if dir.isDirectory && dir.getPath.getName.startsWith(s"$BucketCol=")) {
-      val b = dir.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-      for (f <- fs.listStatus(dir.getPath) if f.getPath.getName.endsWith(".parquet"))
-        out(b) = out.getOrElse(b, Vector.empty) :+ s"$dataDir/${dir.getPath.getName}/${f.getPath.getName}"
+    val it = fs.listFiles(new Path(s"$path/$dataDir"), true)
+    val prefix = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/") + "/"
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = f.toUri.getPath.stripPrefix(prefix)
+        val bucket = rel.split('/').collectFirst {
+          case seg if seg.startsWith(s"$BucketCol=") => seg.stripPrefix(s"$BucketCol=").toInt
+        }.getOrElse(sys.error(s"no bucket segment in $rel"))
+        out(bucket) = out.getOrElse(bucket, Vector.empty) :+ rel
+      }
     }
     out.toMap
   }
@@ -141,6 +214,44 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     * version's file list, so later upserts don't disturb it. */
   def read(): Option[DataFrame] =
     latestManifest().flatMap { case (_, m) => readFiles(m.values.flatten.toSeq) }
+
+  /** Pruned read by partition value: only the live files whose layout
+    * path carries one of `values` for the partition column. Files from
+    * generations written WITHOUT the partition layout carry no
+    * `snap_part=` segment and are conservatively included (they may
+    * hold any value). This is the serve-path primitive: a probe that
+    * touches nProbe of nCells reads nProbe/nCells of the store, not
+    * all of it. */
+  def readPartitions(values: Seq[Any]): Option[DataFrame] =
+    readFiles(filesForPartitions(values))
+
+  /** The file list [[readPartitions]] would open — exposed so specs
+    * (and monitoring) can pin scan-pruning ratios. */
+  private[graft] def filesForPartitions(values: Seq[Any]): Seq[String] = {
+    val wanted = values.map(v => s"$PartDir=$v").toSet
+    latestManifest().map(_._2.values.flatten.toSeq.filter { f =>
+      f.split('/').find(_.startsWith(s"$PartDir=")).forall(wanted.contains)
+    }).getOrElse(Nil)
+  }
+
+  /** Pruned keyed read: only the files of the buckets `probe`'s keys
+    * hash into. Sound for any per-key lookup AND for anti-joins of
+    * probe-vs-snapshot: a snapshot key outside the probed buckets
+    * cannot equal any probe key (same hash, same modulus). At a
+    * billions-row snapshot a k-key probe opens ≤min(k, buckets)
+    * buckets instead of every live file. */
+  def readForKeys(probe: DataFrame): Option[DataFrame] =
+    latestRaw().flatMap(m => readFiles(filesForKeys(probe, m)))
+
+  private[graft] def filesForKeys(probe: DataFrame): Seq[String] =
+    latestRaw().map(filesForKeys(probe, _)).getOrElse(Nil)
+
+  private def filesForKeys(probe: DataFrame, m: Manifest): Seq[String] = {
+    val bc = m.recordedBuckets.getOrElse(buckets)
+    val touched = withBucket(probe.select(key).distinct(), bc)
+      .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    touched.toSeq.sorted.flatMap(m.mapping.getOrElse(_, Nil))
+  }
 
   /** Committed versions currently on disk, oldest first (shrinks as
     * [[vacuum]] retires old manifests). */
@@ -175,10 +286,16 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
 
   /** Full overwrite: new data files + new manifest listing only them
     * (the whole layout is replaced, so the constructor's bucket count
-    * takes effect). */
+    * and partition column take effect). */
   def overwrite(df: DataFrame): Unit = {
-    val v = latestRaw().map(_._1).getOrElse(0L)
-    commit(v + 1, buckets, writeData(withBucket(df)))
+    val files = writeData(withPart(withBucket(df), partitionCol), partitionCol)
+    // data files are version-independent (immutable, unique dir); only
+    // the version number races, so a conflict retries the commit alone
+    withConflictRetry {
+      val v = latestRaw().map(_.version).getOrElse(0L)
+      onBeforeCommit()
+      commit(v + 1, buckets, files, partitionCol)
+    }
   }
 
   /** UPSERT: rows in `df` replace snapshot rows with the same key; all
@@ -187,20 +304,34 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     * (the touched-bucket list is a ≤`buckets`-element driver collect),
     * merges with one key-partitioned anti-join + union, writes new
     * files for those buckets, and publishes a manifest that reuses
-    * every untouched bucket's existing files verbatim. */
-  def upsert(df: DataFrame): Unit = latestRaw() match {
+    * every untouched bucket's existing files verbatim.
+    *
+    * Concurrent writers: the manifest publish detects a lost race and
+    * the whole merge re-runs against the winner's state (bounded
+    * attempts, capped backoff) — two interleaved upserts BOTH land, in
+    * some serial order, instead of the loser failing. The loser's
+    * first-attempt data files become unreferenced orphans that
+    * [[vacuum]] reclaims. */
+  def upsert(df: DataFrame): Unit = withConflictRetry(upsertOnce(df))
+
+  private def upsertOnce(df: DataFrame): Unit = latestRaw() match {
     case None => overwrite(df)
-    case Some((v, recorded, mapping)) =>
+    case Some(m) =>
       // hash with the count the snapshot was WRITTEN with — a store
-      // opened with a different constructor value must not re-bucket
-      val bc = recorded.getOrElse(buckets)
-      val incoming = withBucket(df, bc)
+      // opened with a different constructor value must not re-bucket.
+      // Same for the partition column: the RECORDED layout wins (an
+      // unpartitioned snapshot may predate the column entirely);
+      // migrating the layout is an explicit overwrite()/compact-cycle,
+      // never a silent per-upsert drift.
+      val bc = m.recordedBuckets.getOrElse(buckets)
+      val pcol = m.recordedPcol
+      val incoming = withPart(withBucket(df, bc), pcol)
       val touched = incoming.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
-      val merged = readFiles(touched.toSeq.sorted.flatMap(mapping.getOrElse(_, Nil))) match {
+      val merged = readFiles(touched.toSeq.sorted.flatMap(m.mapping.getOrElse(_, Nil))) match {
         case None => incoming
         case Some(existing) =>
-          val kept = withBucket(existing, bc)
+          val kept = withPart(withBucket(existing, bc), pcol)
             .join(df.select(key).distinct(), Seq(key), "left_anti")
           // schema evolution: a column the incoming frame adds (e.g. a
           // later code version's batch_id) must land in the snapshot,
@@ -208,27 +339,39 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
           // columns would silently drop it forever
           kept.unionByName(incoming, allowMissingColumns = true)
       }
-      commit(v + 1, bc, (mapping -- touched) ++ writeData(merged))
+      val files = writeData(merged, pcol)
+      onBeforeCommit()
+      commit(m.version + 1, bc, (m.mapping -- touched) ++ files, pcol)
   }
 
   /** Rewrite every bucket whose live file list exceeds
-    * `maxFilesPerBucket` into ONE file and publish a new manifest —
-    * the small-file countermeasure for continuously maintained
-    * snapshots. A streaming upsert ([[upsert]] per micro-batch) writes
-    * each touched bucket as parallel part files, so N batches leave
-    * O(tasks) live files per hot bucket; every reader then pays that
-    * open/footer cost forever. Compaction is layout-only: rows are
-    * untouched (the merge is a read + union), readers of older
-    * versions keep their pinned file lists (snapshot isolation), and
-    * the superseded files become vacuum food. Each over-split bucket
-    * lands in exactly one partition (repartition on the bucket column)
-    * so the rewrite emits exactly one file per bucket. Returns the
-    * number of buckets compacted. */
+    * `maxFilesPerBucket` into one file per (bucket, partition value)
+    * and publish a new manifest — the small-file countermeasure for
+    * continuously maintained snapshots. A streaming upsert ([[upsert]]
+    * per micro-batch) writes each touched bucket as parallel part
+    * files, so N batches leave O(tasks) live files per hot bucket;
+    * every reader then pays that open/footer cost forever. Compaction
+    * is layout-only: rows are untouched (the merge is a read + union),
+    * readers of older versions keep their pinned file lists (snapshot
+    * isolation), and the superseded files become vacuum food. Each
+    * over-split bucket lands in exactly one partition (repartition on
+    * the bucket column) so the rewrite emits exactly one file per
+    * bucket (per partition value when partitioned). Returns the number
+    * of buckets compacted. */
   def compact(maxFilesPerBucket: Int = 1): Int = latestRaw() match {
     case None => 0
-    case Some((v, recorded, mapping)) =>
-      val bc = recorded.getOrElse(buckets)
-      val fat = mapping.filter(_._2.size > maxFilesPerBucket)
+    case Some(m) =>
+      val bc = m.recordedBuckets.getOrElse(buckets)
+      val pcol = m.recordedPcol
+      // with a partition column the layout floor is one file per
+      // (bucket, partition value), so the threshold applies per value —
+      // judging the whole bucket would see every multi-value bucket as
+      // permanently fat and rewrite the store on every compaction
+      val fat = m.mapping.filter { case (_, files) =>
+        if (pcol.isEmpty) files.size > maxFilesPerBucket
+        else files.groupBy(_.split('/').find(_.startsWith(s"$PartDir=")).getOrElse(""))
+          .values.exists(_.size > maxFilesPerBucket)
+      }
       if (fat.isEmpty) 0
       else {
         // schema evolution must survive compaction exactly as it
@@ -239,7 +382,7 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
           .map(b => readFiles(fat(b)).get.withColumn(BucketCol, lit(b)))
           .reduce(_.unionByName(_, allowMissingColumns = true))
           .repartition(fat.size, col(BucketCol))
-        commit(v + 1, bc, mapping ++ writeData(merged))
+        commit(m.version + 1, bc, m.mapping ++ writeData(withPart(merged, pcol), pcol), pcol)
         fat.size
       }
   }
@@ -270,9 +413,11 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       for (entry <- fs.listStatus(new Path(path))) {
         val name = entry.getPath.getName
         if (entry.isDirectory && name.startsWith("data-")) {
-          for (bucketDir <- fs.listStatus(entry.getPath) if bucketDir.isDirectory;
-               f <- fs.listStatus(bucketDir.getPath)) {
-            val rel = s"$name/${bucketDir.getPath.getName}/${f.getPath.getName}"
+          val it = fs.listFiles(entry.getPath, true)
+          val prefix = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/") + "/"
+          while (it.hasNext) {
+            val f = it.next()
+            val rel = f.getPath.toUri.getPath.stripPrefix(prefix)
             if (f.getPath.getName.endsWith(".parquet") && !live.contains(rel) &&
                 f.getModificationTime < cutoff) {
               fs.delete(f.getPath, false); deleted += 1
@@ -288,17 +433,36 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   }
 
   /** Post-write validation (optimized_mysql_writer.py:180-220): every
-    * key written must be present in the snapshot. Returns the number
-    * of missing keys (0 = good). */
-  def validateWrite(written: DataFrame): Long =
-    written.select(key).distinct().join(keys(), Seq(key), "left_anti").count()
+    * key written must be present in the snapshot. Pruned: only the
+    * written keys' buckets are read, not the whole snapshot. Returns
+    * the number of missing keys (0 = good). */
+  def validateWrite(written: DataFrame): Long = {
+    val probe = written.select(key).distinct()
+    readForKeys(probe) match {
+      case None => probe.count()
+      case Some(snap) => probe.join(snap.select(key), Seq(key), "left_anti").count()
+    }
+  }
 
   /** Distinct keys currently in the snapshot (used by incremental-user
     * detection, scenario_scheduler.py:514-531). */
   def keys(): DataFrame = read() match {
     case Some(df) => df.select(key).distinct()
-    case None =>
-      import spark.implicits._
-      Seq.empty[Long].toDF(key)
+    case None => emptyKeys()
+  }
+
+  /** Distinct snapshot keys RESTRICTED to the buckets `probe`'s keys
+    * hash into — the right-hand side for "which probe keys are new?"
+    * anti-joins (incremental-user detection at scale): snapshot keys
+    * in other buckets can't match any probe key, so the anti-join
+    * result is identical while the scan is O(probed buckets). */
+  def keysFor(probe: DataFrame): DataFrame = readForKeys(probe) match {
+    case Some(df) => df.select(key).distinct()
+    case None => emptyKeys()
+  }
+
+  private def emptyKeys(): DataFrame = {
+    import spark.implicits._
+    Seq.empty[Long].toDF(key)
   }
 }

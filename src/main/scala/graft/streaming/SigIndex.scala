@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+
+/** Persistent near-duplicate signature index — the accumulated state of
+  * the streaming dedup paths ([[Streaming.dedupNearStream]] /
+  * [[Streaming.dedupNearEmbeddingStream]]) and the CDC corpus clean
+  * ([[graft.queries.PipelineQueries.corpusCleanIncremental]]).
+  *
+  * Two keyed [[graft.sources.SnapshotStore]]s under `dir`, laid out so
+  * every per-batch read is PRUNED instead of a full-index scan:
+  *
+  *  - `bands/` — one row per (doc, band): `(bk, <id>, band, h, hb,
+  *    batch_id)`, keyed by `bk = "<id>:<band>"`, PARTITIONED by
+  *    `hb = hash(band, h) % bandParts`. A micro-batch's candidate
+  *    lookup computes the same `hb` for its own band keys and opens
+  *    only those partitions' files — O(batch keys / bandParts) of the
+  *    store, not O(index). At 10⁹ indexed docs a small micro-batch
+  *    reads a few partitions of a few thousand, where the previous
+  *    single-store design re-read ~1 TB of signatures per batch.
+  *  - `sigs/` — one row per doc: `(<id>, sig, batch_id)`, keyed by the
+  *    id. Candidate verification fetches ONLY the candidate old ids'
+  *    key buckets ([[graft.sources.SnapshotStore.readForKeys]]).
+  *
+  * Splitting the stores keeps the (large) signature out of the
+  * per-band rows — duplicating a 128-long MinHash signature across 16
+  * band rows would grow the index 16×; here each store holds each
+  * datum once and each read path prunes on its own access key.
+  *
+  * Replay safety is unchanged from the single-store design: every row
+  * carries the `batch_id` that wrote it, readers exclude THIS batch's
+  * rows, and both upserts are keyed — an at-least-once re-delivery
+  * recomputes the same survivors and overwrites the same rows, even if
+  * the previous attempt crashed between the two store writes.
+  */
+final class SigIndex(spark: SparkSession, dir: String, idCol: String,
+                     idBuckets: Int = 32, bandParts: Int = 64) {
+
+  private[graft] val sigs =
+    new graft.sources.SnapshotStore(spark, s"$dir/sigs", key = idCol, buckets = idBuckets)
+  private[graft] val bands =
+    new graft.sources.SnapshotStore(spark, s"$dir/bands", key = "bk",
+      buckets = idBuckets, partitionCol = Some("hb"))
+
+  // hb is baked into the layout at write time: a reader MUST hash its
+  // probe keys with the same modulus or pruning silently misses
+  // candidates. Persist it once and verify on reopen — a mismatch is a
+  // configuration error, not a degraded mode.
+  private val metaPath = new Path(s"$dir/meta.txt")
+  private def fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def ensureMeta(): Unit =
+    if (!fs.exists(metaPath)) {
+      val tmp = new Path(s"$dir/.tmp-meta-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(s"bandParts=$bandParts\n".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, metaPath)
+    } else checkMeta()
+  private def checkMeta(): Unit =
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      val recorded = text.linesIterator.collectFirst {
+        case l if l.startsWith("bandParts=") => l.stripPrefix("bandParts=").toInt
+      }
+      require(recorded.forall(_ == bandParts),
+        s"index at $dir was written with bandParts=${recorded.get}, opened with $bandParts")
+    }
+  checkMeta()
+
+  private def hb(band: Column, h: Column): Column =
+    pmod(hash(band, h), lit(bandParts))
+
+  /** Rows written before batch_id existed (schema evolution nulls) are
+    * HISTORY, not this batch — a plain =!= would null-out and wrongly
+    * exclude them. */
+  private def excludeBatch(df: DataFrame, batchId: Long): DataFrame =
+    if (df.columns.contains("batch_id"))
+      df.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
+    else df
+
+  def exists: Boolean = sigs.exists
+
+  /** The full signature table (one row per indexed doc) — monitoring /
+    * spec surface, NOT the serving read path. */
+  def read(): Option[DataFrame] = sigs.read()
+
+  /** The band partitions a batch's keys hash into — the prune list
+    * [[candidates]] reads (exposed for spec/monitoring footprints). */
+  private[graft] def partsFor(bNew: DataFrame): Seq[Int] =
+    bNew.select(hb(col("band"), col("h")).as("hb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Historical candidate pairs for a batch: `(<id>, old_id)` sharing
+    * any (band, h) key, this batch's own (replayed) writes excluded.
+    * Opens only the batch keys' band partitions. `bNew` needs
+    * `(<id>, band, h)`. */
+  def candidates(bNew: DataFrame, batchId: Long): DataFrame =
+    bands.readPartitions(partsFor(bNew)) match {
+      case None => bNew.select(col(idCol), col(idCol).as("old_id")).limit(0)
+      case Some(hist0) =>
+        val hist = excludeBatch(hist0, batchId)
+        bNew.join(hist.select(col(idCol).as("old_id"), col("band"), col("h")),
+            Seq("band", "h"))
+          .filter(col("old_id") =!= col(idCol))
+          .select(idCol, "old_id").distinct()
+    }
+
+  /** Signatures of candidate old ids as `(old_id, old_sig)` — reads
+    * only the ids' key buckets. */
+  def sigsFor(oldIds: DataFrame, batchId: Long): DataFrame =
+    sigs.readForKeys(oldIds.select(col("old_id").as(idCol))) match {
+      // unreachable through the dedup paths (append writes sigs BEFORE
+      // bands, so a band row implies its sig row): a miss here means
+      // the store is corrupt — fail loudly, don't silently keep dups
+      case None => sys.error(s"sig index at $dir has band rows but no signatures")
+      case Some(df) => excludeBatch(df, batchId)
+        .select(col(idCol).as("old_id"), col("sig").as("old_sig"))
+    }
+
+  /** Append a batch's survivors (`(<id>, sig, bh)`) under `batchId`:
+    * keyed upserts into both stores — replays overwrite the same rows.
+    * A crash between the two writes is repaired by the replay for the
+    * same reason (both readers exclude the batch's own rows). */
+  def append(signed: DataFrame, batchId: Long): Unit = {
+    ensureMeta()
+    sigs.upsert(signed.select(col(idCol), col("sig"), lit(batchId).as("batch_id")))
+    bands.upsert(signed
+      .select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
+      .select(concat_ws(":", col(idCol), col("band")).as("bk"),
+        col(idCol), col("band"), col("h"),
+        hb(col("band"), col("h")).as("hb"), lit(batchId).as("batch_id")))
+  }
+
+  /** Compact both stores toward their layout floors (see
+    * [[graft.sources.SnapshotStore.compact]]); returns buckets
+    * compacted. Run periodically under continuous maintenance. */
+  def compact(maxFilesPerBucket: Int = 1): Int =
+    sigs.compact(maxFilesPerBucket) + bands.compact(maxFilesPerBucket)
+
+  /** Reclaim superseded files in both stores. */
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
+    sigs.vacuum(keepVersions, minAgeMs) + bands.vacuum(keepVersions, minAgeMs)
+}

@@ -125,14 +125,15 @@ object Streaming {
     *
     * State is the signature index, NOT the corpus: numPerm longs + band
     * keys per surviving doc (~1 KB/doc at 128 perms) — at 10⁹ docs
-    * that's ~1 TB of parquet, queried per batch through an equi-join on
-    * (band, hash), never scanned per doc. Signature-estimated Jaccard
+    * that's ~1 TB of parquet, and the per-batch read is PRUNED to the
+    * batch's band partitions + candidate sig buckets ([[SigIndex]]),
+    * never a scan of the index. Signature-estimated Jaccard
     * (matching components / numPerm) has stderr √(j(1−j)/128) ≈ 0.035:
     * planted ~0.99 near-dups and unrelated ~0.0 docs are both many
     * sigmas from a 0.8 threshold, so the estimator neither loses
     * unique docs nor keeps dups on this kind of corpus.
     */
-  def dedupNearStream(docs: DataFrame, index: graft.sources.SnapshotStore,
+  def dedupNearStream(docs: DataFrame, index: SigIndex,
                       sink: DataFrame => Unit, checkpoint: String,
                       textCol: String = "text", idCol: String = "doc_id",
                       minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 16,
@@ -159,7 +160,7 @@ object Streaming {
     * the pre-batch index state, reproduces the same survivor set
     * (everything here is deterministic), and the keyed upsert
     * overwrites the same rows — idempotent end to end. */
-  def dedupNearBatch(batch: DataFrame, index: graft.sources.SnapshotStore,
+  def dedupNearBatch(batch: DataFrame, index: SigIndex,
                      textCol: String, idCol: String, minJaccard: Double,
                      numPerm: Int, bands: Int, k: Int, batchId: Long): DataFrame = {
     import graft.dedup.Dedup
@@ -201,8 +202,7 @@ object Streaming {
     // (plus the unshingleable pass-throughs)
     val survivors = newDocs.localCheckpoint()
     if (!survivors.isEmpty)
-      index.upsert(survivors.select(col(idCol), col("sig"), col("bh"),
-        lit(batchId).as("batch_id")))
+      index.append(survivors.select(col(idCol), col("sig"), col("bh")), batchId)
     batch.join(
       survivors.select(idCol).unionByName(unshingleable.select(idCol)),
       Seq(idCol), "left_semi")
@@ -214,32 +214,33 @@ object Streaming {
     * two signature columns, ids at/above `threshold` dropped.
     * `signed` needs `(idCol, sig, bh)`; returns its surviving rows.
     *
-    * History excludes this batch's own prior (replayed) writes — and a
-    * null batch_id (rows written before the column existed, or
-    * null-filled by schema evolution) is HISTORY, not this batch: a
-    * plain =!= would null-out and wrongly exclude those rows. A doc is
-    * never deduped against itself. */
-  private def dropHistoryDups(signed: DataFrame, index: graft.sources.SnapshotStore,
+    * Both index reads are PRUNED ([[SigIndex]]): the candidate join
+    * opens only the batch keys' band partitions, and the signature
+    * fetch opens only the candidate ids' buckets — per-batch I/O is
+    * O(batch keys + candidates), not O(index). History excludes this
+    * batch's own prior (replayed) writes (see SigIndex.excludeBatch
+    * for the null-batch_id rule). A doc is never deduped against
+    * itself. */
+  private def dropHistoryDups(signed: DataFrame, index: SigIndex,
                               idCol: String, batchId: Long,
                               est: (Column, Column) => Column,
                               threshold: Double): DataFrame =
-    index.read() match {
-      case None => signed
-      case Some(hist0) =>
-        val hist = if (hist0.columns.contains("batch_id"))
-          hist0.filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
-        else hist0
-        val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
-        val bOld = hist.select(col(idCol).as("old_id"), posexplode(col("bh")).as(Seq("band", "h")))
-        val cand = bNew.join(bOld, Seq("band", "h"))
-          .filter(col("old_id") =!= col(idCol))
-          .select(idCol, "old_id").distinct()
+    if (!index.exists) signed
+    else {
+      val bNew = signed.select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
+      // pin the (small) candidate set: it feeds the sig fetch's bucket
+      // probe AND the verify join — without the checkpoint the pruned
+      // band read would re-run for each
+      val cand = index.candidates(bNew, batchId).localCheckpoint()
+      if (cand.isEmpty) signed
+      else {
         val dupIds = cand
           .join(signed.select(col(idCol), col("sig")), Seq(idCol))
-          .join(hist.select(col(idCol).as("old_id"), col("sig").as("old_sig")), Seq("old_id"))
+          .join(index.sigsFor(cand.select("old_id"), batchId), Seq("old_id"))
           .filter(est(col("sig"), col("old_sig")) >= threshold)
           .select(col(idCol)).distinct()
         signed.join(dupIds, Seq(idCol), "left_anti")
+      }
     }
 
   /** Streaming EMBEDDING near-dup dedup against all history — the
@@ -259,7 +260,7 @@ object Streaming {
     * at cos ≤ 0.5 estimates ≤ 0.65 at +3σ — both many sigmas from a
     * 0.8-0.85 threshold, so the estimator neither drops unique
     * vectors nor keeps dups in the near-dup regime this operates in. */
-  def dedupNearEmbeddingStream(vectors: DataFrame, index: graft.sources.SnapshotStore,
+  def dedupNearEmbeddingStream(vectors: DataFrame, index: SigIndex,
                                sink: DataFrame => Unit, checkpoint: String,
                                vecCol: String = "vec", idCol: String = "id",
                                minCosine: Double = 0.85, dim: Int = 64,
@@ -281,7 +282,7 @@ object Streaming {
     * batch's own (replayed) writes, so at-least-once foreachBatch
     * delivery reproduces the same survivor set and the keyed upsert
     * overwrites the same rows. */
-  def dedupNearEmbeddingBatch(batch: DataFrame, index: graft.sources.SnapshotStore,
+  def dedupNearEmbeddingBatch(batch: DataFrame, index: SigIndex,
                               vecCol: String, idCol: String, minCosine: Double,
                               dim: Int, bands: Int, bitsPerBand: Int,
                               seed: Long, batchId: Long): DataFrame = {
@@ -323,8 +324,7 @@ object Streaming {
 
     val survivors = newVecs.localCheckpoint()
     if (!survivors.isEmpty)
-      index.upsert(survivors.select(col(idCol), col("sig"), col("bh"),
-        lit(batchId).as("batch_id")))
+      index.append(survivors.select(col(idCol), col("sig"), col("bh")), batchId)
     batch.join(survivors.select(idCol), Seq(idCol), "left_semi")
   }
 

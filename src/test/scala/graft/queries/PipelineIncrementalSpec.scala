@@ -47,7 +47,7 @@ class PipelineIncrementalSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "doc_id")
+    val index = new graft.streaming.SigIndex(spark, s"$base/index", idCol = "doc_id")
 
     val batch1 = Seq(
       (1L, "en", prose("heron")),

@@ -61,6 +61,29 @@ class PqIndexSpec extends SparkSpec {
       s"the planted copy must be the top hit through the rotated encode path, got $got")
   }
 
+  test("topK scans only the probed cells' files, results identical to the full scan") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_prune").toString
+    val index = new PqIndex(spark, s"$base/idx") // nCells = 16, nProbe = 4
+    index.build(corpus)
+    val (model, coarse) = index.models()
+    // a small serve batch probes few cells — the realistic serving shape
+    val batch = queries.limit(2)
+    val cells = Pq.probeCells(batch, model, coarse, nProbe = 4)
+    assert(cells.size <= 8 && cells.size < coarse.nCells,
+      s"2 queries × 4 probes must not touch every cell, got $cells")
+    val (opened, live) = index.scanFootprint(cells)
+    assert(opened > 0 && opened < live,
+      s"probe must prune the codes scan: opened $opened of $live live files")
+    // pruning is I/O-only: identical rows to a search over the FULL table
+    val store = new graft.sources.SnapshotStore(spark, s"$base/idx/codes", key = "neighbor_id")
+    val full = Pq.searchCodes(batch, store.read().get.select("neighbor_id", "cell", "codes", "cn"),
+      SimilarityQueries.K, model, coarse, nProbe = 4)
+    assert(rows(index.topK(batch, SimilarityQueries.K)) == rows(full),
+      "cell-pruned serving must be bit-identical to the unpruned search")
+  }
+
   test("a tiny index (nCells < default nProbe) stays searchable: probe clamps to all cells") {
     val s = spark
     import s.implicits._
@@ -126,8 +149,10 @@ class PqIndexSpec extends SparkSpec {
     def topIds() = rows(index.topK(probe.toSeq.toDF("id", "vec"), 5))
 
     // 6 micro-batches of fresh vectors, auto-compacting every 2: live
-    // file count must stay bounded by the bucket count instead of
-    // growing with the batch count
+    // file count must stay bounded by the LAYOUT FLOOR — one file per
+    // (key bucket, cell partition) — instead of growing with the batch
+    // count (the codes store is cell-partitioned for probe pruning, so
+    // the floor is buckets × nCells, not buckets)
     val vecs = corpus.limit(40).collect().map(_.getSeq[Float](1).toArray)
     val input = MemoryStream[(Long, Array[Float])]
     val q = index.maintainStream(input.toDF().toDF("id", "vec"), s"$base/ckpt", compactEvery = 2)
@@ -140,7 +165,8 @@ class PqIndexSpec extends SparkSpec {
     }
     q.stop()
     val live = store.liveFileCount
-    assert(live <= 32, s"6 maintained batches must stay compacted (<= bucket count files), got $live")
+    assert(live <= 32 * 16,
+      s"6 maintained batches must stay compacted (<= buckets × cells files), got $live")
     // every streamed id still present exactly once
     val streamed = store.read().get.filter(col("neighbor_id") >= 930000L)
       .select("neighbor_id").collect().map(_.getLong(0))

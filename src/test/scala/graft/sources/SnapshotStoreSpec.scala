@@ -175,6 +175,86 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(reopened.read().get.count() == 50)
   }
 
+  test("partitioned layout: readPartitions opens only the requested values' files") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_pcol").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, key = "id", buckets = 4,
+      partitionCol = Some("cell"))
+    store.overwrite((1L to 100L).map(i => (i, (i % 8).toInt, s"v$i")).toDF("id", "cell", "v"))
+
+    val files2 = store.filesForPartitions(Seq(2))
+    assert(files2.nonEmpty && files2.size < store.liveFileCount,
+      s"a one-value probe must open a strict subset: ${files2.size} of ${store.liveFileCount}")
+    assert(files2.forall(_.contains("snap_part=2/")),
+      s"pruned list must only hold the requested value's files, got $files2")
+    // the partition column survives as DATA (layout uses a copy), and
+    // the pruned read returns exactly the requested value's rows
+    val got = store.readPartitions(Seq(2, 5)).get
+    assert(got.columns.contains("cell"))
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 100L).filter(i => i % 8 == 2 || i % 8 == 5))
+
+    // upsert through a handle OPENED WITHOUT the partition column: the
+    // RECORDED layout wins — pruning must keep working afterwards
+    val reopened = new SnapshotStore(spark, dir, key = "id", buckets = 4)
+    reopened.upsert(Seq((10L, 2, "updated")).toDF("id", "cell", "v"))
+    val after = reopened.readPartitions(Seq(2)).get
+    assert(after.filter(col("id") === 10L).select("v").head().getString(0) == "updated")
+    assert(reopened.filesForPartitions(Seq(2)).forall(_.contains("snap_part=2/")),
+      "post-upsert files must still carry the partition layout")
+    assert(reopened.read().get.count() == 100)
+  }
+
+  test("readForKeys/keysFor/validateWrite open only the probed keys' buckets") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_keyed").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 8)
+    store.overwrite((1L to 200L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+
+    val probe = Seq(5L, 6L).toDF("user_id")
+    val opened = store.filesForKeys(probe)
+    assert(opened.nonEmpty && opened.size < store.liveFileCount,
+      s"a 2-key probe must open a strict subset of buckets: ${opened.size} of ${store.liveFileCount}")
+    val got = store.readForKeys(probe).get
+    assert(got.filter(col("user_id").isin(5L, 6L)).count() == 2)
+
+    // the anti-join contract: "which probe keys are new" is identical
+    // against the pruned keysFor() and the full keys()
+    val mixed = Seq(5L, 6L, 901L, 902L).toDF("user_id")
+    def newOnes(right: org.apache.spark.sql.DataFrame) =
+      mixed.join(right, Seq("user_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+    assert(newOnes(store.keysFor(mixed)) == Set(901L, 902L))
+    assert(newOnes(store.keysFor(mixed)) == newOnes(store.keys()))
+
+    assert(store.validateWrite(Seq((5L, "v5")).toDF("user_id", "v")) == 0L)
+    assert(store.validateWrite(Seq((999L, "x")).toDF("user_id", "v")) == 1L)
+  }
+
+  test("two interleaved upserts both land: the loser re-merges and retries") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_retry").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite(Seq((1L, "a"), (2L, "b")).toDF("user_id", "v"))
+    val other = new SnapshotStore(spark, dir, buckets = 4)
+    // deterministic race: a competing writer publishes in the window
+    // between this writer's merge and its manifest commit, exactly once
+    var fired = false
+    store.onBeforeCommit = () =>
+      if (!fired) { fired = true; other.upsert(Seq((2L, "concurrent")).toDF("user_id", "v")) }
+    try store.upsert(Seq((1L, "mine")).toDF("user_id", "v"))
+    finally store.onBeforeCommit = () => ()
+    assert(fired, "the race hook must have fired")
+    val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "mine", 2L -> "concurrent"),
+      s"both writers' rows must land (loser re-merged against the winner), got $got")
+    // three committed versions: base, winner, retried loser
+    assert(store.versions().size == 3, s"expected 3 versions, got ${store.versions()}")
+  }
+
   test("upsert inserts unseen keys and validateWrite sees them") {
     val s = spark
     import s.implicits._

@@ -67,7 +67,7 @@ class PipelineE2ESpec extends SparkSpec {
       opq = true)
     pqIndex.build((9000L until 9020L).map(i => (i, mkVec(i))).toDF("id", "vec"))
 
-    val sigIndex = new graft.sources.SnapshotStore(spark, s"$base/sig", key = "doc_id")
+    val sigIndex = new SigIndex(spark, s"$base/sig", idCol = "doc_id")
 
     // stage 1 — raw docs stream through the incremental clean; each
     // micro-batch's survivors land (id, vec) in the survivor feed
@@ -89,7 +89,7 @@ class PipelineE2ESpec extends SparkSpec {
 
     // stage 2 — text-survivors flow through the EMBEDDING near-dup
     // stream; its survivors land in the feed the index maintains
-    val embIndex = new graft.sources.SnapshotStore(spark, s"$base/embsig", key = "id")
+    val embIndex = new SigIndex(spark, s"$base/embsig", idCol = "id")
     val embQ = Streaming.dedupNearEmbeddingStream(
       spark.readStream.schema(survivorSchema).parquet(survivorsDir), embIndex,
       df => df.write.mode("append").parquet(embSurvivorsDir),

@@ -101,7 +101,7 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_neardup").toString
-    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "doc_id")
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
     val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
     val textB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
     val textC = "entirely different content about completely other subjects and various unrelated things here"
@@ -131,7 +131,7 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
-    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "doc_id")
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
     val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
     val textB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
     val batch = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
@@ -152,7 +152,7 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_embdup").toString
-    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "id")
+    val index = new SigIndex(spark, s"$base/index", idCol = "id")
     val dim = 64
     import graft.VecFixtures.{unit => unitV, nearDup}
     def unit(seed: Long): Array[Float] = unitV(dim, seed)
@@ -183,7 +183,7 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_embreplay").toString
-    val index = new graft.sources.SnapshotStore(spark, s"$base/index", key = "id")
+    val index = new SigIndex(spark, s"$base/index", idCol = "id")
     val dim = 64
     def unit(seed: Long): Array[Float] = graft.VecFixtures.unit(dim, seed)
     val batch = Seq((1L, unit(1)), (2L, unit(2))).toDF("id", "vec")
@@ -195,6 +195,39 @@ class StreamingSpec extends SparkSpec {
     // a later batch still dedups against batch 7's history (identical
     // vector -> hamming 0 -> est_cos 1.0)
     assert(run(Seq((3L, unit(1))).toDF("id", "vec"), 8L) == Set.empty[Long])
+  }
+
+  test("near-dup history probe opens only the batch's band partitions, not the index") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_sigprune").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    // 12 accumulated docs spread signature rows over most of the 64
+    // band partitions (12 docs × 16 bands = 192 keys)
+    def doc(i: Long) = (i, (1 to 20).map(w => s"w${i}_$w").mkString(" "))
+    for (b <- 0 until 4) {
+      val batch = (0 until 3).map(j => doc(b * 3 + j)).toDF("doc_id", "text")
+      Streaming.dedupNearBatch(batch, index, "text", "doc_id", 0.8, 128, 16, 3, batchId = b)
+    }
+    // the band keys of ONE new doc: at most 16 of 64 partitions
+    val signed = Seq(doc(99L)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 128).as("sig"))
+      .withColumn("bh", Dedup.bandHashes(col("sig"), 16, 8))
+    val bNew = signed.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val parts = index.partsFor(bNew)
+    assert(parts.size <= 16, s"one doc has at most 16 band keys, got ${parts.size} partitions")
+    val opened = index.bands.filesForPartitions(parts).size
+    val live = index.bands.liveFileCount
+    assert(opened > 0 && opened < live,
+      s"history probe must open a strict subset of the band store: $opened of $live files")
+    // the layout modulus is pinned: reopening with a different
+    // bandParts would silently mis-prune, so it must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      new SigIndex(spark, s"$base/index", idCol = "doc_id", bandParts = 32)
+    }
+    assert(e.getMessage.contains("bandParts"))
   }
 
   test("streaming sessionize: open session held in state, closed on later event") {
