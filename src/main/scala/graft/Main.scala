@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main full users=1,7,13      # user subset
   * }}}
   *
+  * The LLM-pipeline half is operable from the same entry point — the
+  * scheduler surface the reference gives its tag jobs, extended to the
+  * data-curation jobs this engine adds:
+  * {{{
+  *   runMain graft.Main corpus-clean in=<docs.parquet> index=<dir> out=<dir> batch=<id>
+  *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=16 opq=true]
+  *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
+  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [k=10 probe=4]
+  * }}}
+  * `corpus-clean` is the CDC-incremental clean: each invocation dedups
+  * the new docs against the accumulated [[graft.streaming.SigIndex]]
+  * and appends the survivors' signatures — nightly delta runs compose
+  * exactly like the incremental tag runs. Vector frames default to
+  * `(id, vec)` columns; override with `idcol=` / `veccol=`.
+  *
   * Unlike the reference — which runs one Spark job per rule and eagerly
   * counts each result (tag_computer.py:60) — every run here is: one
   * scan per source table, one merge shuffle, one upsert, regardless of
@@ -39,11 +54,13 @@ object Main {
       missingAfterWrite: Long,
       durationSec: Double)
 
+  private val PipelineCommands = Set("corpus-clean", "index-build", "index-add", "index-search")
+
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
     val spark = cfg.session()
-    val stats = run(spark, cfg, args.toSeq)
-    println(statsJson(stats))
+    if (args.headOption.exists(PipelineCommands)) println(pipelineJson(runPipeline(spark, args.toSeq)))
+    else println(statsJson(run(spark, cfg, args.toSeq)))
     spark.stop()
   }
 
@@ -99,9 +116,12 @@ object Main {
 
     // incremental = only users absent from the snapshot
     // (main_scheduler.run_incremental_compute); a tag subset merges
-    // with existing tags so out-of-scope tags survive
+    // with existing tags so out-of-scope tags survive. keysFor prunes
+    // the snapshot side to the buckets this run's users hash into —
+    // a small nightly delta probes a few buckets of a billions-row
+    // snapshot instead of scanning every live file
     val scopedUsers =
-      if (command == "incremental") profiles.join(store.keys(), Seq("user_id"), "left_anti")
+      if (command == "incremental") profiles.join(store.keysFor(profiles), Seq("user_id"), "left_anti")
       else profiles
     val result = (tagScope, store.read()) match {
       case (Some(_), Some(existing)) =>
@@ -134,6 +154,66 @@ object Main {
       missingAfterWrite = missing,
       durationSec = (System.nanoTime() - t0) / 1e9)
   }
+
+  final case class PipelineStats(command: String, rowsIn: Long, rowsOut: Long,
+                                 durationSec: Double)
+
+  /** One pipeline job; separated from `main` so specs drive it
+    * directly. Commands mirror the tag runner's style: positional
+    * command, `k=v` options. */
+  def runPipeline(spark: org.apache.spark.sql.SparkSession, args: Seq[String]): PipelineStats = {
+    val t0 = System.nanoTime()
+    val command = args.head
+    val opts = args.tail.filter(_.contains("=")).map { a =>
+      val Array(k, v) = a.split("=", 2); k -> v
+    }.toMap
+    def req(k: String): String =
+      opts.getOrElse(k, sys.error(s"$command requires $k=<...>"))
+    def vectors(path: String): DataFrame =
+      spark.read.parquet(path).select(
+        col(opts.getOrElse("idcol", "id")).as("id"),
+        col(opts.getOrElse("veccol", "vec")).as("vec"))
+    def pqIndex(dir: String) = new graft.similarity.PqIndex(spark, dir,
+      dim = opts.getOrElse("dim", "64").toInt,
+      m = opts.getOrElse("m", "8").toInt,
+      k = opts.getOrElse("k", "16").toInt,
+      nCells = opts.getOrElse("cells", "16").toInt,
+      nProbe = opts.getOrElse("probe", "4").toInt,
+      opq = opts.getOrElse("opq", "false").toBoolean)
+    def done(rowsIn: Long, rowsOut: Long) =
+      PipelineStats(command, rowsIn, rowsOut, (System.nanoTime() - t0) / 1e9)
+
+    command match {
+      case "corpus-clean" =>
+        val docs = spark.read.parquet(req("in"))
+        val index = new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
+        val kept = graft.queries.PipelineQueries.corpusCleanIncremental(
+          docs, index, opts.getOrElse("batch", "0").toLong).localCheckpoint()
+        kept.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), kept.count())
+      case "index-build" =>
+        val corpus = vectors(req("in"))
+        pqIndex(req("index")).build(corpus)
+        val n = corpus.count()
+        done(n, n)
+      case "index-add" =>
+        val delta = vectors(req("in"))
+        pqIndex(req("index")).add(delta)
+        val n = delta.count()
+        done(n, n)
+      case "index-search" =>
+        val queries = vectors(req("in"))
+        val hits = pqIndex(req("index"))
+          .topK(queries, opts.getOrElse("topk", "10").toInt).localCheckpoint()
+        hits.write.mode("overwrite").parquet(req("out"))
+        done(queries.count(), hits.count())
+      case other => sys.error(s"unknown pipeline command: $other")
+    }
+  }
+
+  private def pipelineJson(p: PipelineStats): String =
+    s"""{"command":"${p.command}","rows_in":${p.rowsIn},"rows_out":${p.rowsOut},""" +
+      s""""duration_sec":${p.durationSec}}"""
 
   private def argIds(args: Seq[String], prefix: String): Option[Seq[Long]] =
     args.find(_.startsWith(prefix))

@@ -100,6 +100,60 @@ class MainSpec extends SparkSpec {
     assert(stats.perTagHits.keySet == Set(1, 2), "flaky table's tag must not appear")
   }
 
+  test("pipeline subcommands: incremental corpus-clean, index build/add/search e2e") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_pipe").toString
+    // quality-passing prose (see PipelineIncrementalSpec): stopword-rich,
+    // topic-derived every 3rd word so distinct topics share no shingles
+    def prose(topic: String): String =
+      (1 to 56).map { i =>
+        if (i % 3 == 0) s"$topic$i"
+        else Seq("the", "and", "of", "to", "in", "is", "it", "that")(i % 8)
+      }.mkString(" ")
+
+    // nightly delta 0: two clean docs
+    Seq((1L, "en", prose("heron")), (2L, "en", prose("otter")))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/docs0.parquet")
+    val run0 = Main.runPipeline(spark, Seq("corpus-clean",
+      s"in=$base/docs0.parquet", s"index=$base/sig", s"out=$base/clean0", "batch=0"))
+    assert(run0.rowsIn == 2 && run0.rowsOut == 2)
+
+    // nightly delta 1: a near-dup of a delta-0 doc (dropped via the
+    // signature index), a fresh doc, and junk below the quality floor
+    Seq((3L, "en", prose("heron") + " extra"),
+        (4L, "en", prose("falcon")),
+        (5L, "en", "ZZZZ!!! @@@@ 9999 ####"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/docs1.parquet")
+    val run1 = Main.runPipeline(spark, Seq("corpus-clean",
+      s"in=$base/docs1.parquet", s"index=$base/sig", s"out=$base/clean1", "batch=1"))
+    assert(run1.rowsIn == 3 && run1.rowsOut == 1)
+    assert(spark.read.parquet(s"$base/clean1")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+
+    // index lifecycle over the CLI: build on a base corpus, add a
+    // delta, search — the planted copy must come back rank 1
+    val dim = 16
+    def vec(seed: Long) = graft.VecFixtures.unit(dim, seed)
+    (1L to 30L).map(i => (i, vec(i))).toDF("id", "vec")
+      .write.parquet(s"$base/corpus.parquet")
+    val built = Main.runPipeline(spark, Seq("index-build",
+      s"in=$base/corpus.parquet", s"index=$base/idx", s"dim=$dim", "cells=4", "m=4"))
+    assert(built.rowsIn == 30)
+    Seq((800L, vec(2))).toDF("id", "vec").write.parquet(s"$base/delta.parquet")
+    Main.runPipeline(spark, Seq("index-add",
+      s"in=$base/delta.parquet", s"index=$base/idx", s"dim=$dim", "cells=4", "m=4"))
+    Seq((901L, vec(2))).toDF("id", "vec").write.parquet(s"$base/queries.parquet")
+    val searched = Main.runPipeline(spark, Seq("index-search",
+      s"in=$base/queries.parquet", s"index=$base/idx", s"out=$base/hits",
+      s"dim=$dim", "cells=4", "m=4", "topk=3"))
+    assert(searched.rowsOut == 3)
+    val top = spark.read.parquet(s"$base/hits").filter(col("rank") === 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(top == 800L || top == 2L,
+      s"the query's identical vector (id 2, CLI-added copy 800) must rank first, got $top")
+  }
+
   test("data-quality report frame carries per-column null rates") {
     val s = spark
     import s.implicits._
