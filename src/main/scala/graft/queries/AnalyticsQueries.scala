@@ -292,18 +292,23 @@ object AnalyticsQueries {
       .agg(countDistinct(col("user_id")).as("n_active"))
 
   /** The 100 TB swap for [[eventsCohorts]]: HyperLogLog++
-    * `approx_count_distinct` (relative sd 1%) instead of exact
-    * `countDistinct`. The exact form expands each (cohort, offset)
-    * group to its full distinct-user set before counting — a
-    * two-stage shuffle carrying every (group, user) pair; the HLL
-    * sketch is a fixed ~KB register set per group that map-side
-    * combines like any aggregate, so shuffle volume is groups, not
-    * users. Error band vs the exact twin pinned in AnalyticsSpec;
-    * rows-only gate entry (HLL registers are engine-specific). */
-  def eventsCohortsApprox(spark: SparkSession, dir: String): DataFrame =
+    * `approx_count_distinct` instead of exact `countDistinct`. The
+    * exact form expands each (cohort, offset) group to its full
+    * distinct-user set before counting — a two-stage shuffle carrying
+    * every (group, user) pair; the HLL sketch is a fixed register set
+    * per group that map-side combines like any aggregate, so shuffle
+    * volume is groups, not users. `rsd` is the caller's
+    * accuracy/register-size dial: the 0.02 default costs ~6 KB per
+    * group (rsd 1% would be ~26 KB — register cost dominates when the
+    * group count is small, so dashboards should not buy more accuracy
+    * than they read). Error band vs the exact twin pinned in
+    * AnalyticsSpec; rows-only gate entry (HLL registers are
+    * engine-specific). */
+  def eventsCohortsApprox(spark: SparkSession, dir: String,
+                          rsd: Double = 0.02): DataFrame =
     cohortGrid(spark, dir)
       .groupBy("cohort_week", "weeks_since")
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_active"))
+      .agg(approx_count_distinct(col("user_id"), rsd = rsd).as("n_active"))
 
   /** RFM segmentation — the classic user-scoring rollup a tag
     * warehouse feeds into wealth/activity tags: per-user recency
@@ -462,7 +467,7 @@ object AnalyticsQueries {
     "events_sliding" -> (eventsSliding _),
     "user_rfm" -> (userRfm _),
     "events_cohorts" -> (eventsCohorts _),
-    "events_cohorts_approx" -> (eventsCohortsApprox _),
+    "events_cohorts_approx" -> ((s: SparkSession, d: String) => eventsCohortsApprox(s, d)),
     "asof_join_events_orders" -> (asofJoinEventsOrders _))
 
   private def dsumSql(e: String): String =

@@ -168,6 +168,54 @@ class SimilaritySpec extends SparkSpec {
       f"the learned rotation must not hurt the composed chain: $composedRecall%.3f < $plainRecall%.3f")
   }
 
+  test("dim-256 embeddings: full OPQ+IVF-PQ chain fits, round-trips, retrieves exact copies") {
+    // the rest of the ANN suite runs at the testdata's dim 64; real
+    // embedding models emit 256-4096 dims, and three costs move with
+    // dim: the OPQ fit (driver-side 256×256 Procrustes SVD per
+    // iteration), the models.txt sidecar (dim² rotation floats), and
+    // the codegen expressions' per-row work (subDim 32 inner loops).
+    // This pins all three at 256 so the "works on real models" claim
+    // is tested, not assumed.
+    val s = spark
+    import s.implicits._
+    val dim = 256
+    // decaying spectrum (axis-aligned anisotropy): realistic energy
+    // concentration without an O(dim²)-per-vector mixing loop in test code
+    def mkVec(id: Long): Array[Float] = {
+      val r2 = new scala.util.Random(id * 911382323L + 3)
+      Array.tabulate(dim)(d => (r2.nextGaussian() * math.pow(0.985, d)).toFloat)
+    }
+    val corpus = (0L until 1200L).map(i => (i, mkVec(i))).toDF("id", "vec")
+    // each query carries an exact copy of a corpus vector under a new id
+    val queries = (0L until 1200L by 60).map(i => (5000L + i, mkVec(i))).toDF("id", "vec")
+    val base = java.nio.file.Files.createTempDirectory("graft_dim256").toString
+    val t0 = System.nanoTime()
+    val index = new PqIndex(spark, s"$base/idx", dim = dim, m = 8, k = 16,
+      nCells = 16, nProbe = 4, opq = true)
+    index.build(corpus)
+    val fitSec = (System.nanoTime() - t0) / 1e9
+    info(f"dim-256 OPQ+IVF-PQ build (OPQ fit incl. 8 driver SVDs + full encode): $fitSec%.1f s")
+    assert(fitSec < 120.0, f"dim-256 fit must stay interactive, took $fitSec%.1f s")
+    // sidecar round-trip at dim²-sized rotation; subDim scaled with dim
+    val (model, _, rot) = index.modelsWithRotation()
+    assert(model.subDim == 32 && rot.get.length == dim * dim)
+    for (i <- 0 until dim by 37; j <- 0 until dim by 37) {
+      val dot = (0 until dim).map(t => rot.get(i * dim + t).toDouble * rot.get(j * dim + t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-3,
+        s"persisted rotation must stay orthogonal at ($i,$j)")
+    }
+    // codegen correctness at subDim 32: the exact copy must rank first
+    // through the rotated encode + probe path for (nearly) every query
+    // (unrelated 256-dim gaussian cosines are ~0.06σ — a miss means a
+    // broken buffer/stride, not noise)
+    val top1 = index.topK(queries, 5).filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = top1.count { case (q, n) => n == q - 5000L }
+    assert(hits >= top1.size - 1,
+      s"exact copies must dominate rank 1 at dim 256: $hits of ${top1.size}")
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
