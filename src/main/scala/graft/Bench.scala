@@ -27,7 +27,13 @@ object Bench {
     val loadAtStart =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val spark = Sessions.local(cpus)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run — scaling
+    // experiments above sf1 exclude the documented-quadratic exact
+    // baselines, which would otherwise dominate the run by design
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // untimed warmup: JVM/codegen/parquet-reader paths on the tiny SF
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)

@@ -172,7 +172,19 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   private def writeData(bucketed: DataFrame, pcol: Option[String]): Map[Int, Seq[String]] = {
     val dataDir = s"data-${java.util.UUID.randomUUID}"
     val layoutCols = BucketCol +: (if (pcol.isDefined) Seq(PartDir) else Nil)
-    bucketed.write.partitionBy(layoutCols: _*).parquet(s"$path/$dataDir")
+    // cluster the write by the layout key when a partition column is
+    // in play: partitionBy fans each task out to every (bucket, value)
+    // dir it holds rows for, so an unshuffled bulk load writes
+    // tasks × dirs files (measured: a 450k-doc band-store seed began
+    // writing ~65k small files). One exchange keyed on the layout
+    // writes exactly one file per populated (bucket, value) — the
+    // same price every clustered table write pays. Without a
+    // partition column the dir count equals the touched buckets and
+    // the fan-out is already bounded; compact() handles the rest.
+    val clustered =
+      if (pcol.isDefined) bucketed.repartition(col(BucketCol), col(PartDir))
+      else bucketed
+    clustered.write.partitionBy(layoutCols: _*).parquet(s"$path/$dataDir")
     val out = scala.collection.mutable.Map.empty[Int, Vector[String]]
     val it = fs.listFiles(new Path(s"$path/$dataDir"), true)
     val prefix = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/") + "/"

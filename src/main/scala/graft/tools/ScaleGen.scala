@@ -23,6 +23,10 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "bench_scratch/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // "corpus-only": documents + embeddings only — the sf10 scaling
+    // runs exercise the corpus/ANN paths and skip ~2 GB of relational
+    // amplification they never read
+    val corpusOnly = args.length > 3 && args(3) == "corpus-only"
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
 
@@ -36,16 +40,18 @@ object ScaleGen {
       union.repartition(32).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name x$copies")
     }
-    amplify("customer", Map("c_custkey" -> 1000000L))
-    amplify("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
-    amplify("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
-      "l_suppkey" -> 1000000L))
-    amplify("part", Map("p_partkey" -> 1000000L))
-    amplify("supplier", Map("s_suppkey" -> 1000000L))
-    amplify("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
-    for (t <- Seq("region", "nation"))
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    if (!corpusOnly) {
+      amplify("customer", Map("c_custkey" -> 1000000L))
+      amplify("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+      amplify("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L,
+        "l_suppkey" -> 1000000L))
+      amplify("part", Map("p_partkey" -> 1000000L))
+      amplify("supplier", Map("s_suppkey" -> 1000000L))
+      amplify("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      for (t <- Seq("region", "nation"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     // ---- documents: fresh synthesis, seeded per doc ----
     // 2/3 content words from a 20k vocab, 1/3 stopwords: vocabulary
@@ -76,7 +82,10 @@ object ScaleGen {
     }
     val langs = Vector("en", "en", "en", "de", "fr", "es")
     val nDocs = 5000L * copies
-    val docs = (0L until nDocs).map { id =>
+    // distributed synthesis (per-row seeds make it embarrassingly
+    // parallel): at copies=100 the old driver-side Seq was ~GBs of
+    // String heap for no reason
+    val docs = spark.range(0L, nDocs, 1L, 32).as[Long].map { id =>
       val text =
         if (id % 97 == 3 && id >= 3) baseText(id - 3) // exact dup
         else if (id % 20 == 1) { // near dup: last word altered
@@ -85,7 +94,7 @@ object ScaleGen {
       val lang = langs((id % langs.size).toInt)
       (id, text, lang, "synthetic", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scalegen] documents $nDocs")
 
     // ---- embeddings: seeded gaussians, ~2% planted near-dups ----
@@ -94,13 +103,13 @@ object ScaleGen {
       Array.fill(64)(rnd.nextGaussian().toFloat)
     }
     val nVecs = 2000L * copies
-    val embs = (0L until nVecs).map { id =>
+    val embs = spark.range(0L, nVecs, 1L, 32).as[Long].map { id =>
       val v =
         if (id % 50 == 1 && id >= 1) { val b = vec(id - 1); b(0) += 0.01f; b }
         else vec(id)
       (id, v, (id % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
-    embs.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    embs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[scalegen] embeddings $nVecs")
     spark.stop()
   }

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the PERSISTENT-layer scaling scenario at a given SF dir —
+  * the measurements PLANS.md's scaling sections report. The bench
+  * times the stateless queries; this times the stateful loop the
+  * engine runs in production:
+  *
+  *  1. CDC incremental clean — a 90% seed batch populates the
+  *     signature index, then the 10% "nightly delta" is cleaned
+  *     against it (timed), then a single-doc "streaming micro-batch"
+  *     is cleaned (timed, with the pruned band-partition footprint
+  *     printed: a point lookup must NOT read the accumulated index).
+  *  2. Persistent ANN index — build on the embeddings, upsert a 1%
+  *     delta under frozen models (timed), serve a 1k-query batch and a
+  *     single query (timed, with files-opened vs live footprint).
+  *
+  * Not gate input; run manually:
+  * {{{ runMain graft.tools.ScaleRun bench_scratch/sf10 /tmp/graft_scalerun }}}
+  */
+object ScaleRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("bench_scratch/sf10")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scalerun"
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scalerun] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- 1. incremental clean against the signature index ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").cache()
+    val nDocs = docs.count()
+    val sig = new graft.streaming.SigIndex(spark, s"$out/sig", idCol = "doc_id")
+    timed(s"seed clean (${nDocs * 9 / 10} docs, batch 0)") {
+      noop(graft.queries.PipelineQueries.corpusCleanIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0L), sig, 0L))
+    }
+    timed(s"delta clean (${nDocs / 10} docs, batch 1)") {
+      noop(graft.queries.PipelineQueries.corpusCleanIncremental(
+        docs.filter(col("doc_id") % 10 === 0L), sig, 1L))
+    }
+    // the streaming point-lookup shape: ONE fresh doc vs the full index
+    val one = docs.filter(col("doc_id") === 42L)
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+    timed("micro-batch clean (1 doc, batch 2)") {
+      noop(graft.queries.PipelineQueries.corpusCleanIncremental(one, sig, 2L))
+    }
+    // footprint of that micro-batch's band probe (≤16 band keys)
+    val bNew = one.select(col("doc_id"),
+        graft.dedup.Dedup.minhashSignature(
+          graft.dedup.Dedup.shingles(col("text"), 3), 128).as("sig"))
+      .withColumn("bh", graft.dedup.Dedup.bandHashes(col("sig"), 16, 8))
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val parts = sig.partsFor(bNew)
+    println(s"[scalerun] 1-doc band probe: ${sig.bands.filesForPartitions(parts).size} " +
+      s"of ${sig.bands.liveFileCount} band-store files " +
+      s"(${parts.size} of 64 partitions; sig rows=${sig.read().map(_.count()).getOrElse(0L)})")
+
+    // ---- 1b. embedding near-dup pairs at the parameters this corpus
+    // size needs. The GATE query pins τ=0.4 with 6×8-bit bands — the
+    // sf0.1 noise floor. At 200k random 64-dim vectors the pairwise
+    // cosine noise is σ=1/√64: τ=0.4 sits at 3.2σ, so ~10⁷ random
+    // pairs genuinely cross it and the PAIR SET itself is quadratic —
+    // no algorithm fixes a threshold that admits noise. A real clean
+    // at this size runs τ=0.8 (planted dups ≈ 0.9996) with longer
+    // bands (4×15 bits: random collision 4·2⁻¹⁵, near-dup miss
+    // ~(1−0.87)⁴) — banding selectivity must scale with corpus. ----
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    timed(s"embedding near-dup pairs (τ=0.8, 4×15-bit bands)") {
+      noop(graft.dedup.Dedup.embeddingLshPairs(embAll, col("embedding"), "vec_id",
+        minCosine = 0.8, dim = 64, bands = 4, bitsPerBand = 15))
+    }
+
+    // ---- 2. persistent ANN index ----
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+    val nVecs = vecs.count()
+    val idx = new graft.similarity.PqIndex(spark, s"$out/idx",
+      nCells = 64, nProbe = 8, opq = true)
+    timed(s"index build ($nVecs vecs, OPQ+IVF-PQ, 64 cells)") {
+      idx.build(vecs.filter(col("id") % 100 =!= 0L))
+    }
+    timed(s"index add (${nVecs / 100} vec delta under frozen models)") {
+      idx.add(vecs.filter(col("id") % 100 === 0L)
+        .withColumn("id", col("id") + 800000000L))
+    }
+    idx.compact()
+    val queries1k = vecs.filter(col("id") % 200 === 3L).limit(1000).cache()
+    queries1k.count()
+    timed("serve 1k-query batch (topK=10)") { noop(idx.topK(queries1k, 10)) }
+    val query1 = queries1k.limit(1).cache()
+    query1.count()
+    timed("serve 1 query (topK=10)") { noop(idx.topK(query1, 10)) }
+    val (model, coarse, rot) = idx.modelsWithRotation()
+    val cells1 = graft.similarity.Pq.probeCells(query1, model, coarse, 8, rot)
+    val (opened, live) = idx.scanFootprint(cells1)
+    println(s"[scalerun] 1-query probe: $opened of $live codes files " +
+      s"(${cells1.size} of ${coarse.nCells} cells)")
+    val cells1k = graft.similarity.Pq.probeCells(queries1k, model, coarse, 8, rot)
+    val (opened1k, _) = idx.scanFootprint(cells1k)
+    println(s"[scalerun] 1k-query probe: $opened1k of $live codes files " +
+      s"(${cells1k.size} of ${coarse.nCells} cells)")
+    spark.stop()
+  }
+}
