@@ -213,6 +213,14 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$path/$f"): _*))
 
+  // key-column-only read WITHOUT schema merging: the key column is the
+  // store's identity and exists in every file generation by
+  // construction, so the collision probe skips the per-footer merge
+  // pass a wide mixed-generation file set would otherwise pay
+  private def readKeys(files: Seq[String]): Option[DataFrame] =
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(f => s"$path/$f"): _*).select(key))
+
   // ---- public API ----
 
   def exists: Boolean = latestManifest().isDefined
@@ -340,20 +348,61 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       val incoming = withPart(withBucket(df, bc), pcol)
       val touched = incoming.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
-      val merged = readFiles(touched.toSeq.sorted.flatMap(m.mapping.getOrElse(_, Nil))) match {
-        case None => incoming
+      val touchedFiles = touched.toSeq.sorted.flatMap(m.mapping.getOrElse(_, Nil))
+      // INSERT FAST PATH, decided per bucket: copy-on-write is only
+      // needed where an incoming key actually replaces a stored row.
+      // A key-column-only probe of the touched buckets (column-pruned
+      // parquet scan — bytes ∝ keys, not rows×width) finds the buckets
+      // with collisions; every other touched bucket just APPENDS its
+      // new files to the manifest, zero read, zero rewrite. This is
+      // what keeps a continuously maintained store's ingest O(delta):
+      // a fresh-keyed delta over a uniform hash touches EVERY bucket,
+      // and without the probe each batch rewrote ~the whole snapshot
+      // (measured at sf10: a 1% codes delta cost a 23 s full rewrite).
+      // Replays stay safe by construction — a replayed batch's keys
+      // ARE present, so they take the merge path and overwrite.
+      val colliding: Set[Int] = readKeys(touchedFiles) match {
+        case None => Set.empty
         case Some(existing) =>
+          withBucket(existing, bc)
+            .join(df.select(key).distinct(), Seq(key), "left_semi")
+            .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      }
+      // inserts land UNCLUSTERED (one file per bucket, no partition
+      // dirs): clustering every micro-delta would write one tiny file
+      // per (bucket, value) it touches — thousands per streaming batch
+      // (measured: a 2k-vec add appended ~1200 files). Pruned reads
+      // conservatively include unpartitioned files, so correctness is
+      // unchanged, and the next compact() folds them into the
+      // clustered layout — the standard ingest-then-recluster trade.
+      val inserted =
+        if (colliding.size == touched.size) Map.empty[Int, Seq[String]]
+        else {
+          val ins = incoming.filter(!col(BucketCol).isin(colliding.toSeq: _*))
+          writeData(pcol.fold(ins)(_ => ins.drop(PartDir)).repartition(col(BucketCol)), None)
+        }
+      val merged: Map[Int, Seq[String]] =
+        if (colliding.isEmpty) Map.empty
+        else {
+          val existing = readFiles(colliding.toSeq.sorted
+            .flatMap(m.mapping.getOrElse(_, Nil))).get
           val kept = withPart(withBucket(existing, bc), pcol)
             .join(df.select(key).distinct(), Seq(key), "left_anti")
           // schema evolution: a column the incoming frame adds (e.g. a
           // later code version's batch_id) must land in the snapshot,
           // null-filled on kept rows — projecting incoming onto kept's
           // columns would silently drop it forever
-          kept.unionByName(incoming, allowMissingColumns = true)
+          writeData(kept.unionByName(
+            incoming.filter(col(BucketCol).isin(colliding.toSeq: _*)),
+            allowMissingColumns = true), pcol)
+        }
+      // appended buckets keep their existing files AND gain the new
+      // ones; colliding buckets are replaced wholesale
+      val appended = inserted.map { case (b, fs0) =>
+        b -> (m.mapping.getOrElse(b, Nil) ++ fs0)
       }
-      val files = writeData(merged, pcol)
       onBeforeCommit()
-      commit(m.version + 1, bc, (m.mapping -- touched) ++ files, pcol)
+      commit(m.version + 1, bc, (m.mapping -- colliding) ++ appended ++ merged, pcol)
   }
 
   /** Rewrite every bucket whose live file list exceeds
@@ -378,11 +427,17 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       // with a partition column the layout floor is one file per
       // (bucket, partition value), so the threshold applies per value —
       // judging the whole bucket would see every multi-value bucket as
-      // permanently fat and rewrite the store on every compaction
+      // permanently fat and rewrite the store on every compaction.
+      // Files WITHOUT a partition segment (unclustered insert-path
+      // ingest) always mark their bucket fat: they evade partition
+      // pruning until compaction folds them into the clustered layout
       val fat = m.mapping.filter { case (_, files) =>
         if (pcol.isEmpty) files.size > maxFilesPerBucket
-        else files.groupBy(_.split('/').find(_.startsWith(s"$PartDir=")).getOrElse(""))
-          .values.exists(_.size > maxFilesPerBucket)
+        else {
+          val groups = files.groupBy(
+            _.split('/').find(_.startsWith(s"$PartDir=")).getOrElse(""))
+          groups.contains("") || groups.values.exists(_.size > maxFilesPerBucket)
+        }
       }
       if (fat.isEmpty) 0
       else {

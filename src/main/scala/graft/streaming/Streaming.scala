@@ -133,11 +133,18 @@ object Streaming {
     * sigmas from a 0.8 threshold, so the estimator neither loses
     * unique docs nor keeps dups on this kind of corpus.
     */
+  /** `compactEvery` (0 = off): run `index.compact()` after every that
+    * many micro-batches — an index append adds files without rewriting
+    * (the store's insert fast path), so an unbounded dedup stream
+    * otherwise degrades every later history probe with O(batches)
+    * small files. Same maintenance contract as
+    * [[graft.similarity.PqIndex.maintainStream]]. */
   def dedupNearStream(docs: DataFrame, index: SigIndex,
                       sink: DataFrame => Unit, checkpoint: String,
                       textCol: String = "text", idCol: String = "doc_id",
                       minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 16,
-                      k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+                      k: Int = 3, compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    var sinceCompact = 0
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -145,8 +152,14 @@ object Streaming {
         val survivors = dedupNearBatch(batch.toDF(), index, textCol, idCol,
           minJaccard, numPerm, bands, k, batchId)
         if (!survivors.isEmpty) sink(survivors)
+        sinceCompact += 1
+        if (compactEvery > 0 && sinceCompact >= compactEvery) {
+          index.compact()
+          sinceCompact = 0
+        }
       }
       .start()
+  }
 
   /** One micro-batch of [[dedupNearStream]] (also the testable unit).
     *
@@ -265,7 +278,9 @@ object Streaming {
                                vecCol: String = "vec", idCol: String = "id",
                                minCosine: Double = 0.85, dim: Int = 64,
                                bands: Int = 6, bitsPerBand: Int = 8,
-                               seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery =
+                               seed: Long = 42L,
+                               compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    var sinceCompact = 0
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -273,8 +288,14 @@ object Streaming {
         val survivors = dedupNearEmbeddingBatch(batch.toDF(), index, vecCol, idCol,
           minCosine, dim, bands, bitsPerBand, seed, batchId)
         if (!survivors.isEmpty) sink(survivors)
+        sinceCompact += 1
+        if (compactEvery > 0 && sinceCompact >= compactEvery) {
+          index.compact()
+          sinceCompact = 0
+        }
       }
       .start()
+  }
 
   /** One micro-batch of [[dedupNearEmbeddingStream]] (the testable
     * unit). Replay safety mirrors [[dedupNearBatch]]: index rows carry

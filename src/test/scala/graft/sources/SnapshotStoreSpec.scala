@@ -233,6 +233,36 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.validateWrite(Seq((999L, "x")).toDF("user_id", "v")) == 1L)
   }
 
+  test("insert-only upsert appends new files; no existing file is rewritten") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_insfast").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite((1L to 40L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+    val (_, before) = store.latestManifest().get
+
+    // fresh keys only: every pre-existing file must survive verbatim
+    // (copy-on-write is per COLLIDING bucket, and there are none)
+    store.upsert(Seq((101L, "new1"), (102L, "new2")).toDF("user_id", "v"))
+    val (_, after) = store.latestManifest().get
+    before.foreach { case (b, files) =>
+      assert(files.forall(after.getOrElse(b, Nil).contains),
+        s"insert-only upsert must not rewrite bucket $b's files")
+    }
+    assert(store.read().get.count() == 42)
+
+    // mixed batch: one colliding key, one fresh key — only the
+    // colliding key's bucket may lose files
+    store.upsert(Seq((1L, "updated"), (103L, "new3")).toDF("user_id", "v"))
+    val (_, after2) = store.latestManifest().get
+    val rewritten = after.keySet.filter(b =>
+      !after(b).forall(after2.getOrElse(b, Nil).contains))
+    assert(rewritten.size <= 1,
+      s"only the colliding bucket may be rewritten, got $rewritten")
+    val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "updated" && got(103L) == "new3" && got.size == 43)
+  }
+
   test("two interleaved upserts both land: the loser re-merges and retries") {
     val s = spark
     import s.implicits._

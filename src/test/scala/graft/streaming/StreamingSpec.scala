@@ -230,6 +230,46 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("bandParts"))
   }
 
+  test("near-dup stream with compactEvery bounds the index's live files, same survivors") {
+    val s = spark
+    import s.implicits._
+    def doc(i: Long) = (i, (1 to 20).map(w => s"t${i}_$w").mkString(" "))
+    def run(base: String, compactEvery: Int): (Set[Long], SigIndex) = {
+      val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+      val survived = scala.collection.mutable.SortedSet.empty[Long]
+      val input = MemoryStream[(Long, String)]
+      val q = Streaming.dedupNearStream(
+        input.toDF().toDF("doc_id", "text"), index,
+        df => survived ++= df.select("doc_id").collect().map(_.getLong(0)),
+        s"$base/ckpt", compactEvery = compactEvery)
+      for (b <- 0 until 6) {
+        input.addData((0 until 5).map(j => doc(b * 5 + j)): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      (survived.toSet, index)
+    }
+    // filesForPartitions(Nil) = exactly the files conservative pruning
+    // can never exclude, i.e. the unclustered ingest files
+    def unclustered(ix: SigIndex): Int = ix.bands.filesForPartitions(Nil).size
+    val b1 = java.nio.file.Files.createTempDirectory("graft_sigcompact_on").toString
+    val b2 = java.nio.file.Files.createTempDirectory("graft_sigcompact_off").toString
+    val (survivorsOn, ixOn) = run(b1, compactEvery = 2)
+    val (survivorsOff, ixOff) = run(b2, compactEvery = 0)
+    assert(survivorsOn == survivorsOff && survivorsOn == (0L until 30L).toSet,
+      "compaction is layout-only: identical survivors")
+    // appends land unclustered (fast ingest, conservatively read by
+    // every probe); the maintenance hook folds them into the
+    // partition-pruned layout — without it they accumulate and the
+    // band probe degrades toward a full scan
+    assert(unclustered(ixOn) == 0,
+      "a maintained index must hold only partition-pruned (clustered) band files")
+    assert(unclustered(ixOff) > 0,
+      "setup: the unmaintained index must have accumulated unclustered ingest files")
+    assert(ixOff.compact() > 0)
+    assert(unclustered(ixOff) == 0, "one manual compact clusters everything")
+  }
+
   test("streaming sessionize: open session held in state, closed on later event") {
     val s = spark
     import s.implicits._
