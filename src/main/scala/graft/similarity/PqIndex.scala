@@ -34,10 +34,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * ([[topK]]/[[serveStream]]); orthogonality means rotated cosines
   * ARE the original cosines, so the output contract is unchanged.
   */
+/** `buckets` sizes the codes store's key-hash layout — the two knobs a
+  * 100 TB deployment tunes together: the layout floor is one file per
+  * (bucket, cell), so pick buckets ≈ codesBytes / (nCells ×
+  * targetFileSize); more buckets also shrink the copy-on-write
+  * fraction a colliding delta rewrites (a re-sent key rewrites one
+  * bucket of `buckets`). */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              opq: Boolean = false) {
+              opq: Boolean = false, buckets: Int = 32) {
 
   // Codes are KEYED by neighbor_id (CDC upsert identity) but PROBED by
   // cell, so the store's layout is cell-partitioned under the key
@@ -47,7 +53,7 @@ class PqIndex(spark: SparkSession, dir: String,
   // between a full-table scan per micro-batch and <1% of it.
   private val store =
     new graft.sources.SnapshotStore(spark, s"$dir/codes", key = "neighbor_id",
-      partitionCol = Some("cell"))
+      buckets = buckets, partitionCol = Some("cell"))
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
