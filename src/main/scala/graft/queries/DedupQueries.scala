@@ -62,6 +62,23 @@ object DedupQueries {
     Dedup.embeddingLshPairs(embs(spark, dir), col("embedding"), "vec_id",
       minCosine = 0.4, dim = LshDim, bands = LshBands, bitsPerBand = LshBits)
 
+  // the 100×-corpus operating point (PLANS.md sf10 finding 2): at
+  // 200k+ random 64-dim vectors the noise floor crosses τ=0.4, so a
+  // real near-dup clean runs a high threshold with LONG bands —
+  // random band collision 4·2⁻¹⁵ per pair vs 6·2⁻⁸ for the gate
+  // params. NOT a gate entry: the driver corpus's pair cosines top
+  // out at ~0.51 (no verbatim-copy regime exists there), so the gate
+  // result would be trivially empty — the envelope is pinned on a
+  // planted near-verbatim corpus in DedupSpec instead.
+  private[queries] val TightBands = 4
+  private[queries] val TightBits = 15
+
+  /** [[dedupEmbeddingLsh]] at the scale-appropriate parameters:
+    * τ=0.8 with banding selective enough for a 100× corpus. */
+  def dedupEmbeddingLshTight(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Dedup.embeddingLshPairs(df, col(vecCol), idCol,
+      minCosine = 0.8, dim = LshDim, bands = TightBands, bitsPerBand = TightBits)
+
   /** Dedup execution: near-dup pairs → canonical survivor per doc via
     * distributed connected components. */
   def dedupResolve(spark: SparkSession, dir: String): DataFrame =
@@ -127,8 +144,10 @@ object DedupQueries {
     * equi-join, verification = the same a<b-ordered exact cosine as
     * [[embeddingPairsSql]]. Works because RHP-LSH has no
     * data-dependent state (cf. SimilarityQueries.lshOracleSql). */
-  private[queries] lazy val embeddingLshOracleSql: String = {
-    val bands = LshBands; val bits = LshBits
+  private[queries] lazy val embeddingLshOracleSql: String =
+    embeddingLshSql(LshBands, LshBits, 0.4)
+
+  private def embeddingLshSql(bands: Int, bits: Int, minCosine: Double): String = {
     val planes = graft.functions.VectorFunctions.rhpPlanes(bands * bits, LshDim)
     def dotSql(p: Array[Float]): String =
       s"""list_reduce(list_transform(list_zip(e.embedding, CAST([${p.mkString(", ")}] AS FLOAT[])),
@@ -158,7 +177,7 @@ object DedupQueries {
        |              (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
        |  FROM cand JOIN v a ON cand.ca = a.vec_id
        |            JOIN v b ON cand.cb = b.vec_id)
-       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin
+       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= $minCosine""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

@@ -187,6 +187,37 @@ class DedupSpec extends SparkSpec {
     assert(lsh.forall { case (k, v) => exact(k) == v }, "cosines must match the exact join bit-for-bit")
   }
 
+  test("tight-band LSH (the 100x operating point): complete at tau=0.8 on near-verbatim dups") {
+    // the sf10 envelope (PLANS.md finding 2): high threshold + LONG
+    // bands (4×15 bits — random collision 4·2⁻¹⁵ vs the gate params'
+    // 6·2⁻⁸). The regime is near-verbatim embedding copies (cosine
+    // ≈ 0.9999, θ ≈ 1°): per-band hit (1-θ/π)^15 ≈ 0.92, per-pair
+    // miss ≈ 3e-5, deterministic with the fixed seed — LSH-then-verify
+    // must EQUAL the exact join at τ=0.8, not just subset it
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(11L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 150).map(i => (i.toLong, unit()))
+    val dups = (0 until 30).map { i =>
+      val (id, v) = base(i)
+      (2000L + id, v.map(x => x + 0.002f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def keyed(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e9)).toMap
+    val exact = keyed(Dedup.embeddingPairs(df, col("embedding"), "vec_id", 0.8))
+    val tight = keyed(DedupQueries.dedupEmbeddingLshTight(df, "vec_id", "embedding"))
+    assert(exact.size >= 30, s"corpus must contain the planted copies, got ${exact.size}")
+    assert(tight == exact,
+      s"tight bands must find every tau=0.8 pair; missed ${exact.keySet -- tight.keySet}")
+  }
+
   test("pair-grid embedding dedup equals brute force and has no cartesian join") {
     val grid = DedupQueries.dedupEmbedding(spark, dir)
     val brute = DedupQueries.dedupEmbeddingBruteforce(spark, dir)
