@@ -173,6 +173,9 @@ class PqIndex(spark: SparkSession, dir: String,
   private[graft] def scanFootprint(cells: Seq[Int]): (Int, Int) =
     (store.filesForPartitions(cells).size, store.liveFileCount)
 
+  /** (buckets key-scanned, buckets bloom-cleared) of the last add. */
+  private[graft] def lastAddProbe: (Int, Int) = store.lastProbeStats
+
   /** The full frozen model set in ONE models.txt read/parse: PQ
     * codebooks, coarse centroids, and the OPQ rotation if the index
     * was built with one. Prefer this when more than one piece is

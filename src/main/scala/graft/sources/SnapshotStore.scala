@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 import java.nio.charset.StandardCharsets
 
 /** Keyed snapshot store with UPSERT semantics — the Spark-native
@@ -47,10 +48,16 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   private val BucketCol = "snap_bucket"
   private val PartDir = "snap_part"
   private val ManifestPrefix = "manifest-"
+  private val BloomFile = ".blooms"
   /** Commit-conflict retries for [[upsert]]: enough for realistic
     * writer fan-in (each retry re-merges against the winner's state),
     * small enough that a livelocked store fails loudly. */
   private val UpsertAttempts = 5
+  /** Delta sizes up to this take the bloom-cleared probe (keys are
+    * collected driver-side to test against the sidecar blooms); larger
+    * deltas fall back to the column-scan probe, whose cost the delta
+    * itself then dwarfs. */
+  private val ProbeKeyBound = 100000
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -185,6 +192,7 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       if (pcol.isDefined) bucketed.repartition(col(BucketCol), col(PartDir))
       else bucketed
     clustered.write.partitionBy(layoutCols: _*).parquet(s"$path/$dataDir")
+    writeBlooms(bucketed, dataDir)
     val out = scala.collection.mutable.Map.empty[Int, Vector[String]]
     val it = fs.listFiles(new Path(s"$path/$dataDir"), true)
     val prefix = fs.makeQualified(new Path(path)).toUri.getPath.stripSuffix("/") + "/"
@@ -220,6 +228,123 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   private def readKeys(files: Seq[String]): Option[DataFrame] =
     if (files.isEmpty) None
     else Some(spark.read.parquet(files.map(f => s"$path/$f"): _*).select(key))
+
+  // ---- bloom sidecar: O(delta) collision probes ----
+  //
+  // Even column-pruned, the key-scan probe reads O(store keys) per
+  // upsert once a uniform delta touches every bucket — at 10⁹ rows
+  // that is GBs per micro-batch on the WRITE path, the same per-batch
+  // scan the read paths were cured of. Each data generation therefore
+  // carries a `.blooms` sidecar (per-bucket key bloom, 1% FPR, sized
+  // from that write's per-bucket counts): a small delta tests its
+  // collected keys against a few KB of blooms and key-scans ONLY the
+  // buckets with a bloom hit. The sidecar is advisory — missing or
+  // unreadable blooms (pre-bloom generations, crashed writes) fail
+  // open into the key scan, never into a wrong answer.
+
+  /** Build and persist per-bucket key blooms for one written data
+    * generation. Two O(delta) passes: per-bucket counts (sizes the
+    * filters), then a partition-local build merged driver-side
+    * (buckets × ~12 KB at 1% FPR). */
+  private def writeBlooms(bucketed: DataFrame, dataDir: String): Unit = {
+    val counts = bucketed.groupBy(BucketCol).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val partial = bucketed.select(col(BucketCol), col(key)).rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
+      it.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val b = r.getInt(0)
+          // fpp 0.1%, not the usual 1%: a k-key delta false-positives
+          // a bucket back into the key scan with probability
+          // ≈ 1-(1-fpp)^(k/buckets) — at 1% a few-thousand-key delta
+          // re-scans half its buckets; at 0.1% it clears >90% for
+          // ~1.5× the (tiny) sidecar bytes
+          m.getOrElseUpdate(b,
+            BloomFilter.create(math.max(bcCounts.value.getOrElse(b, 64L), 64L), 0.001))
+            .put(r.get(1))
+        }
+      }
+      Iterator(m.toMap)
+    }
+    val blooms = partial.reduce { (a, b) =>
+      val m = scala.collection.mutable.Map.empty[Int, BloomFilter] ++= a
+      b.foreach { case (k2, bf) =>
+        m.get(k2) match {
+          case Some(e) => e.mergeInPlace(bf)
+          case None => m(k2) = bf
+        }
+      }
+      m.toMap
+    }
+    val out = new java.io.DataOutputStream(
+      fs.create(new Path(s"$path/$dataDir/$BloomFile"), true))
+    try {
+      out.writeInt(blooms.size)
+      blooms.toSeq.sortBy(_._1).foreach { case (b, bf) =>
+        // length-framed: BloomFilter.readFrom consumes the WHOLE
+        // remaining stream, so naive concatenation breaks on read
+        val bytes = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bytes)
+        out.writeInt(b); out.writeInt(bytes.size()); bytes.writeTo(out)
+      }
+    } finally out.close()
+  }
+
+  /** The per-bucket blooms of one data generation; None = no/corrupt
+    * sidecar (callers must fail open into the key scan). */
+  private def loadBlooms(dataDir: String): Option[Map[Int, BloomFilter]] = {
+    val p = new Path(s"$path/$dataDir/$BloomFile")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = new java.io.DataInputStream(fs.open(p))
+        try {
+          val n = in.readInt()
+          Some((0 until n).map { _ =>
+            val b = in.readInt()
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            b -> BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          }.toMap)
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Probe telemetry of the last upsert: (buckets key-scanned, buckets
+    * bloom-cleared). Spec/monitoring surface. */
+  private[graft] var lastProbeStats: (Int, Int) = (0, 0)
+
+  /** Touched buckets PROVABLY free of key collisions: every live
+    * generation of the bucket has a readable bloom and no delta key
+    * might be contained. Anything uncertain (oversized delta, missing
+    * sidecar, null key) stays un-cleared and takes the key scan. */
+  private def bloomClearedBuckets(incoming: DataFrame, touched: Set[Int],
+                                  mapping: Map[Int, Seq[String]]): Set[Int] = {
+    val pairs = incoming.select(col(BucketCol), col(key)).distinct()
+      .limit(ProbeKeyBound + 1).collect()
+    if (pairs.length > ProbeKeyBound) return Set.empty
+    val keysByBucket = pairs.groupBy(_.getInt(0))
+      .map { case (b, rs) => b -> rs.map(r => if (r.isNullAt(1)) null else r.get(1)) }
+    val bloomCache = scala.collection.mutable.Map.empty[String, Option[Map[Int, BloomFilter]]]
+    def bloomsOf(dir: String) = bloomCache.getOrElseUpdate(dir, loadBlooms(dir))
+    touched.filter { b =>
+      val dirs = mapping.getOrElse(b, Nil).map(_.split('/').head).distinct
+      val ks = keysByBucket.getOrElse(b, Array.empty[Any])
+      ks.forall(_ != null) && dirs.forall { d =>
+        bloomsOf(d) match {
+          case None => false // unknown generation → scan
+          case Some(mp) => mp.get(b) match {
+            case None => true // generation holds no rows of this bucket
+            case Some(bf) => !ks.exists(bf.mightContain)
+          }
+        }
+      }
+    }
+  }
 
   // ---- public API ----
 
@@ -348,20 +473,24 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       val incoming = withPart(withBucket(df, bc), pcol)
       val touched = incoming.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
-      val touchedFiles = touched.toSeq.sorted.flatMap(m.mapping.getOrElse(_, Nil))
       // INSERT FAST PATH, decided per bucket: copy-on-write is only
       // needed where an incoming key actually replaces a stored row.
-      // A key-column-only probe of the touched buckets (column-pruned
-      // parquet scan — bytes ∝ keys, not rows×width) finds the buckets
-      // with collisions; every other touched bucket just APPENDS its
-      // new files to the manifest, zero read, zero rewrite. This is
-      // what keeps a continuously maintained store's ingest O(delta):
-      // a fresh-keyed delta over a uniform hash touches EVERY bucket,
-      // and without the probe each batch rewrote ~the whole snapshot
-      // (measured at sf10: a 1% codes delta cost a 23 s full rewrite).
-      // Replays stay safe by construction — a replayed batch's keys
-      // ARE present, so they take the merge path and overwrite.
-      val colliding: Set[Int] = readKeys(touchedFiles) match {
+      // The sidecar blooms clear most buckets of a fresh-keyed delta
+      // without touching data at all; the remainder get a
+      // key-column-only probe (column-pruned parquet scan — bytes ∝
+      // keys, not rows×width). Every collision-free touched bucket
+      // just APPENDS its new files to the manifest, zero read, zero
+      // rewrite. This is what keeps a continuously maintained store's
+      // ingest O(delta): a fresh-keyed delta over a uniform hash
+      // touches EVERY bucket, and without the probe each batch
+      // rewrote ~the whole snapshot (measured at sf10: a 1% codes
+      // delta cost a 23 s full rewrite). Replays stay safe by
+      // construction — a replayed batch's keys ARE present, so they
+      // take the merge path and overwrite.
+      val cleared = bloomClearedBuckets(incoming, touched, m.mapping)
+      val scanned = (touched -- cleared).toSeq.sorted
+      lastProbeStats = (scanned.size, cleared.size)
+      val colliding: Set[Int] = readKeys(scanned.flatMap(m.mapping.getOrElse(_, Nil))) match {
         case None => Set.empty
         case Some(existing) =>
           withBucket(existing, bc)
@@ -490,6 +619,12 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
               fs.delete(f.getPath, false); deleted += 1
             }
           }
+          // a generation with no live data left takes its bloom
+          // sidecar with it (same age gate as the data files)
+          val bloomP = new Path(entry.getPath, BloomFile)
+          if (!live.exists(_.startsWith(name + "/")) && fs.exists(bloomP) &&
+              fs.getFileStatus(bloomP).getModificationTime < cutoff)
+            fs.delete(bloomP, false)
         } else if (name.startsWith(ManifestPrefix) &&
           !keep.contains(name.stripPrefix(ManifestPrefix).stripSuffix(".txt").toLong) &&
           entry.getModificationTime < cutoff) {

@@ -96,6 +96,8 @@ object ScaleRun {
       idx.add(vecs.filter(col("id") % 100 === 0L)
         .withColumn("id", col("id") + 800000000L))
     }
+    println(s"[scalerun] add probe: ${idx.lastAddProbe._1} buckets key-scanned, " +
+      s"${idx.lastAddProbe._2} bloom-cleared")
     idx.compact()
     val queries1k = vecs.filter(col("id") % 200 === 3L).limit(1000).cache()
     queries1k.count()

@@ -263,6 +263,41 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got(1L) == "updated" && got(103L) == "new3" && got.size == 43)
   }
 
+  test("bloom sidecar clears fresh-key probes without scanning; falls open when absent") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_bloom").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite((1L to 200L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+
+    // fresh keys: every touched bucket must be bloom-cleared — zero
+    // buckets key-scanned on the ingest path
+    store.upsert(Seq((901L, "n1"), (902L, "n2"), (903L, "n3")).toDF("user_id", "v"))
+    assert(store.lastProbeStats._1 == 0 && store.lastProbeStats._2 > 0,
+      s"fresh keys must skip the key scan entirely, got ${store.lastProbeStats}")
+
+    // a colliding key's bucket must NOT be cleared (no false negatives
+    // by construction: blooms overapproximate)
+    store.upsert(Seq((7L, "updated")).toDF("user_id", "v"))
+    assert(store.lastProbeStats._1 >= 1,
+      s"a stored key must force its bucket through the key scan, got ${store.lastProbeStats}")
+    val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(7L) == "updated" && got(901L) == "n1" && got.size == 203)
+
+    // pre-bloom generations (sidecar missing) fail OPEN into the scan
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- fsys.listStatus(new org.apache.hadoop.fs.Path(dir))
+         if st.isDirectory && st.getPath.getName.startsWith("data-")) {
+      val b = new org.apache.hadoop.fs.Path(st.getPath, ".blooms")
+      if (fsys.exists(b)) fsys.delete(b, false)
+    }
+    store.upsert(Seq((905L, "n5")).toDF("user_id", "v"))
+    assert(store.lastProbeStats._1 > 0 && store.lastProbeStats._2 == 0,
+      s"missing sidecars must fall back to the key scan, got ${store.lastProbeStats}")
+    assert(store.read().get.count() == 204)
+  }
+
   test("two interleaved upserts both land: the loser re-merges and retries") {
     val s = spark
     import s.implicits._
