@@ -272,7 +272,15 @@ object Streaming {
     * near-dup at cos 0.97 estimates 0.96 ± 0.03 and an unrelated pair
     * at cos ≤ 0.5 estimates ≤ 0.65 at +3σ — both many sigmas from a
     * 0.8-0.85 threshold, so the estimator neither drops unique
-    * vectors nor keeps dups in the near-dup regime this operates in. */
+    * vectors nor keeps dups in the near-dup regime this operates in.
+    *
+    * `bands`/`bitsPerBand` set the candidate-join selectivity and must
+    * scale with the ACCUMULATED index size, not the batch: a random
+    * historical row collides with a batch key at ~bands·2^-bits — the
+    * 6×8 default suits ≤10⁶-doc histories; at 10⁸+ move toward longer
+    * bands (e.g. 4×15 for near-verbatim thresholds; see the PLANS.md
+    * sf10 noise-floor finding and DedupQueries.dedupEmbeddingLshTight
+    * for the batch twin of that operating point). */
   def dedupNearEmbeddingStream(vectors: DataFrame, index: SigIndex,
                                sink: DataFrame => Unit, checkpoint: String,
                                vecCol: String = "vec", idCol: String = "id",
