@@ -122,6 +122,17 @@ object Similarity {
     corpus.select(col("vec"), xxhash64(col("id")).as("__h"))
       .orderBy("__h").limit(sampleN).select("vec")
 
+  /** Cell-count guideline for IVF-family indexes: ~4√n cells (the
+    * FAISS rule of thumb), bounded by what the bounded fit sample can
+    * actually train (≥ ~40 points per centroid). The sf10 scaling run
+    * (PLANS.md) is why this exists: a FIXED nCells makes probe-bounded
+    * search quadratic as the corpus grows — per-query candidates are
+    * nProbe·n/nCells, so nCells must grow with n (and nProbe with the
+    * recall target). Advisory, not automatic: cell count is part of
+    * the frozen model set, so changing it is a rebuild decision. */
+  def suggestNCells(n: Long, sampleN: Int = 20000): Int =
+    math.max(1, math.min(4.0 * math.sqrt(n.toDouble), sampleN / 40.0).toInt)
+
   /** Fit the coarse quantizer on a bounded, count-free [[hashSample]].
     * Quantizer quality needs stability, not optimality: at 100 TB the
     * fit reads one pass for a ~20k-row sample; production callers fit

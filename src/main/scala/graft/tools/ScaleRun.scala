@@ -87,9 +87,15 @@ object ScaleRun {
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
     val nVecs = vecs.count()
+    // layout sized to the data, not defaults: nCells from the 4√n
+    // guideline (bounded by the fit sample), buckets so the
+    // (bucket × cell) file floor yields sanely-sized files — the
+    // first run used 32×64 = 2048 files for ~30 MB of codes and paid
+    // ~7 ms/file open on every read
+    val cells = graft.similarity.Similarity.suggestNCells(nVecs, sampleN = 2000)
     val idx = new graft.similarity.PqIndex(spark, s"$out/idx",
-      nCells = 64, nProbe = 8, opq = true)
-    timed(s"index build ($nVecs vecs, OPQ+IVF-PQ, 64 cells)") {
+      nCells = cells, nProbe = 8, opq = true, buckets = 4)
+    timed(s"index build ($nVecs vecs, OPQ+IVF-PQ, $cells cells, 4 buckets)") {
       idx.build(vecs.filter(col("id") % 100 =!= 0L))
     }
     timed(s"index add (${nVecs / 100} vec delta under frozen models)") {

@@ -216,6 +216,17 @@ class SimilaritySpec extends SparkSpec {
       s"exact copies must dominate rank 1 at dim 256: $hits of ${top1.size}")
   }
 
+  test("suggestNCells: 4*sqrt(n) bounded by the trainable sample, monotone in n") {
+    import Similarity.suggestNCells
+    assert(suggestNCells(100) == 40)               // 4·√100
+    assert(suggestNCells(200000, 2000) == 50)      // sample bound: 2000/40
+    assert(suggestNCells(1000000000L, 1000000) == 25000)
+    assert(suggestNCells(1) == 4 && suggestNCells(0) == 1)
+    val pts = Seq(1000L, 10000L, 100000L, 10000000L)
+    assert(pts.map(n => suggestNCells(n, 1000000)) == pts.map(n => suggestNCells(n, 1000000)).sorted,
+      "cell count must grow with the corpus (the sf10 lesson)")
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
