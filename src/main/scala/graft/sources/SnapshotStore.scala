@@ -547,8 +547,14 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     * over-split bucket lands in exactly one partition (repartition on
     * the bucket column) so the rewrite emits exactly one file per
     * bucket (per partition value when partitioned). Returns the number
-    * of buckets compacted. */
-  def compact(maxFilesPerBucket: Int = 1): Int = latestRaw() match {
+    * of buckets compacted.
+    *
+    * `maxBuckets` bounds one call's rewrite to the FATTEST that many
+    * buckets — a billions-row store compacts incrementally (each call
+    * is one bounded job + one manifest version) instead of rewriting
+    * every over-split bucket in a single monolithic commit; repeat
+    * until it returns 0. */
+  def compact(maxFilesPerBucket: Int = 1, maxBuckets: Int = Int.MaxValue): Int = latestRaw() match {
     case None => 0
     case Some(m) =>
       val bc = m.recordedBuckets.getOrElse(buckets)
@@ -567,7 +573,8 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
             _.split('/').find(_.startsWith(s"$PartDir=")).getOrElse(""))
           groups.contains("") || groups.values.exists(_.size > maxFilesPerBucket)
         }
-      }
+      }.toSeq.sortBy { case (b, files) => (-files.size, b) }
+        .take(maxBuckets).toMap
       if (fat.isEmpty) 0
       else {
         // schema evolution must survive compaction exactly as it

@@ -84,6 +84,29 @@ class SnapshotStoreSpec extends SparkSpec {
       "vacuum must never touch the live version")
   }
 
+  test("incremental compaction: maxBuckets bounds each call, repeats converge") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_compact_inc").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite((1L to 200L).map(i => (i, s"v$i")).toDF("user_id", "v").repartition(6))
+    store.upsert((1L to 200L).map(i => (i, s"u$i")).toDF("user_id", "v").repartition(6))
+    val before = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(store.liveFileCount > 4, "setup must be over-split")
+
+    // each bounded call rewrites at most maxBuckets buckets (one
+    // bounded job per call — how a huge store compacts incrementally)
+    val first = store.compact(maxFilesPerBucket = 1, maxBuckets = 2)
+    assert(first == 2, s"first call must compact exactly 2 buckets, got $first")
+    assert(store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before)
+    var total = first
+    var n = store.compact(maxFilesPerBucket = 1, maxBuckets = 2)
+    while (n > 0) { total += n; n = store.compact(maxFilesPerBucket = 1, maxBuckets = 2) }
+    assert(total == 4 && store.liveFileCount == 4,
+      s"repeated bounded calls must converge to the floor, got $total buckets / ${store.liveFileCount} files")
+    assert(store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == before)
+  }
+
   test("compact preserves a schema-evolved column across mixed-generation buckets") {
     val s = spark
     import s.implicits._
