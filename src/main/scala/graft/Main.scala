@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-clean in=<docs.parquet> index=<dir> out=<dir> batch=<id>
   *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=16 opq=true]
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
-  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [k=10 probe=4]
+  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=4]
+  *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   * }}}
   * `corpus-clean` is the CDC-incremental clean: each invocation dedups
   * the new docs against the accumulated [[graft.streaming.SigIndex]]
@@ -54,7 +55,8 @@ object Main {
       missingAfterWrite: Long,
       durationSec: Double)
 
-  private val PipelineCommands = Set("corpus-clean", "index-build", "index-add", "index-search")
+  private val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
+    "index-search", "index-compact", "index-vacuum", "sig-compact", "sig-vacuum")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -207,6 +209,24 @@ object Main {
           .topK(queries, opts.getOrElse("topk", "10").toInt).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
+      // maintenance, operable like everything else: compaction bounds
+      // live files (rowsOut = buckets compacted), vacuum reclaims
+      // superseded generations (rowsOut = files deleted) — run
+      // out-of-band of serving, repeatedly for incremental compaction
+      case "index-compact" =>
+        done(0, pqIndex(req("index"))
+          .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)
+      case "index-vacuum" =>
+        done(0, pqIndex(req("index")).vacuum(
+          opts.getOrElse("keep", "1").toInt,
+          opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
+      case "sig-compact" =>
+        done(0, new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
+          .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)
+      case "sig-vacuum" =>
+        done(0, new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
+          .vacuum(opts.getOrElse("keep", "1").toInt,
+            opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
       case other => sys.error(s"unknown pipeline command: $other")
     }
   }

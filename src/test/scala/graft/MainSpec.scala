@@ -152,6 +152,22 @@ class MainSpec extends SparkSpec {
       .select("neighbor_id").head().getLong(0)
     assert(top == 800L || top == 2L,
       s"the query's identical vector (id 2, CLI-added copy 800) must rank first, got $top")
+
+    // maintenance from the CLI: the add left over-split buckets;
+    // compact folds them (rowsOut = buckets), vacuum reclaims the
+    // superseded generation's files, search is unchanged
+    val compacted = Main.runPipeline(spark, Seq("index-compact", s"index=$base/idx"))
+    assert(compacted.rowsOut > 0, "the CLI add must have left compactable buckets")
+    val vacuumed = Main.runPipeline(spark, Seq("index-vacuum", s"index=$base/idx", "agems=0"))
+    assert(vacuumed.rowsOut > 0, "compaction must leave vacuum food")
+    val sigCompacted = Main.runPipeline(spark, Seq("sig-compact", s"index=$base/sig"))
+    assert(sigCompacted.rowsOut > 0, "the two clean batches must have left compactable sig buckets")
+    Main.runPipeline(spark, Seq("index-search",
+      s"in=$base/queries.parquet", s"index=$base/idx", s"out=$base/hits2",
+      s"dim=$dim", "cells=4", "m=4", "topk=3"))
+    val top2 = spark.read.parquet(s"$base/hits2").filter(col("rank") === 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(top2 == top, "maintenance must not change search results")
   }
 
   test("data-quality report frame carries per-column null rates") {
