@@ -142,5 +142,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1), org.apache.spark.sql.types.LongType),
         intLit(es(2), "k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("mg_summary"),
+      info("mg_summary",
+        "mg_summary(item, k) - aggregate: Misra-Gries k-counter frequent-items summary " +
+          "as struct<n bigint, items array<struct<item string, lo bigint>>>"),
+      (es: Seq[Expression]) => MgSummary(
+        org.apache.spark.sql.catalyst.expressions.Cast(es(0), org.apache.spark.sql.types.StringType),
+        intLit(es(1), "k"))))
   }
 }

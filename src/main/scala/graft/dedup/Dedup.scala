@@ -96,6 +96,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // ---- exact substring windows ----
+
+  /** Exact substring-window dedup (the distributed counterpart of
+    * suffix-array substring dedup à la Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): all pairs
+    * `(id_a < id_b)` sharing at least one verbatim `windowTokens`-word
+    * window, with the count of distinct shared windows. Catches
+    * copied PASSAGES between otherwise-different documents — a regime
+    * Jaccard misses (a 50-word quote inside two long documents is
+    * invisible at set-similarity level).
+    *
+    * Plan shape: one codegen shingling pass, explode to (doc, window
+    * hash), equi-join on the 8-byte hash (same width argument as
+    * [[jaccardPairs]] — the exchange never carries window text), pair
+    * aggregation with map-side partials. Windows are deduped per doc
+    * inside the row, so `shared_windows` counts distinct windows. */
+  def substringPairs(df: DataFrame, text: Column, id: String,
+                     windowTokens: Int = 10): DataFrame = {
+    val g = df.select(col(id).as("doc_id"), shingles(text, windowTokens).as("s"))
+      .select(col("doc_id"), explode(transform(col("s"), x => xxhash64(x))).as("gh"))
+      .repartition(col("gh")) // exchange-reuse barrier for the self-join
+    val a = g.select(col("gh"), col("doc_id").as("doc_a"))
+    val b = g.select(col("gh"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("gh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Signature prime: minhash values live in [0, P). */

@@ -445,6 +445,44 @@ object AnalyticsQueries {
         col("ord.o_totalprice").as("o_totalprice"))
   }
 
+  // ---- heavy hitters: MG candidate prune + exact recount ----
+
+  /** Items (here: the `props` dimension) occurring in at least
+    * `HhPhi` of all events — EXACT, via a two-pass plan that never
+    * shuffles the full item cardinality:
+    *
+    *  1. one `mg_summary` pass builds a Misra–Gries candidate superset
+    *     (k = 2/φ counters ⇒ every true φ-hitter is guaranteed
+    *     present; O(k) state per partition, one k-entry summary per
+    *     partition through the exchange);
+    *  2. the raw events semi-join the ≤k broadcast candidates and are
+    *     recounted exactly — only candidate keys reach the second
+    *     aggregation.
+    *
+    * The final `count >= ceil(φ·n)` filter makes the result
+    * deterministic (independent of partitioning and MG merge order),
+    * so it carries a plain GROUP BY/HAVING oracle. At 100 TB over a
+    * high-cardinality domain (n-grams, URLs) pass 2 aggregates a
+    * φ-bounded key set instead of every distinct item — exact heavy
+    * hitters without the full-cardinality shuffle. */
+  def eventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val ev = t(spark, dir, "events")
+    val mg = ofExpr(graft.functions.expr.MgSummary(
+      toExpr(col("props")), HhK).toAggregateExpression())
+    val summary = ev.agg(mg.as("s")).select(col("s.n").as("n"), col("s.items.item").as("items"))
+    val candidates = summary.select(explode(col("items")).as("props"))
+    val total = summary.select(col("n"))
+    ev.join(broadcast(candidates), Seq("props"), "left_semi")
+      .groupBy(col("props")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= ceil(col("n") * lit(HhPhi)).cast("long"))
+      .select(col("props"), col("cnt"))
+  }
+
+  private val HhPhi = 0.005
+  private val HhK = 400 // 2/φ: guarantee margin of 2× over the n/(k+1) bound
+
   // ---- registry ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -468,7 +506,8 @@ object AnalyticsQueries {
     "user_rfm" -> (userRfm _),
     "events_cohorts" -> (eventsCohorts _),
     "events_cohorts_approx" -> ((s: SparkSession, d: String) => eventsCohortsApprox(s, d)),
-    "asof_join_events_orders" -> (asofJoinEventsOrders _))
+    "asof_join_events_orders" -> (asofJoinEventsOrders _),
+    "events_heavy_hitters" -> (eventsHeavyHitters _))
 
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
@@ -648,5 +687,8 @@ object AnalyticsQueries {
         |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+    "events_heavy_hitters" ->
+      s"""SELECT props, count(*) AS cnt FROM events GROUP BY props
+         |HAVING count(*) >= CAST(ceil($HhPhi * (SELECT count(*) FROM events)) AS BIGINT)""".stripMargin)
 }

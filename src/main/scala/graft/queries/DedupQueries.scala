@@ -84,6 +84,14 @@ object DedupQueries {
   def dedupResolve(spark: SparkSession, dir: String): DataFrame =
     Dedup.resolveClusters(dedupNgramJaccard(spark, dir))
 
+  /** Exact substring-window dedup: pairs sharing a verbatim
+    * 10-token window (Dedup.substringPairs — the passage-copy regime
+    * set-similarity misses). */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringPairs(docs(spark, dir), col("text"), "doc_id", windowTokens = SubstrWindow)
+
+  private val SubstrWindow = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
@@ -93,7 +101,8 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_bruteforce" -> (dedupEmbeddingBruteforce _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
-    "dedup_resolve" -> (dedupResolve _))
+    "dedup_resolve" -> (dedupResolve _),
+    "dedup_substring" -> (dedupSubstring _))
 
   /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
     * distinct). */
@@ -210,6 +219,17 @@ object DedupQueries {
          |  UNION
          |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b)
          |SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |         CASE WHEN len(ws) >= $SubstrWindow
+         |              THEN list_transform(generate_series(1, len(ws) - ${SubstrWindow - 1}),
+         |                     i -> array_to_string(ws[i : i + ${SubstrWindow - 1}], ' '))
+         |              ELSE [] END)) AS gram
+         |      FROM w)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_windows
+         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "dedup_embedding" -> embeddingPairsSql,
     "dedup_embedding_bruteforce" -> embeddingPairsSql,
     "dedup_embedding_lsh" -> embeddingLshOracleSql,

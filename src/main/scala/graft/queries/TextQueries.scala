@@ -149,7 +149,26 @@ object TextQueries {
       .select("doc_id", "rank", "word", "tf", "df")
   }
 
+  /** Boilerplate detection (the RefinedWeb / CCNet "frequent lines"
+    * pass, over word 5-grams since the corpus is single-line): n-grams
+    * appearing in at least `BoilerplateMinDocs` DISTINCT documents.
+    * Per-doc dedup happens inside the row (`array_distinct` before the
+    * explode), so the groupBy counts documents, not occurrences; the
+    * single shuffle carries one row per distinct (doc, gram). Output
+    * feeds a scrubbing pass: any gram here is template/boilerplate
+    * text, not content. */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(array_distinct(
+        wordNgrams(split(col("text"), " "), BoilerplateNgram))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= BoilerplateMinDocs)
+
+  private val BoilerplateNgram = 5
+  private val BoilerplateMinDocs = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (textBoilerplate _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -279,5 +298,15 @@ object TextQueries {
         |                     ELSE [] END) AS bigram
         |       FROM w)
         |SELECT bigram, count(*) AS n FROM bg
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT unnest(list_distinct(
+         |         CASE WHEN len(ws) >= $BoilerplateNgram
+         |              THEN list_transform(generate_series(1, len(ws) - ${BoilerplateNgram - 1}),
+         |                     i -> array_to_string(ws[i : i + ${BoilerplateNgram - 1}], ' '))
+         |              ELSE [] END)) AS gram
+         |      FROM w)
+         |SELECT gram, count(*) AS doc_freq FROM g
+         |GROUP BY gram HAVING count(*) >= $BoilerplateMinDocs""".stripMargin)
 }

@@ -228,4 +228,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"grid plan must be equi-join only:\n$plan")
   }
+
+  test("substring windows: planted passage copy found, disjoint docs not") {
+    import spark.implicits._
+    // doc 1 and 2 share a verbatim 12-word passage inside different
+    // surrounding text; doc 3 shares vocabulary but no 10-word window
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"intro words here $passage and a unique tail one"),
+      (2L, s"different opening text $passage with another ending two"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota other words entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringPairs(docs, col("text"), "doc_id", windowTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got $out")
+    // 12-word shared passage => 3 distinct shared 10-word windows
+    assert(out((1L, 2L)) == 3, s"got $out")
+  }
+
+  test("substring windows on testdata: symmetric-free, positive counts, hash-join plan") {
+    val df = DedupQueries.dedupSubstring(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "gate corpus contains near-verbatim planted dups")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1) && r.getLong(2) > 0)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"substring pairing must stay an equi-join:\n$plan")
+  }
 }

@@ -121,4 +121,28 @@ class TextSpec extends SparkSpec {
     assert(rows.nonEmpty, "corpus plants near-dups across the eval slice")
     assert(rows.forall(r => r.getLong(0) % 23 != 0 && r.getLong(1) > 0))
   }
+
+  test("boilerplate: grams counted once per doc, threshold respected") {
+    import spark.implicits._
+    val tpl = "subscribe to our newsletter for more"
+    val docs = Seq(
+      (1L, s"$tpl article one body text"),
+      (2L, s"$tpl another piece of content"),
+      (3L, s"$tpl third completely different story"),
+      // doc with the template REPEATED — must still count as one doc
+      (4L, s"unrelated $tpl middle words $tpl end words here"),
+      (5L, "no template in this one at all right"))
+      .toDF("doc_id", "text")
+    // mirror the query's gram construction at n=5 on a local frame
+    val grams = docs.select(explode(array_distinct(
+        graft.functions.TextFunctions.wordNgrams(split(col("text"), " "), 5))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 3)
+      .as[(String, Long)].collect().toMap
+    // the 6-word template yields two 5-gram windows present in docs 1-4
+    assert(grams.keySet.exists(_.startsWith("subscribe to our newsletter")), s"got $grams")
+    grams.foreach { case (g, df) => assert(df <= 4, s"gram '$g' overcounted: $df") }
+    val gateRows = graft.queries.TextQueries.textBoilerplate(spark, sf("any")).collect()
+    assert(gateRows.nonEmpty, "gate corpus has planted near-dups sharing 5-grams")
+  }
 }
