@@ -63,7 +63,31 @@ object StreamQueries {
     ).toDF()
   }
 
+  /** Per-window exact heavy hitters from the streaming MG sketch: the
+    * windowed `mg_summary` candidates (the part that runs on the
+    * stream, O(k) state per window) are recounted exactly against the
+    * same events and filtered at `count ≥ ceil(φ·window_n)` — the
+    * deterministic per-window φ-hitter set, independent of how the
+    * stream was partitioned or replayed. Batch execution of the same
+    * transforms here for the gate; stream==batch pinned in
+    * StreamingSpec. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cand = Streaming.windowedHeavyHitters(ev, col("props"), "1 day", k = StreamHhK)
+      .select(col("window_start"), col("n"), explode(col("items")).as("props"))
+    ev.select(window(col("ts"), "1 day").getField("start").as("window_start"), col("props"))
+      .join(broadcast(cand), Seq("window_start", "props"))
+      .groupBy(col("window_start"), col("props"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= ceil(col("n") * lit(StreamHhPhi)).cast("long"))
+      .select(col("window_start"), col("props"), col("cnt"))
+  }
+
+  private val StreamHhPhi = 0.01
+  private val StreamHhK = 200 // k+1 > 1/φ: candidate superset guaranteed
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_tagging" -> GateFormat.js(streamTagging _),
     "stream_enriched_tagging" -> GateFormat.js(streamEnrichedTagging _),
@@ -98,5 +122,14 @@ object StreamQueries {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
     // the stateful session machine must reproduce the SQL sessionization
-    "stream_sessionize" -> AnalyticsQueries.oracles("events_sessionize"))
+    "stream_sessionize" -> AnalyticsQueries.oracles("events_sessionize"),
+    // deterministic despite the MG sketch: candidates are a guaranteed
+    // superset and the recount + HAVING reproduces plain GROUP BY
+    "stream_heavy_hitters" ->
+      s"""WITH e AS (SELECT date_trunc('day', ts) AS window_start, props FROM events),
+         |n AS (SELECT window_start, count(*) AS wn FROM e GROUP BY window_start)
+         |SELECT e.window_start, props, count(*) AS cnt
+         |FROM e JOIN n USING (window_start)
+         |GROUP BY e.window_start, props, n.wn
+         |HAVING count(*) >= CAST(ceil($StreamHhPhi * n.wn) AS BIGINT)""".stripMargin)
 }

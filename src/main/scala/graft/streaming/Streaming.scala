@@ -39,6 +39,30 @@ object Streaming {
         col("n_events"), col("total_value"))
   }
 
+  /** Windowed frequent-items candidates on a stream: per tumbling
+    * window, one Misra–Gries summary (`mg_summary` — a mergeable
+    * TypedImperativeAggregate, so partial states live in the state
+    * store like any streaming agg buffer). State per window is O(k)
+    * REGARDLESS of item cardinality — a per-(window, item) count
+    * aggregation would hold every distinct item in state; this holds k
+    * counters and still guarantees every item with frequency > n/(k+1)
+    * is present. Output: (window_start, n, candidate items). The exact
+    * recount pass (StreamQueries.streamHeavyHitters) turns the
+    * candidate superset into the deterministic φ-hitter set. */
+  def windowedHeavyHitters(events: DataFrame, item: Column,
+                           windowLen: String = "1 day",
+                           watermark: String = "2 hours",
+                           k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val mg = ofExpr(graft.functions.expr.MgSummary(
+      toExpr(item.cast("string")), k).toAggregateExpression())
+    src.groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(mg.as("s"))
+      .select(col("w.start").as("window_start"),
+        col("s.n").as("n"), col("s.items.item").as("items"))
+  }
+
   /** Rule-driven tagging on a stream: the SAME compiled rule Columns
     * as the batch TagEngine — stateless projection, so it runs on a
     * stream unchanged (reference tags users in nightly batches; this

@@ -357,4 +357,47 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got.contains((1L, 1L, 1L)), s"user 1 session should time out; got ${got.toSeq}")
   }
+
+  test("windowed MG heavy-hitter candidates: stream state is O(k) and recount == exact hitters") {
+    val s = spark
+    import s.implicits._
+    // two daily windows; 'hot' dominates day 1, 'warm' day 2; 60
+    // distinct cold items exceed k=8 counters
+    def day1(i: Int) = ts(f"2024-01-01 ${i % 24}%02d:30:00")
+    def day2(i: Int) = ts(f"2024-01-02 ${i % 24}%02d:30:00")
+    val rows = (1 to 40).map(i => (day1(i), "hot")) ++
+      (1 to 30).map(i => (day1(i), s"cold_$i")) ++
+      (1 to 20).map(i => (day2(i), "warm")) ++
+      (1 to 30).map(i => (day2(i), s"chill_$i"))
+    val k = 8
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "props")
+    val q = Streaming.windowedHeavyHitters(df, col("props"), "1 day", k = k)
+      .writeStream.format("memory").queryName("hh").outputMode("complete").start()
+    // feed in two chunks to force partial-state merges across batches
+    val (a, b) = new scala.util.Random(5).shuffle(rows).splitAt(rows.size / 2)
+    input.addData(a: _*); q.processAllAvailable()
+    input.addData(b: _*); q.processAllAvailable()
+    val cand = spark.table("hh").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getSeq[String](2).toSet)).toMap
+    q.stop()
+    assert(cand.keySet == Set("2024-01-01 00:00:00.0", "2024-01-02 00:00:00.0"))
+    val (n1, c1) = cand("2024-01-01 00:00:00.0")
+    val (n2, c2) = cand("2024-01-02 00:00:00.0")
+    assert(n1 == 70 && n2 == 50)
+    assert(c1.size <= k && c2.size <= k, "summary must stay bounded by k")
+    // every item above the n/(k+1) bound must survive as a candidate
+    assert(c1.contains("hot") && c2.contains("warm"))
+    // exact recount of candidates == plain per-window heavy hitters at phi=0.2
+    val batch = rows.toDF("ts", "props")
+    val exact = batch.groupBy(window(col("ts"), "1 day").getField("start").as("w"), col("props"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    for ((w, (n, cs)) <- cand) {
+      val recount = cs.toSeq.flatMap(p => exact.get((w, p)).map(p -> _))
+        .filter(_._2 >= math.ceil(0.2 * n).toLong).toMap
+      val truth = exact.collect { case ((`w`, p), c) if c >= math.ceil(0.2 * n).toLong => p -> c }
+      assert(recount == truth, s"window $w: recounted $recount vs exact $truth")
+    }
+  }
 }
