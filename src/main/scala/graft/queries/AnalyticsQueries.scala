@@ -470,12 +470,14 @@ object AnalyticsQueries {
     val ev = t(spark, dir, "events")
     val mg = ofExpr(graft.functions.expr.MgSummary(
       toExpr(col("props")), HhK).toAggregateExpression())
-    val summary = ev.agg(mg.as("s")).select(col("s.n").as("n"), col("s.items.item").as("items"))
-    val candidates = summary.select(explode(col("items")).as("props"))
-    val total = summary.select(col("n"))
-    ev.join(broadcast(candidates), Seq("props"), "left_semi")
-      .groupBy(col("props")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+    // each exploded candidate row carries the total n, so ONE summary
+    // subtree serves both the semi-join prune and the threshold — the
+    // naive candidates/total split re-ran the whole MG pass per
+    // consumer and added a nested-loop cross join for the 1-row total
+    val summary = ev.agg(mg.as("s"))
+      .select(col("s.n").as("n"), explode(col("s.items.item")).as("props"))
+    ev.join(broadcast(summary), Seq("props"))
+      .groupBy(col("props"), col("n")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= ceil(col("n") * lit(HhPhi)).cast("long"))
       .select(col("props"), col("cnt"))
   }

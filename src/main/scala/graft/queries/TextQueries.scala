@@ -159,8 +159,11 @@ object TextQueries {
     * text, not content. */
   def textBoilerplate(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(explode(array_distinct(
-        wordNgrams(split(col("text"), " "), BoilerplateNgram))).as("gram"))
+      // WordShingles (distinct=true), not wordNgrams∘split: the native
+      // expression splits the text ONCE per row — the HOF form
+      // re-evaluates split() inside every element_at of every window
+      .select(explode(graft.dedup.Dedup.shingles(
+        col("text"), BoilerplateNgram)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= BoilerplateMinDocs)
 
