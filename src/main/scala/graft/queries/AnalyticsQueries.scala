@@ -108,18 +108,27 @@ object AnalyticsQueries {
         max(col("ts")).as("last_ts"))
 
   /** Per-user monetary rollup (orders ⋈ lineitem) — the reference's
-    * `user_asset_summary` shape. Fact-fact join shuffles once on
-    * orderkey, then re-aggregates on user. */
+    * `user_asset_summary` shape. lineitem is pre-aggregated to one row
+    * per order BEFORE the join: the orderkey exchange then carries
+    * ~4× fewer rows (map-side partial agg shrinks it further), the
+    * join is 1:1, and `n_orders` becomes a plain count — no
+    * countDistinct expand doubling the custkey shuffle. The per-order
+    * revenue partial stays decimal through both levels so the total is
+    * exact and order-independent, same contract as [[dsum]]. */
   def userAssetSummary(spark: SparkSession, dir: String): DataFrame = {
     val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val li = t(spark, dir, "lineitem")
+    val perOrder = t(spark, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("order_items"),
+        sum(revenue.cast("decimal(18,6)")).as("order_rev"))
+    perOrder.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("user_id"))
       .agg(
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_items"),
-        dsum(revenue).as("gross_revenue"))
+        count(lit(1)).as("n_orders"),
+        sum(col("order_items")).as("n_items"),
+        sum(col("order_rev")).cast("double").as("gross_revenue"))
   }
 
   // ---- window functions ----

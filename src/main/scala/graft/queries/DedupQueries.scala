@@ -92,6 +92,20 @@ object DedupQueries {
 
   private val SubstrWindow = 10
 
+  /** Duplication profile of the corpus: the cluster-size histogram of
+    * the near-dup graph — how many 2-clusters, 3-clusters, … the
+    * Jaccard pairs resolve into. The number a curator reads to decide
+    * whether dedup is worth a full pass ("3% of docs sit in clusters"
+    * vs "40% do") and to spot template explosions (one giant cluster).
+    * Docs in no pair are implicitly singletons and excluded, so the
+    * histogram is exactly the non-trivial duplication mass. Cost on
+    * top of resolution: two tiny aggregations of the (doc, canonical)
+    * set — at 100 TB that set is O(duplicated docs), not O(corpus). */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(dedupNgramJaccard(spark, dir))
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_norm" -> (dedupExactNorm _),
@@ -102,7 +116,8 @@ object DedupQueries {
     "dedup_embedding_bruteforce" -> (dedupEmbeddingBruteforce _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_resolve" -> (dedupResolve _),
-    "dedup_substring" -> (dedupSubstring _))
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_cluster_stats" -> (dedupClusterStats _))
 
   /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
     * distinct). */
@@ -126,6 +141,29 @@ object DedupQueries {
        |         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
+
+  /** Recursive-CTE connected-components skeleton over the 0.8-Jaccard
+    * pair graph, ending at the `cc(doc_id, lbl)` closure — shared by
+    * `dedup_resolve` (min-label per doc) and `dedup_cluster_stats`
+    * (histogram of cluster sizes) so the two oracles resolve the
+    * exact same graph. */
+  private val resolveCtesSql =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, $shinglesSql AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+       |          UNION SELECT doc_b, doc_a FROM jpairs),
+       |cc(doc_id, lbl) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b)""".stripMargin
 
   /** Exact all-pairs cosine ≥ 0.4 — shared by both embedding-dedup
     * entries: the grid path must produce byte-identical pairs to the
@@ -202,23 +240,15 @@ object DedupQueries {
     // path must reproduce the exhaustive join bit-for-bit
     "dedup_minhash_lsh" -> exactJaccardSql,
     "dedup_resolve" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, $shinglesSql AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
-         |jpairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |  WHERE jaccard >= 0.8),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
-         |          UNION SELECT doc_b, doc_a FROM jpairs),
-         |cc(doc_id, lbl) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.b)
+      s"""$resolveCtesSql
          |SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id""".stripMargin,
+    // the same resolution, rolled up twice: size per canonical, then
+    // count per size — one CTE skeleton so the two oracles can't drift
+    "dedup_cluster_stats" ->
+      s"""$resolveCtesSql,
+         |canon AS (SELECT doc_id, min(lbl) AS canonical_id FROM cc GROUP BY doc_id),
+         |sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM canon GROUP BY canonical_id)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size""".stripMargin,
     "dedup_substring" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(

@@ -92,6 +92,19 @@ class DedupSpec extends SparkSpec {
     assert(driver(3L) == 1L && driver(7L) == 5L && driver(33L) == 30L)
   }
 
+  test("cluster-size histogram is consistent with the resolution it rolls up") {
+    val resolved = Dedup.resolveClusters(DedupQueries.dedupNgramJaccard(spark, dir))
+    val hist = DedupQueries.dedupClusterStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.nonEmpty, "corpus should contain planted near-dup clusters")
+    // every cluster in a pair graph has >= 2 members by construction
+    assert(hist.keys.min >= 2L, s"impossible singleton bucket in $hist")
+    // mass check: sum(size * count) == docs in the resolution,
+    // sum(count) == distinct canonicals
+    assert(hist.map { case (sz, n) => sz * n }.sum == resolved.count())
+    assert(hist.values.sum == resolved.select("canonical_id").distinct().count())
+  }
+
   test("embedding pairs: cosine is symmetric-safe and bounded") {
     val out = DedupQueries.dedupEmbedding(spark, dir)
     val rows = out.collect()
