@@ -156,6 +156,45 @@ object PipelineQueries {
           floor(col("tokens_before") / lit(budget))).as("pack_id"))
   }
 
+  /** Token budget for [[corpusMix]] — at sf0.01 (≈27k BPE tokens,
+    * en holding ~43%) an equal 5-way split clamps some languages'
+    * keep rate at 1.0 and downsamples the rest, so the gate exercises
+    * both branches. */
+  val MixBudgetTokens = 20000L
+  private val MixHashMod = 1048576L // 2^20
+  private val MixHashMul = 2654435761L // Knuth multiplicative constant
+
+  /** Domain-mix rebalancing — the data-mixing pass every pre-training
+    * corpus gets (uniform target shares here; DoReMi-style learned
+    * weights are the same plan with a different literal per domain):
+    * give each language an equal slice of `MixBudgetTokens` and
+    * deterministically downsample over-supplied languages to their
+    * slice, keeping under-supplied ones whole (keep rate clamps at 1).
+    *
+    * The keep decision is a pure function of the row key (multiply-
+    * shift residue — `pmod` first so the product can't overflow at any
+    * id scale; a production corpus would use xxhash64, which has no
+    * cross-engine oracle twin), so the sample is reproducible across
+    * runs and cluster sizes and the filter evaluates inside the scan.
+    * Per-language token supply is one small aggregate broadcast back —
+    * the corpus itself is scanned once and never shuffled. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
+    val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    val nLangs = supply.agg(count(lit(1)).as("n_langs"))
+    val keepRate = least(lit(1.0),
+      lit(MixBudgetTokens.toDouble) / col("n_langs") / col("lang_tokens"))
+    toked
+      .join(broadcast(supply), Seq("lang"))
+      .crossJoin(broadcast(nLangs))
+      .filter(
+        pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod)) <
+          floor(keepRate * lit(MixHashMod.toDouble)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   /** Per-language corpus report: doc counts, token budget, exact
     * order-independent mean quality (decimal-summed), and the median
     * document length — the dashboard numbers a data curator reads
@@ -173,6 +212,7 @@ object PipelineQueries {
         percentile(col("n_chars"), lit(0.5)).as("median_chars"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix" -> (corpusMix _),
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_multimodal" -> (corpusCleanMultimodal _),
     "corpus_stats" -> (corpusStats _),
@@ -183,6 +223,20 @@ object PipelineQueries {
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
   val oracles: Map[String, String] = Map(
+    // mirrors corpusMix: same BPE tokenizer regex, same division
+    // order in the keep rate, same multiply-shift residue
+    "corpus_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+         |  FROM documents),
+         |supply AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM t GROUP BY lang),
+         |nl AS (SELECT count(*) AS n_langs FROM supply)
+         |SELECT doc_id, lang, n_tokens
+         |FROM t JOIN supply USING (lang) CROSS JOIN nl
+         |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
+         |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
+         |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin,
     "corpus_stats" ->
       s"""WITH q AS (
          |  SELECT lang, n_chars,

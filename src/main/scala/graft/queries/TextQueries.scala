@@ -170,7 +170,142 @@ object TextQueries {
   private val BoilerplateNgram = 5
   private val BoilerplateMinDocs = 3
 
+  /** Fixed benchmark query set for the lexical-retrieval gate entry —
+    * one list, interpolated into both the Spark frame and the DuckDB
+    * oracle so the literals cannot drift. */
+  val Bm25QuerySet: Seq[(Int, String)] = Seq(
+    1 -> "hash join table",
+    2 -> "window agg stream",
+    3 -> "fast scan filter",
+    4 -> "customer order query")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 lexical retrieval — the keyword half of the retrieval story
+    * (the embedding half is the ANN stack, §2.D): top-`topK` documents
+    * per query by Okapi BM25 (Lucene idf form, k1/b above).
+    *
+    * Plan, sized for a 100 TB corpus and a small query batch: the
+    * corpus is tokenized in ONE pass that carries the per-doc length
+    * alongside the exploded term, and a broadcast semi-join against
+    * the query vocabulary prunes that stream BEFORE the (doc, term)
+    * aggregation — the only corpus-sized shuffle carries just the
+    * docs × |query vocab| matching rows, never the full posting list.
+    * Document frequency and the 1-row corpus stats (N, avgdl) are
+    * small aggregates broadcast back. Scores stay internal (floats
+    * don't cross the gate); the emitted rank is windowed per query
+    * with a doc_id tiebreak, and ties are exact-equal score groups so
+    * both engines order them identically. */
+  def searchBm25(spark: SparkSession, dir: String, topK: Int = 10): DataFrame =
+    bm25Search(docs(spark, dir), Bm25QuerySet, topK)
+
+  /** The BM25 transform on any `(doc_id, text)` frame + query list. */
+  def bm25Search(in: DataFrame, querySet: Seq[(Int, String)], topK: Int): DataFrame = {
+    import in.sparkSession.implicits._
+    val qterms = querySet.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("word"))
+    val toks = in
+      .select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode(col("ws")).as("word"))
+    // prune to query vocabulary BEFORE the tf shuffle, then take the
+    // document frequency as a WINDOW over the pruned aggregate — a
+    // separate dfreq groupBy would be a second CONSUMER of the tfq
+    // subtree, and Spark re-executes multi-consumer subtrees (column
+    // pruning specializes each copy, which also defeats AQE exchange
+    // reuse — verified on the executed plan). The window keeps one
+    // tokenize+shuffle pass over the corpus by construction; the df
+    // exchange it adds only carries the docs × |query vocab| rows.
+    val tfq = toks.join(broadcast(qterms.select("word").distinct()), Seq("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
+    val stats = in.agg(
+      count(lit(1)).as("n_docs"),
+      avg(size(words(lower(col("text")))).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * col("tf") * lit(Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    tfq
+      .join(broadcast(qterms), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(termScore).as("score"), count(lit(1)).as("n_matched"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "n_matched")
+  }
+
+  /** Reference-slice modulus for the bigram-LM fit: `doc_id %
+    * LmRefMod == 0` stands in for the curated reference corpus (the
+    * CCNet recipe fits KenLM on Wikipedia, then scores the crawl). */
+  val LmRefMod = 5
+
+  /** Bigram-LM quality scoring — the CCNet-style perplexity filter:
+    * fit an add-one-smoothed bigram model on the reference slice,
+    * score EVERY document by average negative log-likelihood (and
+    * perplexity) under it. Low-ppl docs read like the reference;
+    * high-ppl docs are the gibberish/spam tail a curator drops.
+    *
+    * Plan: the model is two aggregates over the slice's bigrams (c2 =
+    * bigram counts, c1 = context counts derived FROM c2, so the slice
+    * is shingled once) plus a 1-row vocabulary size; scoring is one
+    * corpus pass joining each bigram occurrence against the model.
+    * Model tables broadcast here (toy vocab); at a real vocabulary
+    * they exceed the broadcast threshold and Spark picks the shuffle
+    * equi-join on `bigram` — same plan shape, still one corpus pass.
+    * Docs with <2 tokens have no bigrams and drop from BOTH engines'
+    * outputs (no LM evidence either way). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(docs(spark, dir))
+
+  /** The bigram-LM transform on any `(doc_id, text)` frame. */
+  def lmScore(in: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val bigrams = ofExpr(graft.functions.expr.WordShingles(
+      toExpr(col("text")), 2, distinct = false))
+    val bg = in.select(col("doc_id"), explode(bigrams).as("bigram"))
+    // the model is ONE w1-keyed frame: context count c1 + a w2→c2 map
+    // of the continuations. Separate c2/c1 tables would mean two
+    // broadcast joins whose build subtrees each re-run the slice fit
+    // (multi-consumer subtrees re-execute); this shape fits the model
+    // once and scores through a single left join. An unseen bigram
+    // under a SEEN context still finds c1 and misses only in the map —
+    // exactly the add-one backoff the two-table form computes. At a
+    // real vocabulary the model outgrows broadcast and Spark falls
+    // back to a shuffle join on w1 — same plan shape; a stopword
+    // context's map is as wide as its true continuation set (that IS
+    // the model's size, not an expansion of it).
+    val model = bg.filter(col("doc_id") % LmRefMod === 0)
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"), col("c2"))
+      .groupBy("w1")
+      .agg(sum(col("c2")).as("c1"),
+        map_from_arrays(collect_list(col("w2")), collect_list(col("c2"))).as("cont"))
+    val vocab = in.filter(col("doc_id") % LmRefMod === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val c2 = element_at(col("cont"), col("w2")) // null map/miss → null
+    val nll = -log((coalesce(c2, lit(0L)) + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)) + col("v")))
+    bg.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(model), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(nll).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25" -> ((s: SparkSession, d: String) => searchBm25(s, d)),
+    "text_lm_score" -> (textLmScore _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -187,7 +322,63 @@ object TextQueries {
 
   private val stopwordsSql = stopwords.map(s => s"'$s'").mkString(", ")
 
+  private val bm25QueriesSql =
+    Bm25QuerySet.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    // mirrors searchBm25: same Lucene-idf BM25, same k1/b, same
+    // query-vocabulary pruning before tf; rank tiebreak on doc_id
+    "search_bm25" ->
+      s"""WITH q(query_id, qtext) AS (VALUES $bm25QueriesSql),
+         |qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q),
+         |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word
+         |         FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+         |               FROM documents)),
+         |tfq AS (SELECT doc_id, word, count(*) AS tf, CAST(max(dl) AS DOUBLE) AS dl
+         |        FROM toks WHERE word IN (SELECT DISTINCT word FROM qt)
+         |        GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, count(*) AS df FROM tfq GROUP BY word),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 avg(CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)) AS avgdl
+         |          FROM documents),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |         sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |             * tf * ${Bm25K1 + 1.0} /
+         |             (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))) AS score,
+         |         count(*) AS n_matched
+         |  FROM qt JOIN tfq USING (word) JOIN dfreq USING (word) CROSS JOIN stats
+         |  GROUP BY query_id, doc_id)
+         |SELECT query_id, rank, doc_id, n_matched FROM (
+         |  SELECT query_id, doc_id, n_matched,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+    // mirrors textLmScore: add-one-smoothed bigram LM fit on the
+    // doc_id % LmRefMod slice, c1 derived from c2, V = distinct
+    // slice unigrams; scoring joins are LEFT so unseen bigrams hit
+    // the smoothing floor (c2=0, and c1=0 for unseen contexts)
+    "text_lm_score" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |         THEN list_transform(generate_series(1, len(ws) - 1),
+         |                             i -> ws[i] || ' ' || ws[i + 1])
+         |         ELSE [] END) AS bigram FROM w),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM bg
+         |       WHERE doc_id % $LmRefMod = 0 GROUP BY bigram),
+         |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
+         |       FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT u) AS v
+         |      FROM (SELECT unnest(ws) AS u FROM w WHERE doc_id % $LmRefMod = 0)),
+         |s AS (SELECT doc_id,
+         |             -ln((coalesce(c2, 0) + 1.0) / (coalesce(c1, 0) + v)) AS nll
+         |      FROM bg LEFT JOIN c2 USING (bigram)
+         |              LEFT JOIN c1 ON string_split(bg.bigram, ' ')[1] = c1.w1
+         |              CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS avg_nll,
+         |       exp(avg(nll)) AS ppl
+         |FROM s GROUP BY doc_id""".stripMargin,
     // mirrors graft.functions.expr.RollingHash exactly: Horner fold
     // (acc*31 + byte) mod P over UTF-8 bytes, seeded 17 (texts are
     // ASCII, so codepoints == bytes)

@@ -7,6 +7,54 @@ import org.apache.spark.sql.functions._
 class TextSpec extends SparkSpec {
   import org.apache.spark.sql.Row
 
+  test("bm25: planted relevance orders docs, misses excluded, gate shape sane") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join hash join table"), // all 3 terms, high tf
+      (2L, "hash value value value value value"),  // 1 term, once
+      (3L, "sort merge window group order line"),  // no query terms
+      (4L, "hash join table"))                     // all 3 terms, shortest
+      .toDF("doc_id", "text")
+    val out = TextQueries.bm25Search(docs, Seq(1 -> "hash join table"), topK = 10)
+      .orderBy("rank").collect()
+    // doc 3 matches nothing and must be absent
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L, 4L))
+    // both full-match docs outrank the single-rare-term doc (their
+    // relative order is a near-tie of tf saturation vs length norm —
+    // not asserted; the DuckDB oracle pins it exactly)
+    assert(out.take(2).map(_.getLong(2)).toSet == Set(1L, 4L))
+    assert(out.last.getLong(2) == 2L)
+    // n_matched counts matched query terms
+    assert(out.map(r => r.getLong(2) -> r.getLong(3)).toMap ==
+      Map(1L -> 3L, 4L -> 3L, 2L -> 1L))
+    // gate query on the real corpus: every query returns ranked rows
+    val gate = TextQueries.searchBm25(spark, sf("any"))
+    val perQ = gate.groupBy("query_id").count().collect()
+    assert(perQ.length == TextQueries.Bm25QuerySet.length)
+    assert(perQ.forall(_.getLong(1) > 0))
+  }
+
+  test("lm score: reference-like text scores lower perplexity than unseen text") {
+    import spark.implicits._
+    // doc_id % 5 == 0 rows form the reference slice; doc 1 repeats the
+    // slice's bigrams verbatim, doc 2 is out-of-vocabulary gibberish
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (5L, "the cat sat on the mat again"),
+      (1L, "the cat sat on the mat"),
+      (2L, "zyx wvu tsr qpo nml kji"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L),
+      s"in-distribution doc should have lower avg_nll: $out")
+    // smoothing keeps everything finite
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite))
+    // a doc with one word has no bigrams and drops from the output
+    val one = TextQueries.lmScore(Seq((9L, "word")).toDF("doc_id", "text"))
+    assert(one.count() == 0)
+  }
+
   private def dir = sf("any")
 
   test("fingerprints are deterministic and collision-free on the corpus") {

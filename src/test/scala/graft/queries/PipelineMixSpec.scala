@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** corpus_mix: deterministic domain rebalancing toward equal
+  * per-language token shares. Runs at sf0.01 — the budget is sized so
+  * that corpus splits the languages across BOTH branches (some clamp
+  * at keep-rate 1, some downsample); sf0.001 is too small to
+  * exercise the downsample path at all. */
+class PipelineMixSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("mix: under-budget langs kept whole, over-budget langs downsampled toward their slice") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.bpeTokens(col("text"))).cast("long").as("n_tokens"))
+    val supply = docs.groupBy("lang")
+      .agg(sum("n_tokens").as("lang_tokens"), count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val slice = PipelineQueries.MixBudgetTokens.toDouble / supply.size
+
+    val kept = PipelineQueries.corpusMix(spark, dir)
+    val keptByLang = kept.groupBy("lang")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // the budget must actually split the branches on this corpus, or
+    // the test is vacuous
+    assert(supply.exists { case (_, (t, _)) => t <= slice },
+      "no language under budget — resize MixBudgetTokens")
+    assert(supply.exists { case (_, (t, _)) => t > slice },
+      "no language over budget — resize MixBudgetTokens")
+
+    supply.foreach { case (lang, (langTokens, nDocs)) =>
+      val (kt, kn) = keptByLang(lang)
+      if (langTokens <= slice) {
+        assert(kn == nDocs, s"$lang under budget must be kept whole")
+        assert(kt == langTokens)
+      } else {
+        assert(kn < nDocs, s"$lang over budget must be downsampled")
+        // multiply-shift residues are uniform enough that the kept
+        // token mass lands near the slice (loose band — it's a
+        // per-doc Bernoulli sample, not an exact knapsack)
+        assert(kt > slice * 0.5 && kt < slice * 1.6,
+          s"$lang kept $kt tokens vs slice $slice")
+      }
+    }
+
+    // pure function of the row key: byte-identical across runs
+    val again = PipelineQueries.corpusMix(spark, dir)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+}
