@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
   *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=4]
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
+  *   runMain graft.Main text-index-build|text-index-add in=<docs.parquet> index=<dir> [tparts=32]
+  *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10]
+  *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   * }}}
   * `corpus-clean` is the CDC-incremental clean: each invocation dedups
   * the new docs against the accumulated [[graft.streaming.SigIndex]]
@@ -56,7 +59,9 @@ object Main {
       durationSec: Double)
 
   private val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
-    "index-search", "index-compact", "index-vacuum", "sig-compact", "sig-vacuum")
+    "index-search", "index-compact", "index-vacuum", "sig-compact", "sig-vacuum",
+    "text-index-build", "text-index-add", "text-index-search",
+    "text-index-compact", "text-index-vacuum")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -182,6 +187,8 @@ object Main {
       nCells = opts.getOrElse("cells", "16").toInt,
       nProbe = opts.getOrElse("probe", "4").toInt,
       opq = opts.getOrElse("opq", "false").toBoolean)
+    def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,
+      termParts = opts.getOrElse("tparts", "32").toInt)
     def done(rowsIn: Long, rowsOut: Long) =
       PipelineStats(command, rowsIn, rowsOut, (System.nanoTime() - t0) / 1e9)
 
@@ -218,6 +225,32 @@ object Main {
           .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)
       case "index-vacuum" =>
         done(0, pqIndex(req("index")).vacuum(
+          opts.getOrElse("keep", "1").toInt,
+          opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
+      // lexical retrieval twins of the index-* commands: build/add a
+      // term-partitioned inverted index over (doc_id, text) parquet,
+      // search it with (query_id, qtext) parquet
+      case "text-index-build" =>
+        val corpus = spark.read.parquet(req("in")).select("doc_id", "text")
+        textIndex(req("index")).build(corpus)
+        val n = corpus.count()
+        done(n, n)
+      case "text-index-add" =>
+        val delta = spark.read.parquet(req("in")).select("doc_id", "text")
+        textIndex(req("index")).add(delta)
+        val n = delta.count()
+        done(n, n)
+      case "text-index-search" =>
+        val queries = spark.read.parquet(req("in")).select("query_id", "qtext")
+        val hits = textIndex(req("index"))
+          .search(queries, opts.getOrElse("topk", "10").toInt).localCheckpoint()
+        hits.write.mode("overwrite").parquet(req("out"))
+        done(queries.count(), hits.count())
+      case "text-index-compact" =>
+        done(0, textIndex(req("index"))
+          .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)
+      case "text-index-vacuum" =>
+        done(0, textIndex(req("index")).vacuum(
           opts.getOrElse("keep", "1").toInt,
           opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
       case "sig-compact" =>

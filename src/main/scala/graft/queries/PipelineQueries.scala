@@ -195,6 +195,42 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Per-language token budget for [[corpusSelectBudget]] — sized so
+    * sf0.01 exercises both branches (en/zh truncate, de/es/fr fit). */
+  val SelectBudgetTokens = 4000L
+
+  /** Quality-ranked budget selection — the other half of the mixing
+    * story: [[corpusMix]] downsamples proportionally, this takes THE
+    * BEST documents per language until each language's token budget is
+    * spent (greedy by quality, doc_id tiebreak; the last kept doc may
+    * straddle the budget — same bounded-overflow trade as
+    * [[packSequences]]).
+    *
+    * Shape: one scoring pass, one per-language window (rank +
+    * running token mass), a scan-level filter. At 100 TB the
+    * per-language window is a sort of that language's partition —
+    * with a skewed language mix the scale path is a sketch-quantile
+    * quality THRESHOLD (the `value_quantiles_approx` machinery) to
+    * pre-filter to ≈budget mass, then this exact window on the
+    * survivors; the operator is the exact form the threshold path
+    * must agree with. */
+  def corpusSelectBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("sel_rank", row_number().over(w))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("tokens_before") < SelectBudgetTokens)
+      .select(col("doc_id"), col("lang"), col("sel_rank"), col("n_tokens"),
+        col("tokens_before"), col("quality"))
+  }
+
   /** Per-language corpus report: doc counts, token budget, exact
     * order-independent mean quality (decimal-summed), and the median
     * document length — the dashboard numbers a data curator reads
@@ -213,6 +249,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
+    "corpus_select_budget" -> (corpusSelectBudget _),
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_multimodal" -> (corpusCleanMultimodal _),
     "corpus_stats" -> (corpusStats _),
@@ -237,6 +274,33 @@ object PipelineQueries {
          |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
          |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
          |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin,
+    // mirrors corpusSelectBudget: same quality formula (shared with
+    // corpus_stats below), same (quality DESC, doc_id) window order,
+    // same strict tokens_before < budget straddler rule
+    "corpus_select_budget" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+         |         least(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |          + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                         / greatest(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)) * 0.2
+         |          + least(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         |                          w -> w IN (${stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE)
+         |                  / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.2
+         |          + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+         |                         / greatest(CAST(length(text) AS DOUBLE), 1.0) * 3.0, 1.0)) * 0.2
+         |           AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_tokens, quality,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |                ORDER BY quality DESC, doc_id) AS INTEGER) AS sel_rank,
+         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |                ORDER BY quality DESC, doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+         |  FROM s)
+         |SELECT doc_id, lang, sel_rank, n_tokens, tokens_before, quality
+         |FROM r WHERE tokens_before < $SelectBudgetTokens""".stripMargin,
     "corpus_stats" ->
       s"""WITH q AS (
          |  SELECT lang, n_chars,

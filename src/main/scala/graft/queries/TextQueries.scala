@@ -224,6 +224,17 @@ object TextQueries {
     val stats = in.agg(
       count(lit(1)).as("n_docs"),
       avg(size(words(lower(col("text")))).cast("double")).as("avgdl"))
+    bm25Rank(tfq.join(broadcast(qterms), Seq("word")), stats, topK)
+  }
+
+  /** The BM25 ranking core, shared by [[bm25Search]] and the
+    * persistent [[graft.similarity.TextIndex]] so the ad-hoc and
+    * index-served paths cannot drift: `perTerm` rows `(query_id,
+    * doc_id, tf, dl, df)` + a 1-row `stats` frame `(n_docs, avgdl)`
+    * → `(query_id, rank, doc_id, n_matched)` top-`topK` per query.
+    * Lucene-form idf (always positive); score internal; rank ties
+    * broken by doc_id. */
+  def bm25Rank(perTerm: DataFrame, stats: DataFrame, topK: Int): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * col("tf") * lit(Bm25K1 + 1.0) /
@@ -231,8 +242,7 @@ object TextQueries {
         (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    tfq
-      .join(broadcast(qterms), Seq("word"))
+    perTerm
       .crossJoin(broadcast(stats))
       .groupBy("query_id", "doc_id")
       .agg(sum(termScore).as("score"), count(lit(1)).as("n_matched"))

@@ -1,0 +1,210 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.words
+
+/** Persistent inverted index: the lexical twin of [[PqIndex]] — BM25
+  * serving over a term-partitioned postings store.
+  *
+  * Layout under `dir`:
+  *  - `postings/` — a [[graft.sources.SnapshotStore]] KEYED by
+  *    `doc_id` (the CDC identity: re-sending a document replaces ALL
+  *    its postings in one upsert, because the store's key-replace
+  *    semantics drop every row of that key) and PARTITIONED by
+  *    `tpart = hash(word) % termParts`, so a query batch reads only
+  *    its terms' partitions — |query terms|/termParts of the store,
+  *    never a full posting scan. Row = (doc_id, word, tf, dl, tpart);
+  *    a document with no tokens writes one null-word tombstone row
+  *    (explode_outer), so replacing a doc with empty text still
+  *    clears its old postings and it still counts in N/avgdl.
+  *  - `stats.txt` — corpus statistics (N, Σdl) and the frozen
+  *    `termParts`: the hash layout is fixed at build time (like
+  *    PqIndex's quantizers) — deltas and searches must agree on it,
+  *    so the persisted value wins over the constructor's.
+  *
+  * Scoring goes through [[graft.queries.TextQueries.bm25Rank]] — the
+  * SAME core as the ad-hoc `search_bm25` gate query, and
+  * TextIndexSpec pins exact parity between the index-served and
+  * ad-hoc paths after every lifecycle step (build, delta add,
+  * replace, empty-text retraction). Stats are maintained with exact
+  * long arithmetic across adds (replaced documents' dl read back
+  * from a KEY-pruned probe of the store, not a scan), so parity is
+  * bitwise, not approximate.
+  *
+  * Single-maintainer assumption on `stats.txt` (like PqIndex's
+  * models.txt): concurrent `add`s serialize on the store's manifest
+  * commit, but the sidecar write is last-wins — run maintenance from
+  * one writer. */
+class TextIndex(spark: SparkSession, dir: String,
+                buckets: Int = 32, termParts: Int = 32) {
+
+  private val store = new graft.sources.SnapshotStore(
+    spark, s"$dir/postings", key = "doc_id",
+    buckets = buckets, partitionCol = Some("tpart"))
+  private val statsPath = new Path(s"$dir/stats.txt")
+  private val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Postings of a `(doc_id, text)` frame under `parts` hash layout.
+    * One tokenize pass; `explode_outer` keeps token-less documents as
+    * a single null-word tombstone row. */
+  private def postings(docs: DataFrame, parts: Int): DataFrame =
+    docs.select(col("doc_id"), words(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("double").as("dl"),
+        explode_outer(col("ws")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("tpart",
+        coalesce(pmod(xxhash64(col("word")), lit(parts)), lit(0)))
+
+  /** (n_docs, sum_dl) of a `(doc_id, text)` frame — exact longs. */
+  private def measure(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      coalesce(sum(size(words(lower(col("text")))).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Index `corpus` (`(doc_id, text)`) from scratch: postings +
+    * stats, replacing any prior generation and freezing `termParts`. */
+  def build(corpus: DataFrame): Unit = {
+    store.overwrite(postings(corpus, termParts))
+    val (n, sumDl) = measure(corpus)
+    saveStats(n, sumDl, termParts)
+  }
+
+  /** Upsert a document delta: new doc_ids append, re-sent doc_ids
+    * replace all their postings. Corpus stats are adjusted exactly —
+    * the replaced documents' old lengths come from a KEY-pruned read
+    * of the touched buckets, O(delta), not a store scan. */
+  def add(docs: DataFrame): Unit = {
+    val (n0, sumDl0, parts) = loadStats()
+    val keys = docs.select("doc_id")
+    val replaced = store.readForKeys(keys) match {
+      case None => (0L, 0L)
+      case Some(near) =>
+        val r = near.join(keys, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+    val (nDelta, sumDelta) = measure(docs)
+    store.upsert(postings(docs, parts))
+    saveStats(n0 + nDelta - replaced._1, sumDl0 + sumDelta - replaced._2, parts)
+  }
+
+  /** Top-`topK` BM25 results per query for a `(query_id, qtext)`
+    * frame. Reads ONLY the query terms' partitions of the postings
+    * store (the prune list is |query terms| hashes computed in one
+    * bounded pass); document frequency is a window over the pruned
+    * postings — sound because a term's postings live entirely in its
+    * partition. */
+  def search(queries: DataFrame, topK: Int = 10): DataFrame = {
+    val (n, sumDl, parts) = loadStats()
+    val qterms = queries.select(col("query_id"),
+      explode(split(col("qtext"), " ")).as("word"))
+    // bounded collect: the query batch's vocabulary, for the prune list
+    val qwords = qterms.select(col("word"),
+        pmod(xxhash64(col("word")), lit(parts)).as("tpart"))
+      .distinct().collect()
+    val probe = qwords.map(_.getLong(1)).distinct.toSeq
+    // a probe whose partitions hold no files is an empty result, not
+    // an error — the full read supplies the schema (plan only, never
+    // executed), exactly as in PqIndex.codesTable
+    val full = store.read().getOrElse(sys.error(s"no index built at $dir"))
+    val pruned = store.readPartitions(probe).getOrElse(full.limit(0))
+      .filter(col("word").isInCollection(qwords.map(_.getString(0)).toSeq))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
+    val stats = queries.sparkSession.range(1)
+      .select(lit(n).as("n_docs"),
+        (lit(sumDl.toDouble) / lit(n.toDouble)).as("avgdl"))
+    graft.queries.TextQueries.bm25Rank(
+      pruned.join(broadcast(qterms), Seq("word")), stats, topK)
+  }
+
+  /** Convenience: search a literal query list. */
+  def search(querySet: Seq[(Int, String)], topK: Int): DataFrame = {
+    import spark.implicits._
+    search(querySet.toDF("query_id", "qtext"), topK)
+  }
+
+  /** Serve a streaming `(query_id, qtext)` frame: each micro-batch is
+    * searched against the index as of that batch (concurrent adds
+    * visible at the next batch) and handed to `sink`. */
+  def serveStream(queries: DataFrame, topK: Int, sink: DataFrame => Unit,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) sink(search(batch.toDF(), topK))
+      }
+      .start()
+
+  /** Maintain the index from a streaming `(doc_id, text)` frame:
+    * at-least-once batches are idempotent (replays re-replace the
+    * same keys). `compactEvery` (0 = off) bounds ingest-path file
+    * growth exactly as in [[PqIndex.maintainStream]]. */
+  def maintainStream(docs: DataFrame, checkpoint: String,
+                     compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    var sinceCompact = 0
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          add(batch.toDF())
+          sinceCompact += 1
+          if (compactEvery > 0 && sinceCompact >= compactEvery) {
+            store.compact()
+            sinceCompact = 0
+          }
+        }
+      }
+      .start()
+  }
+
+  /** Rewrite over-split postings buckets (see SnapshotStore.compact). */
+  def compact(maxFilesPerBucket: Int = 1): Int = store.compact(maxFilesPerBucket)
+
+  /** Reclaim superseded postings files + old manifests. */
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
+    store.vacuum(keepVersions, minAgeMs)
+
+  /** Scan-prune accounting for specs/monitoring: files a probe of
+    * these term partitions opens vs all live files. */
+  private[graft] def scanFootprint(parts: Seq[Long]): (Int, Int) =
+    (store.filesForPartitions(parts).size, store.liveFileCount)
+
+  /** The partition ids a query string's terms probe. */
+  private[graft] def probeParts(qtext: String): Seq[Long] = {
+    val (_, _, parts) = loadStats()
+    import spark.implicits._
+    qtext.split(" ").toSeq.toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(parts)))
+      .distinct().collect().map(_.getLong(0)).toSeq
+  }
+
+  private def saveStats(n: Long, sumDl: Long, parts: Int): Unit = {
+    val tmp = new Path(s"$dir/.tmp-stats-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(s"n_docs=$n sum_dl=$sumDl term_parts=$parts\n"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(statsPath)) fs.delete(statsPath, false)
+    if (!fs.rename(tmp, statsPath))
+      throw new java.io.IOException(s"stats publish failed for $statsPath")
+  }
+
+  private def loadStats(): (Long, Long, Int) = {
+    require(fs.exists(statsPath), s"no index stats at $statsPath — build() first")
+    val in = fs.open(statsPath)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    val kv = text.trim.split(' ').map { s =>
+      val Array(a, b) = s.split('='); a -> b.toLong
+    }.toMap
+    (kv("n_docs"), kv("sum_dl"), kv("term_parts").toInt)
+  }
+}

@@ -170,6 +170,44 @@ class MainSpec extends SparkSpec {
     assert(top2 == top, "maintenance must not change search results")
   }
 
+  test("pipeline subcommands: text index build/add/search/maintain e2e") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_text").toString
+    Seq((1L, "spark shuffles the hash join build side"),
+        (2L, "the sort merge join spills to disk"),
+        (3L, "broadcast joins skip the shuffle entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val built = Main.runPipeline(spark, Seq("text-index-build",
+      s"in=$base/docs.parquet", s"index=$base/tidx", "tparts=8"))
+    assert(built.rowsIn == 3)
+    // delta add, then search from the CLI: the added doc saturates the
+    // query terms and must come back rank 1
+    Seq((10L, "hash join hash join hash join"))
+      .toDF("doc_id", "text").write.parquet(s"$base/tdelta.parquet")
+    Main.runPipeline(spark, Seq("text-index-add",
+      s"in=$base/tdelta.parquet", s"index=$base/tidx"))
+    Seq((1, "hash join")).toDF("query_id", "qtext")
+      .write.parquet(s"$base/tqueries.parquet")
+    val searched = Main.runPipeline(spark, Seq("text-index-search",
+      s"in=$base/tqueries.parquet", s"index=$base/tidx", s"out=$base/thits", "topk=5"))
+    assert(searched.rowsOut >= 2)
+    val top = spark.read.parquet(s"$base/thits").filter(col("rank") === 1)
+      .select("doc_id").head().getLong(0)
+    assert(top == 10L, s"the term-saturating CLI-added doc must rank first, got $top")
+    // maintenance parity with the vector index commands
+    val compacted = Main.runPipeline(spark, Seq("text-index-compact", s"index=$base/tidx"))
+    assert(compacted.rowsOut > 0, "the CLI add must have left compactable buckets")
+    val vacuumed = Main.runPipeline(spark, Seq("text-index-vacuum",
+      s"index=$base/tidx", "agems=0"))
+    assert(vacuumed.rowsOut > 0, "compaction must leave vacuum food")
+    Main.runPipeline(spark, Seq("text-index-search",
+      s"in=$base/tqueries.parquet", s"index=$base/tidx", s"out=$base/thits2", "topk=5"))
+    val top2 = spark.read.parquet(s"$base/thits2").filter(col("rank") === 1)
+      .select("doc_id").head().getLong(0)
+    assert(top2 == top, "maintenance must not change text search results")
+  }
+
   test("data-quality report frame carries per-column null rates") {
     val s = spark
     import s.implicits._

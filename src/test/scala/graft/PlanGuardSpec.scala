@@ -16,7 +16,10 @@ class PlanGuardSpec extends SparkSpec {
     "ann_pq_topk",              // PQ scans all CODES per query by design (8 B/vec ADC)
     "ann_opq_topk",             // same scan-all-codes shape, in the OPQ-rotated space
     "text_keywords",            // 1-row corpus-count scalar broadcast, not an n×n join
-    "user_rfm_approx")          // 1-row quantile-breakpoint frame broadcast to every user
+    "user_rfm_approx",          // 1-row quantile-breakpoint frame broadcast to every user
+    "search_bm25",              // 1-row (N, avgdl) corpus-stats broadcast
+    "text_lm_score",            // 1-row vocabulary-size broadcast
+    "corpus_mix")               // 1-row language-count broadcast
 
   test("no gate query plans a cartesian or nested-loop join (except documented baselines)") {
     val dir = sf("any")

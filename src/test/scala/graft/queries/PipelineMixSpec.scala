@@ -51,4 +51,33 @@ class PipelineMixSpec extends SparkSpec {
     val again = PipelineQueries.corpusMix(spark, dir)
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
+
+  test("select-budget: greedy quality prefix per language, straddler-bounded overflow") {
+    val sel = PipelineQueries.corpusSelectBudget(spark, dir).cache()
+    val budget = PipelineQueries.SelectBudgetTokens
+    // every kept row respects the strict preceding-mass rule
+    assert(sel.filter(col("tokens_before") >= budget).count() == 0)
+    // overflow is bounded by the one straddling doc
+    val spent = sel.groupBy("lang").agg(
+      sum("n_tokens").as("t"), max("n_tokens").as("maxDoc"),
+      count(lit(1)).as("kept")).collect()
+    spent.foreach { r =>
+      assert(r.getLong(1) < budget + r.getLong(2),
+        s"${r.getString(0)}: kept ${r.getLong(1)} tokens vs budget $budget")
+    }
+    // the kept set is a quality PREFIX: min kept quality >= max dropped
+    // quality per language (modulo the shared-boundary tie)
+    val docs = PipelineQueries.corpusSelectBudget(spark, dir)
+      .select("lang", "quality").groupBy("lang").agg(min("quality").as("minKept"))
+    val all = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val dropped = all.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(max("quality").as("maxDropped"))
+    docs.join(dropped, Seq("lang")).collect().foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(2) - 1e-12,
+        s"${r.getString(0)}: kept set must be a quality prefix")
+    }
+    sel.unpersist()
+  }
 }

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.queries.TextQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted index: parity with the ad-hoc BM25 path after
+  * every lifecycle step, term-pruned serving, and the streaming loop. */
+class TextIndexSpec extends SparkSpec {
+  implicit private lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def corpus: DataFrame =
+    graft.sources.Tables.load(spark, sf("any"), "documents")
+      .select("doc_id", "text")
+
+  private val qs = TextQueries.Bm25QuerySet
+
+  private def rows(df: DataFrame): Set[(Int, Int, Long, Long)] =
+    df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("built index serves exactly the ad-hoc BM25 results; adds/replacements keep parity") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex").toString
+    val index = new TextIndex(spark, s"$base/idx", termParts = 16)
+    index.build(corpus)
+    assert(rows(index.search(qs, 10)) == rows(TextQueries.bm25Search(corpus, qs, 10)),
+      "index-served BM25 must equal the ad-hoc path on the same corpus")
+
+    // CDC add: new docs + a replacement; parity vs ad-hoc over the
+    // UPDATED corpus proves stats (N, avgdl) and postings both moved
+    val delta = Seq(
+      (900001L, "hash join table hash join table"),
+      (0L, "window stream window stream"))
+      .toDF("doc_id", "text")
+    index.add(delta)
+    val updated = corpus.filter(col("doc_id") =!= 0L).unionByName(delta)
+    assert(rows(index.search(qs, 10)) == rows(TextQueries.bm25Search(updated, qs, 10)),
+      "after a delta add + replacement the index must equal ad-hoc BM25 on the updated corpus")
+    // the replaced doc's old terms are gone: doc 0 no longer matches a
+    // query it can only reach through its old text
+    val hits = index.search(Seq(9 -> "customer"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(0L))
+  }
+
+  test("empty-text replacement retracts a document's postings (tombstone row)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_tomb").toString
+    val index = new TextIndex(spark, s"$base/idx", termParts = 8)
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta"),
+      (3L, "beta gamma")).toDF("doc_id", "text")
+    index.build(docs)
+    assert(index.search(Seq(1 -> "alpha"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    index.add(Seq((1L, "")).toDF("doc_id", "text"))
+    assert(index.search(Seq(1 -> "alpha"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L),
+      "a doc replaced with empty text must stop matching")
+    // and the retraction holds parity with ad-hoc on the updated corpus
+    val updated = docs.filter(col("doc_id") =!= 1L)
+      .unionByName(Seq((1L, "")).toDF("doc_id", "text"))
+    assert(rows(index.search(qs, 10)) == rows(TextQueries.bm25Search(updated, qs, 10)))
+  }
+
+  test("serving reads only the query terms' partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_prune").toString
+    val index = new TextIndex(spark, s"$base/idx", termParts = 16)
+    index.build(corpus)
+    index.compact() // cluster into the partitioned layout
+    val parts = index.probeParts("hash join table")
+    val (opened, live) = index.scanFootprint(parts)
+    assert(opened > 0, "probe must open the matched partitions")
+    assert(parts.length <= 3 && opened <= live * parts.length * 2 / 16,
+      s"files opened ($opened of $live) must scale with probed partitions (${parts.length} of 16)")
+  }
+
+  test("streaming maintenance and serving compose against the same store") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_stream").toString
+    val index = new TextIndex(spark, s"$base/idx", termParts = 8)
+    index.build(corpus.limit(50))
+
+    val docsIn = MemoryStream[(Long, String)]
+    val maintain = index.maintainStream(
+      docsIn.toDF().toDF("doc_id", "text"), s"$base/cp_m", compactEvery = 2)
+    docsIn.addData((910001L, "hash join table hash join"))
+    maintain.processAllAvailable()
+    docsIn.addData((910002L, "window agg stream window"))
+    maintain.processAllAvailable()
+    maintain.stop()
+
+    var got = Set.empty[Long]
+    val queriesIn = MemoryStream[(Int, String)]
+    val serve = index.serveStream(
+      queriesIn.toDF().toDF("query_id", "qtext"), 10,
+      b => got = got ++ b.select("doc_id").collect().map(_.getLong(0)), s"$base/cp_s")
+    queriesIn.addData((1, "hash join table"), (2, "window agg stream"))
+    serve.processAllAvailable()
+    serve.stop()
+    assert(got.contains(910001L) && got.contains(910002L),
+      "stream-maintained docs must be retrievable by the serving stream")
+  }
+}
