@@ -231,6 +231,84 @@ object PipelineQueries {
         col("tokens_before"), col("quality"))
   }
 
+  /** Quality-bin count for [[corpusSelectBudgetPruned]]'s threshold
+    * histogram. A power of two so `bin/Bins` is exact in floating
+    * point: `floor(q*256) = B  ⟺  q >= B/256.0` holds bitwise, which
+    * is what makes the pruned survivor set a provable prefix-superset
+    * of the exact winners (no doc can fall on the wrong side of the
+    * edge through rounding). */
+  val SelectBudgetBins = 256
+
+  /** The 100 TB form of [[corpusSelectBudget]] — IDENTICAL output,
+    * pruned sort. A per-(language, quality-bin) token-mass histogram
+    * (a |langs|×256-row aggregate, the only thing collected) picks the
+    * highest bin edge at which cumulative from-the-top mass reaches
+    * the budget; every document below that edge has preceding mass
+    * ≥ budget and is provably dropped by the exact rule, so filtering
+    * to `quality >= edge` BEFORE the window keeps a quality-prefix
+    * superset of the winners — and a row_number/running-sum window
+    * over a prefix-superset assigns the surviving rows the same ranks
+    * and running masses as over the full partition. The expensive
+    * per-language sort therefore runs over ≈budget token mass instead
+    * of the whole language: with a 100:1 supply-to-budget skew that is
+    * a 100× smaller sort, and the histogram pass is a scan-level
+    * aggregate that never shuffles the corpus. Two tokenize passes
+    * (histogram + final) is the same honest trade [[corpusMix]]
+    * documents: the decision depends on the supply, so the supply
+    * must be measured first.
+    *
+    * Shares [[corpusSelectBudget]]'s oracle verbatim — the gate pins
+    * bit-identical output, not "approximately the same selection". */
+  def corpusSelectBudgetPruned(spark: SparkSession, dir: String): DataFrame = {
+    def scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
+    val edges = selectBudgetEdges(spark, scored)
+    // pass 2: the exact window, over survivors only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .join(broadcast(edges), Seq("lang"))
+      .filter(col("quality") >= col("qmin"))
+      .withColumn("sel_rank", row_number().over(w))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("tokens_before") < SelectBudgetTokens)
+      .select(col("doc_id"), col("lang"), col("sel_rank"), col("n_tokens"),
+        col("tokens_before"), col("quality"))
+  }
+
+  /** Pass 1 of the pruned selection: the per-language quality edge
+    * from a bounded (|langs| × [[SelectBudgetBins]]-row) token-mass
+    * histogram. Walking bins from the top, the edge is the lower
+    * boundary of the bin at which cumulative mass first reaches the
+    * budget; exhausting the bins first means the supply fits and the
+    * language keeps everything (−∞ edge). Exposed for the spec, which
+    * pins that `quality >= qmin` admits strictly fewer docs than the
+    * over-supplied languages hold. */
+  private[graft] def selectBudgetEdges(spark: SparkSession, scored: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bins = SelectBudgetBins
+    scored
+      .groupBy(col("lang"),
+        least(floor(col("quality") * bins), lit(bins - 1)).cast("int").as("bin"))
+      .agg(sum(col("n_tokens")).as("mass"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.map { case (lang, rows) =>
+        val fromTop = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(-_._1)
+        var cum = 0L
+        var edge = Double.NegativeInfinity
+        val it = fromTop.iterator
+        while (cum < SelectBudgetTokens && it.hasNext) {
+          val (bin, mass) = it.next(); cum += mass; edge = bin.toDouble / bins
+        }
+        (lang, if (cum < SelectBudgetTokens) Double.NegativeInfinity else edge)
+      }.toDF("lang", "qmin")
+  }
+
   /** Per-language corpus report: doc counts, token budget, exact
     * order-independent mean quality (decimal-summed), and the median
     * document length — the dashboard numbers a data curator reads
@@ -250,6 +328,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
     "corpus_select_budget" -> (corpusSelectBudget _),
+    "corpus_select_budget_pruned" -> (corpusSelectBudgetPruned _),
     "corpus_clean" -> (corpusClean _),
     "corpus_clean_multimodal" -> (corpusCleanMultimodal _),
     "corpus_stats" -> (corpusStats _),
@@ -259,7 +338,7 @@ object PipelineQueries {
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // mirrors corpusMix: same BPE tokenizer regex, same division
     // order in the keep rate, same multiply-shift residue
     "corpus_mix" ->
@@ -360,6 +439,13 @@ object PipelineQueries {
            |  FROM (${DedupQueries.embeddingLshOracleSql}) lshq),
            |allpairs AS (SELECT doc_a, doc_b FROM jpairs
            |             UNION SELECT doc_a, doc_b FROM epairs)""".stripMargin))
+
+  /** The pruned budget selection is bit-identical to the exact form by
+    * construction, so it answers to the SAME oracle — the gate thereby
+    * checks the prefix-superset equivalence proof on real data, not
+    * just "roughly the same selection". */
+  val oracles: Map[String, String] =
+    oraclesBase + ("corpus_select_budget_pruned" -> oraclesBase("corpus_select_budget"))
 
   /** Shared skeleton of the corpus-clean oracles — `pairCtes` must
     * define a CTE `allpairs(doc_a, doc_b)` (it can reference the

@@ -80,4 +80,29 @@ class PipelineMixSpec extends SparkSpec {
     }
     sel.unpersist()
   }
+
+  test("pruned select-budget: bit-identical to exact, and the pre-filter actually prunes") {
+    val exact = PipelineQueries.corpusSelectBudget(spark, dir)
+    val pruned = PipelineQueries.corpusSelectBudgetPruned(spark, dir)
+    assert(exact.exceptAll(pruned).isEmpty && pruned.exceptAll(exact).isEmpty,
+      "the histogram-thresholded path must produce the exact selection, ranks included")
+    // the claim isn't just equality — the PRE-WINDOW filter must admit
+    // fewer docs than the over-supplied languages hold (en/zh truncate
+    // at SelectBudgetTokens by construction of the sf0.01 fixture)
+    val scored = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.bpeTokens(col("text"))).cast("long").as("n_tokens"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val edges = PipelineQueries.selectBudgetEdges(spark, scored)
+    val counts = scored.join(broadcast(edges), Seq("lang"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("total"),
+        sum(when(col("quality") >= col("qmin"), 1L).otherwise(0L)).as("admitted"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq("en", "zh").foreach { lang =>
+      val (total, admitted) = counts(lang)
+      assert(admitted < total,
+        s"$lang: the quality edge must prune the window input ($admitted of $total admitted)")
+    }
+  }
 }
