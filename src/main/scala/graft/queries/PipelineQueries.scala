@@ -195,6 +195,33 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Held-out fractions for [[corpusSplit]], in residue points of
+    * [[MixHashMod]]: val gets 2%, test gets 2%, train the rest. */
+  val SplitValPoints = MixHashMod / 50
+  val SplitTestPoints = MixHashMod / 50
+
+  /** Deterministic train/val/test assignment — the split every
+    * training corpus needs before anything else consumes it. The
+    * assignment is a pure multiply-shift function of `doc_id` (same
+    * residue family as [[corpusMix]], different use: interval
+    * membership instead of a supply-scaled threshold), so it is
+    * reproducible across runs, engines, and cluster sizes, evaluates
+    * inside the scan (no shuffle, no supply pass — fractions are
+    * fixed, not data-dependent), and is STABLE UNDER CORPUS GROWTH: a
+    * document keeps its split forever because the hash ignores every
+    * other row, which is what keeps eval sets from leaking into train
+    * as the corpus accretes. Language is carried through so split
+    * balance per language is checkable downstream (the hash is
+    * id-uniform, so each language splits ≈2/2/96 on its own). */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val r = pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(r < lit(SplitValPoints), "val")
+          .when(r < lit(SplitValPoints + SplitTestPoints), "test")
+          .otherwise("train").as("split"))
+  }
+
   /** Per-language token budget for [[corpusSelectBudget]] — sized so
     * sf0.01 exercises both branches (en/zh truncate, de/es/fr fit). */
   val SelectBudgetTokens = 4000L
@@ -214,13 +241,19 @@ object PipelineQueries {
     * pre-filter to ≈budget mass, then this exact window on the
     * survivors; the operator is the exact form the threshold path
     * must agree with. */
-  def corpusSelectBudget(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+  /** The scored frame both select-budget forms run over — single
+    * definition so the exact/pruned twins (and the spec) cannot
+    * drift on tokenizer or quality formula. */
+  private[graft] def selectBudgetScored(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
         qualityScore(col("text")).as("quality"))
+
+  def corpusSelectBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    selectBudgetScored(spark, dir)
       .withColumn("sel_rank", row_number().over(w))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(
@@ -260,10 +293,7 @@ object PipelineQueries {
     * Shares [[corpusSelectBudget]]'s oracle verbatim — the gate pins
     * bit-identical output, not "approximately the same selection". */
   def corpusSelectBudgetPruned(spark: SparkSession, dir: String): DataFrame = {
-    def scored = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
-        qualityScore(col("text")).as("quality"))
+    def scored = selectBudgetScored(spark, dir)
     val edges = selectBudgetEdges(spark, scored)
     // pass 2: the exact window, over survivors only
     val w = org.apache.spark.sql.expressions.Window
@@ -327,6 +357,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
+    "corpus_split" -> (corpusSplit _),
     "corpus_select_budget" -> (corpusSelectBudget _),
     "corpus_select_budget_pruned" -> (corpusSelectBudgetPruned _),
     "corpus_clean" -> (corpusClean _),
@@ -353,6 +384,13 @@ object PipelineQueries {
          |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
          |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
          |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin,
+    // mirrors corpusSplit: same residue, same interval edges
+    "corpus_split" ->
+      s"""SELECT doc_id, lang,
+         |       CASE WHEN ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod < $SplitValPoints THEN 'val'
+         |            WHEN ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod < ${SplitValPoints + SplitTestPoints} THEN 'test'
+         |            ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
     // mirrors corpusSelectBudget: same quality formula (shared with
     // corpus_stats below), same (quality DESC, doc_id) window order,
     // same strict tokens_before < budget straddler rule

@@ -243,31 +243,45 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   // open into the key scan, never into a wrong answer.
 
   /** Build and persist per-bucket key blooms for one written data
-    * generation. Two O(delta) passes: per-bucket counts (sizes the
-    * filters), then a partition-local build merged driver-side
-    * (buckets × ~12 KB at 1% FPR). */
+    * generation. Two O(delta) passes: per-bucket APPROX-DISTINCT key
+    * counts (sizes the filters — a multi-row-per-key table like a
+    * postings store would otherwise oversize every filter by its
+    * rows-per-key factor), then a build CLUSTERED BY BUCKET so each
+    * bucket's filter is allocated and filled exactly once and the
+    * driver receives |buckets| filters total. The first cut built
+    * partition-locally with full-size filters and merged driver-side —
+    * |partitions| × |buckets| × filter-size task results, which broke
+    * spark.driver.maxResultSize the first time a token-scale store
+    * (27M postings) was written; the bucket exchange is delta-sized
+    * and write-path-only. */
   private def writeBlooms(bucketed: DataFrame, dataDir: String): Unit = {
-    val counts = bucketed.groupBy(BucketCol).count()
+    val counts = bucketed.groupBy(BucketCol)
+      .agg(approx_count_distinct(col(key)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return
     val bcCounts = spark.sparkContext.broadcast(counts)
-    val partial = bucketed.select(col(BucketCol), col(key)).rdd.mapPartitions { it =>
-      val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
-      it.foreach { r =>
-        if (!r.isNullAt(1)) {
-          val b = r.getInt(0)
-          // fpp 0.1%, not the usual 1%: a k-key delta false-positives
-          // a bucket back into the key scan with probability
-          // ≈ 1-(1-fpp)^(k/buckets) — at 1% a few-thousand-key delta
-          // re-scans half its buckets; at 0.1% it clears >90% for
-          // ~1.5× the (tiny) sidecar bytes
-          m.getOrElseUpdate(b,
-            BloomFilter.create(math.max(bcCounts.value.getOrElse(b, 64L), 64L), 0.001))
-            .put(r.get(1))
+    val partial = bucketed.select(col(BucketCol), col(key))
+      .repartition(col(BucketCol))
+      .rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        it.foreach { r =>
+          if (!r.isNullAt(1)) {
+            val b = r.getInt(0)
+            // fpp 0.1%, not the usual 1%: a k-key delta false-positives
+            // a bucket back into the key scan with probability
+            // ≈ 1-(1-fpp)^(k/buckets) — at 1% a few-thousand-key delta
+            // re-scans half its buckets; at 0.1% it clears >90% for
+            // ~1.5× the (tiny) sidecar bytes. The ~5% ACD sizing error
+            // only nudges the realized fpp, and the sidecar is advisory.
+            m.getOrElseUpdate(b,
+              BloomFilter.create(math.max(bcCounts.value.getOrElse(b, 64L), 64L), 0.001))
+              .put(r.get(1))
+          }
         }
+        Iterator(m.toMap)
       }
-      Iterator(m.toMap)
-    }
+    // buckets are clustered, so the maps are disjoint and this is a
+    // plain union; mergeInPlace stays for safety (same-sized filters)
     val blooms = partial.reduce { (a, b) =>
       val m = scala.collection.mutable.Map.empty[Int, BloomFilter] ++= a
       b.foreach { case (k2, bf) =>

@@ -120,6 +120,33 @@ object ScaleRun {
     val (opened1k, _) = idx.scanFootprint(cells1k)
     println(s"[scalerun] 1k-query probe: $opened1k of $live codes files " +
       s"(${cells1k.size} of ${coarse.nCells} cells)")
+
+    // ---- 3. persistent lexical index (TextIndex) ----
+    // same layout arithmetic as the codes store: termParts is the
+    // probe dimension (a query reads |its terms| partitions of the
+    // postings), buckets × termParts is the file floor
+    val tidx = new graft.similarity.TextIndex(spark, s"$out/tidx",
+      buckets = 4, termParts = 64)
+    timed(s"text index build ($nDocs docs, 64 term partitions)") {
+      tidx.build(docs.select("doc_id", "text"))
+    }
+    timed(s"text index add (${nDocs / 100} doc delta)") {
+      tidx.add(docs.filter(col("doc_id") % 100 === 7L)
+        .select("doc_id", "text")
+        .withColumn("doc_id", col("doc_id") + 700000000L))
+    }
+    val tq = docs.filter(col("doc_id") % 500 === 11L).limit(100)
+      .select((col("doc_id") % 1000000L).cast("int").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("qtext")).cache()
+    tq.count()
+    timed("text search 100-query batch (topK=10)") { noop(tidx.search(tq, 10)) }
+    val tq1 = tq.limit(1).cache()
+    tq1.count()
+    timed("text search 1 query (topK=10)") { noop(tidx.search(tq1, 10)) }
+    val tparts = tidx.probeParts(tq1.head().getString(1))
+    val (topen, tlive) = tidx.scanFootprint(tparts)
+    println(s"[scalerun] 1-query term probe: $topen of $tlive postings files " +
+      s"(${tparts.size} of 64 term partitions)")
     spark.stop()
   }
 }

@@ -89,10 +89,7 @@ class PipelineMixSpec extends SparkSpec {
     // the claim isn't just equality — the PRE-WINDOW filter must admit
     // fewer docs than the over-supplied languages hold (en/zh truncate
     // at SelectBudgetTokens by construction of the sf0.01 fixture)
-    val scored = graft.sources.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(graft.functions.TextFunctions.bpeTokens(col("text"))).cast("long").as("n_tokens"),
-        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val scored = PipelineQueries.selectBudgetScored(spark, dir)
     val edges = PipelineQueries.selectBudgetEdges(spark, scored)
     val counts = scored.join(broadcast(edges), Seq("lang"))
       .groupBy("lang").agg(
@@ -103,6 +100,33 @@ class PipelineMixSpec extends SparkSpec {
       val (total, admitted) = counts(lang)
       assert(admitted < total,
         s"$lang: the quality edge must prune the window input ($admitted of $total admitted)")
+    }
+  }
+
+  test("split: exhaustive, near-target fractions, and stable under corpus growth") {
+    val sp = PipelineQueries.corpusSplit(spark, dir).cache()
+    val total = graft.sources.Tables.load(spark, dir, "documents").count()
+    assert(sp.count() == total, "every doc gets exactly one split")
+    val byS = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet.subsetOf(Set("train", "val", "test")))
+    // 2%/2% targets; a 500-doc corpus gives coarse sampling noise, so
+    // bound loosely — the REAL property is determinism + stability
+    assert(byS("train") > total * 9 / 10, s"train must dominate: $byS")
+    assert(byS.getOrElse("val", 0L) > 0 && byS.getOrElse("test", 0L) > 0,
+      s"held-out splits must be populated at sf0.01: $byS")
+    // stability: a doc's split is a pure function of its id — the same
+    // doc in a HALVED corpus keeps its assignment (no leakage as the
+    // corpus accretes)
+    val full = sp.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    sp.unpersist()
+    val halfDir = java.nio.file.Files.createTempDirectory("graft_split").toString
+    graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .write.parquet(s"$halfDir/documents.parquet")
+    PipelineQueries.corpusSplit(spark, halfDir).collect().foreach { r =>
+      assert(full(r.getLong(0)) == r.getString(2),
+        s"doc ${r.getLong(0)} changed split when the corpus shrank")
     }
   }
 }
