@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main: times every SparkEntry query end-to-end on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
@@ -16,10 +18,68 @@ import java.nio.file.{Files, Paths}
   * touch a big table absorbs the whole cold-start cost — round 1
   * recorded q1 at 31.5s that is 2s warm.
   *
+  * Failures are LOUD: a query that throws is excluded from "queries"
+  * and listed under "failures" with its message — round 5 recorded a
+  * broken query's time-to-exception (0.09s) as the suite's best
+  * number, which reads as a success. Exit code is non-zero when any
+  * query failed so a wrapper that only checks rc can't miss it either.
+  *
+  * Per-query process CPU time rides along with wall time: a run on a
+  * contended host shows wall >> cpu/cores per query, which self-
+  * identifies contamination that end-of-run loadavg markers missed in
+  * round 5 (co-tenant steal is invisible to this JVM's loadavg).
+  *
   * The JSON line is printed AFTER spark.stop() so it is the final
   * stdout line (Spark logs go to stderr), and also written to
   * `bench_out.json` for parsers that prefer a file. */
 object Bench {
+
+  /** One timed query: min-of-`iters` wall seconds plus the process CPU
+    * seconds consumed during the winning (min-wall) iteration. Any
+    * iteration throwing ⇒ Left(message) — a failed query must never
+    * yield a number. Factored out of main so BenchSpec can pin the
+    * failure contract without running the whole suite. */
+  def runOne(spark: SparkSession, name: String,
+             fn: (SparkSession, String) => DataFrame,
+             sfDir: String, iters: Int): Either[String, (Double, Double)] = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    try {
+      val runs = (1 to iters).map { _ =>
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      }
+      Right(runs.minBy(_._1))
+    } catch {
+      case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+    }
+  }
+
+  /** Assemble the one-line JSON. Failed queries appear ONLY in
+    * "failures" (name → message); their absence from "queries" plus
+    * the explicit list is unambiguous to both humans and parsers. */
+  def renderJson(results: Seq[(String, Either[String, (Double, Double)])],
+                 sfDir: String, env: String): String = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.collect { case (k, Right(v)) => (k, v) }
+    val failed = results.collect { case (k, Left(m)) => (k, m) }
+    val qs = ok.map { case (k, (w, _)) => jstr(k) + ":" + w }.mkString("{", ",", "}")
+    val cpu = ok.map { case (k, (_, c)) => jstr(k) + ":" + c }.mkString("{", ",", "}")
+    val fj = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2._1).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_sec":$cpu,"failures":$fj,"n_ok":${ok.size},"n_failed":${failed.size},""" +
+      s""""sf":${jstr(sfDir)},$env}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -51,39 +111,34 @@ object Bench {
     // pause or compaction stall in one run doesn't misreport the plan
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = names.map { name =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
+      val r = runOne(spark, name, SparkEntry.queries(name), sfDir, iters)
       // stderr progress per query: a hung/pathological query at a new
       // SF is identifiable without thread dumps
-      System.err.println(f"[bench] $name ${times.min}%.2fs")
-      name -> times.min
+      r match {
+        case Right((w, c)) => System.err.println(f"[bench] $name $w%.2fs (cpu $c%.2fs)")
+        case Left(m)       => System.err.println(s"[bench] $name FAILED: $m")
+      }
+      name -> r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // load markers: a run that shared the host with other work is
     // self-identifying (round 3's driver bench recorded 2-3× inflated
     // times that round 4 would otherwise chase as regressions). A
     // loadavg well above this JVM's own parallelism at the END of the
     // run means the numbers above were taken on a contended machine.
+    // cpu_sec per query (above) is the finer-grained marker: loadavg
+    // missed round 5's contamination entirely.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     // Double.toString, not f"%.2f": the interpolator is locale-aware
     // and a comma-decimal default locale would emit invalid JSON
     def r2(x: Double): Double = math.rint(x * 100) / 100
     val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
       s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$env}"""
+    val json = renderJson(results, sfDir, env)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
     // last stdout line, after all Spark lifecycle logging
     println(json)
     System.out.flush()
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

@@ -14,19 +14,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   /** Read one warehouse table from `dir` (format inferred = parquet).
     *
-    * Spark has no nanosecond timestamp type, so parquet
-    * TIMESTAMP(NANOS) columns (the `events.ts` column in the driver's
-    * testdata) are read as nanos-since-epoch longs
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * [[Sessions.tune]]) and floored to microseconds here. Integer
-    * division — a double roundtrip would lose precision above 2^53. */
+    * The loader owns the timestamp contract: whatever physical
+    * encoding the warehouse wrote `ts` in, queries downstream see one
+    * type — `TimestampType` at microsecond precision. Two encodings
+    * are normalized (both observed in the driver's testdata across
+    * rounds, so the contract is load-bearing, not defensive):
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark has no nanos type, so the
+    *    column reads as nanos-since-epoch long
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    *    [[Sessions.builder]]) and is floored to micros here. Integer
+    *    division — a double roundtrip would lose precision above 2^53.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    `TimestampNTZType`. The session timezone is pinned UTC
+    *    ([[Sessions.builder]]), so `cast(TimestampType)` is
+    *    value-preserving (the NTZ wall-clock IS the UTC instant). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

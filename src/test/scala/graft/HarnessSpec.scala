@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The round-5 lesson, pinned: a broken query must FAIL LOUDLY in both
+  * harness artifacts. Bench recorded a failed query's time-to-exception
+  * as its best number; Verify let the query vanish from the correctness
+  * JSON (an absent row, not an error row). Both contracts live here. */
+class HarnessSpec extends SparkSpec {
+
+  private val broken: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(1).selectExpr("unix_micros(id)") // analysis error: id is bigint
+
+  private val fine: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(10).selectExpr("id", "id * 2 as twice")
+
+  test("bench: a throwing query yields Left, never a timing") {
+    val r = Bench.runOne(spark, "broken", broken, sf("any"), iters = 2)
+    assert(r.isLeft, "failed query must not produce a number")
+    assert(r.left.toOption.get.toLowerCase.contains("unix_micros"))
+    val ok = Bench.runOne(spark, "fine", fine, sf("any"), iters = 2)
+    assert(ok.isRight && ok.toOption.get._1 > 0.0)
+  }
+
+  test("bench: failed queries land in failures, not queries, in the JSON") {
+    val json = Bench.renderJson(
+      Seq("good" -> Right((1.25, 0.9)), "bad" -> Left("boom \"quoted\"")),
+      "/tmp/sf", """"cpus":4""")
+    assert(json.contains(""""queries":{"good":1.25}"""), json)
+    assert(json.contains(""""failures":{"bad":"boom \"quoted\""}"""), json)
+    assert(json.contains("\"n_ok\":1") && json.contains("\"n_failed\":1"), json)
+    assert(!json.contains(""""bad":0"""), "no fabricated timing for the failure")
+  }
+
+  test("verify: a throwing query writes an .ERROR marker, a good one writes parquet") {
+    val out = Files.createTempDirectory("graft_verify_spec").toString
+    val bad = Verify.dumpOne(spark, "broken", broken, sf("any"), out)
+    assert(bad.isLeft)
+    val marker = Paths.get(s"$out/broken.ERROR")
+    assert(Files.exists(marker), "failed query must leave an explicit error file")
+    assert(Files.readString(marker).toLowerCase.contains("unix_micros"))
+    val good = Verify.dumpOne(spark, "fine", fine, sf("any"), out)
+    assert(good.isRight)
+    assert(spark.read.parquet(s"$out/fine").count() == 10)
+    assert(!Files.exists(Paths.get(s"$out/fine.ERROR")))
+  }
+}

@@ -21,6 +21,23 @@ class PlanGuardSpec extends SparkSpec {
     "text_lm_score",            // 1-row vocabulary-size broadcast
     "corpus_mix")               // 1-row language-count broadcast
 
+  /** Analysis-only sweep: every gate query must RESOLVE against the
+    * current testdata, with a per-query message on failure. Catches
+    * data-contract drift (round 5: events.ts changed parquet encoding
+    * and one query silently fell out of the correctness gate) in
+    * seconds, without executing anything. */
+  test("every gate query analyzes against the current testdata") {
+    val dir = sf("any")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(3).mkString(" | ")}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis:\n  ${failures.mkString("\n  ")}")
+  }
+
   test("no gate query plans a cartesian or nested-loop join (except documented baselines)") {
     val dir = sf("any")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -86,6 +86,36 @@ class TablesSpec extends SparkSpec {
     assert(r.getNanos % 1000 == 0, "micros precision expected")
   }
 
+  /** Data-contract regression: the testdata's `ts` physical encoding
+    * has changed shape twice across rounds (TIMESTAMP(NANOS) →
+    * TIMESTAMP(MICROS, NTZ)); each change silently broke queries. This
+    * pins the loader contract itself: BOTH encodings of the SAME
+    * instants load as identical `TimestampType` values. */
+  test("ts contract: nanos-as-long and NTZ-micros encodings normalize identically") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    // the same three instants (micros since epoch), one arbitrary-sub-ms
+    val micros = Seq(0L, 1_000_000_123_456L, 1_700_000_000_999_999L)
+    // encoding 1: nanos-since-epoch long named `ts` — exactly what the
+    // nanosAsLong session flag turns a parquet TIMESTAMP(NANOS) into
+    micros.zipWithIndex.map { case (us, i) => (i, us * 1000L) }
+      .toDF("event_id", "ts").write.parquet(s"$base/ev_nanos.parquet")
+    // encoding 2: TimestampNTZType — what parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) reads as
+    micros.zipWithIndex
+      .map { case (us, i) => (i, java.time.LocalDateTime.ofEpochSecond(
+        us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)) }
+      .toDF("event_id", "ts").write.parquet(s"$base/ev_ntz.parquet")
+    val a = Tables.load(spark, base, "ev_nanos").orderBy("event_id")
+    val b = Tables.load(spark, base, "ev_ntz").orderBy("event_id")
+    assert(a.schema("ts").dataType.typeName == "timestamp", a.schema.treeString)
+    assert(b.schema("ts").dataType.typeName == "timestamp", b.schema.treeString)
+    val va = a.select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    val vb = b.select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    assert(va == micros, s"nanos path values drifted: $va")
+    assert(vb == micros, s"NTZ path values drifted: $vb")
+  }
+
   test("hot-table cache: repeated loads reuse one in-memory relation") {
     try {
       val first = Tables.loadCached(spark, dir, "nation")
