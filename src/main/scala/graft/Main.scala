@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * data-curation jobs this engine adds:
   * {{{
   *   runMain graft.Main corpus-clean in=<docs.parquet> index=<dir> out=<dir> batch=<id>
-  *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=16 opq=true]
+  *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=<n> buckets=<n> opq=true]
+  *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets)
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
   *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=4]
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
@@ -180,13 +181,17 @@ object Main {
       spark.read.parquet(path).select(
         col(opts.getOrElse("idcol", "id")).as("id"),
         col(opts.getOrElse("veccol", "vec")).as("vec"))
+    // cells/buckets absent ⇒ 0 ⇒ PqIndex.build sizes the layout from
+    // the corpus (a fixed default here silently hands a 100×-grown
+    // corpus a quadratic probe — the sf10 lesson in PLANS.md)
     def pqIndex(dir: String) = new graft.similarity.PqIndex(spark, dir,
       dim = opts.getOrElse("dim", "64").toInt,
       m = opts.getOrElse("m", "8").toInt,
       k = opts.getOrElse("k", "16").toInt,
-      nCells = opts.getOrElse("cells", "16").toInt,
+      nCells = opts.getOrElse("cells", "0").toInt,
       nProbe = opts.getOrElse("probe", "4").toInt,
-      opq = opts.getOrElse("opq", "false").toBoolean)
+      opq = opts.getOrElse("opq", "false").toBoolean,
+      buckets = opts.getOrElse("buckets", "0").toInt)
     def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,
       termParts = opts.getOrElse("tparts", "32").toInt)
     def done(rowsIn: Long, rowsOut: Long) =

@@ -34,16 +34,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * ([[topK]]/[[serveStream]]); orthogonality means rotated cosines
   * ARE the original cosines, so the output contract is unchanged.
   */
-/** `buckets` sizes the codes store's key-hash layout — the two knobs a
-  * 100 TB deployment tunes together: the layout floor is one file per
-  * (bucket, cell), so pick buckets ≈ codesBytes / (nCells ×
-  * targetFileSize); more buckets also shrink the copy-on-write
-  * fraction a colliding delta rewrites (a re-sent key rewrites one
-  * bucket of `buckets`). */
+/** `nCells`/`buckets` = 0 (the default) means SIZE FROM THE CORPUS at
+  * [[build]] time: cells via [[Similarity.suggestNCells]] (~4√n,
+  * sample-bounded — PLANS.md's sf10 run proved a FIXED cell count goes
+  * quadratic as the corpus grows), buckets via [[PqIndex.suggestBuckets]]
+  * (codes bytes / (cells × target file size) — the layout floor is one
+  * file per (bucket, cell), so fixed buckets × growing corpus = either
+  * giant files or a small-file explosion). Explicit values are honored
+  * verbatim — cell count is part of the frozen model set, so overriding
+  * it is a rebuild-scoped decision. After build, READS never consult
+  * these knobs: the store manifest records the bucket layout and the
+  * persisted coarse model records the cell count. */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              opq: Boolean = false, buckets: Int = 32) {
+              nCells: Int = 0, nProbe: Int = 4, seed: Long = 42L,
+              opq: Boolean = false, buckets: Int = 0) {
 
   // Codes are KEYED by neighbor_id (CDC upsert identity) but PROBED by
   // cell, so the store's layout is cell-partitioned under the key
@@ -51,9 +56,15 @@ class PqIndex(spark: SparkSession, dir: String,
   // nProbe/nCells of the codes, not all of them. At 100 TB raw (~3 TB
   // of codes, nProbe 8-32 of 4k-64k cells) that is the difference
   // between a full-table scan per micro-batch and <1% of it.
-  private val store =
+  //
+  // The constructor-level store uses the explicit bucket count if
+  // given, else the legacy default — but only as a FALLBACK for a
+  // store with no manifest yet: every post-build read/upsert resolves
+  // the real layout from recordedBuckets.
+  private def storeWith(bucketCount: Int) =
     new graft.sources.SnapshotStore(spark, s"$dir/codes", key = "neighbor_id",
-      buckets = buckets, partitionCol = Some("cell"))
+      buckets = bucketCount, partitionCol = Some("cell"))
+  private val store = storeWith(if (buckets > 0) buckets else 32)
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -63,16 +74,27 @@ class PqIndex(spark: SparkSession, dir: String,
     * ROTATED space (Pq.fitOpqIvfPq), so every later encode/search
     * must — and does — rotate through the same frozen matrix. */
   def build(corpus: DataFrame): Unit = {
+    // resolve the layout knobs: explicit values win; 0 = size from the
+    // corpus (the count is one cheap agg next to the k-means fit +
+    // full encode this method already pays for)
+    val (cells, bkts) =
+      if (nCells > 0 && buckets > 0) (nCells, buckets)
+      else {
+        val n = corpus.count()
+        val c = if (nCells > 0) nCells else Similarity.suggestNCells(n)
+        (c, if (buckets > 0) buckets else PqIndex.suggestBuckets(n, c))
+      }
+    val buildStore = storeWith(bkts)
     if (opq) {
-      val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed)
+      val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, cells, seed = seed)
       saveModels(composed.pq, composed.coarse, Some(composed.rotation))
-      store.overwrite(Pq.encodeIvfPq(corpus, composed.pq, composed.coarse,
+      buildStore.overwrite(Pq.encodeIvfPq(corpus, composed.pq, composed.coarse,
         Some(composed.rotation)))
     } else {
-      val coarse = Similarity.ivfFit(corpus, nCells, seed)
+      val coarse = Similarity.ivfFit(corpus, cells, seed)
       val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
       saveModels(model, coarse, None)
-      store.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
+      buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
     }
   }
 
@@ -226,5 +248,23 @@ class PqIndex(spark: SparkSession, dir: String,
       .map(_.stripPrefix("centroid=").split(',').map(_.toFloat)).toArray
     (Pq.Model(cb, head("m"), head("k"), head("subDim")),
       Similarity.IvfModel(cents), rot)
+  }
+}
+
+object PqIndex {
+  /** Bucket-count guideline for the codes store, paired with
+    * [[Similarity.suggestNCells]]: the layout floor is one file per
+    * (bucket, cell), so target `buckets × cells × targetFileBytes ≈
+    * codes bytes` (a PQ row is ~32 B: 8 B codes + id + cell + norm).
+    * Floor 32 keeps key-hash probe pruning (readForKeys, bloom-probed
+    * adds) meaningful on small indexes — the legacy fixed default —
+    * and the 4096 cap bounds driver-side manifest/bloom bookkeeping.
+    * At 100 TB raw (~3 TB codes, ~500 sample-bounded cells) this
+    * lands at ~100 buckets of ~64 MB files per cell. */
+  def suggestBuckets(n: Long, cells: Int, bytesPerRow: Long = 32L,
+                     targetFileBytes: Long = 64L << 20): Int = {
+    val ideal = math.ceil(n.toDouble * bytesPerRow /
+      (math.max(1, cells).toDouble * targetFileBytes)).toLong
+    math.max(32L, math.min(ideal, 4096L)).toInt
   }
 }

@@ -364,6 +364,11 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
 
   def exists: Boolean = latestManifest().isDefined
 
+  /** Bucket count the last commit recorded — the layout truth every
+    * reader resolves against (the constructor's `buckets` is only the
+    * fallback for a store with no manifest yet). */
+  def bucketCount: Option[Int] = latestRaw().flatMap(_.recordedBuckets)
+
   /** Data files the newest manifest references — the number every
     * reader must open. Monitoring / compaction-trigger input. */
   def liveFileCount: Int =

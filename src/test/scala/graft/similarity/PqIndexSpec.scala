@@ -202,4 +202,40 @@ class PqIndexSpec extends SparkSpec {
       qvecs.take(6).toSeq.toDF("id", "vec"), SimilarityQueries.K))
     assert(got.toSet == expect, "streamed results must equal the batch search")
   }
+
+  test("default build sizes cells and buckets from the corpus; explicit knobs win") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_auto").toString
+    val index = new PqIndex(spark, s"$base/idx") // nCells = buckets = 0 ⇒ auto
+    index.build(corpus)
+    val n = corpus.count()
+    val (_, coarse) = index.models()
+    assert(coarse.nCells == Similarity.suggestNCells(n),
+      s"auto build must persist suggestNCells($n) centroids, got ${coarse.nCells}")
+    val store = new graft.sources.SnapshotStore(spark, s"$base/idx/codes",
+      key = "neighbor_id")
+    assert(store.bucketCount.contains(PqIndex.suggestBuckets(n, coarse.nCells)),
+      s"auto build must record the suggested bucket layout, got ${store.bucketCount}")
+    // explicit knobs are honored verbatim (a rebuild-scoped decision)
+    val pinned = new PqIndex(spark, s"$base/idx2", nCells = 3, buckets = 48)
+    pinned.build(corpus)
+    assert(pinned.models()._2.nCells == 3)
+    assert(new graft.sources.SnapshotStore(spark, s"$base/idx2/codes",
+      key = "neighbor_id").bucketCount.contains(48))
+  }
+
+  test("suggestBuckets: floor for small codes, codes-bytes/64MB-per-cell-file at scale, capped") {
+    import PqIndex.suggestBuckets
+    // sf-local: a few MB of codes never splits below the 32-bucket floor
+    assert(suggestBuckets(200000, cells = 500) == 32)
+    // 100 TB raw ≈ 1e11 vectors ⇒ ~3.2 TB codes over 500 sample-bounded
+    // cells ⇒ ~96 buckets of ~64 MiB files per cell — the layout a
+    // 1000-executor cluster wants (files ≫ executors, none tiny)
+    assert(suggestBuckets(100000000000L, cells = 500) == 96)
+    // pathological input can't explode the driver-side bookkeeping
+    assert(suggestBuckets(Long.MaxValue / 64, cells = 1) == 4096)
+    // monotone in n for a fixed cell count
+    val pts = Seq(1L, 1000L, 100000000L, 10000000000L, 1000000000000L)
+    val got = pts.map(n => suggestBuckets(n, cells = 200))
+    assert(got == got.sorted, s"suggestBuckets must be monotone, got $got")
+  }
 }
