@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
   *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=4]
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
-  *   runMain graft.Main text-index-build|text-index-add in=<docs.parquet> index=<dir> [tparts=32]
+  *   runMain graft.Main text-index-build|text-index-add in=<docs.parquet> index=<dir> [tparts=<n>]
+  *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   * }}}
@@ -192,8 +193,10 @@ object Main {
       nProbe = opts.getOrElse("probe", "4").toInt,
       opq = opts.getOrElse("opq", "false").toBoolean,
       buckets = opts.getOrElse("buckets", "0").toInt)
+    // tparts absent ⇒ 0 ⇒ TextIndex.build sizes the term layout from
+    // the corpus token mass (same fixed-knob hazard as index-build)
     def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,
-      termParts = opts.getOrElse("tparts", "32").toInt)
+      termParts = opts.getOrElse("tparts", "0").toInt)
     def done(rowsIn: Long, rowsOut: Long) =
       PipelineStats(command, rowsIn, rowsOut, (System.nanoTime() - t0) / 1e9)
 

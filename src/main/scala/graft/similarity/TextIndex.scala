@@ -38,8 +38,29 @@ import graft.functions.TextFunctions.words
   * models.txt): concurrent `add`s serialize on the store's manifest
   * commit, but the sidecar write is last-wins — run maintenance from
   * one writer. */
+/** `termParts` = 0 (the default) means SIZE FROM THE CORPUS at
+  * [[build]] time via [[TextIndex.suggestTermParts]] — the same
+  * fixed-knob hazard as PqIndex's cell count: 32 partitions over a
+  * 100× larger corpus means every 1-term probe reads 100× more
+  * postings. The persisted value stays the layout truth for every
+  * later add/search (frozen in stats.txt, like the quantizers in
+  * models.txt).
+  *
+  * Skew story (Zipf vocabularies): hash-partitioning by word cannot
+  * split ONE hot term — the partition holding "the" carries an
+  * outsized share of postings mass no matter how many partitions
+  * exist. That skews per-partition FILE SIZE, not query cost: search
+  * prunes to the query terms' partitions, so a rare-term query never
+  * opens the stopword partition (TextIndexSpec pins this on a skewed
+  * corpus), and a query that CONTAINS a stopword must read that
+  * term's postings anyway — its cost is the term's document
+  * frequency, wherever the rows live. The write-path mitigation is
+  * partition count (suggestTermParts keeps the AVERAGE partition
+  * bounded; the hot one is bounded by the term's true mass); the
+  * query-path mitigation is scoring-level (drop-stopword / minDf),
+  * deliberately not silently applied here. */
 class TextIndex(spark: SparkSession, dir: String,
-                buckets: Int = 32, termParts: Int = 32) {
+                buckets: Int = 32, termParts: Int = 0) {
 
   private val store = new graft.sources.SnapshotStore(
     spark, s"$dir/postings", key = "doc_id",
@@ -67,11 +88,16 @@ class TextIndex(spark: SparkSession, dir: String,
   }
 
   /** Index `corpus` (`(doc_id, text)`) from scratch: postings +
-    * stats, replacing any prior generation and freezing `termParts`. */
+    * stats, replacing any prior generation and freezing the term
+    * layout. termParts = 0 resolves via [[TextIndex.suggestTermParts]]
+    * from the corpus token mass — `measure` runs first either way, so
+    * auto-sizing costs no extra pass. */
   def build(corpus: DataFrame): Unit = {
-    store.overwrite(postings(corpus, termParts))
     val (n, sumDl) = measure(corpus)
-    saveStats(n, sumDl, termParts)
+    val parts =
+      if (termParts > 0) termParts else TextIndex.suggestTermParts(sumDl)
+    store.overwrite(postings(corpus, parts))
+    saveStats(n, sumDl, parts)
   }
 
   /** Upsert a document delta: new doc_ids append, re-sent doc_ids
@@ -178,6 +204,18 @@ class TextIndex(spark: SparkSession, dir: String,
   private[graft] def scanFootprint(parts: Seq[Long]): (Int, Int) =
     (store.filesForPartitions(parts).size, store.liveFileCount)
 
+  /** The frozen term-partition count (stats.txt is the layout truth). */
+  private[graft] def frozenTermParts: Int = loadStats()._3
+
+  /** Postings rows per term partition — the skew diagnostic a curator
+    * checks before blaming slow queries on layout (a Zipf corpus WILL
+    * show one heavy partition; that is file-size skew, not query-cost
+    * skew — see the class doc). */
+  private[graft] def partitionMass(): Map[Long, Long] =
+    store.read().map(_.groupBy("tpart").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+
   /** The partition ids a query string's terms probe. */
   private[graft] def probeParts(qtext: String): Seq[Long] = {
     val (_, _, parts) = loadStats()
@@ -207,4 +245,22 @@ class TextIndex(spark: SparkSession, dir: String,
     }.toMap
     (kv("n_docs"), kv("sum_dl"), kv("term_parts").toInt)
   }
+}
+
+object TextIndex {
+  /** Term-partition guideline from corpus token mass (Σdl — an upper
+    * bound on postings rows that [[TextIndex#build]]'s stats pass
+    * already computes, so sizing is free): one partition per ~1M
+    * tokens keeps the average partition a few tens of MB — small
+    * enough that a 1-term probe is cheap, large enough that the
+    * buckets × termParts file floor stays sane. Floor 8 (pruning is
+    * meaningless below that), cap 4096 (bounds the file floor and
+    * driver-side partition bookkeeping; past the cap, per-partition
+    * mass grows with the corpus again — at that scale raise `buckets`
+    * too, which splits each partition's files further). sf10
+    * cross-check: 35M tokens → 35 parts, the same order as the
+    * hand-picked 64 the PLANS.md run used. */
+  def suggestTermParts(totalTokens: Long, tokensPerPart: Long = 1000000L): Int =
+    math.max(8L, math.min(
+      math.ceil(totalTokens.toDouble / tokensPerPart).toLong, 4096L)).toInt
 }

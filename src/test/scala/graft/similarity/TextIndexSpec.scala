@@ -108,4 +108,65 @@ class TextIndexSpec extends SparkSpec {
     assert(got.contains(910001L) && got.contains(910002L),
       "stream-maintained docs must be retrievable by the serving stream")
   }
+
+  test("auto build sizes termParts from token mass; explicit termParts wins") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_auto").toString
+    val index = new TextIndex(spark, s"$base/idx") // termParts = 0 ⇒ auto
+    index.build(corpus)
+    val tokens = corpus.select(
+      sum(size(graft.functions.TextFunctions.words(lower(col("text"))))
+        .cast("long"))).head().getLong(0)
+    assert(index.frozenTermParts == TextIndex.suggestTermParts(tokens),
+      s"auto build must freeze suggestTermParts($tokens), got ${index.frozenTermParts}")
+    // the frozen layout survives the lifecycle: parity after an add
+    index.add(Seq((900007L, "hash join table")).toDF("doc_id", "text"))
+    val updated = corpus.unionByName(
+      Seq((900007L, "hash join table")).toDF("doc_id", "text"))
+    assert(rows(index.search(qs, 10)) == rows(TextQueries.bm25Search(updated, qs, 10)))
+    val pinned = new TextIndex(spark, s"$base/idx2", termParts = 8)
+    pinned.build(corpus)
+    assert(pinned.frozenTermParts == 8)
+  }
+
+  test("suggestTermParts: ~1M tokens per partition, floored and capped") {
+    import TextIndex.suggestTermParts
+    assert(suggestTermParts(1000) == 8)                 // tiny corpus: floor
+    assert(suggestTermParts(35000000L) == 35)           // sf10-scale: ≈ the hand-picked 64
+    assert(suggestTermParts(6000000000000L) == 4096)    // 100 TB-scale: capped
+    val pts = Seq(1L, 1000000L, 100000000L, 10000000000L)
+    val got = pts.map(suggestTermParts(_))
+    assert(got == got.sorted, s"must be monotone in token mass, got $got")
+  }
+
+  test("Zipf skew: the stopword partition is heavy, but a rare-term probe never opens it") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_skew").toString
+    // every doc repeats the stopword; each doc has one unique rare term
+    // (letters only — the tokenizer drops digits)
+    def rareWord(d: Long): String =
+      s"w${('a' + d / 26).toChar}${('a' + d % 26).toChar}"
+    val docs = (0L until 400L).map(d =>
+      (d, ("the " * 20) + rareWord(d))).toDF("doc_id", "text")
+    val index = new TextIndex(spark, s"$base/idx", termParts = 16)
+    index.build(docs)
+    // the hazard is real: the hot term's partition dominates postings
+    // mass (hash-partitioning cannot split one term)...
+    val mass = index.partitionMass()
+    val hotPart = index.probeParts("the").head
+    assert(mass(hotPart) > 2L * (mass - hotPart).values.max,
+      s"expected a dominant stopword partition, got $mass")
+    // ...but query cost is skew-immune: a rare-term search opens only
+    // its own term partition's files, not the stopword's
+    val rare = index.probeParts(rareWord(7))
+    assert(!rare.contains(hotPart), "distinct terms should hash apart here")
+    val (opened, live) = index.scanFootprint(rare)
+    assert(opened > 0 && opened < live,
+      s"rare-term probe must prune the postings scan: $opened of $live files")
+    // and results on the skewed corpus are still exactly the ad-hoc path
+    val skewQs = Seq(1 -> rareWord(7), 2 -> s"the ${rareWord(3)}")
+    assert(rows(index.search(skewQs, 10)) == rows(TextQueries.bm25Search(docs, skewQs, 10)))
+  }
 }
