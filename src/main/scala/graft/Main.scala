@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
+  *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000]
+  *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
+  *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
   * }}}
   * `corpus-clean` is the CDC-incremental clean: each invocation dedups
   * the new docs against the accumulated [[graft.streaming.SigIndex]]
@@ -63,7 +66,8 @@ object Main {
   private val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
     "index-search", "index-compact", "index-vacuum", "sig-compact", "sig-vacuum",
     "text-index-build", "text-index-add", "text-index-search",
-    "text-index-compact", "text-index-vacuum")
+    "text-index-compact", "text-index-vacuum",
+    "corpus-mix", "corpus-split", "select-budget")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -268,6 +272,37 @@ object Main {
         done(0, new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
           .vacuum(opts.getOrElse("keep", "1").toInt,
             opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
+      // the mixing/selection family, operable like the reference's
+      // scheduler jobs: each reads a (doc_id, lang, text) parquet and
+      // writes the decision frame (ids + assignment, not text — the
+      // caller joins back, so the output stays O(docs), not O(bytes))
+      case "corpus-mix" =>
+        val docs = spark.read.parquet(req("in"))
+        val mixed = graft.queries.PipelineQueries.corpusMixDocs(docs,
+          opts.getOrElse("budget", "20000").toLong).localCheckpoint()
+        mixed.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), mixed.count())
+      case "corpus-split" =>
+        val docs = spark.read.parquet(req("in"))
+        val toPoints = (pct: Double) =>
+          (graft.queries.PipelineQueries.MixHashMod * pct / 100.0).toLong
+        val split = graft.queries.PipelineQueries.corpusSplitDocs(docs,
+          toPoints(opts.getOrElse("valpct", "2").toDouble),
+          toPoints(opts.getOrElse("testpct", "2").toDouble)).localCheckpoint()
+        split.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), split.count())
+      case "select-budget" =>
+        val docs = spark.read.parquet(req("in"))
+        val budget = opts.getOrElse("budget", "4000").toLong
+        // pruned (histogram-edge) form by default — bit-identical to
+        // the exact window, sort ∝ budget instead of corpus
+        val picked = (if (opts.getOrElse("pruned", "true").toBoolean)
+          graft.queries.PipelineQueries.corpusSelectBudgetPrunedDocs(docs, budget)
+        else
+          graft.queries.PipelineQueries.corpusSelectBudgetDocs(docs, budget))
+          .localCheckpoint()
+        picked.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), picked.count())
       case other => sys.error(s"unknown pipeline command: $other")
     }
   }

@@ -474,11 +474,18 @@ object AnalyticsQueries {
     * high-cardinality domain (n-grams, URLs) pass 2 aggregates a
     * φ-bounded key set instead of every distinct item — exact heavy
     * hitters without the full-cardinality shuffle. */
-  def eventsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def eventsHeavyHitters(spark: SparkSession, dir: String,
+                         phi: Double = HhPhi, k: Int = HhK): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    // MG guarantee: a k-counter summary can only miss items with true
+    // frequency ≤ n/(k+1), so every φ-hitter survives iff k+1 > 1/φ.
+    // Reject a violating pair loudly — it would silently DROP hitters.
+    require(phi > 0 && phi <= 1, s"phi must be in (0,1], got $phi")
+    require(k + 1 > 1.0 / phi,
+      s"k=$k cannot guarantee phi=$phi hitters: need k+1 > 1/phi (${1.0 / phi})")
     val ev = t(spark, dir, "events")
     val mg = ofExpr(graft.functions.expr.MgSummary(
-      toExpr(col("props")), HhK).toAggregateExpression())
+      toExpr(col("props")), k).toAggregateExpression())
     // each exploded candidate row carries the total n, so ONE summary
     // subtree serves both the semi-join prune and the threshold — the
     // naive candidates/total split re-ran the whole MG pass per
@@ -487,12 +494,15 @@ object AnalyticsQueries {
       .select(col("s.n").as("n"), explode(col("s.items.item")).as("props"))
     ev.join(broadcast(summary), Seq("props"))
       .groupBy(col("props"), col("n")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= ceil(col("n") * lit(HhPhi)).cast("long"))
+      .filter(col("cnt") >= ceil(col("n") * lit(phi)).cast("long"))
       .select(col("props"), col("cnt"))
   }
 
-  private val HhPhi = 0.005
-  private val HhK = 400 // 2/φ: guarantee margin of 2× over the n/(k+1) bound
+  /** Gate defaults: φ = 0.5% with k = 2/φ counters (2× the n/(k+1)
+    * guarantee bound). Callers tune both — the require above keeps
+    * any override inside the guarantee region. */
+  val HhPhi = 0.005
+  val HhK = 400
 
   // ---- registry ----
 
@@ -518,7 +528,7 @@ object AnalyticsQueries {
     "events_cohorts" -> (eventsCohorts _),
     "events_cohorts_approx" -> ((s: SparkSession, d: String) => eventsCohortsApprox(s, d)),
     "asof_join_events_orders" -> (asofJoinEventsOrders _),
-    "events_heavy_hitters" -> (eventsHeavyHitters _))
+    "events_heavy_hitters" -> ((s: SparkSession, d: String) => eventsHeavyHitters(s, d)))
 
   private def dsumSql(e: String): String =
     s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"

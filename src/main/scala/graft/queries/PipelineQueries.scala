@@ -161,7 +161,9 @@ object PipelineQueries {
     * keep rate at 1.0 and downsamples the rest, so the gate exercises
     * both branches. */
   val MixBudgetTokens = 20000L
-  private val MixHashMod = 1048576L // 2^20
+  /** Residue range of the deterministic sampling hash — public so
+    * callers (the CLI) can express fractions in residue points. */
+  val MixHashMod = 1048576L // 2^20
   private val MixHashMul = 2654435761L // Knuth multiplicative constant
 
   /** Domain-mix rebalancing — the data-mixing pass every pre-training
@@ -178,14 +180,19 @@ object PipelineQueries {
     * runs and cluster sizes and the filter evaluates inside the scan.
     * Per-language token supply is one small aggregate broadcast back —
     * the corpus itself is scanned once and never shuffled. */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val toked = Tables.load(spark, dir, "documents")
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    corpusMixDocs(Tables.load(spark, dir, "documents"), MixBudgetTokens)
+
+  /** [[corpusMix]] over any `(doc_id, lang, text)` frame with a caller
+    * budget — the CLI/scheduler form (`Main corpus-mix`). */
+  def corpusMixDocs(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val toked = docs
       .select(col("doc_id"), col("lang"),
         size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
     val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
     val nLangs = supply.agg(count(lit(1)).as("n_langs"))
     val keepRate = least(lit(1.0),
-      lit(MixBudgetTokens.toDouble) / col("n_langs") / col("lang_tokens"))
+      lit(budgetTokens.toDouble) / col("n_langs") / col("lang_tokens"))
     toked
       .join(broadcast(supply), Seq("lang"))
       .crossJoin(broadcast(nLangs))
@@ -213,12 +220,23 @@ object PipelineQueries {
     * as the corpus accretes. Language is carried through so split
     * balance per language is checkable downstream (the hash is
     * id-uniform, so each language splits ≈2/2/96 on its own). */
-  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    corpusSplitDocs(Tables.load(spark, dir, "documents"),
+      SplitValPoints, SplitTestPoints)
+
+  /** [[corpusSplit]] over any `(doc_id, lang)` frame with caller
+    * fractions (in residue points of [[MixHashMod]]) — the
+    * CLI/scheduler form (`Main corpus-split`). */
+  def corpusSplitDocs(docs: DataFrame,
+                      valPoints: Long, testPoints: Long): DataFrame = {
+    require(valPoints >= 0 && testPoints >= 0 &&
+      valPoints + testPoints <= MixHashMod,
+      s"val+test fractions exceed the residue range: $valPoints + $testPoints")
     val r = pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod))
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"),
-        when(r < lit(SplitValPoints), "val")
-          .when(r < lit(SplitValPoints + SplitTestPoints), "test")
+        when(r < lit(valPoints), "val")
+          .when(r < lit(valPoints + testPoints), "test")
           .otherwise("train").as("split"))
   }
 
@@ -245,21 +263,28 @@ object PipelineQueries {
     * definition so the exact/pruned twins (and the spec) cannot
     * drift on tokenizer or quality formula. */
   private[graft] def selectBudgetScored(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
-        qualityScore(col("text")).as("quality"))
+    scoreDocs(Tables.load(spark, dir, "documents"))
 
-  def corpusSelectBudget(spark: SparkSession, dir: String): DataFrame = {
+  private def scoreDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
+      qualityScore(col("text")).as("quality"))
+
+  def corpusSelectBudget(spark: SparkSession, dir: String): DataFrame =
+    corpusSelectBudgetDocs(Tables.load(spark, dir, "documents"), SelectBudgetTokens)
+
+  /** [[corpusSelectBudget]] over any `(doc_id, lang, text)` frame with
+    * a caller budget — the CLI/scheduler form (`Main select-budget`). */
+  def corpusSelectBudgetDocs(docs: DataFrame, budgetTokens: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
-    selectBudgetScored(spark, dir)
+    scoreDocs(docs)
       .withColumn("sel_rank", row_number().over(w))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
-      .filter(col("tokens_before") < SelectBudgetTokens)
+      .filter(col("tokens_before") < budgetTokens)
       .select(col("doc_id"), col("lang"), col("sel_rank"), col("n_tokens"),
         col("tokens_before"), col("quality"))
   }
@@ -292,9 +317,15 @@ object PipelineQueries {
     *
     * Shares [[corpusSelectBudget]]'s oracle verbatim — the gate pins
     * bit-identical output, not "approximately the same selection". */
-  def corpusSelectBudgetPruned(spark: SparkSession, dir: String): DataFrame = {
-    def scored = selectBudgetScored(spark, dir)
-    val edges = selectBudgetEdges(spark, scored)
+  def corpusSelectBudgetPruned(spark: SparkSession, dir: String): DataFrame =
+    corpusSelectBudgetPrunedDocs(
+      Tables.load(spark, dir, "documents"), SelectBudgetTokens)
+
+  /** [[corpusSelectBudgetPruned]] over any frame/budget — the scale
+    * form the CLI uses by default (`Main select-budget pruned=true`). */
+  def corpusSelectBudgetPrunedDocs(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    def scored = scoreDocs(docs)
+    val edges = selectBudgetEdges(docs.sparkSession, scored, budgetTokens)
     // pass 2: the exact window, over survivors only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
@@ -306,7 +337,7 @@ object PipelineQueries {
         coalesce(sum(col("n_tokens")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
-      .filter(col("tokens_before") < SelectBudgetTokens)
+      .filter(col("tokens_before") < budgetTokens)
       .select(col("doc_id"), col("lang"), col("sel_rank"), col("n_tokens"),
         col("tokens_before"), col("quality"))
   }
@@ -319,7 +350,8 @@ object PipelineQueries {
     * language keeps everything (−∞ edge). Exposed for the spec, which
     * pins that `quality >= qmin` admits strictly fewer docs than the
     * over-supplied languages hold. */
-  private[graft] def selectBudgetEdges(spark: SparkSession, scored: DataFrame): DataFrame = {
+  private[graft] def selectBudgetEdges(spark: SparkSession, scored: DataFrame,
+                                       budgetTokens: Long = SelectBudgetTokens): DataFrame = {
     import spark.implicits._
     val bins = SelectBudgetBins
     scored
@@ -332,10 +364,10 @@ object PipelineQueries {
         var cum = 0L
         var edge = Double.NegativeInfinity
         val it = fromTop.iterator
-        while (cum < SelectBudgetTokens && it.hasNext) {
+        while (cum < budgetTokens && it.hasNext) {
           val (bin, mass) = it.next(); cum += mass; edge = bin.toDouble / bins
         }
-        (lang, if (cum < SelectBudgetTokens) Double.NegativeInfinity else edge)
+        (lang, if (cum < budgetTokens) Double.NegativeInfinity else edge)
       }.toDF("lang", "qmin")
   }
 

@@ -71,23 +71,31 @@ object StreamQueries {
     * stream was partitioned or replayed. Batch execution of the same
     * transforms here for the gate; stream==batch pinned in
     * StreamingSpec. */
-  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def streamHeavyHitters(spark: SparkSession, dir: String,
+                         phi: Double = StreamHhPhi, k: Int = StreamHhK,
+                         windowLen: String = "1 day"): DataFrame = {
+    // same MG guarantee as the batch twin: k+1 > 1/φ or true hitters
+    // can be silently dropped from the candidate superset
+    require(phi > 0 && phi <= 1, s"phi must be in (0,1], got $phi")
+    require(k + 1 > 1.0 / phi,
+      s"k=$k cannot guarantee phi=$phi hitters: need k+1 > 1/phi (${1.0 / phi})")
     val ev = events(spark, dir)
-    val cand = Streaming.windowedHeavyHitters(ev, col("props"), "1 day", k = StreamHhK)
+    val cand = Streaming.windowedHeavyHitters(ev, col("props"), windowLen, k = k)
       .select(col("window_start"), col("n"), explode(col("items")).as("props"))
-    ev.select(window(col("ts"), "1 day").getField("start").as("window_start"), col("props"))
+    ev.select(window(col("ts"), windowLen).getField("start").as("window_start"), col("props"))
       .join(broadcast(cand), Seq("window_start", "props"))
       .groupBy(col("window_start"), col("props"), col("n"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= ceil(col("n") * lit(StreamHhPhi)).cast("long"))
+      .filter(col("cnt") >= ceil(col("n") * lit(phi)).cast("long"))
       .select(col("window_start"), col("props"), col("cnt"))
   }
 
-  private val StreamHhPhi = 0.01
-  private val StreamHhK = 200 // k+1 > 1/φ: candidate superset guaranteed
+  /** Gate defaults; overrides must stay inside the k+1 > 1/φ region. */
+  val StreamHhPhi = 0.01
+  val StreamHhK = 200
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_heavy_hitters" -> (streamHeavyHitters _),
+    "stream_heavy_hitters" -> ((s: SparkSession, d: String) => streamHeavyHitters(s, d)),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_tagging" -> GateFormat.js(streamTagging _),
     "stream_enriched_tagging" -> GateFormat.js(streamEnrichedTagging _),

@@ -208,6 +208,57 @@ class MainSpec extends SparkSpec {
     assert(top2 == top, "maintenance must not change text search results")
   }
 
+  test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_mix").toString
+    // two languages, en oversupplied: mix must downsample en only, and
+    // select-budget must truncate en's quality ranking at the budget
+    val docs = ((0L until 200L).map(d => (d, "en", "alpha beta gamma delta " * 10)) ++
+      (1000L until 1010L).map(d => (d, "de", "eins zwei drei vier " * 10)))
+      .toDF("doc_id", "lang", "text")
+    docs.write.parquet(s"$base/docs.parquet")
+
+    val mixed = Main.runPipeline(spark, Seq("corpus-mix",
+      s"in=$base/docs.parquet", s"out=$base/mixed", "budget=2000"))
+    assert(mixed.rowsIn == 210)
+    val mix = spark.read.parquet(s"$base/mixed")
+    val byLang = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 10, "under-supplied language must be kept whole")
+    assert(byLang("en") < 200, "over-supplied language must be downsampled")
+    // CLI budget is honored: en's kept token mass ≈ its 1000-token slice
+    val enTokens = mix.filter(col("lang") === "en")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(enTokens <= 1300, s"en must be near its 1000-token slice, got $enTokens")
+
+    val split = Main.runPipeline(spark, Seq("corpus-split",
+      s"in=$base/docs.parquet", s"out=$base/split", "valpct=10", "testpct=10"))
+    assert(split.rowsOut == 210, "split assigns every doc")
+    val sp = spark.read.parquet(s"$base/split")
+    val kinds = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet.subsetOf(Set("train", "val", "test")) && kinds("train") > 100)
+    // determinism: re-running the CLI reproduces the same assignment
+    Main.runPipeline(spark, Seq("corpus-split",
+      s"in=$base/docs.parquet", s"out=$base/split2", "valpct=10", "testpct=10"))
+    val a = sp.orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(s"$base/split2").orderBy("doc_id").collect().toSeq
+    assert(a == b, "the split must be a pure function of doc_id")
+
+    val picked = Main.runPipeline(spark, Seq("select-budget",
+      s"in=$base/docs.parquet", s"out=$base/picked", "budget=500"))
+    val pk = spark.read.parquet(s"$base/picked")
+    assert(picked.rowsOut < 210, "the budget must truncate the over-supplied language")
+    // pruned=true (default) is bit-identical to the exact window form
+    Main.runPipeline(spark, Seq("select-budget",
+      s"in=$base/docs.parquet", s"out=$base/picked_exact", "budget=500", "pruned=false"))
+    val exact = spark.read.parquet(s"$base/picked_exact")
+    assert(pk.orderBy("doc_id").collect().toSeq ==
+      exact.orderBy("doc_id").collect().toSeq,
+      "pruned and exact select-budget must agree bit-identically")
+  }
+
   test("data-quality report frame carries per-column null rates") {
     val s = spark
     import s.implicits._

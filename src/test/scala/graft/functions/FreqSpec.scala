@@ -102,4 +102,44 @@ class FreqSpec extends SparkSpec {
       s"candidates must broadcast:\n$plan")
     assert(plan.contains("ObjectHashAggregate"), s"MG pass must partial-aggregate:\n$plan")
   }
+
+  test("heavy-hitter knobs: phi/k parameterized; the k+1 > 1/phi guard rejects droppy configs") {
+    import spark.implicits._
+    import graft.queries.{AnalyticsQueries => AQ, StreamQueries => SQ}
+    val dir = sf("any")
+    // a looser phi admits a superset of a tighter phi's hitters
+    val loose = AQ.eventsHeavyHitters(spark, dir, phi = 0.002, k = 1000)
+      .select("props").as[String].collect().toSet
+    val tight = AQ.eventsHeavyHitters(spark, dir, phi = 0.02, k = 100)
+      .select("props").as[String].collect().toSet
+    assert(tight.subsetOf(loose), s"phi=0.02 hitters must all be phi=0.002 hitters")
+    assert(loose.size >= tight.size)
+    // explicit defaults == the gate entry
+    val viaKnobs = AQ.eventsHeavyHitters(spark, dir, AQ.HhPhi, AQ.HhK)
+      .as[(String, Long)].collect().toMap
+    val viaGate = AQ.queries("events_heavy_hitters")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(viaKnobs == viaGate)
+    // the guarantee guard: k too small for phi would silently DROP
+    // true hitters from the candidate superset -- must throw instead
+    intercept[IllegalArgumentException] {
+      AQ.eventsHeavyHitters(spark, dir, phi = 0.001, k = 400)
+    }
+    intercept[IllegalArgumentException] {
+      SQ.streamHeavyHitters(spark, dir, phi = 0.001, k = 200)
+    }
+    // streaming twin honors a custom window + knobs and stays exact
+    val st = SQ.streamHeavyHitters(spark, dir, phi = 0.02, k = 100, windowLen = "1 day")
+      .select("window_start", "props", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val exact = ev.select(window(col("ts"), "1 day").getField("start").as("w"), col("props"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .join(ev.select(window(col("ts"), "1 day").getField("start").as("w"), col("props"))
+        .groupBy("w", "props").agg(count(lit(1)).as("cnt")), Seq("w"))
+      .filter(col("cnt") >= ceil(col("n") * lit(0.02)).cast("long"))
+      .select("w", "props", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(st == exact, "parameterized streaming hitters must equal the exact per-window set")
+  }
 }
