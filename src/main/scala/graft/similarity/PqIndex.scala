@@ -253,18 +253,18 @@ class PqIndex(spark: SparkSession, dir: String,
 
 object PqIndex {
   /** Bucket-count guideline for the codes store, paired with
-    * [[Similarity.suggestNCells]]: the layout floor is one file per
-    * (bucket, cell), so target `buckets × cells × targetFileBytes ≈
-    * codes bytes` (a PQ row is ~32 B: 8 B codes + id + cell + norm).
-    * Floor 32 keeps key-hash probe pruning (readForKeys, bloom-probed
-    * adds) meaningful on small indexes — the legacy fixed default —
-    * and the 4096 cap bounds driver-side manifest/bloom bookkeeping.
-    * At 100 TB raw (~3 TB codes, ~500 sample-bounded cells) this
-    * lands at ~100 buckets of ~64 MB files per cell. */
+    * [[Similarity.suggestNCells]]: a PQ row is ~32 B (8 B codes + id
+    * + cell + norm), and the generic partitioned-store rule
+    * ([[graft.sources.SnapshotStore.suggestBuckets]]) does the rest —
+    * floor 1 (the file floor is buckets × cells, so any fixed bucket
+    * floor × corpus-sized cells is a small-file explosion), growing
+    * only once per-cell codes outgrow the 64 MiB file target. At
+    * 100 TB raw (~1e11 vectors → ~3.2 TB codes, ~500 sample-bounded
+    * cells) this lands at ~96 buckets of ~64 MiB files per cell. */
   def suggestBuckets(n: Long, cells: Int, bytesPerRow: Long = 32L,
                      targetFileBytes: Long = 64L << 20): Int = {
-    val ideal = math.ceil(n.toDouble * bytesPerRow /
-      (math.max(1, cells).toDouble * targetFileBytes)).toLong
-    math.max(32L, math.min(ideal, 4096L)).toInt
+    val bytes = // saturate instead of overflowing at absurd n
+      if (n > Long.MaxValue / bytesPerRow) Long.MaxValue else n * bytesPerRow
+    graft.sources.SnapshotStore.suggestBuckets(bytes, cells, targetFileBytes)
   }
 }

@@ -60,11 +60,17 @@ import graft.functions.TextFunctions.words
   * query-path mitigation is scoring-level (drop-stopword / minDf),
   * deliberately not silently applied here. */
 class TextIndex(spark: SparkSession, dir: String,
-                buckets: Int = 32, termParts: Int = 0) {
+                buckets: Int = 0, termParts: Int = 0) {
 
-  private val store = new graft.sources.SnapshotStore(
+  // buckets = 0 ⇒ sized at build with the generic partitioned-store
+  // rule (postings bytes / (termParts × 64 MiB target), floor 1 — the
+  // file floor is buckets × termParts, see SnapshotStore.suggestBuckets).
+  // The constructor-level store only needs a fallback for a store
+  // with no manifest yet; post-build ops resolve recordedBuckets.
+  private def storeWith(bucketCount: Int) = new graft.sources.SnapshotStore(
     spark, s"$dir/postings", key = "doc_id",
-    buckets = buckets, partitionCol = Some("tpart"))
+    buckets = bucketCount, partitionCol = Some("tpart"))
+  private val store = storeWith(if (buckets > 0) buckets else 32)
   private val statsPath = new Path(s"$dir/stats.txt")
   private val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -96,7 +102,10 @@ class TextIndex(spark: SparkSession, dir: String,
     val (n, sumDl) = measure(corpus)
     val parts =
       if (termParts > 0) termParts else TextIndex.suggestTermParts(sumDl)
-    store.overwrite(postings(corpus, parts))
+    val bkts = if (buckets > 0) buckets
+      else graft.sources.SnapshotStore.suggestBuckets(
+        TextIndex.PostingBytes * sumDl, parts)
+    storeWith(bkts).overwrite(postings(corpus, parts))
     saveStats(n, sumDl, parts)
   }
 
@@ -248,6 +257,13 @@ class TextIndex(spark: SparkSession, dir: String,
 }
 
 object TextIndex {
+  /** Rough bytes per posting row for bucket sizing (doc_id + short
+    * word + tf + dl + tpart, parquet-encoded). Paired with Σdl —
+    * which over-counts rows because tf collapses repeats — the
+    * estimate errs toward a few extra buckets, which costs file count
+    * linearly and probe correctness nothing. */
+  val PostingBytes = 16L
+
   /** Term-partition guideline from corpus token mass (Σdl — an upper
     * bound on postings rows that [[TextIndex#build]]'s stats pass
     * already computes, so sizing is free): one partition per ~1M

@@ -694,3 +694,24 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     Seq.empty[Long].toDF(key)
   }
 }
+
+object SnapshotStore {
+  /** Bucket-count guideline for a PARTITIONED store: the layout floor
+    * is one file per (bucket, partition), so the only reason to raise
+    * buckets above 1 is per-partition data outgrowing the target file
+    * size — buckets ≈ bytes / (partitions × 64 MiB). The floor really
+    * is 1: any fixed bucket floor multiplies the partition count into
+    * a small-file explosion exactly when partitions are corpus-sized
+    * (the legacy 32 default is for UNPARTITIONED key stores, where 32
+    * buckets = 32 files total). Fewer buckets mean coarser key-probe
+    * pruning and copy-on-write — acceptable because bytes per bucket
+    * is bounded by construction (it only shrinks as the corpus grows
+    * buckets). Cap 4096 bounds driver-side manifest/bloom
+    * bookkeeping. */
+  def suggestBuckets(totalBytes: Long, partitions: Int,
+                     targetFileBytes: Long = 64L << 20): Int = {
+    val ideal = math.ceil(totalBytes.toDouble /
+      (math.max(1, partitions).toDouble * targetFileBytes)).toLong
+    math.max(1L, math.min(ideal, 4096L)).toInt
+  }
+}

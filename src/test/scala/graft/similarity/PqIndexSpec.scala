@@ -223,16 +223,17 @@ class PqIndexSpec extends SparkSpec {
       key = "neighbor_id").bucketCount.contains(48))
   }
 
-  test("suggestBuckets: floor for small codes, codes-bytes/64MB-per-cell-file at scale, capped") {
+  test("suggestBuckets: floor 1 locally (file floor = buckets × cells), 64MiB-file growth, capped") {
     import PqIndex.suggestBuckets
-    // sf-local: a few MB of codes never splits below the 32-bucket floor
-    assert(suggestBuckets(200000, cells = 500) == 32)
+    // sf-local: MBs of codes over corpus-sized cells must NOT multiply
+    // into a small-file explosion — one bucket, cells already split files
+    assert(suggestBuckets(200000, cells = 500) == 1)
     // 100 TB raw ≈ 1e11 vectors ⇒ ~3.2 TB codes over 500 sample-bounded
     // cells ⇒ ~96 buckets of ~64 MiB files per cell — the layout a
     // 1000-executor cluster wants (files ≫ executors, none tiny)
     assert(suggestBuckets(100000000000L, cells = 500) == 96)
     // pathological input can't explode the driver-side bookkeeping
-    assert(suggestBuckets(Long.MaxValue / 64, cells = 1) == 4096)
+    assert(suggestBuckets(Long.MaxValue / 4, cells = 1) == 4096)
     // monotone in n for a fixed cell count
     val pts = Seq(1L, 1000L, 100000000L, 10000000000L, 1000000000000L)
     val got = pts.map(n => suggestBuckets(n, cells = 200))

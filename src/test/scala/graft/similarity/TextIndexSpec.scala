@@ -120,6 +120,12 @@ class TextIndexSpec extends SparkSpec {
         .cast("long"))).head().getLong(0)
     assert(index.frozenTermParts == TextIndex.suggestTermParts(tokens),
       s"auto build must freeze suggestTermParts($tokens), got ${index.frozenTermParts}")
+    // bucket layout is corpus-sized too, and the manifest records it
+    val store = new graft.sources.SnapshotStore(spark, s"$base/idx/postings",
+      key = "doc_id")
+    assert(store.bucketCount.contains(graft.sources.SnapshotStore.suggestBuckets(
+      TextIndex.PostingBytes * tokens, index.frozenTermParts)),
+      s"auto build must record the suggested bucket layout, got ${store.bucketCount}")
     // the frozen layout survives the lifecycle: parity after an add
     index.add(Seq((900007L, "hash join table")).toDF("doc_id", "text"))
     val updated = corpus.unionByName(
