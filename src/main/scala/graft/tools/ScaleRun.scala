@@ -23,6 +23,12 @@ object ScaleRun {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("bench_scratch/sf10")
     val out = if (args.length > 1) args(1) else "/tmp/graft_scalerun"
+    // "auto": build both persistent indexes with ALL-DEFAULT layout
+    // knobs (nCells = buckets = termParts = 0) — validates that the
+    // r6 corpus-sizing defaults pick a sane layout at scale, not just
+    // that hand-tuned knobs do. Footprint lines print the RESOLVED
+    // layout either way.
+    val auto = args.length > 2 && args(2) == "auto"
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -92,11 +98,21 @@ object ScaleRun {
     // (bucket × cell) file floor yields sanely-sized files — the
     // first run used 32×64 = 2048 files for ~30 MB of codes and paid
     // ~7 ms/file open on every read
-    val cells = graft.similarity.Similarity.suggestNCells(nVecs, sampleN = 2000)
-    val idx = new graft.similarity.PqIndex(spark, s"$out/idx",
-      nCells = cells, nProbe = 8, opq = true, buckets = 4)
-    timed(s"index build ($nVecs vecs, OPQ+IVF-PQ, $cells cells, 4 buckets)") {
+    val idx = if (auto)
+      new graft.similarity.PqIndex(spark, s"$out/idx", nProbe = 8, opq = true)
+    else {
+      val cells = graft.similarity.Similarity.suggestNCells(nVecs, sampleN = 2000)
+      new graft.similarity.PqIndex(spark, s"$out/idx",
+        nCells = cells, nProbe = 8, opq = true, buckets = 4)
+    }
+    timed(s"index build ($nVecs vecs, OPQ+IVF-PQ, ${if (auto) "auto" else "manual"} layout)") {
       idx.build(vecs.filter(col("id") % 100 =!= 0L))
+    }
+    locally {
+      val bc = new graft.sources.SnapshotStore(spark, s"$out/idx/codes",
+        key = "neighbor_id").bucketCount
+      println(s"[scalerun] codes layout: ${idx.models()._2.nCells} cells × " +
+        s"${bc.getOrElse(-1)} buckets")
     }
     timed(s"index add (${nVecs / 100} vec delta under frozen models)") {
       idx.add(vecs.filter(col("id") % 100 === 0L)
@@ -125,10 +141,17 @@ object ScaleRun {
     // same layout arithmetic as the codes store: termParts is the
     // probe dimension (a query reads |its terms| partitions of the
     // postings), buckets × termParts is the file floor
-    val tidx = new graft.similarity.TextIndex(spark, s"$out/tidx",
-      buckets = 4, termParts = 64)
-    timed(s"text index build ($nDocs docs, 64 term partitions)") {
+    val tidx = if (auto) new graft.similarity.TextIndex(spark, s"$out/tidx")
+      else new graft.similarity.TextIndex(spark, s"$out/tidx",
+        buckets = 4, termParts = 64)
+    timed(s"text index build ($nDocs docs, ${if (auto) "auto" else "manual"} layout)") {
       tidx.build(docs.select("doc_id", "text"))
+    }
+    locally {
+      val bc = new graft.sources.SnapshotStore(spark, s"$out/tidx/postings",
+        key = "doc_id").bucketCount
+      println(s"[scalerun] postings layout: ${tidx.frozenTermParts} term " +
+        s"partitions × ${bc.getOrElse(-1)} buckets")
     }
     timed(s"text index add (${nDocs / 100} doc delta)") {
       tidx.add(docs.filter(col("doc_id") % 100 === 7L)
@@ -146,7 +169,7 @@ object ScaleRun {
     val tparts = tidx.probeParts(tq1.head().getString(1))
     val (topen, tlive) = tidx.scanFootprint(tparts)
     println(s"[scalerun] 1-query term probe: $topen of $tlive postings files " +
-      s"(${tparts.size} of 64 term partitions)")
+      s"(${tparts.size} of ${tidx.frozenTermParts} term partitions)")
     spark.stop()
   }
 }
