@@ -278,8 +278,15 @@ object Main {
       // caller joins back, so the output stays O(docs), not O(bytes))
       case "corpus-mix" =>
         val docs = spark.read.parquet(req("in"))
-        val mixed = graft.queries.PipelineQueries.corpusMixDocs(docs,
+        // supply pass + keep filter both consume the token counts:
+        // persist the ~24 B/doc projection instead of tokenizing the
+        // corpus twice (spillable — at 100 TB this is ~2.4 GB/executor
+        // of counts vs a second full-text scan)
+        val toked = graft.queries.PipelineQueries.tokenizeDocs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mixed = try graft.queries.PipelineQueries.corpusMixFromToked(toked,
           opts.getOrElse("budget", "20000").toLong).localCheckpoint()
+        finally toked.unpersist()
         mixed.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), mixed.count())
       case "corpus-split" =>
@@ -294,13 +301,21 @@ object Main {
       case "select-budget" =>
         val docs = spark.read.parquet(req("in"))
         val budget = opts.getOrElse("budget", "4000").toLong
+        // score ONCE into the tiny (doc_id, lang, n_tokens, quality)
+        // projection and persist it spillably: the pruned form's
+        // histogram is a separate action from its final window, so an
+        // unmaterialized frame would tokenize + score the corpus twice
+        // (sf10: 77 s → 44 s, see PLANS.md)
+        val scored = graft.queries.PipelineQueries.scoreDocs(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // pruned (histogram-edge) form by default — bit-identical to
         // the exact window, sort ∝ budget instead of corpus
-        val picked = (if (opts.getOrElse("pruned", "true").toBoolean)
-          graft.queries.PipelineQueries.corpusSelectBudgetPrunedDocs(docs, budget)
+        val picked = try (if (opts.getOrElse("pruned", "true").toBoolean)
+          graft.queries.PipelineQueries.selectBudgetPrunedFromScored(scored, budget)
         else
-          graft.queries.PipelineQueries.corpusSelectBudgetDocs(docs, budget))
+          graft.queries.PipelineQueries.selectBudgetFromScored(scored, budget))
           .localCheckpoint()
+        finally scored.unpersist()
         picked.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), picked.count())
       case other => sys.error(s"unknown pipeline command: $other")

@@ -185,10 +185,23 @@ object PipelineQueries {
 
   /** [[corpusMix]] over any `(doc_id, lang, text)` frame with a caller
     * budget — the CLI/scheduler form (`Main corpus-mix`). */
-  def corpusMixDocs(docs: DataFrame, budgetTokens: Long): DataFrame = {
-    val toked = docs
-      .select(col("doc_id"), col("lang"),
-        size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
+  def corpusMixDocs(docs: DataFrame, budgetTokens: Long): DataFrame =
+    corpusMixFromToked(tokenizeDocs(docs), budgetTokens)
+
+  /** The token-count projection both the supply pass and the keep
+    * filter consume — ~24 B/doc vs the corpus's text bytes. Decision
+    * passes that need the supply FIRST (mix, budget selection) should
+    * compute over a MATERIALIZED copy of this (spillable persist):
+    * tokenizing 100 TB twice costs more than holding ~2.4 GB/executor
+    * of counts, and locally the sf10 CLI measured the same 1.6×
+    * (Main does exactly that; the gate queries keep the pure two-scan
+    * plan their oracle pins). */
+  private[graft] def tokenizeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
+
+  private[graft] def corpusMixFromToked(toked: DataFrame,
+                                        budgetTokens: Long): DataFrame = {
     val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
     val nLangs = supply.agg(count(lit(1)).as("n_langs"))
     val keepRate = least(lit(1.0),
@@ -265,7 +278,7 @@ object PipelineQueries {
   private[graft] def selectBudgetScored(spark: SparkSession, dir: String): DataFrame =
     scoreDocs(Tables.load(spark, dir, "documents"))
 
-  private def scoreDocs(docs: DataFrame): DataFrame =
+  private[graft] def scoreDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
       qualityScore(col("text")).as("quality"))
@@ -275,10 +288,17 @@ object PipelineQueries {
 
   /** [[corpusSelectBudget]] over any `(doc_id, lang, text)` frame with
     * a caller budget — the CLI/scheduler form (`Main select-budget`). */
-  def corpusSelectBudgetDocs(docs: DataFrame, budgetTokens: Long): DataFrame = {
+  def corpusSelectBudgetDocs(docs: DataFrame, budgetTokens: Long): DataFrame =
+    selectBudgetFromScored(scoreDocs(docs), budgetTokens)
+
+  /** The exact window over an already-scored `(doc_id, lang, n_tokens,
+    * quality)` frame — callers that also run the histogram pass
+    * (pruned form, CLI) score ONCE and share the frame. */
+  private[graft] def selectBudgetFromScored(scored: DataFrame,
+                                            budgetTokens: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
-    scoreDocs(docs)
+    scored
       .withColumn("sel_rank", row_number().over(w))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(
@@ -323,9 +343,18 @@ object PipelineQueries {
 
   /** [[corpusSelectBudgetPruned]] over any frame/budget — the scale
     * form the CLI uses by default (`Main select-budget pruned=true`). */
-  def corpusSelectBudgetPrunedDocs(docs: DataFrame, budgetTokens: Long): DataFrame = {
-    def scored = scoreDocs(docs)
-    val edges = selectBudgetEdges(docs.sparkSession, scored, budgetTokens)
+  def corpusSelectBudgetPrunedDocs(docs: DataFrame, budgetTokens: Long): DataFrame =
+    selectBudgetPrunedFromScored(scoreDocs(docs), budgetTokens)
+
+  /** Histogram-pruned selection over an already-scored frame. The
+    * histogram collect is a SEPARATE ACTION from the final window, so
+    * an unmaterialized `scored` is computed twice — the gate query
+    * accepts that (two scans is the documented supply-first trade and
+    * the oracle pins the plan), while the CLI persists the scored
+    * projection first (sf10: 77 s → scoring once, see PLANS.md). */
+  private[graft] def selectBudgetPrunedFromScored(scored: DataFrame,
+                                                  budgetTokens: Long): DataFrame = {
+    val edges = selectBudgetEdges(scored.sparkSession, scored, budgetTokens)
     // pass 2: the exact window, over survivors only
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
