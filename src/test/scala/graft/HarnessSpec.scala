@@ -34,6 +34,23 @@ class HarnessSpec extends SparkSpec {
     assert(!json.contains(""""bad":0"""), "no fabricated timing for the failure")
   }
 
+  test("bench JSON is machine-parseable, including pathological failure messages") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // the nastiest realistic failure text: quotes, backslashes (Windows
+    // paths / regexes), newlines and tabs from wrapped analysis errors
+    val json = Bench.renderJson(
+      Seq("ok" -> Right((0.5, 0.4)),
+        "bad" -> Left("line1\nline2\t\"quoted\" C:\\path \u0001ctrl")),
+      "/tmp/sf \"dir\"", """"cpus":4,"load_avg_start":0.5""")
+    val parsed = JsonMethods.parse(json)
+    assert((parsed \ "queries" \ "ok") == JDouble(0.5))
+    assert((parsed \ "cpu_sec" \ "ok") == JDouble(0.4))
+    val JString(msg) = (parsed \ "failures" \ "bad"): @unchecked
+    assert(msg.contains("line1\nline2") && msg.contains("\"quoted\""))
+    assert((parsed \ "n_failed") == JInt(1))
+  }
+
   test("verify: a throwing query writes an .ERROR marker, a good one writes parquet") {
     val out = Files.createTempDirectory("graft_verify_spec").toString
     val bad = Verify.dumpOne(spark, "broken", broken, sf("any"), out)
