@@ -196,7 +196,8 @@ object Main {
       nCells = opts.getOrElse("cells", "0").toInt,
       nProbe = opts.getOrElse("probe", "4").toInt,
       opq = opts.getOrElse("opq", "false").toBoolean,
-      buckets = opts.getOrElse("buckets", "0").toInt)
+      buckets = opts.getOrElse("buckets", "0").toInt,
+      fitSampleN = opts.getOrElse("fitsample", "0").toInt)
     // tparts absent ⇒ 0 ⇒ TextIndex.build sizes the term layout from
     // the corpus token mass (same fixed-knob hazard as index-build)
     def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,

@@ -188,10 +188,10 @@ object Pq {
     * geometry agree. One bounded-sample pass each, like every fit. */
   def fitOpqIvfPq(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
                   nCells: Int = 16, sampleN: Int = 2000,
-                  seed: Long = 42L): OpqIvfPqModel = {
+                  seed: Long = 42L, coarseSampleN: Int = 20000): OpqIvfPqModel = {
     val rotation = fitOpq(corpus, dim, m, k, sampleN, seed = seed).rotation
     val rot = rotatedFrame(corpus, rotation, dim)
-    val coarse = Similarity.ivfFit(rot, nCells, seed)
+    val coarse = Similarity.ivfFit(rot, nCells, seed, coarseSampleN)
     OpqIvfPqModel(rotation, dim, coarse,
       fitResidual(rot, coarse, dim, m, k, sampleN, seed = seed))
   }

@@ -45,10 +45,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * it is a rebuild-scoped decision. After build, READS never consult
   * these knobs: the store manifest records the bucket layout and the
   * persisted coarse model records the cell count. */
+/** `fitSampleN` bounds the coarse-quantizer training sample (0 = the
+  * 20k default). It is the knob that lets the cell count keep up with
+  * the corpus at extreme scale: auto cells = min(4√n, sample/40), so
+  * the 20k default freezes cells at 500 — the right fit-cost trade up
+  * to ~10M vectors, but a 1e11-vector deployment passes ~1M here to
+  * get ~25k cells (probe fraction 0.03% instead of 1.6%; the k-means
+  * fit is a one-off build cost). The suggest rules compose: 1e11 vecs
+  * at sampleN=1M ⇒ 25k cells × 2 buckets ⇒ 50k files of ~64 MiB. */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
               nCells: Int = 0, nProbe: Int = 4, seed: Long = 42L,
-              opq: Boolean = false, buckets: Int = 0) {
+              opq: Boolean = false, buckets: Int = 0,
+              fitSampleN: Int = 0) {
+
+  private val coarseFitN = if (fitSampleN > 0) fitSampleN else 20000
 
   // Codes are KEYED by neighbor_id (CDC upsert identity) but PROBED by
   // cell, so the store's layout is cell-partitioned under the key
@@ -81,17 +92,19 @@ class PqIndex(spark: SparkSession, dir: String,
       if (nCells > 0 && buckets > 0) (nCells, buckets)
       else {
         val n = corpus.count()
-        val c = if (nCells > 0) nCells else Similarity.suggestNCells(n)
+        val c = if (nCells > 0) nCells
+          else Similarity.suggestNCells(n, sampleN = coarseFitN)
         (c, if (buckets > 0) buckets else PqIndex.suggestBuckets(n, c))
       }
     val buildStore = storeWith(bkts)
     if (opq) {
-      val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, cells, seed = seed)
+      val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, cells, seed = seed,
+        coarseSampleN = coarseFitN)
       saveModels(composed.pq, composed.coarse, Some(composed.rotation))
       buildStore.overwrite(Pq.encodeIvfPq(corpus, composed.pq, composed.coarse,
         Some(composed.rotation)))
     } else {
-      val coarse = Similarity.ivfFit(corpus, cells, seed)
+      val coarse = Similarity.ivfFit(corpus, cells, seed, sampleN = coarseFitN)
       val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
       saveModels(model, coarse, None)
       buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse))

@@ -221,6 +221,13 @@ class PqIndexSpec extends SparkSpec {
     assert(pinned.models()._2.nCells == 3)
     assert(new graft.sources.SnapshotStore(spark, s"$base/idx2/codes",
       key = "neighbor_id").bucketCount.contains(48))
+    // fitSampleN is the extreme-scale escape hatch: a bigger training
+    // sample raises the cell bound (auto cells = min(4√n, sample/40)),
+    // and the auto layout tracks it
+    val scaled = new PqIndex(spark, s"$base/idx3", fitSampleN = 4000)
+    scaled.build(corpus)
+    assert(scaled.models()._2.nCells == Similarity.suggestNCells(n, sampleN = 4000),
+      s"fitSampleN must move the auto cell bound, got ${scaled.models()._2.nCells}")
   }
 
   test("suggestBuckets: floor 1 locally (file floor = buckets × cells), 64MiB-file growth, capped") {
