@@ -128,8 +128,11 @@ object Similarity {
     * (PLANS.md) is why this exists: a FIXED nCells makes probe-bounded
     * search quadratic as the corpus grows — per-query candidates are
     * nProbe·n/nCells, so nCells must grow with n (and nProbe with the
-    * recall target). Advisory, not automatic: cell count is part of
-    * the frozen model set, so changing it is a rebuild decision. */
+    * recall target). Since r6 this IS the default: PqIndex.build with
+    * nCells = 0 resolves through it (raise `sampleN` via fitSampleN at
+    * extreme scale — the sample bound is what freezes cells at 500
+    * under the 20k default). Changing the cell count remains a
+    * rebuild decision: it is part of the frozen model set. */
   def suggestNCells(n: Long, sampleN: Int = 20000): Int =
     math.max(1, math.min(4.0 * math.sqrt(n.toDouble), sampleN / 40.0).toInt)
 
