@@ -208,7 +208,11 @@ object Main {
     command match {
       case "corpus-clean" =>
         val docs = spark.read.parquet(req("in"))
-        val index = new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
+        // bandparts: size the GROWING index for its target corpus at
+        // creation (SigIndex.suggestBandParts); 0 adopts an existing
+        // index's frozen layout — the common reopen case
+        val index = new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id",
+          bandParts = opts.getOrElse("bandparts", "0").toInt)
         val kept = graft.queries.PipelineQueries.corpusCleanIncremental(
           docs, index, opts.getOrElse("batch", "0").toLong).localCheckpoint()
         kept.write.mode("overwrite").parquet(req("out"))

@@ -36,8 +36,20 @@ import java.nio.charset.StandardCharsets
   * recomputes the same survivors and overwrites the same rows, even if
   * the previous attempt crashed between the two store writes.
   */
+/** `bandParts` = 0 (the default) ADOPTS the layout a prior writer
+  * froze in `meta.txt`, or 64 for a fresh index. Unlike the
+  * build-time-sized indexes (PqIndex/TextIndex), this store GROWS
+  * from empty — there is no build step that knows the final corpus,
+  * so the layout must be chosen for the TARGET scale at creation:
+  * pass [[SigIndex.suggestBandParts]](expected docs) for the first
+  * writer. A 1-doc probe opens ≤ its ~16 band keys' partitions, so
+  * the pruned fraction is ~16/bandParts — 64 is right for local/test
+  * corpora; a 1e9-doc deployment wants the 4096 cap (0.4% probes,
+  * ~64 MiB partitions). An EXPLICIT non-zero value that disagrees
+  * with the recorded one still refuses loudly: hashing probes with a
+  * different modulus than the writer silently misses candidates. */
 final class SigIndex(spark: SparkSession, dir: String, idCol: String,
-                     idBuckets: Int = 32, bandParts: Int = 64) {
+                     idBuckets: Int = 32, bandParts: Int = 0) {
 
   private[graft] val sigs =
     new graft.sources.SnapshotStore(spark, s"$dir/sigs", key = idCol, buckets = idBuckets)
@@ -47,32 +59,39 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
 
   // hb is baked into the layout at write time: a reader MUST hash its
   // probe keys with the same modulus or pruning silently misses
-  // candidates. Persist it once and verify on reopen — a mismatch is a
-  // configuration error, not a degraded mode.
+  // candidates. Persist it once; on reopen, 0 adopts the recorded
+  // value and an explicit mismatch is a configuration error, not a
+  // degraded mode.
   private val metaPath = new Path(s"$dir/meta.txt")
   private def fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def readMeta(): Option[Int] =
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      text.linesIterator.collectFirst {
+        case l if l.startsWith("bandParts=") => l.stripPrefix("bandParts=").toInt
+      }
+    }
+  private val resolvedBandParts: Int = {
+    val recorded = readMeta()
+    require(bandParts == 0 || recorded.forall(_ == bandParts),
+      s"index at $dir was written with bandParts=${recorded.getOrElse(-1)}, " +
+        s"opened with $bandParts")
+    recorded.getOrElse(if (bandParts > 0) bandParts else 64)
+  }
   private def ensureMeta(): Unit =
     if (!fs.exists(metaPath)) {
       val tmp = new Path(s"$dir/.tmp-meta-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, true)
-      try out.write(s"bandParts=$bandParts\n".getBytes(StandardCharsets.UTF_8))
+      try out.write(s"bandParts=$resolvedBandParts\n".getBytes(StandardCharsets.UTF_8))
       finally out.close()
       fs.rename(tmp, metaPath)
-    } else checkMeta()
-  private def checkMeta(): Unit =
-    if (fs.exists(metaPath)) {
-      val in = fs.open(metaPath)
-      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-      val recorded = text.linesIterator.collectFirst {
-        case l if l.startsWith("bandParts=") => l.stripPrefix("bandParts=").toInt
-      }
-      require(recorded.forall(_ == bandParts),
-        s"index at $dir was written with bandParts=${recorded.get}, opened with $bandParts")
-    }
-  checkMeta()
+    } else require(readMeta().forall(_ == resolvedBandParts),
+      s"index at $dir changed bandParts concurrently")
 
   private def hb(band: Column, h: Column): Column =
-    pmod(hash(band, h), lit(bandParts))
+    pmod(hash(band, h), lit(resolvedBandParts))
 
   /** Rows written before batch_id existed (schema evolution nulls) are
     * HISTORY, not this batch — a plain =!= would null-out and wrongly
@@ -144,4 +163,18 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
   /** Reclaim superseded files in both stores. */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
     sigs.vacuum(keepVersions, minAgeMs) + bands.vacuum(keepVersions, minAgeMs)
+}
+
+object SigIndex {
+  /** Band-partition guideline for a GROWING index, sized for the
+    * TARGET corpus (the layout freezes at the first write): ~16 band
+    * rows of ~40 B per doc, one partition per 64 MiB of band rows —
+    * floor 64 (the local/test default), cap 4096 (driver bookkeeping;
+    * at the cap a 1-doc probe still reads ≤16/4096 ≈ 0.4% of the
+    * store). 1e9 docs ⇒ 4096; 500k docs (sf10) ⇒ 64. */
+  def suggestBandParts(expectedDocs: Long, bandsPerDoc: Int = 16,
+                       bytesPerBandRow: Long = 40L): Int = {
+    val bytes = expectedDocs * bandsPerDoc * bytesPerBandRow
+    math.max(64L, math.min(math.ceil(bytes.toDouble / (64L << 20)).toLong, 4096L)).toInt
+  }
 }

@@ -230,6 +230,35 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("bandParts"))
   }
 
+  test("SigIndex layout: default adopts the recorded bandParts; suggestBandParts scales") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_sigadopt").toString
+    // first writer sizes for its target corpus (non-default 128)...
+    val first = new SigIndex(spark, s"$base/index", idCol = "doc_id", bandParts = 128)
+    val batch = Seq((1L, (1 to 20).map(w => s"a$w").mkString(" ")),
+      (2L, (1 to 20).map(w => s"b$w").mkString(" "))).toDF("doc_id", "text")
+    Streaming.dedupNearBatch(batch, first, "text", "doc_id", 0.8, 128, 16, 3, batchId = 0)
+    // ...and a default-constructed reopen (the CLI case) ADOPTS it:
+    // the probe hashes with the recorded modulus, so candidates from
+    // history are still found (an identical re-sent doc dedups)
+    val reopened = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    val dup = Seq((99L, (1 to 20).map(w => s"a$w").mkString(" "))).toDF("doc_id", "text")
+    val survivors = Streaming.dedupNearBatch(
+      dup, reopened, "text", "doc_id", 0.8, 128, 16, 3, batchId = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(99L),
+      "a duplicate of indexed history must be caught through the adopted layout")
+    // growing-store guideline: floor for local corpora, capped at scale
+    import graft.streaming.{SigIndex => SI}
+    assert(SI.suggestBandParts(500000) == 64)            // sf10 ⇒ the local default
+    assert(SI.suggestBandParts(1000000000L) == 4096)     // 1e9 docs ⇒ the cap
+    val pts = Seq(1L, 1000000L, 100000000L, 1000000000L)
+    val got = pts.map(SI.suggestBandParts(_))
+    assert(got == got.sorted, s"must be monotone in expected docs, got $got")
+  }
+
   test("near-dup stream with compactEvery bounds the index's live files, same survivors") {
     val s = spark
     import s.implicits._
