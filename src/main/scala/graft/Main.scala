@@ -39,6 +39,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000]
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
+  *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
+  *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
   * }}}
   * `corpus-clean` is the CDC-incremental clean: each invocation dedups
   * the new docs against the accumulated [[graft.streaming.SigIndex]]
@@ -67,7 +69,8 @@ object Main {
     "index-search", "index-compact", "index-vacuum", "sig-compact", "sig-vacuum",
     "text-index-build", "text-index-add", "text-index-search",
     "text-index-compact", "text-index-vacuum",
-    "corpus-mix", "corpus-split", "select-budget")
+    "corpus-mix", "corpus-split", "select-budget",
+    "corpus-stats", "decontaminate")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -323,6 +326,19 @@ object Main {
         finally scored.unpersist()
         picked.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), picked.count())
+      case "corpus-stats" =>
+        val docs = spark.read.parquet(req("in"))
+        val stats = graft.queries.PipelineQueries.corpusStatsDocs(docs)
+          .localCheckpoint()
+        stats.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), stats.count())
+      case "decontaminate" =>
+        val docs = spark.read.parquet(req("in"))
+        val evals = spark.read.parquet(req("evals"))
+        val flagged = graft.queries.PipelineQueries.corpusDecontaminateDocs(
+          docs, evals, opts.getOrElse("k", "5").toInt).localCheckpoint()
+        flagged.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), flagged.count())
       case other => sys.error(s"unknown pipeline command: $other")
     }
   }

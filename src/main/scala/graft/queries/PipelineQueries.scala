@@ -119,14 +119,26 @@ object PipelineQueries {
     * once per side, eval side broadcast (benchmarks are tiny next to a
     * 100 TB corpus), equi-join on the 8-byte hash, one count per doc. */
   def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(transform(Dedup.shingles(col("text"), 5), x => xxhash64(x))).as("sh"))
-    val eval = sh.filter(col("doc_id") % 23 === 0).select("sh").distinct()
-    sh.filter(col("doc_id") % 23 =!= 0)
-      .join(broadcast(eval), Seq("sh"))
+    val docs = Tables.load(spark, dir, "documents")
+    corpusDecontaminateDocs(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0), k = 5)
+  }
+
+  /** [[corpusDecontaminate]] against a REAL eval corpus — the
+    * CLI/scheduler form (`Main decontaminate`): flags every training
+    * doc sharing any word `k`-gram with any eval text, with the shared
+    * count (the decision input: scrub, or drop the doc). Eval n-grams
+    * are hashed and broadcast — eval suites are small by nature, the
+    * training corpus is never shuffled. */
+  def corpusDecontaminateDocs(docs: DataFrame, evals: DataFrame,
+                              k: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(transform(Dedup.shingles(col("text"), k), x => xxhash64(x))).as("sh"))
+    grams(docs)
+      .join(broadcast(grams(evals).select("sh").distinct()), Seq("sh"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared_5grams"))
+      .agg(count(lit(1)).as(s"n_shared_${k}grams"))
   }
 
   /** Sequence packing: assign documents to fixed-token-budget training
@@ -405,7 +417,15 @@ object PipelineQueries {
     * document length — the dashboard numbers a data curator reads
     * before and after every cleaning run. One aggregation pass. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    corpusStatsDocs(Tables.load(spark, dir, "documents"))
+
+  /** [[corpusStats]] over any `(doc_id, lang, text[, n_chars])` frame
+    * — the CLI/scheduler form (`Main corpus-stats`); n_chars derives
+    * from the text when the warehouse didn't precompute it. */
+  def corpusStatsDocs(docs0: DataFrame): DataFrame = {
+    val docs = if (docs0.columns.contains("n_chars")) docs0
+      else docs0.withColumn("n_chars", length(col("text")).cast("long"))
+    docs
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -415,6 +435,7 @@ object PipelineQueries {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
         percentile(col("n_chars"), lit(0.5)).as("median_chars"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),

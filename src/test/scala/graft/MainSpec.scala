@@ -259,6 +259,35 @@ class MainSpec extends SparkSpec {
       "pruned and exact select-budget must agree bit-identically")
   }
 
+  test("pipeline subcommands: corpus-stats and decontaminate e2e") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_stats").toString
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "en", "one two three four five six seven eight nine"),
+      (3L, "de", "eins zwei drei vier funf sechs sieben acht")).toDF("doc_id", "lang", "text")
+    docs.write.parquet(s"$base/docs.parquet")
+
+    val stats = Main.runPipeline(spark, Seq("corpus-stats",
+      s"in=$base/docs.parquet", s"out=$base/stats"))
+    assert(stats.rowsIn == 3 && stats.rowsOut == 2, "one stats row per language")
+    val st = spark.read.parquet(s"$base/stats")
+    val en = st.filter(col("lang") === "en").head()
+    assert(en.getLong(en.fieldIndex("n_docs")) == 2)
+    assert(en.getLong(en.fieldIndex("min_chars")) > 0, "n_chars derived from text")
+
+    // eval suite shares doc 1's 5-gram run; doc 2/3 are clean
+    Seq((100L, "question: alpha beta gamma delta epsilon — answer"))
+      .toDF("doc_id", "text").write.parquet(s"$base/evals.parquet")
+    val flagged = Main.runPipeline(spark, Seq("decontaminate",
+      s"in=$base/docs.parquet", s"evals=$base/evals.parquet", s"out=$base/flagged"))
+    val hits = spark.read.parquet(s"$base/flagged")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.rowsOut == 1 && hits.contains(1L) && hits(1L) >= 1,
+      s"only the doc sharing eval 5-grams is flagged, got $hits")
+  }
+
   test("data-quality report frame carries per-column null rates") {
     val s = spark
     import s.implicits._
