@@ -41,6 +41,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
+  *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
   * }}}
   * `corpus-clean` is the CDC-incremental clean: each invocation dedups
   * the new docs against the accumulated [[graft.streaming.SigIndex]]
@@ -70,7 +71,7 @@ object Main {
     "text-index-build", "text-index-add", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget",
-    "corpus-stats", "decontaminate")
+    "corpus-stats", "decontaminate", "query")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -326,6 +327,22 @@ object Main {
         finally scored.unpersist()
         picked.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), picked.count())
+      // run ANY registered operator by name over a warehouse dir — the
+      // whole SparkEntry surface operable without writing code:
+      //   runMain graft.Main query name=q1_pricing_summary dir=<sfDir> out=<dir>
+      // `name=list` prints the registry instead of running.
+      case "query" =>
+        val name = req("name")
+        if (name == "list") {
+          SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+          done(0, SparkEntry.queries.size.toLong)
+        } else {
+          val fn = SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown query '$name' — run name=list for the registry"))
+          val result = fn(spark, req("dir")).localCheckpoint()
+          result.write.mode("overwrite").parquet(req("out"))
+          done(0, result.count())
+        }
       case "corpus-stats" =>
         val docs = spark.read.parquet(req("in"))
         val stats = graft.queries.PipelineQueries.corpusStatsDocs(docs)

@@ -288,6 +288,19 @@ class MainSpec extends SparkSpec {
       s"only the doc sharing eval 5-grams is flagged, got $hits")
   }
 
+  test("query subcommand runs any registered operator by name") {
+    val base = java.nio.file.Files.createTempDirectory("graft_main_query").toString
+    val r = Main.runPipeline(spark, Seq("query",
+      "name=q1_pricing_summary", s"dir=${sf("any")}", s"out=$base/q1"))
+    val direct = SparkEntry.queries("q1_pricing_summary")(spark, sf("any"))
+    assert(r.rowsOut == direct.count() && r.rowsOut > 0)
+    assert(spark.read.parquet(s"$base/q1").columns.sameElements(direct.columns))
+    val bad = intercept[RuntimeException] {
+      Main.runPipeline(spark, Seq("query", "name=nope", s"dir=${sf("any")}", s"out=$base/x"))
+    }
+    assert(bad.getMessage.contains("unknown query"))
+  }
+
   test("data-quality report frame carries per-column null rates") {
     val s = spark
     import s.implicits._
