@@ -246,22 +246,39 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     * generation. Two O(delta) passes: per-bucket APPROX-DISTINCT key
     * counts (sizes the filters — a multi-row-per-key table like a
     * postings store would otherwise oversize every filter by its
-    * rows-per-key factor), then a build CLUSTERED BY BUCKET so each
-    * bucket's filter is allocated and filled exactly once and the
-    * driver receives |buckets| filters total. The first cut built
+    * rows-per-key factor), then a build clustered by (bucket, bounded
+    * key salt): each bucket's filter is allocated at its counted size
+    * by every task that sees it and the driver receives ≤ salt ×
+    * |buckets| filters of known total bytes. The first cut built
     * partition-locally with full-size filters and merged driver-side —
-    * |partitions| × |buckets| × filter-size task results, which broke
-    * spark.driver.maxResultSize the first time a token-scale store
-    * (27M postings) was written; the bucket exchange is delta-sized
-    * and write-path-only. */
+    * |partitions| × |buckets| × filter-size task results, UNBOUNDED,
+    * which broke spark.driver.maxResultSize the first time a
+    * token-scale store (27M postings) was written; the salted
+    * exchange is delta-sized, write-path-only, and its reduce cost is
+    * explicitly budgeted before it runs. */
   private def writeBlooms(bucketed: DataFrame, dataDir: String): Unit = {
     val counts = bucketed.groupBy(BucketCol)
       .agg(approx_count_distinct(col(key)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return
     val bcCounts = spark.sparkContext.broadcast(counts)
+    // Salt the build exchange when there are fewer buckets than cores:
+    // clustering strictly by bucket serializes a 1-bucket store's
+    // whole bloom build onto one task (measured at sf10: the
+    // corpus-sized floor-1 layouts paid ~25% of build wall-time here).
+    // Each salted task allocates a full-size filter per bucket it
+    // sees, so the transient reduce cost is salt × filter bytes —
+    // bounded BY CONSTRUCTION two ways: salt ≤ cores/buckets (no more
+    // tasks than cores), and salt ≤ 256 MB / largest filter (the
+    // counts are already collected, so the largest filter size is
+    // known before choosing). buckets ≥ cores ⇒ salt = 1 ⇒ exactly
+    // the old clustered build.
+    val maxFilterBytes = math.max(64L, counts.values.max) * 18L / 10L // ~1.8 B/key at fpp 1e-3
+    val salt = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism / math.max(1, counts.size),
+      ((256L << 20) / math.max(1L, maxFilterBytes)).toInt))
     val partial = bucketed.select(col(BucketCol), col(key))
-      .repartition(col(BucketCol))
+      .repartition(col(BucketCol), pmod(hash(col(key)), lit(salt)))
       .rdd.mapPartitions { it =>
         val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
         it.foreach { r =>
@@ -280,8 +297,10 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
         }
         Iterator(m.toMap)
       }
-    // buckets are clustered, so the maps are disjoint and this is a
-    // plain union; mergeInPlace stays for safety (same-sized filters)
+    // same-bucket partials from salted tasks merge via mergeInPlace —
+    // sound because every task sizes bucket b's filter from the SAME
+    // broadcast count (mergeInPlace requires equal-sized filters);
+    // unsalted buckets are disjoint and union untouched
     val blooms = partial.reduce { (a, b) =>
       val m = scala.collection.mutable.Map.empty[Int, BloomFilter] ++= a
       b.foreach { case (k2, bf) =>

@@ -321,6 +321,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read().get.count() == 204)
   }
 
+  test("salted bloom build (buckets < cores) still clears fresh keys and blocks stored ones") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_bloom1").toString + "/snap"
+    // ONE bucket + a partition column — the corpus-sized floor-1
+    // layout: the bloom exchange salts across cores, and every salted
+    // task's partial for the bucket merges into one correct filter
+    val store = new SnapshotStore(spark, dir, buckets = 1, partitionCol = Some("p"))
+    store.overwrite((1L to 500L).map(i => (i, (i % 7).toInt, s"v$i"))
+      .toDF("user_id", "p", "v"))
+    // fresh keys clear: the merged filter holds ALL stored keys, so a
+    // disjoint delta skips the key scan
+    store.upsert(Seq((9001L, 1, "n1"), (9002L, 2, "n2")).toDF("user_id", "p", "v"))
+    assert(store.lastProbeStats._1 == 0 && store.lastProbeStats._2 > 0,
+      s"fresh keys must bloom-clear the single bucket, got ${store.lastProbeStats}")
+    // every stored key is found (no false negatives from the salted
+    // merge): a replace of an old key forces the scan and lands
+    store.upsert(Seq((42L, 0, "updated")).toDF("user_id", "p", "v"))
+    assert(store.lastProbeStats._1 == 1,
+      s"a stored key must force the key scan, got ${store.lastProbeStats}")
+    val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(42L) == "updated" && got(9001L) == "n1" && got.size == 502)
+  }
+
   test("two interleaved upserts both land: the loser re-merges and retries") {
     val s = spark
     import s.implicits._
