@@ -53,14 +53,23 @@ object Bench {
       }
       Right(runs.minBy(_._1))
     } catch {
-      case e: Throwable =>
+      // NonFatal only: an OutOfMemoryError/StackOverflowError leaves
+      // the JVM in an unknown state — converting it to a per-query
+      // "failure" and timing the REMAINING queries on that JVM would
+      // contaminate their numbers. Fatal errors abort the run.
+      case scala.util.control.NonFatal(e) =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
     }
   }
 
   /** Assemble the one-line JSON. Failed queries appear ONLY in
     * "failures" (name → message); their absence from "queries" plus
-    * the explicit list is unambiguous to both humans and parsers. */
+    * the explicit list is unambiguous to both humans and parsers.
+    * Timings are rounded to 3 decimals (ms resolution — below the
+    * run-to-run noise floor): the driver's capture keeps only a
+    * bounded stdout tail, and full-precision doubles pushed the
+    * 91-query line past it two rounds running (BENCH_r05/r06
+    * `parsed: null`). ~40% smaller line, same information. */
   def renderJson(results: Seq[(String, Either[String, (Double, Double)])],
                  sfDir: String, env: String): String = {
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -69,12 +78,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Double.toString of the rounded value (not a locale-aware "%.3f"
+    // format, which could emit comma decimals): 1.234567890123 → 1.235
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val ok = results.collect { case (k, Right(v)) => (k, v) }
     val failed = results.collect { case (k, Left(m)) => (k, m) }
-    val qs = ok.map { case (k, (w, _)) => jstr(k) + ":" + w }.mkString("{", ",", "}")
-    val cpu = ok.map { case (k, (_, c)) => jstr(k) + ":" + c }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, (w, _)) => jstr(k) + ":" + r3(w) }.mkString("{", ",", "}")
+    val cpu = ok.map { case (k, (_, c)) => jstr(k) + ":" + r3(c) }.mkString("{", ",", "}")
     val fj = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
-    val total = ok.map(_._2._1).sum
+    val total = r3(ok.map(_._2._1).sum)
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpu,"failures":$fj,"n_ok":${ok.size},"n_failed":${failed.size},""" +
       s""""sf":${jstr(sfDir)},$env}"""
@@ -98,7 +110,7 @@ object Bench {
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // untimed warmup: target-SF files into the OS page cache
     // (listFiles is null for a missing/non-directory path — fall

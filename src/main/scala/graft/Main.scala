@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=<n> buckets=<n> opq=true]
   *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets)
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
-  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=4]
+  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n>]
+  *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count)
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main text-index-build|text-index-add in=<docs.parquet> index=<dir> [tparts=<n>]
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
@@ -190,15 +191,16 @@ object Main {
       spark.read.parquet(path).select(
         col(opts.getOrElse("idcol", "id")).as("id"),
         col(opts.getOrElse("veccol", "vec")).as("vec"))
-    // cells/buckets absent ⇒ 0 ⇒ PqIndex.build sizes the layout from
-    // the corpus (a fixed default here silently hands a 100×-grown
-    // corpus a quadratic probe — the sf10 lesson in PLANS.md)
+    // cells/buckets/probe absent ⇒ 0 ⇒ PqIndex sizes them from the
+    // corpus/layout (a fixed default here silently hands a 100×-grown
+    // corpus a quadratic probe — or, for probe, a collapsed recall:
+    // the sf10 lessons in PLANS.md)
     def pqIndex(dir: String) = new graft.similarity.PqIndex(spark, dir,
       dim = opts.getOrElse("dim", "64").toInt,
       m = opts.getOrElse("m", "8").toInt,
       k = opts.getOrElse("k", "16").toInt,
       nCells = opts.getOrElse("cells", "0").toInt,
-      nProbe = opts.getOrElse("probe", "4").toInt,
+      nProbe = opts.getOrElse("probe", "0").toInt,
       opq = opts.getOrElse("opq", "false").toBoolean,
       buckets = opts.getOrElse("buckets", "0").toInt,
       fitSampleN = opts.getOrElse("fitsample", "0").toInt)

@@ -53,9 +53,20 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * get ~25k cells (probe fraction 0.03% instead of 1.6%; the k-means
   * fit is a one-off build cost). The suggest rules compose: 1e11 vecs
   * at sampleN=1M ⇒ 25k cells × 2 buckets ⇒ 50k files of ~64 MiB. */
+/** `nProbe` = 0 (the default) means SIZE FROM THE FROZEN LAYOUT at
+  * query time via [[Similarity.suggestNProbe]] — max(4, ~1/32 of the
+  * recorded cell count). The one knob round 6 left fixed: cells scale
+  * ~4√n, so a constant probe count silently shrinks the probed
+  * FRACTION (and recall with it) as the corpus grows — the same
+  * fixed-knob-falsified-at-scale pattern as fixed nCells, one knob
+  * later. Resolved per search from the PERSISTED coarse model, never
+  * stored: the probe budget is a serving decision, not part of the
+  * frozen model set, so an operator can re-open the same index with an
+  * explicit nProbe to trade recall for latency without a rebuild.
+  * [[recallAt]] measures the realized recall against brute force. */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
-              nCells: Int = 0, nProbe: Int = 4, seed: Long = 42L,
+              nCells: Int = 0, nProbe: Int = 0, seed: Long = 42L,
               opq: Boolean = false, buckets: Int = 0,
               fitSampleN: Int = 0) {
 
@@ -126,9 +137,31 @@ class PqIndex(spark: SparkSession, dir: String,
     * discard. PqIndexSpec pins both properties. */
   def topK(queries: DataFrame, topKn: Int): DataFrame = {
     val (model, coarse, rot) = loadModels()
-    val cells = Pq.probeCells(queries, model, coarse, nProbe, rot)
-    Pq.searchCodes(queries, codesTable(cells), topKn, model, coarse, nProbe, rot)
+    val np = probeFor(coarse)
+    val cells = Pq.probeCells(queries, model, coarse, np, rot)
+    Pq.searchCodes(queries, codesTable(cells), topKn, model, coarse, np, rot)
   }
+
+  /** The probe count a search will use: the explicit constructor value
+    * if given, else [[Similarity.suggestNProbe]] of the FROZEN cell
+    * count — the probe fraction tracks the corpus-sized layout. */
+  private def probeFor(coarse: Similarity.IvfModel): Int =
+    if (nProbe > 0) nProbe else Similarity.suggestNProbe(coarse.nCells)
+
+  /** The resolved probe count of this index as built (spec/monitoring
+    * surface — loads the model sidecar). */
+  private[graft] def resolvedNProbe: Int = probeFor(loadModels()._2)
+
+  /** Measured recall@`topKn` of this index against a brute-force exact
+    * search over `corpus` (the raw vectors — the index stores only
+    * codes) for a bounded query batch. The build-time validation the
+    * auto layout needs: auto cells AND auto probes are guidelines, and
+    * this is the number that says whether they hold on THIS corpus
+    * (PLANS.md records it per scale run). O(|queries| × |corpus|)
+    * dot products — bound the query batch, not the corpus. */
+  def recallAt(queries: DataFrame, corpus: DataFrame, topKn: Int): Double =
+    Similarity.recall(topK(queries, topKn),
+      Similarity.bruteForceTopK(queries, corpus, topKn))
 
   /** Serve a streaming frame of `(id, vec)` queries: each micro-batch
     * is searched against the index as of that batch and handed to
@@ -144,9 +177,10 @@ class PqIndex(spark: SparkSession, dir: String,
         if (!batch.isEmpty) {
           // same cell-pruned read as topK, per micro-batch: serving
           // I/O is O(probed cells), not O(index)
-          val cells = Pq.probeCells(batch.toDF(), model, coarse, nProbe, rot)
+          val np = probeFor(coarse)
+          val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)
           sink(Pq.searchCodes(batch.toDF(), codesTable(cells), topKn,
-            model, coarse, nProbe, rot))
+            model, coarse, np, rot))
         }
       }
       .start()

@@ -136,6 +136,37 @@ object Similarity {
   def suggestNCells(n: Long, sampleN: Int = 20000): Int =
     math.max(1, math.min(4.0 * math.sqrt(n.toDouble), sampleN / 40.0).toInt)
 
+  /** Probe-count guideline PAIRED with [[suggestNCells]]: the probed
+    * FRACTION of cells, not a fixed cell count, is what recall tracks —
+    * a constant nProbe over corpus-sized cells silently degrades recall
+    * exactly as a constant nCells degraded cost (4/16 cells = 25% at
+    * spec scale shrank to 4/500 = 0.8% at sf10 before this existed).
+    * Floor 4 (the pinned spec-scale operating point: 4 of 16 cells),
+    * then ~1/32 of the cells — per-query candidates stay nProbe/nCells
+    * · n ≈ n/32 of the PQ codes, which is the scan-vs-recall trade the
+    * sf10 recall measurement in PLANS.md validates. Clamped to nCells
+    * (a tiny index probes everything). Since r7 this is PqIndex's
+    * default: nProbe = 0 resolves through it at query time from the
+    * FROZEN cell count, so the probe budget tracks the layout without
+    * being baked into the model sidecar — an operator can still pin
+    * nProbe explicitly to trade recall for latency. */
+  def suggestNProbe(nCells: Int): Int =
+    math.min(math.max(1, nCells), math.max(4, math.ceil(nCells / 32.0).toInt))
+
+  /** Recall of `approx` against `exact` ground truth: the fraction of
+    * exact `(query_id, neighbor_id)` top-k pairs the approximate
+    * result recovered. Validation/monitoring surface (two bounded
+    * actions), used by the build-time recall check and the PLANS.md
+    * scale runs — NOT a serving-path operator. */
+  def recall(approx: DataFrame, exact: DataFrame): Double = {
+    val total = exact.count()
+    if (total == 0L) 1.0
+    else approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble / total
+  }
+
   /** Fit the coarse quantizer on a bounded, count-free [[hashSample]].
     * Quantizer quality needs stability, not optimality: at 100 TB the
     * fit reads one pass for a ~20k-row sample; production callers fit

@@ -102,9 +102,14 @@ class TextIndex(spark: SparkSession, dir: String,
     val (n, sumDl) = measure(corpus)
     val parts =
       if (termParts > 0) termParts else TextIndex.suggestTermParts(sumDl)
+    // saturate the byte estimate instead of overflowing (same guard as
+    // PqIndex.suggestBuckets): an overflow would wrap negative and
+    // silently pick 1 bucket for an extreme corpus
+    val postingBytes =
+      if (sumDl > Long.MaxValue / TextIndex.PostingBytes) Long.MaxValue
+      else TextIndex.PostingBytes * sumDl
     val bkts = if (buckets > 0) buckets
-      else graft.sources.SnapshotStore.suggestBuckets(
-        TextIndex.PostingBytes * sumDl, parts)
+      else graft.sources.SnapshotStore.suggestBuckets(postingBytes, parts)
     storeWith(bkts).overwrite(postings(corpus, parts))
     saveStats(n, sumDl, parts)
   }

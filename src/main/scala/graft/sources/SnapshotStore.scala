@@ -277,8 +277,14 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     val salt = math.max(1, math.min(
       spark.sparkContext.defaultParallelism / math.max(1, counts.size),
       ((256L << 20) / math.max(1L, maxFilterBytes)).toInt))
+    // the salt must be DECORRELATED from the bucket: BucketCol is
+    // pmod(hash(key), buckets), so salting with the same hash yields
+    // only lcm(buckets, salt) distinct groups whenever the two share a
+    // factor (typical: both powers of two) — xxhash64 is an
+    // independent hash family, so (bucket, salt) really fans out to
+    // buckets × salt tasks
     val partial = bucketed.select(col(BucketCol), col(key))
-      .repartition(col(BucketCol), pmod(hash(col(key)), lit(salt)))
+      .repartition(col(BucketCol), pmod(xxhash64(col(key)), lit(salt)))
       .rdd.mapPartitions { it =>
         val m = scala.collection.mutable.Map.empty[Int, BloomFilter]
         it.foreach { r =>

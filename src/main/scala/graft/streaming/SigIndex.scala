@@ -87,6 +87,15 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
       try out.write(s"bandParts=$resolvedBandParts\n".getBytes(StandardCharsets.UTF_8))
       finally out.close()
       fs.rename(tmp, metaPath)
+      // two concurrent FIRST writers with different explicit bandParts
+      // can both pass the exists-check; the loser's rename silently
+      // fails on no-overwrite filesystems and it would proceed to hash
+      // band rows with a modulus meta.txt doesn't record — the silent
+      // candidate miss this file exists to prevent. Re-reading after
+      // the rename makes the loser fail loudly whatever rename did.
+      require(readMeta().contains(resolvedBandParts),
+        s"index at $dir lost the bandParts=$resolvedBandParts publish race " +
+          s"(recorded: ${readMeta().getOrElse(-1)}) — reopen with bandParts=0")
     } else require(readMeta().forall(_ == resolvedBandParts),
       s"index at $dir changed bandParts concurrently")
 

@@ -98,8 +98,11 @@ object ScaleRun {
     // (bucket × cell) file floor yields sanely-sized files — the
     // first run used 32×64 = 2048 files for ~30 MB of codes and paid
     // ~7 ms/file open on every read
+    // auto leaves nProbe = 0 too: the probe budget must track the
+    // corpus-sized cell count (suggestNProbe), and this run measures
+    // the recall that validates it
     val idx = if (auto)
-      new graft.similarity.PqIndex(spark, s"$out/idx", nProbe = 8, opq = true)
+      new graft.similarity.PqIndex(spark, s"$out/idx", opq = true)
     else {
       val cells = graft.similarity.Similarity.suggestNCells(nVecs, sampleN = 2000)
       new graft.similarity.PqIndex(spark, s"$out/idx",
@@ -128,14 +131,26 @@ object ScaleRun {
     query1.count()
     timed("serve 1 query (topK=10)") { noop(idx.topK(query1, 10)) }
     val (model, coarse, rot) = idx.modelsWithRotation()
-    val cells1 = graft.similarity.Pq.probeCells(query1, model, coarse, 8, rot)
+    val np = idx.resolvedNProbe
+    val cells1 = graft.similarity.Pq.probeCells(query1, model, coarse, np, rot)
     val (opened, live) = idx.scanFootprint(cells1)
     println(s"[scalerun] 1-query probe: $opened of $live codes files " +
-      s"(${cells1.size} of ${coarse.nCells} cells)")
-    val cells1k = graft.similarity.Pq.probeCells(queries1k, model, coarse, 8, rot)
+      s"(${cells1.size} of ${coarse.nCells} cells, nProbe=$np)")
+    val cells1k = graft.similarity.Pq.probeCells(queries1k, model, coarse, np, rot)
     val (opened1k, _) = idx.scanFootprint(cells1k)
     println(s"[scalerun] 1k-query probe: $opened1k of $live codes files " +
-      s"(${cells1k.size} of ${coarse.nCells} cells)")
+      s"(${cells1k.size} of ${coarse.nCells} cells, nProbe=$np)")
+    // recall@10 against brute force over what the index actually holds
+    // (seed + shifted delta) — the number that validates the auto
+    // layout end-to-end: probe fraction without recall is half a claim.
+    // One-off O(1k × corpus) validation cost, same idea as build-time
+    // recall checks in production (bounded query sample).
+    val indexed = vecs.filter(col("id") % 100 =!= 0L).unionByName(
+      vecs.filter(col("id") % 100 === 0L).withColumn("id", col("id") + 800000000L))
+    timed("recall@10 (1k queries vs brute force)") {
+      val r = idx.recallAt(queries1k, indexed, 10)
+      println(f"[scalerun] recall@10 = $r%.3f (nProbe=$np of ${coarse.nCells} cells)")
+    }
 
     // ---- 3. persistent lexical index (TextIndex) ----
     // same layout arithmetic as the codes store: termParts is the

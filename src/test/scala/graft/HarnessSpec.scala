@@ -34,6 +34,15 @@ class HarnessSpec extends SparkSpec {
     assert(!json.contains(""""bad":0"""), "no fabricated timing for the failure")
   }
 
+  test("bench JSON rounds timings to 3 decimals — the line must fit the driver's capture") {
+    val json = Bench.renderJson(
+      Seq("a" -> Right((1.23456789012345, 0.98765432109876))),
+      "/tmp/sf", """"cpus":4""")
+    assert(json.contains(""""queries":{"a":1.235}"""), json)
+    assert(json.contains(""""cpu_sec":{"a":0.988}"""), json)
+    assert(json.contains(""""value":1.235"""), json)
+  }
+
   test("bench JSON is machine-parseable, including pathological failure messages") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods

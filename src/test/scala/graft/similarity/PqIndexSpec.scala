@@ -230,6 +230,44 @@ class PqIndexSpec extends SparkSpec {
       s"fitSampleN must move the auto cell bound, got ${scaled.models()._2.nCells}")
   }
 
+  test("auto nProbe tracks the frozen cell count; recall at the full-auto layout clears the floor") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_recall").toString
+    // corpus with PLANTED structure: 3000 gaussian vectors plus a 0.97-
+    // cosine near-duplicate of every 50th — the retrieval target a
+    // serving index exists for (noise-level gaussian neighbors are not;
+    // their recall is bounded by data geometry, measured in ScaleRun).
+    // A planted pair whose cell is NOT probed is lost, so this is the
+    // probe budget's test, not the codes': the dup lands near but not
+    // always IN the query's cell at ~220 auto cells.
+    val baseVecs = (0L until 3000L).map(i => (i, graft.VecFixtures.unit(64, i)))
+    val dups = (0L until 3000L by 50).map(i =>
+      (100000L + i, graft.VecFixtures.nearDup(graft.VecFixtures.unit(64, i), seed = i + 7)))
+    val corpus = (baseVecs ++ dups).toDF("id", "vec")
+    val queries = (0L until 3000L by 50).map(i => (i, graft.VecFixtures.unit(64, i))).toDF("id", "vec")
+    val index = new PqIndex(spark, s"$base/idx") // ALL knobs auto, nProbe included
+    index.build(corpus)
+    val (_, coarse) = index.models()
+    // the probe default resolves from the FROZEN layout, not a constant
+    assert(index.resolvedNProbe == Similarity.suggestNProbe(coarse.nCells),
+      s"auto probe must size from the ${coarse.nCells}-cell layout, got ${index.resolvedNProbe}")
+    assert(coarse.nCells > 32,
+      s"fixture must exercise a corpus-sized layout (got ${coarse.nCells} cells) " +
+        "or the probe fraction isn't being tested")
+    // an explicit nProbe still wins (serving-time knob, no rebuild)
+    assert(new PqIndex(spark, s"$base/idx", nProbe = 9).resolvedNProbe == 9)
+    // planted-dup recall under auto cells AND auto probes: each query's
+    // near-dup must surface in its top-10
+    val hits = index.topK(queries, 10)
+      .filter(col("neighbor_id") === col("query_id") + 100000L).count()
+    val rate = hits.toDouble / queries.count()
+    info(f"planted near-dup recall@10 at full-auto layout = $rate%.3f " +
+      s"(${index.resolvedNProbe} of ${coarse.nCells} cells)")
+    assert(rate >= 0.8,
+      f"auto probe budget lost planted near-duplicates: $rate%.3f < 0.8")
+  }
+
   test("suggestBuckets: floor 1 locally (file floor = buckets × cells), 64MiB-file growth, capped") {
     import PqIndex.suggestBuckets
     // sf-local: MBs of codes over corpus-sized cells must NOT multiply

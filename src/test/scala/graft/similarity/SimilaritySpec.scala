@@ -227,6 +227,26 @@ class SimilaritySpec extends SparkSpec {
       "cell count must grow with the corpus (the sf10 lesson)")
   }
 
+  test("suggestNProbe: floor 4, ~1/32 of corpus-sized cells, clamped to tiny indexes") {
+    import Similarity.suggestNProbe
+    // spec-scale operating point unchanged: 4 of 16 cells (25%)
+    assert(suggestNProbe(16) == 4)
+    // the auto sf10 layout: ~500 cells must probe 16, not a frozen 4 —
+    // a fixed probe count over 4√n cells is the last fixed-knob trap
+    assert(suggestNProbe(500) == 16)
+    // 1e11 vectors at fitSampleN=1M ⇒ 25k cells ⇒ 782 probes (~3.1%)
+    assert(suggestNProbe(25000) == 782)
+    // tiny index: probe everything, never more cells than exist
+    assert(suggestNProbe(2) == 2 && suggestNProbe(1) == 1)
+    // the probed FRACTION never collapses below ~3% as cells grow
+    for (c <- Seq(16, 100, 1000, 10000, 100000))
+      assert(suggestNProbe(c).toDouble / c >= 1.0 / 33.0,
+        s"probe fraction collapsed at $c cells: ${suggestNProbe(c)}")
+    // monotone in the cell count
+    val pts = Seq(4, 64, 256, 4096, 65536).map(suggestNProbe)
+    assert(pts == pts.sorted)
+  }
+
   test("knn vote is deterministic and votes sum to <= k") {
     val out = SimilarityQueries.knnLabelVote(spark, dir).collect()
     assert(out.nonEmpty)
