@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=<n> buckets=<n> opq=true]
   *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets)
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
+  *   runMain graft.Main index-delete in=<ids.parquet> index=<dir>      # takedown path; vacuum after
   *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n>]
   *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count)
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
-  *   runMain graft.Main text-index-build|text-index-add in=<docs.parquet> index=<dir> [tparts=<n>]
+  *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
@@ -68,8 +69,9 @@ object Main {
       durationSec: Double)
 
   private val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
-    "index-search", "index-compact", "index-vacuum", "sig-compact", "sig-vacuum",
-    "text-index-build", "text-index-add", "text-index-search",
+    "index-delete", "index-search", "index-compact", "index-vacuum",
+    "sig-compact", "sig-vacuum",
+    "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget",
     "corpus-stats", "decontaminate", "query")
@@ -233,6 +235,13 @@ object Main {
         pqIndex(req("index")).add(delta)
         val n = delta.count()
         done(n, n)
+      // the takedown path: rowsOut = ids actually removed from the
+      // index (absent ids are a committed no-op — replays are safe)
+      case "index-delete" =>
+        val ids = spark.read.parquet(req("in"))
+          .select(col(opts.getOrElse("idcol", "id")))
+        val removed = pqIndex(req("index")).remove(ids)
+        done(ids.count(), removed)
       case "index-search" =>
         val queries = vectors(req("in"))
         val hits = pqIndex(req("index"))
@@ -263,6 +272,11 @@ object Main {
         textIndex(req("index")).add(delta)
         val n = delta.count()
         done(n, n)
+      case "text-index-delete" =>
+        val ids = spark.read.parquet(req("in"))
+          .select(col(opts.getOrElse("idcol", "doc_id")))
+        val removed = textIndex(req("index")).delete(ids)
+        done(ids.count(), removed)
       case "text-index-search" =>
         val queries = spark.read.parquet(req("in")).select("query_id", "qtext")
         val hits = textIndex(req("index"))

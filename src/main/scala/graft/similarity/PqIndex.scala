@@ -129,6 +129,21 @@ class PqIndex(spark: SparkSession, dir: String,
     store.upsert(Pq.encodeIvfPq(vectors, model, coarse, rot))
   }
 
+  /** Keyed DELETE — the CDC completeness [[add]] alone lacks: a
+    * takedown/opt-out must make a vector UNSERVABLE, and upsert can
+    * only replace it. `ids` is a 1-column frame of vector ids (first
+    * column taken). O(touched buckets) through the store's bloom-
+    * pruned delete; removed ids stop surfacing from [[topK]] and from
+    * the NEXT [[serveStream]] micro-batch (each batch reads the
+    * manifest as of itself). Snapshot-isolated readers pinned to an
+    * older version still see the rows until [[vacuum]] reclaims them —
+    * run vacuum after legally-binding removals. Returns ids removed
+    * (codes hold one row per id). */
+  def remove(ids: DataFrame): Long = {
+    val idCol = ids.columns.head
+    store.delete(ids.select(org.apache.spark.sql.functions.col(idCol).as("neighbor_id")))
+  }
+
   /** Top-k for a query batch against the stored codes. Reads ONLY the
     * files of the cells this batch probes (one bounded pass over the
     * query side computes the prune list) — results are bit-identical

@@ -134,6 +134,31 @@ class TextIndex(spark: SparkSession, dir: String,
     saveStats(n0 + nDelta - replaced._1, sumDl0 + sumDelta - replaced._2, parts)
   }
 
+  /** Keyed DELETE of whole documents: every posting row of the given
+    * doc_ids is removed AND the corpus stats shrink by exactly those
+    * documents' counts/lengths — the true takedown, distinct from the
+    * empty-text RETRACTION (an [[add]] with "" keeps the doc counted
+    * in N/avgdl as an empty member; delete un-counts it, so post-
+    * delete scores bitwise-match a fresh build on the remaining
+    * corpus — TextIndexSpec pins that parity). Same exact-long stats
+    * arithmetic as [[add]]: the doomed docs' lengths come from a
+    * KEY-pruned probe, O(delta). Returns posting rows removed. */
+  def delete(docIds: DataFrame): Long = {
+    val (n0, sumDl0, parts) = loadStats()
+    val keys = docIds.select(col(docIds.columns.head).as("doc_id")).distinct()
+    val doomed = store.readForKeys(keys) match {
+      case None => (0L, 0L)
+      case Some(near) =>
+        val r = near.join(keys, Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+          .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+    val removed = store.delete(keys)
+    if (doomed._1 > 0) saveStats(n0 - doomed._1, sumDl0 - doomed._2, parts)
+    removed
+  }
+
   /** Top-`topK` BM25 results per query for a `(query_id, qtext)`
     * frame. Reads ONLY the query terms' partitions of the postings
     * store (the prune list is |query terms| hashes computed in one

@@ -156,12 +156,14 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
 
   /** Retry ONLY on commit conflicts (capped backoff): every other
     * failure propagates on first occurrence — a schema error or a dead
-    * filesystem is not a race to wait out. */
-  private def withConflictRetry(f: => Unit): Unit = {
+    * filesystem is not a race to wait out. The body must re-read the
+    * latest manifest itself so each retry merges against the winner's
+    * state. */
+  private def withConflictRetry[T](f: => T): T = {
     var attempt = 1
     var backoff = 50L
     while (true) {
-      try { f; return }
+      try return f
       catch {
         case e: Throwable if isCommitConflict(e) && attempt < UpsertAttempts =>
           System.err.println(s"[graft] snapshot commit conflict, retry $attempt: ${e.getMessage}")
@@ -170,6 +172,7 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
           attempt += 1
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write `df` (already bucketed/partitioned) into a fresh immutable
@@ -578,6 +581,65 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
       commit(m.version + 1, bc, (m.mapping -- colliding) ++ appended ++ merged, pcol)
   }
 
+  /** Keyed DELETE: remove every row whose key appears in `keys`; all
+    * other rows are kept. The takedown/opt-out path a training-data
+    * pipeline is required to have — upsert can replace a key but
+    * nothing could make one vanish. Same bounded shape as [[upsert]]:
+    * only the buckets the keys hash into are considered, the sidecar
+    * blooms clear buckets that provably hold none of them (zero I/O),
+    * the rest take a key-column-only scan, and only buckets that
+    * actually contain a key are rewritten (anti-join) — O(touched
+    * buckets), not O(snapshot). A bucket whose every row is deleted
+    * drops out of the manifest entirely. Deleting absent keys is a
+    * no-op: no rewrite, NO new manifest version (idempotent replays
+    * don't churn versions). Readers opened before the delete keep
+    * their version's files (snapshot isolation — a takedown becomes
+    * visible to NEW reads; [[vacuum]] is what makes the bytes
+    * unrecoverable, so run it after legally-binding deletes).
+    * Concurrent writers: same conflict-retry as upsert, each attempt
+    * re-reads the winner's state. Returns rows removed (rows, not
+    * keys — a multi-row-per-key store like a postings table removes
+    * every row of the key). */
+  def delete(keys: DataFrame): Long = withConflictRetry(deleteOnce(keys))
+
+  private def deleteOnce(keys: DataFrame): Long = latestRaw() match {
+    case None => 0L
+    case Some(m) =>
+      val bc = m.recordedBuckets.getOrElse(buckets)
+      val pcol = m.recordedPcol
+      val probe = keys.select(key).distinct()
+      val incoming = withBucket(probe, bc)
+      val touched = incoming.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val cleared = bloomClearedBuckets(incoming, touched, m.mapping)
+      val scanned = (touched -- cleared).toSeq.sorted
+      lastProbeStats = (scanned.size, cleared.size)
+      // buckets that actually hold a doomed key (key-column-only scan)
+      val colliding: Set[Int] = readKeys(scanned.flatMap(m.mapping.getOrElse(_, Nil))) match {
+        case None => Set.empty
+        case Some(existing) =>
+          withBucket(existing, bc)
+            .join(probe, Seq(key), "left_semi")
+            .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      }
+      if (colliding.isEmpty) 0L
+      else {
+        val existing = readFiles(colliding.toSeq.sorted
+          .flatMap(m.mapping.getOrElse(_, Nil))).get
+        val kept = withPart(withBucket(
+          existing.join(probe, Seq(key), "left_anti"), bc), pcol)
+          .localCheckpoint() // pin counts + write input to ONE evaluation
+        val removed = existing.count() - kept.count()
+        // an all-deleted bucket writes no files and must leave the
+        // manifest; writeData only returns buckets it wrote (kept
+        // holds only colliding buckets' rows — existing read just them)
+        val rewritten = writeData(kept, pcol)
+        onBeforeCommit()
+        commit(m.version + 1, bc, (m.mapping -- colliding) ++ rewritten, pcol)
+        removed
+      }
+  }
+
   /** Rewrite every bucket whose live file list exceeds
     * `maxFilesPerBucket` into one file per (bucket, partition value)
     * and publish a new manifest — the small-file countermeasure for
@@ -598,7 +660,17 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     * is one bounded job + one manifest version) instead of rewriting
     * every over-split bucket in a single monolithic commit; repeat
     * until it returns 0. */
-  def compact(maxFilesPerBucket: Int = 1, maxBuckets: Int = Int.MaxValue): Int = latestRaw() match {
+  /** Concurrent-writer safety: compaction publishes a manifest like
+    * any writer, so it can lose the commit race to an upsert/delete
+    * that landed between its read and its publish — committing the
+    * stale mapping anyway would resurrect replaced rows. Same
+    * conflict-retry as upsert: each attempt re-reads the winner's
+    * manifest and re-plans (the loser attempt's rewrite files become
+    * vacuum food). Both writers land, in some serial order. */
+  def compact(maxFilesPerBucket: Int = 1, maxBuckets: Int = Int.MaxValue): Int =
+    withConflictRetry(compactOnce(maxFilesPerBucket, maxBuckets))
+
+  private def compactOnce(maxFilesPerBucket: Int, maxBuckets: Int): Int = latestRaw() match {
     case None => 0
     case Some(m) =>
       val bc = m.recordedBuckets.getOrElse(buckets)
@@ -629,7 +701,9 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
           .map(b => readFiles(fat(b)).get.withColumn(BucketCol, lit(b)))
           .reduce(_.unionByName(_, allowMissingColumns = true))
           .repartition(fat.size, col(BucketCol))
-        commit(m.version + 1, bc, m.mapping ++ writeData(withPart(merged, pcol), pcol), pcol)
+        val rewritten = writeData(withPart(merged, pcol), pcol)
+        onBeforeCommit()
+        commit(m.version + 1, bc, m.mapping ++ rewritten, pcol)
         fat.size
       }
   }

@@ -168,6 +168,21 @@ class MainSpec extends SparkSpec {
     val top2 = spark.read.parquet(s"$base/hits2").filter(col("rank") === 1)
       .select("neighbor_id").head().getLong(0)
     assert(top2 == top, "maintenance must not change search results")
+
+    // takedown from the CLI: remove BOTH copies of the queried vector
+    // (the original and the added one) — neither may serve again
+    Seq(2L, 800L).toDF("id").write.parquet(s"$base/doomed.parquet")
+    val deleted = Main.runPipeline(spark, Seq("index-delete",
+      s"in=$base/doomed.parquet", s"index=$base/idx"))
+    assert(deleted.rowsIn == 2 && deleted.rowsOut == 2,
+      s"both planted ids must be removed, got ${deleted.rowsOut}")
+    Main.runPipeline(spark, Seq("index-search",
+      s"in=$base/queries.parquet", s"index=$base/idx", s"out=$base/hits3",
+      s"dim=$dim", "cells=4", "m=4", "topk=3"))
+    val post = spark.read.parquet(s"$base/hits3")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!post.contains(2L) && !post.contains(800L),
+      s"removed ids must never serve again, got $post")
   }
 
   test("pipeline subcommands: text index build/add/search/maintain e2e") {
@@ -206,6 +221,19 @@ class MainSpec extends SparkSpec {
     val top2 = spark.read.parquet(s"$base/thits2").filter(col("rank") === 1)
       .select("doc_id").head().getLong(0)
     assert(top2 == top, "maintenance must not change text search results")
+
+    // takedown from the CLI: the rank-1 doc is removed and stops
+    // matching; the remaining corpus still serves
+    Seq(10L).toDF("doc_id").write.parquet(s"$base/tdoomed.parquet")
+    val deleted = Main.runPipeline(spark, Seq("text-index-delete",
+      s"in=$base/tdoomed.parquet", s"index=$base/tidx"))
+    assert(deleted.rowsOut > 0, "the doc's posting rows must be removed")
+    Main.runPipeline(spark, Seq("text-index-search",
+      s"in=$base/tqueries.parquet", s"index=$base/tidx", s"out=$base/thits3", "topk=5"))
+    val post = spark.read.parquet(s"$base/thits3")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!post.contains(10L) && post.nonEmpty,
+      s"the removed doc must not match; others still do, got $post")
   }
 
   test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {

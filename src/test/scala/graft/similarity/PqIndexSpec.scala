@@ -230,6 +230,43 @@ class PqIndexSpec extends SparkSpec {
       s"fitSampleN must move the auto cell bound, got ${scaled.models()._2.nCells}")
   }
 
+  test("remove(): a deleted id is unservable in batch AND from the next serve micro-batch") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_del").toString
+    val index = new PqIndex(spark, s"$base/idx")
+    index.build(corpus)
+    // plant an exact copy of vector 0 — the unambiguous rank-1 hit —
+    // then take it down; the copy must vanish from every serving path
+    val v0 = corpus.filter(col("id") === 0L).select("vec").head().getSeq[Float](0).toArray
+    index.add(Seq((940001L, v0)).toDF("id", "vec"))
+    def top(): Map[Long, Int] = index.topK(Seq((0L, v0)).toDF("id", "vec"), 5)
+      .select("neighbor_id", "rank").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(top().get(940001L).contains(1), "planted copy must serve before the takedown")
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = index.serveStream(input.toDF().toDF("id", "vec"), 5,
+      df => served += df.select("neighbor_id").collect().map(_.getLong(0)).toSet,
+      s"$base/ckpt")
+    input.addData((0L, v0))
+    q.processAllAvailable()
+    assert(served.head.contains(940001L), "pre-delete micro-batch must serve the id")
+
+    assert(index.remove(Seq(940001L).toDF("id")) == 1L)
+    input.addData((1L, v0))
+    q.processAllAvailable()
+    q.stop()
+    assert(!served.last.contains(940001L),
+      "the micro-batch AFTER the takedown must not serve the removed id")
+    assert(!top().contains(940001L), "batch topK must not serve the removed id")
+    // removing it again is a no-op (replayed takedown)
+    assert(index.remove(Seq(940001L).toDF("id")) == 0L)
+    // vacuum reclaims the superseded generation; serving unchanged
+    assert(index.vacuum(keepVersions = 1, minAgeMs = 0L) > 0)
+    assert(!top().contains(940001L))
+  }
+
   test("auto nProbe tracks the frozen cell count; recall at the full-auto layout clears the floor") {
     val s = spark
     import s.implicits._

@@ -69,6 +69,33 @@ class TextIndexSpec extends SparkSpec {
     assert(rows(index.search(qs, 10)) == rows(TextQueries.bm25Search(updated, qs, 10)))
   }
 
+  test("delete() un-counts documents: bitwise parity with a fresh build on the remaining corpus") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_del").toString
+    val index = new TextIndex(spark, s"$base/idx", termParts = 16)
+    index.build(corpus)
+    // take down a handful of docs that actually match queries
+    val doomed = index.search(qs, 3).select("doc_id").distinct()
+      .limit(4).collect().map(_.getLong(0)).toSeq
+    val removed = index.delete(doomed.toDF("doc_id"))
+    assert(removed > 0, "deleting matching docs must remove posting rows")
+    val remaining = corpus.filter(!col("doc_id").isin(doomed: _*))
+    // the true-takedown contract, stronger than the empty-text
+    // retraction: N and avgdl shrink too, so scores bitwise-match an
+    // index that never saw the docs
+    assert(rows(index.search(qs, 10)) == rows(TextQueries.bm25Search(remaining, qs, 10)),
+      "post-delete serving must equal ad-hoc BM25 on the remaining corpus")
+    val fresh = new TextIndex(spark, s"$base/idx2", termParts = 16)
+    fresh.build(remaining)
+    assert(rows(index.search(qs, 10)) == rows(fresh.search(qs, 10)),
+      "post-delete index must equal a fresh build on the remaining corpus")
+    // deleted ids never match; replayed takedown is a no-op
+    val hits = index.search(qs, 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.forall(d => !hits.contains(d)))
+    assert(index.delete(doomed.toDF("doc_id")) == 0L)
+  }
+
   test("serving reads only the query terms' partitions") {
     val base = java.nio.file.Files.createTempDirectory("graft_textindex_prune").toString
     val index = new TextIndex(spark, s"$base/idx", termParts = 16)

@@ -367,6 +367,98 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.versions().size == 3, s"expected 3 versions, got ${store.versions()}")
   }
 
+  test("delete removes keys O(touched buckets); absent keys are a version-free no-op") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_del").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 8)
+    store.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+    val (v1, before) = store.latestManifest().get
+
+    val removed = store.delete(Seq(5L, 6L).toDF("user_id"))
+    assert(removed == 2L)
+    val (v2, after) = store.latestManifest().get
+    assert(v2 == v1 + 1)
+    // only the doomed keys' buckets were rewritten; the rest reference
+    // the same immutable files
+    val changed = (before.keySet ++ after.keySet).filter(b => before.get(b) != after.get(b))
+    assert(changed.size <= 2, s"2-key delete must touch <= 2 buckets, got $changed")
+    val got = store.read().get.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 100L).toSet -- Set(5L, 6L))
+
+    // deleting absent keys: no rewrite, NO new manifest version —
+    // replayed takedowns don't churn the version history
+    assert(store.delete(Seq(5L, 999L).toDF("user_id")) == 0L)
+    assert(store.versions().last == v2, "absent-key delete must not commit")
+
+    // multi-row-per-key store semantics: every row of the key goes
+    store.upsert(Seq((200L, "x")).toDF("user_id", "v"))
+    assert(store.read().get.filter(col("user_id") === 200L).count() == 1)
+    assert(store.delete(Seq(200L).toDF("user_id")) == 1L)
+  }
+
+  test("delete: snapshot isolation for pinned readers; vacuum makes the bytes unrecoverable") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_del_iso").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite((1L to 20L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+    val pinned = store.read().get // plan pins the pre-delete file list
+    assert(store.delete(Seq(7L).toDF("user_id")) == 1L)
+    assert(pinned.filter(col("user_id") === 7L).count() == 1,
+      "a reader opened before the delete keeps its version")
+    assert(store.read().get.filter(col("user_id") === 7L).count() == 0,
+      "a reader opened after the delete must not see the key")
+    // vacuum reclaims the superseded generation — the takedown's bytes
+    assert(store.vacuum(keepVersions = 1, minAgeMs = 0L) > 0)
+    assert(store.read().get.count() == 19)
+  }
+
+  test("delete drops an all-deleted bucket from the manifest entirely") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_del_all").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 4)
+    store.overwrite((1L to 40L).map(i => (i, s"v$i")).toDF("user_id", "v"))
+    // delete EVERY key of one bucket: derive membership the same way
+    // the store lays it out — each key's file path carries its
+    // snap_bucket=B segment (filesForKeys probes exactly that bucket)
+    def bucketOf(k: Long): Int = store.filesForKeys(Seq(k).toDF("user_id"))
+      .head.split('/').find(_.startsWith("snap_bucket="))
+      .get.stripPrefix("snap_bucket=").toInt
+    val byBucket = (1L to 40L).groupBy(bucketOf)
+    val (doomedBucket, doomed) = byBucket.head
+    assert(store.delete(doomed.toDF("user_id")) == doomed.size.toLong)
+    val (_, mapping) = store.latestManifest().get
+    assert(!mapping.contains(doomedBucket),
+      s"an all-deleted bucket must leave the manifest, got ${mapping.keySet}")
+    assert(store.read().get.count() == 40L - doomed.size)
+  }
+
+  test("compact racing an upsert: both land in some serial order, rows identical") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap_race2").toString + "/snap"
+    val store = new SnapshotStore(spark, dir, buckets = 2)
+    // several upserts over-split the buckets so compact has real work
+    store.overwrite((1L to 20L).map(i => (i, "base")).toDF("user_id", "v"))
+    store.upsert((1L to 20L).map(i => (i, "gen2")).toDF("user_id", "v"))
+    store.upsert((1L to 20L).map(i => (i, "gen3")).toDF("user_id", "v"))
+    val other = new SnapshotStore(spark, dir, buckets = 2)
+    var fired = false
+    // the hook fires inside compact's commit window (and again inside
+    // the injected upsert's own commit — guard makes it one-shot)
+    store.onBeforeCommit = () =>
+      if (!fired) { fired = true; other.upsert(Seq((21L, "racer")).toDF("user_id", "v")) }
+    val compacted = try store.compact() finally store.onBeforeCommit = () => ()
+    assert(fired, "the race hook must have fired")
+    assert(compacted > 0, "compact must have retried and still compacted")
+    val got = store.read().get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = (1L to 20L).map(_ -> "gen3").toMap + (21L -> "racer")
+    assert(got == expect,
+      "the racer's row must survive compaction (no resurrection of replaced rows)")
+  }
+
   test("upsert inserts unseen keys and validateWrite sees them") {
     val s = spark
     import s.implicits._
