@@ -44,7 +44,13 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
   *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
+  *   runMain graft.Main sql query=<SQL over graft_* views|list> dir=<warehouse> out=<dir>
   * }}}
+  * `sql` registers every gate query as a temp view `graft_<name>`
+  * (SparkEntry.registerViews) and runs arbitrary SQL over them — the
+  * whole operator surface for SQL-only users, composable (`SELECT ...
+  * FROM graft_q1_pricing_summary JOIN graft_tag_profiles ...`);
+  * `query=list` prints the view names.
   * `corpus-clean` is the CDC-incremental clean: each invocation dedups
   * the new docs against the accumulated [[graft.streaming.SigIndex]]
   * and appends the survivors' signatures — nightly delta runs compose
@@ -74,7 +80,7 @@ object Main {
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget",
-    "corpus-stats", "decontaminate", "query")
+    "corpus-stats", "decontaminate", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -356,6 +362,24 @@ object Main {
           val fn = SparkEntry.queries.getOrElse(name,
             sys.error(s"unknown query '$name' — run name=list for the registry"))
           val result = fn(spark, req("dir")).localCheckpoint()
+          result.write.mode("overwrite").parquet(req("out"))
+          done(0, result.count())
+        }
+      // SQL over the registered surface: every gate query is reachable
+      // as a graft_<name> temp view. Only the views the SQL text
+      // references are registered — a few operators do bounded eager
+      // work at frame construction (model fits, stream replays), and
+      // an unrelated query must not pay for them
+      case "sql" =>
+        val q = req("query")
+        if (q == "list") {
+          val names = SparkEntry.queries.keys.toSeq.sorted.map(n => s"graft_$n")
+          names.foreach(println)
+          done(0, names.size.toLong)
+        } else {
+          val referenced = SparkEntry.queries.keySet.filter(n => q.contains(s"graft_$n"))
+          SparkEntry.registerViews(spark, req("dir"), referenced)
+          val result = spark.sql(q).localCheckpoint()
           result.write.mode("overwrite").parquet(req("out"))
           done(0, result.count())
         }

@@ -40,4 +40,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleGroups.reduce(_ ++ _)
+
+  /** Register gate queries as session temp views `graft_<name>` over
+    * the warehouse at `dir` — the SQL-only surface: a user who writes
+    * `spark.sql("SELECT * FROM graft_q1_pricing_summary")` gets the
+    * registry operator, composable with further SQL (joins, filters —
+    * Catalyst plans through the view, so pushdown and pruning still
+    * apply). READS of a view are lazy, but some operators do bounded
+    * eager work when their frame is CONSTRUCTED (ANN model fits,
+    * stream replays, the decontamination bloom build) — so `only`
+    * restricts registration to the names actually needed (the CLI
+    * passes the names its SQL references); empty = register all.
+    * Returns the registered view names, sorted. */
+  def registerViews(spark: SparkSession, dir: String,
+                    only: Set[String] = Set.empty): Seq[String] =
+    queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        val view = s"graft_$name"
+        fn(spark, dir).createOrReplaceTempView(view)
+        view
+      }
 }

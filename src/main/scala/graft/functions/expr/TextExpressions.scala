@@ -103,3 +103,34 @@ case class WordShingles(child: Expression, k: Int, distinct: Boolean = true)
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
+
+/** Membership test against a pre-built long-key bloom filter — the
+  * broadcast-prefilter primitive for decontamination at eval-suite
+  * scale. The filter travels as its serialized BYTES (a few MB for
+  * 1e7 grams at 0.1% fpp) and is deserialized once per executor via
+  * the codegen reference array — never inlined into generated source,
+  * same pattern as the PQ codebooks. May false-positive (callers must
+  * exact-verify hits), never false-negatives: a filter that drops a
+  * true hit would silently un-flag contaminated training text. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override protected def nullSafeEval(a: Any): Any =
+    bloom.mightContainLong(a.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("gramBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $bf.mightContainLong($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * At 100 TB this runs as: pair detection via MinHash-LSH banding,
   * cluster resolution on the (tiny) pair set, a broadcast anti-join of
   * losers against the corpus, then pure per-row scoring — the corpus
-  * is scanned twice (detection + final pass) and shuffled never. */
+  * is scanned twice (detection + final pass), and document TEXT never
+  * shuffles (the detection pass exchanges only derived (hash, id)
+  * band rows, a fixed few hundred bytes per doc). */
 object PipelineQueries {
   val QualityFloor = 0.5
 
@@ -125,6 +127,18 @@ object PipelineQueries {
       docs.filter(col("doc_id") % 23 === 0), k = 5)
   }
 
+  /** Gate form of the bloom-prefilter variant: same eval slice, same
+    * oracle SQL as `corpus_decontaminate` — the bit-identical-output
+    * claim is CHECKED, not asserted. A high-fpp filter would still
+    * pass (exact verify), so the spec additionally measures the
+    * candidate reduction the bloom actually buys. */
+  def corpusDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    corpusDecontaminateDocsBloom(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0), k = 5)
+  }
+
   /** [[corpusDecontaminate]] against a REAL eval corpus — the
     * CLI/scheduler form (`Main decontaminate`): flags every training
     * doc sharing any word `k`-gram with any eval text, with the shared
@@ -132,11 +146,44 @@ object PipelineQueries {
     * are hashed and broadcast — eval suites are small by nature, the
     * training corpus is never shuffled. */
   def corpusDecontaminateDocs(docs: DataFrame, evals: DataFrame,
-                              k: Int = 5): DataFrame = {
-    def grams(df: DataFrame) = df.select(col("doc_id"),
+                              k: Int = 5): DataFrame =
+    decontaminateGrams(docs, k)
+      .join(broadcast(decontaminateGrams(evals, k).select("sh").distinct()), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as(s"n_shared_${k}grams"))
+
+  /** One side's distinct-per-doc k-gram hashes: `(doc_id, sh)`. */
+  private[graft] def decontaminateGrams(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"),
       explode(transform(Dedup.shingles(col("text"), k), x => xxhash64(x))).as("sh"))
-    grams(docs)
-      .join(broadcast(grams(evals).select("sh").distinct()), Seq("sh"))
+
+  /** [[corpusDecontaminateDocs]] for eval suites too big to broadcast
+    * exactly — the frontier-scale shape, where the "eval set" is a
+    * UNION of benchmarks and the exact hash set is GBs. A bloom of the
+    * eval grams is broadcast instead (~1.8 bytes/gram at the 0.1%
+    * default fpp vs 8+ exact), the corpus prefilters its grams through
+    * it MAP-SIDE (codegen'd [[graft.functions.expr.BloomMightContain]],
+    * no shuffle of non-candidates), and only the surviving candidates
+    * take the exact-verify equi-join — which kills the bloom's false
+    * positives, so the OUTPUT CONTRACT IS IDENTICAL to the exact form
+    * (the gate runs both against the same oracle). Shuffle volume:
+    * true hits + fpp × corpus grams (at 1e11 grams and fpp 1e-3,
+    * ~1e8 verify rows — vs the exact form's impossible broadcast).
+    * Never false-negative: bloom misses would silently un-flag
+    * contaminated text, so only POSITIVE candidates are pruned-in. */
+  def corpusDecontaminateDocsBloom(docs: DataFrame, evals: DataFrame,
+                                   k: Int = 5, fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val evalG = decontaminateGrams(evals, k).select("sh").distinct()
+    // the eval-side count + bloom build are eval-sized actions (the
+    // small side by construction); the corpus side stays lazy
+    val bloom = evalG.stat.bloomFilter("sh", math.max(64L, evalG.count()), fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val candidates = decontaminateGrams(docs, k)
+      .filter(ofExpr(graft.functions.expr.BloomMightContain(
+        toExpr(col("sh")), bytes.toByteArray)))
+    candidates.join(evalG, Seq("sh")) // exact verify: bloom FPs die here
       .groupBy("doc_id")
       .agg(count(lit(1)).as(s"n_shared_${k}grams"))
   }
@@ -446,6 +493,7 @@ object PipelineQueries {
     "corpus_clean_multimodal" -> (corpusCleanMultimodal _),
     "corpus_stats" -> (corpusStats _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
+    "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "sample_stratified" -> (sampleStratified _))
 
@@ -565,7 +613,11 @@ object PipelineQueries {
     * checks the prefix-superset equivalence proof on real data, not
     * just "roughly the same selection". */
   val oracles: Map[String, String] =
-    oraclesBase + ("corpus_select_budget_pruned" -> oraclesBase("corpus_select_budget"))
+    oraclesBase +
+      ("corpus_select_budget_pruned" -> oraclesBase("corpus_select_budget")) +
+      // the bloom prefilter is exact-verified, so it answers to the
+      // SAME oracle as the exact form — identical output is checked
+      ("corpus_decontaminate_bloom" -> oraclesBase("corpus_decontaminate"))
 
   /** Shared skeleton of the corpus-clean oracles — `pairCtes` must
     * define a CTE `allpairs(doc_a, doc_b)` (it can reference the

@@ -233,8 +233,21 @@ object TextQueries {
     * doc_id, tf, dl, df)` + a 1-row `stats` frame `(n_docs, avgdl)`
     * → `(query_id, rank, doc_id, n_matched)` top-`topK` per query.
     * Lucene-form idf (always positive); score internal; rank ties
-    * broken by doc_id. */
-  def bm25Rank(perTerm: DataFrame, stats: DataFrame, topK: Int): DataFrame = {
+    * broken by doc_id.
+    *
+    * `maxDfFrac` (0 = off, the gate default) is the SCORING-LEVEL
+    * stopword cap PLANS.md's skew story calls for: terms matching more
+    * than that fraction of the corpus are excluded from scoring — the
+    * only mitigation that bounds a stopword query's cost, since a
+    * stopword's postings mass is the term's true document frequency
+    * wherever the rows live (no layout fixes it). Deliberately a
+    * CALLER decision: silently dropping terms changes ranks, so the
+    * default stays off and the oracle-checked queries never set it.
+    * A doc matched ONLY via capped terms drops out (its remaining
+    * n_matched is 0), exactly as if the query had not contained
+    * them. */
+  def bm25Rank(perTerm: DataFrame, stats: DataFrame, topK: Int,
+               maxDfFrac: Double = 0.0): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * col("tf") * lit(Bm25K1 + 1.0) /
@@ -242,8 +255,11 @@ object TextQueries {
         (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    perTerm
-      .crossJoin(broadcast(stats))
+    val joined = perTerm.crossJoin(broadcast(stats))
+    val capped =
+      if (maxDfFrac <= 0.0) joined
+      else joined.filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+    capped
       .groupBy("query_id", "doc_id")
       .agg(sum(termScore).as("score"), count(lit(1)).as("n_matched"))
       .withColumn("rank", row_number().over(w))

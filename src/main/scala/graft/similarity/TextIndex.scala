@@ -57,8 +57,9 @@ import graft.functions.TextFunctions.words
   * frequency, wherever the rows live. The write-path mitigation is
   * partition count (suggestTermParts keeps the AVERAGE partition
   * bounded; the hot one is bounded by the term's true mass); the
-  * query-path mitigation is scoring-level (drop-stopword / minDf),
-  * deliberately not silently applied here. */
+  * query-path mitigation is the caller-set `stoplist` (scan-level:
+  * the hot partition is never opened) and `maxDfFrac` (scoring-level)
+  * knobs on [[search]] — deliberately never applied silently. */
 class TextIndex(spark: SparkSession, dir: String,
                 buckets: Int = 0, termParts: Int = 0) {
 
@@ -164,11 +165,31 @@ class TextIndex(spark: SparkSession, dir: String,
     * store (the prune list is |query terms| hashes computed in one
     * bounded pass); document frequency is a window over the pruned
     * postings — sound because a term's postings live entirely in its
-    * partition. */
-  def search(queries: DataFrame, topK: Int = 10): DataFrame = {
+    * partition.
+    *
+    * The two stopword knobs PLANS.md's skew story calls for, both
+    * CALLER-set and default-off (gate unchanged — dropping terms
+    * changes ranks, so it is never silent):
+    *  - `stoplist`: terms dropped from the query BEFORE the probe
+    *    list is computed, so the hot term's partition is never opened
+    *    and its postings never read — the SCAN-level cap. A query
+    *    whose every term is stoplisted returns no rows for that
+    *    query_id (nothing left to match), like a query of unknown
+    *    terms.
+    *  - `maxDfFrac`: the SCORING-level cap forwarded to
+    *    [[graft.queries.TextQueries.bm25Rank]] — terms matching more
+    *    than that corpus fraction are excluded from scores. This one
+    *    still reads the term's postings (df is only known after the
+    *    read); use the stoplist when the goal is I/O. */
+  def search(queries: DataFrame, topK: Int = 10,
+             stoplist: Set[String] = Set.empty,
+             maxDfFrac: Double = 0.0): DataFrame = {
     val (n, sumDl, parts) = loadStats()
-    val qterms = queries.select(col("query_id"),
+    val qterms0 = queries.select(col("query_id"),
       explode(split(col("qtext"), " ")).as("word"))
+    val qterms =
+      if (stoplist.isEmpty) qterms0
+      else qterms0.filter(!col("word").isInCollection(stoplist.toSeq))
     // bounded collect: the query batch's vocabulary, for the prune list
     val qwords = qterms.select(col("word"),
         pmod(xxhash64(col("word")), lit(parts)).as("tpart"))
@@ -186,7 +207,7 @@ class TextIndex(spark: SparkSession, dir: String,
       .select(lit(n).as("n_docs"),
         (lit(sumDl.toDouble) / lit(n.toDouble)).as("avgdl"))
     graft.queries.TextQueries.bm25Rank(
-      pruned.join(broadcast(qterms), Seq("word")), stats, topK)
+      pruned.join(broadcast(qterms), Seq("word")), stats, topK, maxDfFrac)
   }
 
   /** Convenience: search a literal query list. */

@@ -329,6 +329,28 @@ class MainSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown query"))
   }
 
+  test("sql subcommand: graft_* views expose the registry to SQL-only users, composably") {
+    val base = java.nio.file.Files.createTempDirectory("graft_main_sql").toString
+    // a sampled set of views must equal their registry outputs exactly
+    for (name <- Seq("q1_pricing_summary", "tag_stats", "dedup_exact", "text_tokens")) {
+      val r = Main.runPipeline(spark, Seq("sql",
+        s"query=SELECT * FROM graft_$name", s"dir=${sf("any")}", s"out=$base/$name"))
+      val direct = SparkEntry.queries(name)(spark, sf("any"))
+      assert(r.rowsOut == direct.count(), s"view graft_$name row count drifted")
+      assert(spark.read.parquet(s"$base/$name").columns.sameElements(direct.columns))
+    }
+    // composition is the point of a SQL surface: filter + aggregate
+    // OVER a view plans through Catalyst like any table
+    val agg = Main.runPipeline(spark, Seq("sql",
+      "query=SELECT count(*) AS n FROM graft_q1_pricing_summary WHERE sum_qty > 0",
+      s"dir=${sf("any")}", s"out=$base/agg"))
+    assert(agg.rowsOut == 1)
+    // view list is operable
+    val listed = Main.runPipeline(spark, Seq("sql", "query=list",
+      s"dir=${sf("any")}", s"out=$base/unused"))
+    assert(listed.rowsOut == SparkEntry.queries.size.toLong)
+  }
+
   test("data-quality report frame carries per-column null rates") {
     val s = spark
     import s.implicits._

@@ -170,6 +170,40 @@ class TextSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) % 23 != 0 && r.getLong(1) > 0))
   }
 
+  test("bloom decontamination: identical flags even when the bloom false-positives; candidates shrink") {
+    import graft.queries.PipelineQueries._
+    val dir = sf("any")
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val (train, evals) =
+      (docs.filter(col("doc_id") % 23 =!= 0), docs.filter(col("doc_id") % 23 === 0))
+    def flags(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = flags(corpusDecontaminateDocs(train, evals, k = 5))
+    // force false positives: a saturated filter (high fpp) makes most
+    // grams "hit" — the exact-verify join must kill every one of them
+    val saturated = flags(corpusDecontaminateDocsBloom(train, evals, k = 5, fpp = 0.4))
+    assert(saturated == exact,
+      "a false-positive-heavy bloom must still produce the exact form's flags")
+    // and the production fpp too (the gate re-checks this vs DuckDB)
+    assert(flags(corpusDecontaminateDocsBloom(train, evals, k = 5)) == exact)
+    // the reduction claim: the prefilter passes a small fraction of
+    // the corpus grams at the default fpp (true hits + ~0.1% FPs)
+    val evalG = decontaminateGrams(evals, 5).select("sh").distinct()
+    val bloom = evalG.stat.bloomFilter("sh", math.max(64L, evalG.count()), 0.001)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val grams = decontaminateGrams(train, 5)
+    val candidates = grams.filter(ofExpr(graft.functions.expr.BloomMightContain(
+      toExpr(col("sh")), bytes.toByteArray))).count()
+    val total = grams.count()
+    val trueHits = grams.join(evalG, Seq("sh"), "left_semi").count()
+    info(s"bloom prefilter: $candidates of $total grams pass ($trueHits true hits)")
+    assert(candidates < total / 2,
+      s"prefilter must prune most grams: $candidates of $total")
+    assert(candidates >= trueHits, "prefilter must never drop a true hit")
+  }
+
   test("boilerplate: grams counted once per doc, threshold respected") {
     import spark.implicits._
     val tpl = "subscribe to our newsletter for more"

@@ -202,4 +202,61 @@ class TextIndexSpec extends SparkSpec {
     val skewQs = Seq(1 -> rareWord(7), 2 -> s"the ${rareWord(3)}")
     assert(rows(index.search(skewQs, 10)) == rows(TextQueries.bm25Search(docs, skewQs, 10)))
   }
+
+  test("stoplist caps a stopword query's SCAN; maxDfFrac caps its SCORING; others unchanged") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_stop").toString
+    def rareWord(d: Long): String =
+      s"w${('a' + d / 26).toChar}${('a' + d % 26).toChar}"
+    // every doc repeats the stopword; one unique rare term per doc
+    val docs = (0L until 400L).map(d =>
+      (d, ("the " * 20) + rareWord(d))).toDF("doc_id", "text")
+    val index = new TextIndex(spark, s"$base/idx", termParts = 16)
+    index.build(docs)
+    val stopQs = (1 to 40).map(i => i -> s"the ${rareWord(i.toLong)}").toDF("query_id", "qtext")
+
+    // SCAN level: with the stopword stoplisted, its (dominant)
+    // partition is never opened — the scanned-posting footprint drops
+    // to the rare terms' partitions only
+    val hotPart = index.probeParts("the").head
+    val allParts = (1 to 40).flatMap(i => index.probeParts(s"the ${rareWord(i.toLong)}"))
+      .distinct
+    val stopParts = allParts.filterNot(_ == hotPart)
+    val (openedAll, live) = index.scanFootprint(allParts)
+    val (openedStop, _) = index.scanFootprint(stopParts)
+    assert(openedStop < openedAll,
+      s"stoplisting the hot term must shrink the probe: $openedStop vs $openedAll of $live")
+    // the avoided partition is the single heaviest one — the scan that
+    // no longer happens is the dominant one (row mass; tf-weighted the
+    // gap is 20× wider, since "the" repeats 20× per doc)
+    val mass = index.partitionMass()
+    assert(stopParts.map(mass).max < mass(hotPart),
+      s"the stoplisted term's partition must be the heavy one: $mass")
+
+    // results with the stoplist == results of queries WITHOUT the term
+    val bare = (1 to 40).map(i => i -> rareWord(i.toLong)).toDF("query_id", "qtext")
+    assert(rows(index.search(stopQs, 10, stoplist = Set("the"))) ==
+      rows(index.search(bare, 10)),
+      "a stoplisted term must behave as if the query never contained it")
+
+    // SCORING level: df("the") = 400 = all docs; any fraction below 1
+    // excludes it, and the ranks equal the stoplist path (same terms
+    // scored) even though its postings were read
+    assert(rows(index.search(stopQs, 10, maxDfFrac = 0.5)) ==
+      rows(index.search(bare, 10)),
+      "a df-capped term must not contribute to scores")
+
+    // queries with NO stopword are bit-identical under both knobs
+    val rareQs = Seq(1 -> rareWord(5), 2 -> rareWord(9)).toDF("query_id", "qtext")
+    assert(rows(index.search(rareQs, 10, stoplist = Set("the"), maxDfFrac = 0.5)) ==
+      rows(index.search(rareQs, 10)),
+      "the knobs must not disturb queries they don't apply to")
+
+    // an all-stoplisted query vanishes from the output, like a query
+    // of unknown terms
+    val gone = index.search(Seq(7 -> "the the").toDF("query_id", "qtext"),
+      10, stoplist = Set("the"))
+    assert(gone.count() == 0)
+  }
 }
