@@ -40,6 +40,55 @@ object TextQueries {
     docs(spark, dir).select(
       col("doc_id"), col("lang"), langId(col("text")).as("predicted_lang"))
 
+  /** Character-trigram language ID — the production-grade upgrade of
+    * [[textLangid]]'s function-word heuristic, whose envelope is only
+    * "documents containing the listed stopwords" (short texts and
+    * stopword-free phrasing fall through to its `en` default; TextSpec
+    * measures exactly that gap). Profiles ship as DATA
+    * ([[graft.functions.LangProfiles]]) and are embedded into the
+    * DuckDB oracle, so the scorer is gate-checked end-to-end. */
+  def textLangidNgram(spark: SparkSession, dir: String): DataFrame =
+    langIdNgram(docs(spark, dir))
+
+  /** The trigram scorer on any `(doc_id, lang, text)` frame. Plan: one
+    * tokenize+trigram explode over the corpus, a broadcast join against
+    * the O(langs × topK) profile table, one integer aggregate per
+    * (doc, lang), argmax by window. Scores are exact integer sums
+    * (milli-log weights), so the argmax cannot flip on summation
+    * order — see LangProfiles. CJK short-circuits to `zh` as in the
+    * heuristic; evidence-free documents default to `en` (priority 0). */
+  def langIdNgram(in: DataFrame): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    import graft.functions.LangProfiles
+    val prof = LangProfiles.rows.toDF("plang", "tg", "w")
+    val langs = LangProfiles.Languages.toDF("plang", "prio")
+    val tgs = in.select(col("doc_id"),
+      explode(flatten(transform(
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
+        w => transform(sequence(lit(1), length(w)),
+          i => concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))).as("tg"))
+    val n = tgs.groupBy("doc_id").agg(count(lit(1)).as("n_tg"))
+    val matched = tgs.join(broadcast(prof), Seq("tg"))
+      .groupBy("doc_id", "plang")
+      .agg(sum(col("w") - lit(LangProfiles.MissMilli)).as("adj"))
+    val scores = n.crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "plang"), "left")
+      .withColumn("score",
+        col("n_tg") * lit(LangProfiles.MissMilli.toLong) + coalesce(col("adj"), lit(0L)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("prio"))
+    val best = scores.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1).select(col("doc_id"), col("plang"))
+    val cjk = length(lower(col("text"))) -
+      length(regexp_replace(lower(col("text")), "[\\x{4e00}-\\x{9fff}]", ""))
+    in.select(col("doc_id"), col("lang"), cjk.as("cjk"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("cjk") > 0, lit("zh"))
+          .otherwise(coalesce(col("plang"), lit("en"))).as("predicted_lang"))
+  }
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
@@ -336,6 +385,7 @@ object TextQueries {
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid_ngram" -> (textLangidNgram _),
     // gate form keeps the DuckDB-reproducible polynomial hash; fp64
     // (xxhash64, no DuckDB twin) is pinned by TextSpec instead
     "text_fingerprint" -> ((s: SparkSession, d: String) =>
@@ -434,6 +484,33 @@ object TextQueries {
         |      WHEN es >= en AND es > 0 THEN 'es'
         |      ELSE 'en' END AS predicted_lang
         |FROM c""".stripMargin,
+    // mirrors langIdNgram: same embedded trigram table (LangProfiles
+    // generates both sides from one derivation), same integer
+    // milli-log scoring, same (score desc, priority) argmax
+    "text_langid_ngram" ->
+      s"""WITH prof(plang, tg, w) AS (VALUES ${graft.functions.LangProfiles.sqlValues}),
+         |langs(plang, prio) AS (VALUES ('en', 0), ('de', 1), ('fr', 2), ('es', 3)),
+         |words AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd
+         |          FROM documents),
+         |tgs AS (SELECT doc_id, substr(' ' || wd || ' ', i, 3) AS tg
+         |        FROM (SELECT doc_id, wd,
+         |                     unnest(generate_series(1, length(wd))) AS i FROM words)),
+         |n AS (SELECT doc_id, count(*) AS n_tg FROM tgs GROUP BY doc_id),
+         |matched AS (SELECT doc_id, plang, sum(w - (-10000)) AS adj
+         |            FROM tgs JOIN prof USING (tg) GROUP BY doc_id, plang),
+         |scores AS (SELECT doc_id, plang, prio,
+         |                  n_tg * (-10000) + coalesce(adj, 0) AS score
+         |           FROM n CROSS JOIN langs LEFT JOIN matched USING (doc_id, plang)),
+         |best AS (SELECT doc_id, plang,
+         |                row_number() OVER (PARTITION BY doc_id
+         |                  ORDER BY score DESC, prio) AS rn FROM scores)
+         |SELECT d.doc_id, d.lang,
+         |       CASE WHEN length(lower(d.text)) -
+         |                 length(regexp_replace(lower(d.text), '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
+         |            THEN 'zh'
+         |            ELSE coalesce(b.plang, 'en') END AS predicted_lang
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, plang FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       len(regexp_extract_all(trim(text), '\S+')) AS n_ws_tokens,

@@ -170,6 +170,46 @@ class TextSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) % 23 != 0 && r.getLong(1) > 0))
   }
 
+  test("ngram langid beats the word heuristic on stopword-free and short text") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.langId
+    // the word heuristic's blind spot, by construction: correct
+    // sentences that avoid its stopword lists, plus short greetings —
+    // it defaults them all to 'en'. The trigram scorer must not.
+    val hard = Seq(
+      (1L, "en", "tomorrow we will go shopping because we need fresh vegetables"),
+      (2L, "de", "wir fahren morgen zum markt weil wir frisches gemüse brauchen"),
+      (3L, "fr", "nous irons demain au marché pour acheter des légumes frais"),
+      (4L, "es", "mañana iremos al mercado para comprar verduras frescas"),
+      (5L, "de", "guten morgen alle zusammen"),
+      (6L, "fr", "bonjour tout le monde"),
+      (7L, "es", "buenos dias a todos"),
+      (8L, "en", "good morning everyone"),
+      (9L, "zh", "你好世界 这是一个测试")).toDF("doc_id", "lang", "text")
+    val ngram = graft.queries.TextQueries.langIdNgram(hard)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val heur = hard.select(col("doc_id"), col("lang"), langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val truth = hard.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ngramAcc = truth.count { case (d, l) => ngram(d) == l }
+    val heurAcc = truth.count { case (d, l) => heur(d) == l }
+    info(s"hard-set accuracy: ngram $ngramAcc/9 vs word-heuristic $heurAcc/9")
+    info(s"ngram predictions: ${ngram.toSeq.sortBy(_._1)}")
+    assert(ngramAcc >= 8, s"trigram scorer must handle the hard set, got $ngramAcc/9: $ngram")
+    assert(ngramAcc > heurAcc,
+      s"trigram profiles must beat the stopword heuristic where it is blind: $ngramAcc vs $heurAcc")
+    // and on text squarely inside the heuristic's envelope, both agree
+    val easy = Seq(
+      (10L, "en", "the cat and the dog it is with that"),
+      (11L, "de", "der hund und die katze ist nicht ein problem mit"),
+      (12L, "fr", "le chat et la maison est dans une rue"),
+      (13L, "es", "el gato es una casa con los perros por que")).toDF("doc_id", "lang", "text")
+    val easyNgram = graft.queries.TextQueries.langIdNgram(easy)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(easyNgram == Map(10L -> "en", 11L -> "de", 12L -> "fr", 13L -> "es"),
+      s"ngram scorer must also get the heuristic's home turf right: $easyNgram")
+  }
+
   test("bloom decontamination: identical flags even when the bloom false-positives; candidates shrink") {
     import graft.queries.PipelineQueries._
     val dir = sf("any")
