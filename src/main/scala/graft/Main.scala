@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
-  *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
+  *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false]
+  *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
   *   runMain graft.Main sql query=<SQL over graft_* views|list> dir=<warehouse> out=<dir>
   * }}}
@@ -80,7 +81,7 @@ object Main {
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget",
-    "corpus-stats", "decontaminate", "query", "sql")
+    "corpus-stats", "decontaminate", "dsir-select", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -392,10 +393,23 @@ object Main {
       case "decontaminate" =>
         val docs = spark.read.parquet(req("in"))
         val evals = spark.read.parquet(req("evals"))
-        val flagged = graft.queries.PipelineQueries.corpusDecontaminateDocs(
-          docs, evals, opts.getOrElse("k", "5").toInt).localCheckpoint()
+        val k = opts.getOrElse("k", "5").toInt
+        // bloom=true is the frontier-scale form (eval suite too big to
+        // broadcast exactly); identical output by construction
+        val flagged = (if (opts.getOrElse("bloom", "false").toBoolean)
+          graft.queries.PipelineQueries.corpusDecontaminateDocsBloom(docs, evals, k)
+        else
+          graft.queries.PipelineQueries.corpusDecontaminateDocs(docs, evals, k))
+          .localCheckpoint()
         flagged.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), flagged.count())
+      case "dsir-select" =>
+        val docs = spark.read.parquet(req("in"))
+        val targets = spark.read.parquet(req("targets"))
+        val sel = graft.queries.PipelineQueries.corpusDsirSelectDocs(
+          docs, targets, opts.getOrElse("frac", "0.2").toDouble).localCheckpoint()
+        sel.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), sel.count())
       case other => sys.error(s"unknown pipeline command: $other")
     }
   }

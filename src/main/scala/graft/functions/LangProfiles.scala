@@ -92,7 +92,14 @@ object LangProfiles {
       val total = counts.values.sum.toDouble
       counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(TopK)
         .map { case (t, c) =>
-          (lang, t, math.round(1000.0 * math.log(c / total)).toInt)
+          // clamped strictly above MissMilli: the scorer's argmax runs
+          // over langs with ≥1 matched trigram ONLY, which is sound
+          // precisely because a match always outscores a miss — a
+          // profile derived from a huge corpus slice (where a kept
+          // trigram's log-prob could fall below e^-10) must keep the
+          // invariant, so it's enforced here, not assumed
+          (lang, t, math.max(MissMilli + 1,
+            math.round(1000.0 * math.log(c / total)).toInt))
         }
     }
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.dedup.Dedup
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data preparation pipeline — the composition the
@@ -186,6 +186,156 @@ object PipelineQueries {
     candidates.join(evalG, Seq("sh")) // exact verify: bloom FPs die here
       .groupBy("doc_id")
       .agg(count(lit(1)).as(s"n_shared_${k}grams"))
+  }
+
+  /** Hashed n-gram feature space for importance resampling: every
+    * word unigram and bigram maps to one of [[DsirBuckets]] buckets.
+    * A power-of-two count keeps the DuckDB mirror a plain `%`. 4096
+    * buckets is the bias/variance point the DSIR paper's 10k-bucket
+    * choice also sits near: small enough that both distribution
+    * estimates are dense at modest sample sizes, large enough that
+    * domain-bearing vocabulary doesn't all collide. */
+  val DsirBuckets = 4096
+
+  /** Fraction of candidates the gate form keeps (top 20%). */
+  val DsirKeepFrac = 0.2
+
+  /** Word unigrams + bigrams of a text column, count-weighted (NOT
+    * distinct — the importance weight is a sum over feature COUNTS).
+    * ASCII word extraction mirrors the simhash oracle's: the bucket
+    * hash is byte-exact reproduced in SQL via `ord()`, which equals
+    * the UTF-8 byte only for ASCII. */
+  private[graft] def dsirGrams(text: Column): Column = {
+    val ws = regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))
+    val bigrams = when(size(ws) >= 2,
+      transform(slice(ws, lit(1), size(ws) - 1),
+        (w, i) => concat(w, lit(" "), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    concat(ws, bigrams)
+  }
+
+  /** Feature bucket of one gram: base-31 Horner fold mod 2^31−1
+    * (seed 7 — independent of the simhash seeds), remixed through a
+    * universal affine map so short grams don't concentrate in the
+    * low buckets, then mod [[DsirBuckets]]. Every step is exact
+    * integer arithmetic with a `list_reduce` DuckDB mirror — the same
+    * oracle-checkability argument as [[Dedup.simhashBaseHash]]. */
+  private[graft] def dsirBucket(g: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val p = 2147483647L
+    val h = ofExpr(graft.functions.expr.RollingHash(toExpr(g), 7L, p))
+    pmod(pmod(h * lit(1103515245L) + lit(12345L), lit(p)), lit(DsirBuckets))
+  }
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    * public): pick the candidate documents whose hashed-n-gram
+    * distribution looks most like a target-domain sample. The gate
+    * form targets the deterministic `doc_id % 17 == 0` slice (the
+    * stand-in for "a sample of the domain we want more of", the same
+    * held-out-slice idiom as [[corpusDecontaminate]]) and keeps the
+    * top [[DsirKeepFrac]] of the rest. */
+  def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    corpusDsirSelectDocs(
+      docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0), DsirKeepFrac)
+  }
+
+  /** [[corpusDsirSelect]] over any candidate/target frames — the
+    * CLI/scheduler form. Shape, built for a corpus that cannot be
+    * sorted whole:
+    *
+    *  1. ONE scan of both sides aggregates per-bucket gram counts —
+    *     map-side partial agg to ≤ [[DsirBuckets]]×partitions shuffle
+    *     rows, a bounded 4096-row collect.
+    *  2. The per-bucket importance weight λ_b = ⌊1000·ln(p̂_t(b) /
+    *     p̂_r(b)) + 0.5⌋ (add-one smoothing both sides) is derived on
+    *     the driver as a fixed-point integer MILLI-log-ratio — from
+    *     here on every number is a BIGINT, so no float summation
+    *     order can flip the selection, and the DuckDB oracle can
+    *     reproduce the weights bit-for-bit (`floor(x+0.5)` on both
+    *     sides: `math.round` and SQL `round` disagree on negative
+    *     halves).
+    *  3. A second scan computes each candidate's weight SCAN-LOCALLY:
+    *     a higher-order `aggregate` over the doc's own gram array
+    *     indexes the λ table shipped as a 4096-long array literal in
+    *     the plan — no explode, no join, no shuffle of gram rows;
+    *     persisted as a 16 B/doc (doc_id, weight) projection.
+    *  4. Top-⌈frac·n⌉ selection WITHOUT a corpus-wide sort: weights
+    *     are integers, so an exact 4096-bin histogram over
+    *     [min, max] (integer bin arithmetic — no FP edge rounding)
+    *     gives the highest weight edge E whose from-the-top
+    *     cumulative count reaches K. `weight ≥ E` is then a provable
+    *     prefix-superset of the winners — the same proof shape as
+    *     [[corpusSelectBudgetPruned]] — and the row_number window
+    *     runs over ≈K survivors instead of all n. At a 100:1
+    *     supply-to-keep ratio that is a 100× smaller sort; steps 2–4
+    *     touch only the persisted projection, never the text again.
+    *
+    * Docs with zero extractable grams carry no distributional
+    * evidence and are excluded (both sides of the gate agree: the
+    * oracle's explode/join drops them naturally). */
+  def corpusDsirSelectDocs(candidates: DataFrame, targets: DataFrame,
+                           keepFrac: Double): DataFrame = {
+    val B = DsirBuckets
+    val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
+        dsirGrams(col("text")).as("grams"))
+      .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
+        dsirGrams(col("text")).as("grams")))
+    // pass 1: per-bucket counts, both distributions in one aggregate
+    val counts = grammed.select(col("tgt"), explode(col("grams")).as("g"))
+      .groupBy(dsirBucket(col("g")).as("b"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("rc"))
+      .collect()
+    val tc = Array.fill(B)(0L); val rc = Array.fill(B)(0L)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; tc(b) = r.getLong(1); rc(b) = r.getLong(2)
+    }
+    val tTot = tc.sum; val rTot = rc.sum
+    // λ as milli-log-ratios. The smoothed-count products stay exact
+    // in a double up to 2^53 ≈ 9e15 gram tokens per side (~36 PB of
+    // ASCII text at 4 B/gram) — beyond that the products round before
+    // the ln, shifting λ by < 1 ulp of the ratio: harmless to the
+    // selection, but the oracle mirror would need the same rounding.
+    // λ_b = ln(p̂_t(b)/p̂_r(b)) with the normalizers cross-multiplied
+    // so both operands of the one division are EXACT integers:
+    // (tc+1)/(tTot+B) ÷ (rc+1)/(rTot+B) = (tc+1)(rTot+B) / (rc+1)(tTot+B)
+    val lam: Array[Long] = Array.tabulate(B) { b =>
+      val x = 1000.0 * math.log(
+        ((tc(b) + 1L) * (rTot + B)).toDouble / ((rc(b) + 1L) * (tTot + B)).toDouble)
+      math.floor(x + 0.5).toLong
+    }
+    val lams = typedLit(lam.toSeq)
+    // pass 2: scan-local weights, persisted as the 16 B/doc projection
+    val wdoc = grammed.filter(!col("tgt")).filter(size(col("grams")) > 0)
+      .select(col("doc_id"),
+        aggregate(col("grams"), lit(0L),
+          (acc, g) => acc + element_at(lams, (dsirBucket(g) + 1).cast("int")))
+          .as("weight_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = wdoc.count()
+    val k = math.ceil(n * keepFrac).toLong
+    if (k <= 0L || n == 0L) return wdoc.limit(0)
+      .withColumn("sel_rank", lit(0L)).filter(lit(false))
+    // step 4: integer histogram → prefix-superset edge → small sort
+    val Row2 = wdoc.agg(min("weight_milli"), max("weight_milli")).head()
+    val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
+    val width = math.max(1L, (hi - lo) / B + 1L)
+    val hist = wdoc.groupBy(((col("weight_milli") - lo) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    var cum = 0L; var edge = lo
+    val it = hist.iterator
+    while (cum < k && it.hasNext) {
+      val (bin, cnt) = it.next(); cum += cnt; edge = lo + bin * width
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight_milli").desc, col("doc_id"))
+    wdoc.filter(col("weight_milli") >= edge)
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .filter(col("sel_rank") <= k)
+      .select(col("doc_id"), col("weight_milli"), col("sel_rank"))
   }
 
   /** Sequence packing: assign documents to fixed-token-budget training
@@ -494,6 +644,7 @@ object PipelineQueries {
     "corpus_stats" -> (corpusStats _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _),
+    "corpus_dsir_select" -> (corpusDsirSelect _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "sample_stratified" -> (sampleStratified _))
 
@@ -595,6 +746,50 @@ object PipelineQueries {
         |FROM sh JOIN ev USING (s)
         |WHERE doc_id % 23 != 0
         |GROUP BY doc_id""".stripMargin,
+    // mirrors corpusDsirSelectDocs step for step: same Horner-fold
+    // bucket hash (seed 7, universal remix), same integer milli-log
+    // ratio (floor(x+0.5) both sides — SQL round() and Scala
+    // math.round disagree on negative halves), same ceil-of-double
+    // keep count (CAST(0.2 AS DOUBLE): DuckDB's bare 0.2 is a
+    // DECIMAL whose exact product diverges from the JVM's FP one)
+    "corpus_dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws,
+        |         doc_id % 17 = 0 AS tgt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tgt, unnest(list_concat(ws,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(generate_series(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i + 1])
+        |      ELSE [] END)) AS gram
+        |  FROM d),
+        |gb AS (
+        |  SELECT doc_id, tgt,
+        |         ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |             list_transform(string_split_regex(gram, ''), ch -> ord(ch))),
+        |           (a, b) -> (a * 31 + b) % 2147483647) * 1103515245 + 12345)
+        |          % 2147483647) % 4096 AS b
+        |  FROM g),
+        |counts AS (
+        |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+        |         sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS rc
+        |  FROM gb GROUP BY b),
+        |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM counts),
+        |lam AS (
+        |  SELECT b, CAST(floor(1000 * ln(CAST((tc + 1) * (rt + 4096) AS DOUBLE)
+        |                     / CAST((rc + 1) * (tt + 4096) AS DOUBLE)) + 0.5) AS BIGINT) AS lam
+        |  FROM counts, tot),
+        |wdoc AS (
+        |  SELECT gb.doc_id, CAST(sum(lam.lam) AS BIGINT) AS weight_milli
+        |  FROM gb JOIN lam USING (b) WHERE NOT tgt GROUP BY gb.doc_id),
+        |k AS (SELECT CAST(ceil(count(*) * CAST(0.2 AS DOUBLE)) AS BIGINT) AS k FROM wdoc)
+        |SELECT doc_id, weight_milli, sel_rank FROM (
+        |  SELECT doc_id, weight_milli,
+        |         CAST(row_number() OVER (ORDER BY weight_milli DESC, doc_id) AS BIGINT)
+        |           AS sel_rank
+        |  FROM wdoc) q, k
+        |WHERE sel_rank <= k.k""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,

@@ -53,10 +53,17 @@ object TextQueries {
   /** The trigram scorer on any `(doc_id, lang, text)` frame. Plan: one
     * tokenize+trigram explode over the corpus, a broadcast join against
     * the O(langs × topK) profile table, one integer aggregate per
-    * (doc, lang), argmax by window. Scores are exact integer sums
-    * (milli-log weights), so the argmax cannot flip on summation
+    * (doc, matched lang), argmax by window. Scores are exact integer
+    * sums (milli-log weights), so the argmax cannot flip on summation
     * order — see LangProfiles. CJK short-circuits to `zh` as in the
-    * heuristic; evidence-free documents default to `en` (priority 0). */
+    * heuristic; evidence-free documents default to `en` (priority 0).
+    *
+    * The full score is `n_tg·Miss + Σ(w−Miss over matches)`, but n_tg
+    * is constant across langs for one doc and LangProfiles CLAMPS
+    * every kept weight strictly above Miss — so a lang with ≥1 match
+    * always outscores every matchless lang, and the argmax needs only
+    * the matched (doc, lang) rows: no per-doc fan-out to all langs
+    * (a cartesian at plan level), no n_tg aggregate at all. */
   def langIdNgram(in: DataFrame): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
@@ -68,17 +75,13 @@ object TextQueries {
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
         w => transform(sequence(lit(1), length(w)),
           i => concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))).as("tg"))
-    val n = tgs.groupBy("doc_id").agg(count(lit(1)).as("n_tg"))
     val matched = tgs.join(broadcast(prof), Seq("tg"))
       .groupBy("doc_id", "plang")
       .agg(sum(col("w") - lit(LangProfiles.MissMilli)).as("adj"))
-    val scores = n.crossJoin(broadcast(langs))
-      .join(matched, Seq("doc_id", "plang"), "left")
-      .withColumn("score",
-        col("n_tg") * lit(LangProfiles.MissMilli.toLong) + coalesce(col("adj"), lit(0L)))
+      .join(broadcast(langs), Seq("plang"))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("prio"))
-    val best = scores.withColumn("rn", row_number().over(win))
+      .partitionBy("doc_id").orderBy(col("adj").desc, col("prio"))
+    val best = matched.withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1).select(col("doc_id"), col("plang"))
     val cjk = length(lower(col("text"))) -
       length(regexp_replace(lower(col("text")), "[\\x{4e00}-\\x{9fff}]", ""))
