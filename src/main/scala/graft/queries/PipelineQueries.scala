@@ -200,19 +200,31 @@ object PipelineQueries {
   /** Fraction of candidates the gate form keeps (top 20%). */
   val DsirKeepFrac = 0.2
 
-  /** Word unigrams + bigrams of a text column, count-weighted (NOT
-    * distinct — the importance weight is a sum over feature COUNTS).
-    * ASCII word extraction mirrors the simhash oracle's: the bucket
-    * hash is byte-exact reproduced in SQL via `ord()`, which equals
-    * the UTF-8 byte only for ASCII. */
-  private[graft] def dsirGrams(text: Column): Column = {
-    val ws = regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))
-    val bigrams = when(size(ws) >= 2,
-      transform(slice(ws, lit(1), size(ws) - 1),
-        (w, i) => concat(w, lit(" "), element_at(ws, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    concat(ws, bigrams)
-  }
+  /** Word unigrams + bigrams from an already-extracted words-array
+    * COLUMN, count-weighted (NOT distinct — the importance weight is
+    * a sum over feature COUNTS). ASCII word extraction mirrors the
+    * simhash oracle's: the bucket hash is byte-exact reproduced in
+    * SQL via `ord()`, which equals the UTF-8 byte only for ASCII.
+    *
+    * Bigrams pair the array with its own 1-shifted slice via
+    * `zip_with` — both are lambda ARGUMENTS, evaluated once per row.
+    * The first cut indexed the outer array from INSIDE the lambda
+    * (`element_at(ws, i + 2)` with `ws` a whole expression tree):
+    * higher-order functions evaluate interpreted with no
+    * subexpression reuse, so the regexp re-ran per ELEMENT —
+    * O(words²·|text|) per document (measured: pass 1 at sf0.1 took
+    * 17.6 s; the whole query now runs in a fraction of that).
+    * zip_with pads the shorter slice with null, the trailing
+    * (last-word, null) pair concats to null, and the filter drops
+    * it — which also makes the 0/1-word edge cases fall out. */
+  private[graft] def dsirGrams(ws: Column): Column =
+    concat(ws,
+      filter(zip_with(ws, slice(ws, lit(2), greatest(size(ws), lit(1))),
+        (a, b) => concat(a, lit(" "), b)), g => g.isNotNull))
+
+  /** The `[A-Za-z]+` word array both DSIR passes gram over. */
+  private[graft] def dsirWords(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))
 
   /** Feature bucket of one gram: base-31 Horner fold mod 2^31−1
     * (seed 7 — independent of the simhash seeds), remixed through a
@@ -278,10 +290,13 @@ object PipelineQueries {
   def corpusDsirSelectDocs(candidates: DataFrame, targets: DataFrame,
                            keepFrac: Double): DataFrame = {
     val B = DsirBuckets
+    // words projected FIRST so the regexp runs once per row — grams
+    // reference the materialized array attribute, not the regexp tree
     val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
-        dsirGrams(col("text")).as("grams"))
+        dsirWords(col("text")).as("ws"))
       .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
-        dsirGrams(col("text")).as("grams")))
+        dsirWords(col("text")).as("ws")))
+      .select(col("doc_id"), col("tgt"), dsirGrams(col("ws")).as("grams"))
     // pass 1: per-bucket counts, both distributions in one aggregate
     val counts = grammed.select(col("tgt"), explode(col("grams")).as("g"))
       .groupBy(dsirBucket(col("g")).as("b"))
@@ -314,13 +329,14 @@ object PipelineQueries {
           (acc, g) => acc + element_at(lams, (dsirBucket(g) + 1).cast("int")))
           .as("weight_milli"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = wdoc.count()
+    // one job materializes the persist AND returns count+min+max
+    val stats = wdoc.agg(count(lit(1)), min("weight_milli"), max("weight_milli")).head()
+    val n = stats.getLong(0)
     val k = math.ceil(n * keepFrac).toLong
     if (k <= 0L || n == 0L) return wdoc.limit(0)
       .withColumn("sel_rank", lit(0L)).filter(lit(false))
     // step 4: integer histogram → prefix-superset edge → small sort
-    val Row2 = wdoc.agg(min("weight_milli"), max("weight_milli")).head()
-    val (lo, hi) = (Row2.getLong(0), Row2.getLong(1))
+    val (lo, hi) = (stats.getLong(1), stats.getLong(2))
     val width = math.max(1L, (hi - lo) / B + 1L)
     val hist = wdoc.groupBy(((col("weight_milli") - lo) / width).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
