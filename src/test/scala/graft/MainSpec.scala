@@ -314,6 +314,35 @@ class MainSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flagged.rowsOut == 1 && hits.contains(1L) && hits(1L) >= 1,
       s"only the doc sharing eval 5-grams is flagged, got $hits")
+
+    // bloom=true must produce the identical flag set through the CLI
+    val flaggedB = Main.runPipeline(spark, Seq("decontaminate", "bloom=true",
+      s"in=$base/docs.parquet", s"evals=$base/evals.parquet", s"out=$base/flagged_b"))
+    val hitsB = spark.read.parquet(s"$base/flagged_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flaggedB.rowsOut == flagged.rowsOut && hitsB == hits,
+      "bloom prefilter form must flag identically through the CLI")
+  }
+
+  test("pipeline subcommand: dsir-select e2e") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_dsir").toString
+    // targets speak 'science'; half the candidates do too
+    val sci = "quantum entanglement spectral decomposition tensor manifold " * 4
+    val spo = "goalkeeper penalty halftime referee offside striker corner " * 4
+    (1L to 6L).map(i => (i, sci)).toDF("doc_id", "text")
+      .write.parquet(s"$base/targets.parquet")
+    ((10L to 14L).map(i => (i, sci)) ++ (20L to 24L).map(i => (i, spo)))
+      .toDF("doc_id", "text").write.parquet(s"$base/cands.parquet")
+    val r = Main.runPipeline(spark, Seq("dsir-select", "frac=0.5",
+      s"in=$base/cands.parquet", s"targets=$base/targets.parquet",
+      s"out=$base/sel"))
+    val sel = spark.read.parquet(s"$base/sel")
+      .collect().map(_.getLong(0)).toSet
+    assert(r.rowsIn == 10 && r.rowsOut == 5)
+    assert(sel == (10L to 14L).toSet,
+      s"the science-vocabulary candidates must win the importance weights, got $sel")
   }
 
   test("query subcommand runs any registered operator by name") {
