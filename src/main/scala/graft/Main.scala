@@ -44,6 +44,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false]
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
+  *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16]
   *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
   *   runMain graft.Main sql query=<SQL over graft_* views|list> dir=<warehouse> out=<dir>
   * }}}
@@ -80,7 +81,7 @@ object Main {
     "sig-compact", "sig-vacuum",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
-    "corpus-mix", "corpus-split", "select-budget",
+    "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "dsir-select", "query", "sql")
 
   def main(args: Array[String]): Unit = {
@@ -403,6 +404,12 @@ object Main {
           .localCheckpoint()
         flagged.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), flagged.count())
+      case "corpus-shard" =>
+        val docs = spark.read.parquet(req("in"))
+        val sharded = graft.queries.PipelineQueries.shardDocs(
+          docs, opts.getOrElse("shards", "16").toInt).localCheckpoint()
+        sharded.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), sharded.count())
       case "dsir-select" =>
         val docs = spark.read.parquet(req("in"))
         val targets = spark.read.parquet(req("targets"))

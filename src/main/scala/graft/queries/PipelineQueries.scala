@@ -478,6 +478,51 @@ object PipelineQueries {
           .otherwise("train").as("split"))
   }
 
+  /** Default shard count for [[corpusShard]] — gate-scale; the CLI
+    * takes the real count (see the sizing note on [[shardDocs]]). */
+  val ShardDefault = 16
+
+  /** Deterministic training-shard assignment with a GLOBAL
+    * pseudo-shuffle — the output step after selection/packing: a
+    * training run wants its input decorrelated from source order
+    * (crawl adjacency, per-domain runs, time locality), reproducible
+    * across engines and cluster sizes, and stable under re-runs.
+    * `rand()` gives none of that; this is a pure function of the row
+    * key, like [[corpusSplit]]. */
+  def corpusShard(spark: SparkSession, dir: String): DataFrame =
+    shardDocs(Tables.load(spark, dir, "documents"), ShardDefault)
+
+  /** [[corpusShard]] over any `(doc_id, ...)` frame — the CLI form
+    * (`Main corpus-shard`). Shard and within-shard order are two
+    * independent affine residues mod the Mersenne prime 2^31−1
+    * (different multipliers; products < 2^62, so the arithmetic is
+    * exact in both engines — the [[MixHashMod]] 2^20 residue the
+    * split uses is too coarse for an ORDER key: at 1e11 docs a 2^20
+    * range leaves ~1e5-doc tie runs that fall back to doc_id order,
+    * which is exactly the correlation a shuffle must break; the
+    * 2^31 range cuts ties to ~47 docs). shard_pos is a per-shard
+    * row_number over (order residue, doc_id).
+    *
+    * Scale: the window partitions by shard, so each shard sorts
+    * independently — size `shards` so one shard is one output file's
+    * worth (e.g. corpus tokens / 4e9 ≈ one 8 GB shard each): at
+    * 1e11 docs and 25k shards each task sorts 4M 16-byte rows, and
+    * the only corpus-sized exchange is the one hash partition by
+    * shard that the write needs anyway. */
+  def shardDocs(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val p = 2147483647L
+    def mix(a: Long, b: Long): Column =
+      pmod(pmod(col("doc_id"), lit(p)) * lit(a) + lit(b), lit(p))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+    docs.select(col("doc_id"),
+        pmod(mix(1103515245L, 12345L), lit(shards.toLong)).as("shard"),
+        mix(1140671485L, 12820163L).as("ord"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+  }
+
   /** Per-language token budget for [[corpusSelectBudget]] — sized so
     * sf0.01 exercises both branches (en/zh truncate, de/es/fr fit). */
   val SelectBudgetTokens = 4000L
@@ -661,6 +706,7 @@ object PipelineQueries {
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
+    "corpus_shard" -> (corpusShard _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "sample_stratified" -> (sampleStratified _))
 
@@ -806,6 +852,18 @@ object PipelineQueries {
         |           AS sel_rank
         |  FROM wdoc) q, k
         |WHERE sel_rank <= k.k""".stripMargin,
+    // same two affine residues mod 2^31-1 (exact BIGINT arithmetic
+    // both sides), same (ord, doc_id) window
+    "corpus_shard" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 % 16 AS shard,
+        |         ((doc_id % 2147483647) * 1140671485 + 12820163) % 2147483647 AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
+        |         AS shard_pos
+        |FROM m""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,

@@ -72,4 +72,37 @@ class PipelineDsirSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() > 0)
   }
+
+  test("shard: complete contiguous positions, balanced shards, order decorrelated from doc_id") {
+    val docs = (0L until 4000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val sh = PipelineQueries.shardDocs(docs, 16).cache()
+    assert(sh.count() == 4000)
+    // every shard's positions are exactly 1..count (no gaps, no dups)
+    val perShard = sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"), min("shard_pos").as("mn"),
+        countDistinct("shard_pos").as("d"))
+      .collect()
+    assert(perShard.length == 16)
+    perShard.foreach { r =>
+      // columns: shard, n, max(pos), min(pos), distinct(pos)
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L &&
+        r.getLong(4) == r.getLong(1),
+        s"positions must be a contiguous 1..n permutation: $r")
+      // affine-residue assignment is near-uniform on a contiguous id range
+      assert(r.getLong(1) > 150 && r.getLong(1) < 350, s"shard imbalance: $r")
+    }
+    // the within-shard order must actually shuffle: a monotone map of
+    // doc_id -> shard_pos would keep source adjacency (what a training
+    // shuffle exists to break). Count order inversions per shard.
+    val rows = sh.orderBy("shard", "shard_pos").collect()
+      .groupBy(_.getLong(1)).values
+    val someInverted = rows.forall { shard =>
+      val ids = shard.sortBy(_.getLong(2)).map(_.getLong(0))
+      ids.sliding(2).count(p => p.length == 2 && p(0) > p(1)) > ids.length / 10
+    }
+    assert(someInverted, "within-shard order must decorrelate from doc_id order")
+    // pure function of the key: identical across runs
+    val again = PipelineQueries.shardDocs(docs, 16)
+    assert(sh.exceptAll(again).isEmpty && again.exceptAll(sh).isEmpty)
+  }
 }
