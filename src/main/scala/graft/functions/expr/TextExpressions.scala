@@ -134,3 +134,127 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }
+
+/** Chunking + scrub core shared by [[WordChunks]] and [[ScrubText]].
+  *
+  * A "chunk" is one of the ⌈|words|/w⌉ NON-overlapping w-word spans
+  * of a single-space-split document, rejoined with single spaces —
+  * the span granularity of the cross-document boilerplate scrub
+  * (reference: C4/RefinedWeb-style repeated-passage removal; the
+  * detection half is TextQueries.textBoilerplate). Alignment is part
+  * of the contract: a span duplicated across documents is scrubbed
+  * only where both copies start on a w-word boundary — the same
+  * boundary convention line-based scrubbers inherit from '\n'. */
+object ScrubUtil {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Same Horner fold as [[RollingHash]] (kept textually in sync —
+    * RollingHashParitySpec pins equality), callable from the scrub
+    * loop without building an expression per chunk. */
+  def polyHash(s: UTF8String, seed: Long, p: Long): Long = {
+    val bytes = s.getBytes
+    var acc = seed % p
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xFF)) % p
+      i += 1
+    }
+    acc
+  }
+
+  /** Non-overlapping `w`-word chunks; `split` of any string yields at
+    * least one (possibly empty) word, so every document has ≥ 1 chunk. */
+  def chunkArray(s: UTF8String, w: Int): Array[UTF8String] = {
+    val words = ShingleUtil.splitWords(s)
+    val n = (words.length + w - 1) / w
+    val out = new Array[UTF8String](math.max(1, n))
+    var c = 0
+    while (c < out.length) {
+      val from = c * w
+      val len = math.max(0, math.min(w, words.length - from))
+      val buf = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { buf(j) = words(from + j); j += 1 }
+      out(c) = UTF8String.concatWs(SPACE, buf: _*)
+      c += 1
+    }
+    out
+  }
+
+  def chunks(s: UTF8String, w: Int): ArrayData =
+    new GenericArrayData(chunkArray(s, w).asInstanceOf[Array[AnyRef]])
+
+  /** One compiled pass: chunk, hash, binary-search the sorted hot-span
+    * table, rejoin survivors → struct(text_scrubbed, n_chunks,
+    * n_scrubbed). */
+  def scrub(s: UTF8String, w: Int, seed: Long, p: Long,
+            hot: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val cs = chunkArray(s, w)
+    val kept = new java.util.ArrayList[UTF8String](cs.length)
+    var scrubbed = 0
+    var i = 0
+    while (i < cs.length) {
+      if (java.util.Arrays.binarySearch(hot, polyHash(cs(i), seed, p)) >= 0) scrubbed += 1
+      else kept.add(cs(i))
+      i += 1
+    }
+    val joined = UTF8String.concatWs(SPACE,
+      kept.toArray(new Array[UTF8String](kept.size())): _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](joined, cs.length, scrubbed))
+  }
+}
+
+/** Non-overlapping `w`-word chunks of a document as one compiled
+  * expression — the span unit of the repeated-passage scrub (and a
+  * frequency-pass primitive: explode → hash → document frequency). */
+case class WordChunks(child: Expression, w: Int) extends UnaryExpression {
+
+  require(w >= 1, "chunk width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ScrubUtil.chunks(a.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.expr.ScrubUtil$$.MODULE$$.chunks($x, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
+}
+
+/** Scan-local repeated-span removal: rebuild a document with every
+  * chunk whose poly-hash appears in the SORTED `hot` table removed.
+  * The table travels via the codegen reference array (same pattern as
+  * the PQ codebooks / gram bloom — never inlined into generated
+  * source) and is probed by binary search: O(chunks · log |hot|) per
+  * row, no join, no shuffle — document text never leaves its scan
+  * partition. Returns struct(text_scrubbed, n_chunks, n_scrubbed). */
+case class ScrubText(child: Expression, w: Int, seed: Long, p: Long,
+                     hot: Array[Long]) extends UnaryExpression {
+
+  require(w >= 1, "chunk width must be >= 1")
+  require(hot.length <= 1 || (1 until hot.length).forall(i => hot(i - 1) <= hot(i)),
+    "hot-span table must be sorted ascending (binary search)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text_scrubbed", StringType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false),
+    StructField("n_scrubbed", IntegerType, nullable = false)))
+  override def prettyName: String = "scrub_text"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ScrubUtil.scrub(a.asInstanceOf[UTF8String], w, seed, p, hot)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("hotSpans", hot, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.expr.ScrubUtil$$.MODULE$$.scrub($x, $w, ${seed}L, ${p}L, $tbl);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubText =
+    copy(child = newChild)
+}

@@ -523,6 +523,90 @@ object PipelineQueries {
       .select(col("doc_id"), col("shard"), col("shard_pos"))
   }
 
+  /** Span width of the repeated-passage scrub: long enough that a
+    * shared 20-word span is template text and not coincidence (the
+    * boilerplate detector's 5-gram threshold flags CANDIDATE grams;
+    * removal wants a stricter unit), short enough that real
+    * boilerplate (headers, license blocks, nav bars) spans ≥ 1 chunk. */
+  val ScrubChunkWords = 20
+
+  /** A chunk present in ≥ this many DISTINCT documents is template
+    * text (same floor as textBoilerplate's gram threshold). */
+  val ScrubMinDocs = 3
+
+  /** Driver-collect bound on the hot-span table (32 MB of longs at the
+    * cap). Boilerplate is low-cardinality by nature — a span must
+    * repeat across ≥ [[ScrubMinDocs]] docs to qualify, so the table is
+    * O(distinct templates), not O(corpus); crossing the cap means the
+    * corpus/width/threshold combination is degenerate (e.g. w=1 on a
+    * natural-language corpus) and the scrub fails loudly rather than
+    * silently truncating the removal set. */
+  val ScrubMaxSpans = 4 << 20
+
+  private[graft] val ScrubSeed = 11L // distinct from simhash 1,3 / dsir 7
+  private[graft] val ScrubP = 2147483647L
+
+  /** Cross-document repeated-span scrub (C4/RefinedWeb-style
+    * boilerplate REMOVAL — the scrubbing pass the detection-only
+    * `text_boilerplate` feeds): rebuild every document with the
+    * [[ScrubChunkWords]]-word aligned chunks that appear verbatim in
+    * ≥ [[ScrubMinDocs]] distinct documents removed.
+    * Reference behavior: tag_computer.py-era pipelines drop whole
+    * duplicate docs; span scrub is the finer-grained op a training
+    * corpus needs (duplicated nav/footer text inside otherwise-unique
+    * pages). */
+  def corpusScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubDocs(Tables.load(spark, dir, "documents"), ScrubChunkWords, ScrubMinDocs)
+
+  /** [[corpusScrub]] over any `(doc_id, text)` frame. Two corpus
+    * scans, document text never shuffles:
+    *
+    *  1. Frequency pass: explode per-doc chunk arrays ([[graft.functions.expr.WordChunks]],
+    *     one compiled loop per row), hash each chunk
+    *     ([[graft.functions.expr.RollingHash]], seed [[ScrubSeed]] mod 2^31−1 — the
+    *     arithmetic the DuckDB oracle replays exactly), count DISTINCT
+    *     docs per hash. The only exchange carries (hash, doc_id)
+    *     16-byte rows with map-side partial distinct; spans with
+    *     df ≥ minDocs — the hot table — collect to the driver under
+    *     [[ScrubMaxSpans]] (loud failure above it, see there).
+    *  2. Rebuild pass: scan-local [[graft.functions.expr.ScrubText]] — the sorted hot
+    *     table rides the codegen reference array (the PQ-codebook /
+    *     gram-bloom pattern), each chunk binary-searches it, and the
+    *     document is rejoined from survivors in the same compiled
+    *     loop. No join, no shuffle, no text exchange — at 100 TB the
+    *     scrub costs two scans plus one broadcast of the template set.
+    *
+    * Alignment contract (also [[graft.functions.expr.ScrubUtil]]): only spans starting
+    * on a w-word boundary in BOTH documents detect — the convention
+    * line-based scrubbers inherit from '\n', transplanted to
+    * width-w boundaries because the corpus has no line structure. */
+  def scrubDocs(docs: DataFrame, chunkWords: Int, minDocs: Int,
+                maxSpans: Int = ScrubMaxSpans): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val chunked = docs.select(col("doc_id"),
+      ofExpr(graft.functions.expr.WordChunks(toExpr(col("text")), chunkWords)).as("chunks"))
+    val hot = chunked
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .select(col("doc_id"),
+        ofExpr(graft.functions.expr.RollingHash(toExpr(col("chunk")), ScrubSeed, ScrubP)).as("h"))
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h").limit(maxSpans + 1)
+      .collect().map(_.getLong(0))
+    require(hot.length <= maxSpans,
+      s"hot-span table exceeds $maxSpans entries — the chunk width/" +
+        "threshold combination is degenerate for this corpus; raise " +
+        "maxSpans only if a multi-ten-MB broadcast is intended")
+    java.util.Arrays.sort(hot)
+    docs.select(col("doc_id"),
+        ofExpr(graft.functions.expr.ScrubText(toExpr(col("text")), chunkWords,
+          ScrubSeed, ScrubP, hot)).as("s"))
+      .select(col("doc_id"),
+        col("s.text_scrubbed").as("text_scrubbed"),
+        col("s.n_chunks").cast("long").as("n_chunks"),
+        col("s.n_scrubbed").cast("long").as("n_scrubbed"))
+  }
+
   /** Per-language token budget for [[corpusSelectBudget]] — sized so
     * sf0.01 exercises both branches (en/zh truncate, de/es/fr fit). */
   val SelectBudgetTokens = 4000L
@@ -707,6 +791,7 @@ object PipelineQueries {
     "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_shard" -> (corpusShard _),
+    "corpus_scrub" -> (corpusScrub _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "sample_stratified" -> (sampleStratified _))
 
@@ -864,6 +949,35 @@ object PipelineQueries {
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT)
         |         AS shard_pos
         |FROM m""".stripMargin,
+    // same chunking (1-based inclusive slice = non-overlapping 20-word
+    // spans), same seed-11 Horner fold mod 2^31−1 (ord = UTF-8 byte on
+    // this ASCII corpus — the dsir/simhash mirror argument), same
+    // distinct-doc frequency floor; the rebuild keeps chunk order
+    "corpus_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS chunk
+        |  FROM d, unnest(generate_series(0, (len(ws)-1)//20)) AS t(i)),
+        |h AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         list_reduce(list_prepend(CAST(11 AS BIGINT),
+        |             list_transform(string_split_regex(chunk, ''), ch -> ord(ch))),
+        |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |  FROM c),
+        |hot AS (
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM h) GROUP BY h
+        |  HAVING count(*) >= 3),
+        |m AS (
+        |  SELECT h.*, hot.h IS NOT NULL AS is_hot
+        |  FROM h LEFT JOIN hot ON h.h = hot.h)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(list(chunk ORDER BY chunk_idx)
+        |    FILTER (WHERE NOT is_hot), ' '), '') AS text_scrubbed,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE is_hot) AS BIGINT) AS n_scrubbed
+        |FROM m GROUP BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,
