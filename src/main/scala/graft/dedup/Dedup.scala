@@ -479,4 +479,57 @@ object Dedup {
         greatest(col("l_id"), col("r_id")).as("vec_b"),
         col("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): k-means-cluster the embedding space
+    * with the IVF coarse quantizer, then exact-cosine ALL PAIRS within
+    * each cluster. The data-adaptive counterpart to
+    * [[embeddingLshPairs]]: random hyperplanes prune by chance
+    * collisions, k-means cells prune by the corpus's own density
+    * structure — on clustered corpora (the regime SemDeDup targets:
+    * semantically redundant web text) the cells are tight and the
+    * within-cell quadratic is spent exactly where the duplicates are.
+    *
+    * Plan: one bounded sample fit (reused via `prefit` in production —
+    * same contract as ivfTopK), one codegen'd argmin assignment per
+    * side, one equi-join on cell id. Cost is Σ|cell|²: at
+    * `Similarity.suggestNCells` (~4√n cells, mean cell √n/4) that is
+    * ~n^1.5/16 comparisons — subquadratic, spread evenly unless one
+    * cell hoards the corpus, which is a FIT problem (raise nClusters)
+    * surfaced by `groupBy(cell).count` before committing to the join.
+    * The exchange carries (cell, id, vec): vectors must co-locate to
+    * be compared — unlike the banding path there is no ids-only trick,
+    * because the candidate set IS the cell.
+    *
+    * By-construction exactness WITHIN the partition: emitted pairs are
+    * exact cosines ≥ `minCosine`, a strict subset of
+    * [[embeddingPairs]] at the same threshold. What clustering trades
+    * away is CROSS-cell pairs — near-dups split by a cell boundary
+    * (the paper accepts this; DedupSpec pins planted-corpus recall at
+    * the operating point). Resolution (keep one per group) composes
+    * exactly as for every other pair op: [[resolveClusters]]. */
+  def semdedupPairs(df: DataFrame, vec: Column, id: String, nClusters: Int,
+                    minCosine: Double, seed: Long = 42L,
+                    prefit: Option[graft.similarity.Similarity.IvfModel] = None): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import graft.similarity.Similarity
+    val base = df.select(col(id).as("id"), vec.as("vec"))
+    val model = prefit.getOrElse(Similarity.ivfFit(base, nClusters, seed))
+    // fanout barrier: assignment + norm feed both join sides — without
+    // it the argmin (nClusters dot products per row) re-executes per
+    // consumer, same lesson as embeddingPairs
+    val v = graft.sources.PlanUtils.fanout(
+      base.select(col("id"), col("vec"),
+          Similarity.ivfAssign(col("vec"), model).as("cell"))
+        .withColumn("nrm", norm(col("vec"))))
+    val a = v.select(col("cell"), col("id").as("vec_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("cell"), col("id").as("vec_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
 }

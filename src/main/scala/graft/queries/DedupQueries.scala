@@ -79,6 +79,18 @@ object DedupQueries {
     Dedup.embeddingLshPairs(df, col(vecCol), idCol,
       minCosine = 0.8, dim = LshDim, bands = TightBands, bitsPerBand = TightBits)
 
+  /** SemDeDup gate entry: k-means cells sized by the corpus guideline
+    * (nClusters = suggestNCells would give ~√n·4; the gate corpus is
+    * small, so a fixed 16 matches the spec-scale IVF operating point),
+    * verified at the corpus's populated threshold. rows-only at the
+    * gate (a DuckDB oracle cannot replay the k-means fit — same
+    * adjudication as ann_ivf); DedupSpec pins the semantics: exact
+    * subset of the brute-force pairs, planted-corpus recall, and
+    * determinism across runs. */
+  def dedupSemdedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semdedupPairs(embs(spark, dir), col("embedding"), "vec_id",
+      nClusters = 16, minCosine = 0.4)
+
   /** Dedup execution: near-dup pairs → canonical survivor per doc via
     * distributed connected components. */
   def dedupResolve(spark: SparkSession, dir: String): DataFrame =
@@ -115,6 +127,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_bruteforce" -> (dedupEmbeddingBruteforce _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_semdedup" -> (dedupSemdedup _),
     "dedup_resolve" -> (dedupResolve _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_cluster_stats" -> (dedupClusterStats _))
