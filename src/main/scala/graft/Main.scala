@@ -38,13 +38,15 @@ import org.apache.spark.sql.functions._
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
-  *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000]
+  *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares>]
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false]
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16]
+  *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
+  *   runMain graft.Main quality-score in=<docs.parquet> out=<dir> [weights=<bucket,weight_milli parquet>]
   *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
   *   runMain graft.Main sql query=<SQL over graft_* views|list> dir=<warehouse> out=<dir>
   * }}}
@@ -82,7 +84,8 @@ object Main {
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
-    "corpus-stats", "decontaminate", "dsir-select", "query", "sql")
+    "corpus-stats", "decontaminate", "dsir-select", "corpus-scrub",
+    "quality-score", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -317,8 +320,15 @@ object Main {
         // of counts vs a second full-text scan)
         val toked = graft.queries.PipelineQueries.tokenizeDocs(docs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val mixed = try graft.queries.PipelineQueries.corpusMixFromToked(toked,
-          opts.getOrElse("budget", "20000").toLong).localCheckpoint()
+        val budget = opts.getOrElse("budget", "20000").toLong
+        // alpha present => temperature-weighted shares (t^alpha);
+        // absent => equal shares (the alpha = 0 limit)
+        val mixed = try (opts.get("alpha") match {
+          case Some(a) => graft.queries.PipelineQueries
+            .corpusMixTemperatureFromToked(toked, budget, a.toDouble)
+          case None => graft.queries.PipelineQueries
+            .corpusMixFromToked(toked, budget)
+        }).localCheckpoint()
         finally toked.unpersist()
         mixed.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), mixed.count())
@@ -417,6 +427,34 @@ object Main {
           docs, targets, opts.getOrElse("frac", "0.2").toDouble).localCheckpoint()
         sel.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), sel.count())
+      // repeated-span removal; rowsOut counts docs that LOST a span
+      // (the number a curator inspects), the output holds every doc
+      case "corpus-scrub" =>
+        val docs = spark.read.parquet(req("in")).select("doc_id", "text")
+        val scrubbed = graft.queries.PipelineQueries.scrubDocs(docs,
+          opts.getOrElse("w", graft.queries.PipelineQueries.ScrubChunkWords.toString).toInt,
+          opts.getOrElse("mindocs", graft.queries.PipelineQueries.ScrubMinDocs.toString).toInt)
+          .localCheckpoint()
+        scrubbed.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), scrubbed.filter(col("n_scrubbed") > 0).count())
+      // model-based quality filter: weights=<parquet with (bucket,
+      // weight_milli)> is the trained-model input; absent ⇒ the
+      // deterministic stand-in table (the gate configuration)
+      case "quality-score" =>
+        val docs = spark.read.parquet(req("in")).select("doc_id", "text")
+        val lam = opts.get("weights") match {
+          case Some(p) =>
+            val w = new Array[Long](graft.queries.PipelineQueries.DsirBuckets)
+            spark.read.parquet(p).select(col("bucket").cast("int"),
+                col("weight_milli").cast("long"))
+              .collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
+            w
+          case None => graft.queries.TextQueries.qualityModelWeights
+        }
+        val scored = graft.queries.TextQueries.qualityModelScore(docs, lam)
+          .localCheckpoint()
+        scored.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), scored.filter(col("keep")).count())
       case other => sys.error(s"unknown pipeline command: $other")
     }
   }

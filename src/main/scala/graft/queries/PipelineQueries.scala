@@ -440,6 +440,61 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Sampling temperature of the gate's [[corpusMixTemperature]] form:
+    * α = 0.5 — the multilingual-LM convention's interpolation point
+    * between proportional (α=1, big languages keep their dominance)
+    * and uniform (α=0, [[corpusMix]]'s equal shares). 0.5 is also the
+    * one non-trivial α whose weight function (√t) is CORRECTLY
+    * ROUNDED per IEEE-754 in every engine — `pow` is libm-dependent
+    * to the last ulp, and a 1-ulp drift can flip a floor'd keep
+    * threshold, so only the sqrt path is oracle-checked (arbitrary α
+    * works through the same API, spec-checked instead). */
+  val MixAlpha = 0.5
+
+  /** Temperature-weighted language mixing (the mBERT/XLM-R sampling
+    * scheme, public): language `l` gets budget share ∝ t_l^α of
+    * [[MixBudgetTokens]] instead of [[corpusMix]]'s equal slice —
+    * α up-weights tail languages without flattening the head. */
+  def corpusMixTemperature(spark: SparkSession, dir: String): DataFrame =
+    corpusMixTemperatureDocs(Tables.load(spark, dir, "documents"),
+      MixBudgetTokens, MixAlpha)
+
+  /** [[corpusMixTemperature]] over any `(doc_id, lang, text)` frame.
+    *
+    * Shape: one supply aggregation (langs × 16 B — bounded by the
+    * world's language count, collected), per-language keep thresholds
+    * derived ON THE DRIVER with a lang-ORDERED left fold for Σ t^α —
+    * a distributed float sum has engine- and partition-dependent
+    * order, and the threshold floors the rate into a 2^20 residue
+    * where a last-ulp drift flips documents; the ordered fold is the
+    * arithmetic the DuckDB oracle replays (list_reduce over a
+    * lang-sorted list). The keep filter itself is the same
+    * scan-level multiply-shift residue as [[corpusMix]]: no second
+    * shuffle, threshold rides a broadcast join. */
+  def corpusMixTemperatureDocs(docs: DataFrame, budgetTokens: Long,
+                               alpha: Double): DataFrame =
+    corpusMixTemperatureFromToked(tokenizeDocs(docs), budgetTokens, alpha)
+
+  private[graft] def corpusMixTemperatureFromToked(toked: DataFrame,
+      budgetTokens: Long, alpha: Double): DataFrame = {
+    val spark = toked.sparkSession
+    import spark.implicits._
+    val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    def w(t: Long): Double =
+      if (alpha == 0.5) math.sqrt(t.toDouble) else math.pow(t.toDouble, alpha)
+    val sumW = supply.foldLeft(0.0) { case (a, (_, t)) => a + w(t) }
+    val thr = supply.toSeq.map { case (l, t) =>
+      (l, t, math.floor(math.min(1.0,
+        budgetTokens.toDouble * w(t) / sumW / t) * MixHashMod.toDouble).toLong)
+    }.toDF("lang", "lang_tokens", "keep_points")
+    toked.join(broadcast(thr.select("lang", "keep_points")), Seq("lang"))
+      .filter(
+        pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod)) <
+          col("keep_points"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   /** Held-out fractions for [[corpusSplit]], in residue points of
     * [[MixHashMod]]: val gets 2%, test gets 2%, train the rest. */
   val SplitValPoints = MixHashMod / 50
@@ -781,6 +836,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
+    "corpus_mix_temperature" -> (corpusMixTemperature _),
     "corpus_split" -> (corpusSplit _),
     "corpus_select_budget" -> (corpusSelectBudget _),
     "corpus_select_budget_pruned" -> (corpusSelectBudgetPruned _),
@@ -812,6 +868,27 @@ object PipelineQueries {
          |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
          |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
          |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin,
+    // mirrors corpusMixTemperature at the gate's alpha = 0.5: sqrt
+    // weights (correctly rounded both engines), sum_w as an ORDERED
+    // left fold over lang-sorted sqrt values (the driver fold's
+    // arithmetic), same division order, same floor'd residue points
+    "corpus_mix_temperature" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+         |  FROM documents),
+         |supply AS (SELECT lang, sum(n_tokens) AS lt FROM t GROUP BY lang),
+         |sw AS (SELECT list_reduce(list(sqrt(CAST(lt AS DOUBLE)) ORDER BY lang),
+         |                          (a, b) -> a + b) AS sum_w FROM supply),
+         |thr AS (
+         |  SELECT lang,
+         |         CAST(floor(least(1.0, ${MixBudgetTokens.toDouble}
+         |                    * sqrt(CAST(lt AS DOUBLE)) / sum_w / lt)
+         |                    * ${MixHashMod.toDouble}) AS BIGINT) AS keep_points
+         |  FROM supply CROSS JOIN sw)
+         |SELECT doc_id, lang, n_tokens
+         |FROM t JOIN thr USING (lang)
+         |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod < keep_points""".stripMargin,
     // mirrors corpusSplit: same residue, same interval edges
     "corpus_split" ->
       s"""SELECT doc_id, lang,

@@ -106,6 +106,55 @@ object SimilarityQueries {
     Similarity.knnLabelVote(queriesDf(spark, dir), corpus, K)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60 —
+    * public, the de-facto default in every hybrid-search stack). */
+  val RrfK0 = 60
+
+  /** Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
+    * ranks by reciprocal-rank fusion — `score(d) = Σ 1/(k0 + rank_s)`
+    * over the systems that retrieved d. The composite a RAG corpus
+    * actually serves: keyword precision + semantic recall, without
+    * score calibration (RRF fuses RANKS, so BM25's unbounded scores
+    * and cosine's [-1,1] never meet).
+    *
+    * The gate runs the two sides the gate already trusts: the BM25
+    * query set (lexical) and, for each query id, the corpus exemplar
+    * embedding with that id as the query vector (documents and
+    * embeddings share the 0..n id space by testdata construction;
+    * the ANN side's self-filter excludes the exemplar itself). Each
+    * side's cost model is its own operator's (one pruned corpus
+    * tokenize-pass; one broadcast query batch against the corpus —
+    * swap `bruteForceTopK` for `PqIndex.topK` at scale, ranks are
+    * ranks); the fusion itself joins two topK-row sets — O(queries·k),
+    * corpus-size-independent. Both fusion terms are evaluated in a
+    * FIXED order (lexical + vector), so the double sum is
+    * bit-reproducible and the oracle can replay it; emitted columns
+    * are the rank and the per-system membership flags, floats stay
+    * internal (the BM25/gate convention). */
+  def searchHybridRrf(spark: SparkSession, dir: String, topK: Int = K): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lex = TextQueries.bm25Search(docs, TextQueries.Bm25QuerySet, topK)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("rank").as("lrank"))
+    val qids = TextQueries.Bm25QuerySet.map(_._1.toLong)
+    val qv = embs(spark, dir).filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val vec = Similarity.bruteForceTopK(qv, asIdVec(embs(spark, dir)), topK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK0) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + col("vrank")), lit(0.0))).as("score"),
+        col("lrank").isNotNull.as("in_lex"), col("vrank").isNotNull.as("in_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    fused.withColumn("rrf_rank", row_number().over(w))
+      .filter(col("rrf_rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf_rank"),
+        col("in_lex"), col("in_vec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -114,7 +163,8 @@ object SimilarityQueries {
     "ann_opq_topk" -> (annOpqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_opq_ivfpq_topk" -> (annOpqIvfPqTopk _),
-    "knn_label_vote" -> (knnLabelVote _))
+    "knn_label_vote" -> (knnLabelVote _),
+    "search_hybrid_rrf" -> ((s: SparkSession, d: String) => searchHybridRrf(s, d)))
 
   /** Left-fold cosine identical to VectorFunctions.dot/norm (see
     * DedupQueries for the list_reduce rationale). */
@@ -180,9 +230,47 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $K""".stripMargin
   }
 
+  /** Mirrors searchHybridRrf. The lexical side nests the search_bm25
+    * oracle verbatim (single-sourced, so the two can't drift); the
+    * vector side is the knn cosine restricted to the BM25 query ids;
+    * the fusion terms are CAST(1 AS DOUBLE) divisions in the same
+    * fixed lexical+vector order as the Spark expression (a bare `1.0`
+    * would be DECIMAL in DuckDB and round differently). */
+  private def hybridRrfOracleSql: String = {
+    val qids = TextQueries.Bm25QuerySet.map(_._1).mkString(", ")
+    s"""WITH lex AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank AS lrank
+       |  FROM (${TextQueries.oracles("search_bm25")}) b),
+       |vscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id, $cosineSql AS cosine
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id IN ($qids)),
+       |vec AS (
+       |  SELECT query_id, doc_id, rank AS vrank FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cosine DESC, doc_id) AS rank
+       |    FROM vscored) WHERE rank <= $K),
+       |f AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |         COALESCE(CAST(1 AS DOUBLE) / ($RrfK0 + l.lrank), 0)
+       |           + COALESCE(CAST(1 AS DOUBLE) / ($RrfK0 + v.vrank), 0) AS score,
+       |         l.lrank IS NOT NULL AS in_lex, v.vrank IS NOT NULL AS in_vec
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+       |SELECT query_id, doc_id, rrf_rank, in_lex, in_vec FROM (
+       |  SELECT query_id, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, doc_id) AS INTEGER) AS rrf_rank,
+       |         in_lex, in_vec
+       |  FROM f) WHERE rrf_rank <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> knnSql,
     "ann_lsh_topk" -> lshOracleSql,
+    "search_hybrid_rrf" -> hybridRrfOracleSql,
     "knn_label_vote" ->
       s"""WITH nn AS ($knnSql),
          |votes AS (

@@ -381,12 +381,59 @@ object TextQueries {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** Stand-in weight table for the model-based quality scorer — the
+    * "shipped model" slot. A real deployment trains a linear
+    * classifier offline (fastText-style: quality-reference vs random
+    * crawl) and ships its per-bucket weights as data; the gate needs a
+    * DETERMINISTIC table both engines can derive, so this is a
+    * zero-mean affine residue over the bucket id (range −1001..+1001
+    * milli-units, mean ≈ 0 so the keep/drop boundary is exercised).
+    * Same 4096-bucket hashed uni+bigram feature space as DSIR —
+    * scorer and importance-resampler stay feature-compatible, which is
+    * how the pair is used in practice (score with one model, resample
+    * with another, one gram pass each). */
+  private[graft] def qualityModelWeights: Array[Long] =
+    Array.tabulate(PipelineQueries.DsirBuckets)(b =>
+      (b.toLong * 2654435761L + 97L) % 2003L - 1001L)
+
+  def textQualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityModelScore(docs(spark, dir), qualityModelWeights)
+
+  /** Model-based quality scoring (the GPT-3/LLaMA-style learned
+    * quality FILTER, vs `text_quality`'s hand-rule heuristics): each
+    * doc's hashed uni+bigram features index a weight table and the
+    * doc's score is the weight SUM — scan-local via one higher-order
+    * `aggregate` over the gram array with the λ table a broadcast
+    * plan literal (the DSIR pass-2 shape: no explode, no join, no
+    * shuffle of gram rows; at 100 TB this is one read-only scan).
+    * Integer milli-weights end-to-end, so no float summation order
+    * can flip `keep` and the DuckDB oracle reproduces every row
+    * bit-for-bit. `keep = sum ≥ 0` ⟺ mean-weight ≥ 0 (n_grams > 0 —
+    * gramless docs carry no evidence and are excluded, the DSIR
+    * convention); the score/count split is emitted rather than a
+    * quotient because Spark `div` truncates where DuckDB `//`
+    * floors on negatives. */
+  def qualityModelScore(in: DataFrame, lam: Array[Long]): DataFrame = {
+    require(lam.length == PipelineQueries.DsirBuckets,
+      s"weight table must cover all ${PipelineQueries.DsirBuckets} feature buckets")
+    val lams = typedLit(lam.toSeq)
+    in.select(col("doc_id"), PipelineQueries.dsirWords(col("text")).as("ws"))
+      .select(col("doc_id"), PipelineQueries.dsirGrams(col("ws")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        aggregate(col("grams"), lit(0L), (acc, g) =>
+          acc + element_at(lams, (PipelineQueries.dsirBucket(g) + 1).cast("int")))
+          .as("sum_milli"))
+      .withColumn("keep", col("sum_milli") >= 0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_bm25" -> ((s: SparkSession, d: String) => searchBm25(s, d)),
     "text_lm_score" -> (textLmScore _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_quality_model" -> (textQualityModel _),
     "text_langid" -> (textLangid _),
     "text_langid_ngram" -> (textLangidNgram _),
     // gate form keeps the DuckDB-reproducible polynomial hash; fp64
@@ -521,6 +568,31 @@ object TextQueries {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
         |       length(text) AS n_chars
         |FROM documents""".stripMargin,
+    // mirrors qualityModelScore: same DSIR gram/bucket arithmetic
+    // (seed-7 Horner fold, affine remix, 4096 buckets) and the same
+    // stand-in weight formula — all exact BIGINT, summed per doc
+    "text_quality_model" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_concat(ws,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(generate_series(1, len(ws) - 1),
+        |             i -> ws[i] || ' ' || ws[i + 1])
+        |      ELSE [] END)) AS gram
+        |  FROM d),
+        |gb AS (
+        |  SELECT doc_id,
+        |         ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |             list_transform(string_split_regex(gram, ''), ch -> ord(ch))),
+        |           (a, b) -> (a * 31 + b) % 2147483647) * 1103515245 + 12345)
+        |          % 2147483647) % 4096 AS b
+        |  FROM g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum((b * 2654435761 + 97) % 2003 - 1001) AS BIGINT) AS sum_milli,
+        |       CAST(sum((b * 2654435761 + 97) % 2003 - 1001) AS BIGINT) >= 0 AS keep
+        |FROM gb GROUP BY doc_id""".stripMargin,
     "text_quality" ->
       s"""WITH base AS (
          |  SELECT doc_id,

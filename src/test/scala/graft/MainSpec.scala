@@ -345,6 +345,44 @@ class MainSpec extends SparkSpec {
       s"the science-vocabulary candidates must win the importance weights, got $sel")
   }
 
+  test("pipeline subcommands: corpus-scrub and quality-score e2e") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_scrub").toString
+    val boiler = "terms of service apply"
+    (Seq(1L, 2L, 3L).map(i => (i, s"$boiler doc $i unique body")) :+
+      ((4L, "doc four unique body")))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val r = Main.runPipeline(spark, Seq("corpus-scrub", "w=4", "mindocs=3",
+      s"in=$base/docs.parquet", s"out=$base/scrubbed"))
+    // rows_out counts docs that LOST a span; the output holds all 4
+    assert(r.rowsIn == 4 && r.rowsOut == 3)
+    val out = spark.read.parquet(s"$base/scrubbed")
+    assert(out.count() == 4)
+    assert(!out.filter($"doc_id" === 1L).head().getString(1).contains("terms"))
+
+    // quality-score: explicit weights table makes one doc's vocab win
+    val q = Seq((10L, "alpha beta"), (11L, "zzz zzz")).toDF("doc_id", "text")
+    q.write.parquet(s"$base/qdocs.parquet")
+    // shipped table: +1 everywhere except doc 11's gram buckets at -1
+    // (bucket ids recomputed here with the documented hash so the test
+    // doesn't depend on the production code to build its own fixture)
+    val zb = Seq("zzz", "zzz zzz").map { g =>
+      var h = 7L
+      g.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xFF)) % 2147483647L)
+      (((h * 1103515245L + 12345L) % 2147483647L) % 4096L).toInt
+    }.toSet
+    (0 until 4096).map(b => (b, if (zb(b)) -1L else 1L))
+      .toDF("bucket", "weight_milli").write.parquet(s"$base/weights.parquet")
+    val r2 = Main.runPipeline(spark, Seq("quality-score",
+      s"in=$base/qdocs.parquet", s"out=$base/scored",
+      s"weights=$base/weights.parquet"))
+    assert(r2.rowsIn == 2 && r2.rowsOut == 1)
+    val kept = spark.read.parquet(s"$base/scored").filter($"keep")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"weighted vocabulary must decide keep: $kept")
+  }
+
   test("query subcommand runs any registered operator by name") {
     val base = java.nio.file.Files.createTempDirectory("graft_main_query").toString
     val r = Main.runPipeline(spark, Seq("query",

@@ -18,6 +18,7 @@ class PlanGuardSpec extends SparkSpec {
     "text_keywords",            // 1-row corpus-count scalar broadcast, not an n×n join
     "user_rfm_approx",          // 1-row quantile-breakpoint frame broadcast to every user
     "search_bm25",              // 1-row (N, avgdl) corpus-stats broadcast
+    "search_hybrid_rrf",        // fuses search_bm25 + the bounded bruteforce query batch
     "text_lm_score",            // 1-row vocabulary-size broadcast
     "corpus_mix")               // 1-row language-count broadcast
 

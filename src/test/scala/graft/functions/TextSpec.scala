@@ -267,4 +267,42 @@ class TextSpec extends SparkSpec {
     val gateRows = graft.queries.TextQueries.textBoilerplate(spark, sf("any")).collect()
     assert(gateRows.nonEmpty, "gate corpus has planted near-dups sharing 5-grams")
   }
+
+  test("quality model: sum semantics — uniform weights scale with gram count, sign sets keep") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
+    val B = graft.queries.PipelineQueries.DsirBuckets
+    // 3 words -> 3 unigrams + 2 bigrams = 5 grams; 1 word -> 1 gram
+    val plus = graft.queries.TextQueries
+      .qualityModelScore(docs, Array.fill(B)(5L)).orderBy("doc_id").collect()
+    assert(plus.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 5L, 25L, true), (2L, 1L, 5L, true)))
+    val minus = graft.queries.TextQueries
+      .qualityModelScore(docs, Array.fill(B)(-1L)).orderBy("doc_id").collect()
+    assert(minus.map(r => (r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((-5L, false), (-1L, false)))
+  }
+
+  test("quality model: gramless docs carry no evidence and are excluded; bad table loud") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "12345 !!")).toDF("doc_id", "text")
+    val B = graft.queries.PipelineQueries.DsirBuckets
+    val out = graft.queries.TextQueries.qualityModelScore(docs, Array.fill(B)(1L)).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextQueries.qualityModelScore(docs, Array.fill(7)(1L))
+    }
+    assert(e.getMessage.contains("feature buckets"))
+  }
+
+  test("quality model gate entry: stand-in weights exercise both sides of the keep boundary") {
+    val out = graft.queries.TextQueries.textQualityModel(spark, sf("any")).collect()
+    assert(out.nonEmpty)
+    val kept = out.count(_.getBoolean(3))
+    assert(kept > 0 && kept < out.length,
+      s"stand-in model must split the corpus, kept $kept of ${out.length}")
+    // keep is definitionally sum >= 0 -- a drift between column and
+    // predicate would silently re-label the corpus
+    assert(out.forall(r => r.getBoolean(3) == (r.getLong(2) >= 0L)))
+  }
 }

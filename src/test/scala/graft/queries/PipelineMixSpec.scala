@@ -129,4 +129,64 @@ class PipelineMixSpec extends SparkSpec {
         s"doc ${r.getLong(0)} changed split when the corpus shrank")
     }
   }
+
+  test("temperature mix: alpha=0 is exactly the equal-share mix, to the last document") {
+    val s = spark
+    import s.implicits._
+    val toked = (0L until 5000L).map(i => (i, if (i % 10 == 0) "tl" else "hd", 1L))
+      .toDF("doc_id", "lang", "n_tokens")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // w = t^0 = 1 for every lang makes the share budget/n_langs --
+    // bitwise the same keep threshold as corpusMix's formula
+    val uniform = ids(PipelineQueries.corpusMixFromToked(toked, 600L))
+    val temp0 = ids(PipelineQueries.corpusMixTemperatureFromToked(toked, 600L, 0.0))
+    assert(temp0 == uniform)
+  }
+
+  test("temperature mix: alpha interpolates tail shares between uniform and proportional") {
+    val s = spark
+    import s.implicits._
+    // head: 9000 docs x 1 token, tail: 1000 docs x 1 token; budget 2000
+    // tail keep fraction: alpha=0 -> min(1, 1000/1000)=1.0;
+    // alpha=0.5 -> share 2000*(sqrt1000/(sqrt9000+sqrt1000)) = 500 -> 0.5;
+    // alpha=1 -> share 200 -> 0.2. Strictly decreasing in alpha.
+    val toked = ((0L until 9000L).map(i => (i, "hd", 1L)) ++
+      (10000L until 11000L).map(i => (i, "tl", 1L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    def tailFrac(alpha: Double): Double =
+      PipelineQueries.corpusMixTemperatureFromToked(toked, 2000L, alpha)
+        .filter(col("lang") === "tl").count().toDouble / 1000.0
+    val (f0, f05, f1) = (tailFrac(0.0), tailFrac(0.5), tailFrac(1.0))
+    assert(f0 > 0.95, s"uniform shares keep the whole tail: $f0")
+    assert(math.abs(f05 - 0.5) < 0.06, s"sqrt shares keep ~half the tail: $f05")
+    assert(math.abs(f1 - 0.2) < 0.05, s"proportional shares keep ~a fifth: $f1")
+    assert(f0 > f05 && f05 > f1, "tail share must fall as alpha rises")
+    // and the head moves the other way (fractions, not absolute docs)
+    def headFrac(alpha: Double): Double =
+      PipelineQueries.corpusMixTemperatureFromToked(toked, 2000L, alpha)
+        .filter(col("lang") === "hd").count().toDouble / 9000.0
+    assert(headFrac(0.0) < headFrac(0.5) && headFrac(0.5) < headFrac(1.0))
+  }
+
+  test("temperature mix gate entry: deterministic, keep fraction anti-monotone in language size") {
+    val a = PipelineQueries.corpusMixTemperature(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val b = PipelineQueries.corpusMixTemperature(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    // the property temperature shares promise: keep FRACTION is
+    // anti-monotone in language size — the biggest language is
+    // downsampled hardest, the smallest kept at the highest rate,
+    // and the gate budget separates them by a wide margin
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val perLang = PipelineQueries.corpusMixTemperature(spark, dir)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = totals.map { case (l, n) => n -> (perLang.getOrElse(l, 0L).toDouble / n) }
+      .toSeq.sortBy(_._1)
+    assert(fracs.head._2 > fracs.last._2 + 0.2,
+      s"smallest language must keep a much higher fraction than the biggest: $fracs")
+  }
 }

@@ -265,4 +265,42 @@ class SimilaritySpec extends SparkSpec {
       .select(max(col("cosine"))).as[Double].head()
     assert(math.abs(all - top._2) < 1e-12)
   }
+
+  test("hybrid RRF: operator output equals an independent rank fusion of its two sides") {
+    val dir = sf("any")
+    val topK = graft.queries.SimilarityQueries.K
+    val k0 = graft.queries.SimilarityQueries.RrfK0
+    // the two component systems, collected independently
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val lex = graft.queries.TextQueries
+      .bm25Search(docs, graft.queries.TextQueries.Bm25QuerySet, topK)
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(2)) -> r.getInt(1)).toMap
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+    val qids = graft.queries.TextQueries.Bm25QuerySet.map(_._1.toLong).toSet
+    import org.apache.spark.sql.functions.col
+    val qv = embs.filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = embs.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val vec = Similarity.bruteForceTopK(qv, corpus, topK)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // reference fusion in plain Scala — same fixed term order
+    val fusedRef = (lex.keySet ++ vec.keySet).groupBy(_._1).flatMap { case (q, keys) =>
+      keys.toSeq.map { k =>
+        val s = lex.get(k).map(r => 1.0 / (k0 + r)).getOrElse(0.0) +
+          vec.get(k).map(r => 1.0 / (k0 + r)).getOrElse(0.0)
+        (q, k._2, s, lex.contains(k), vec.contains(k))
+      }.sortBy { case (_, d, s, _, _) => (-s, d) }.take(topK).zipWithIndex.map {
+        case ((qq, d, _, il, iv), i) => (qq, d, i + 1, il, iv)
+      }
+    }.toSet
+    val got = graft.queries.SimilarityQueries.searchHybridRrf(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(got == fusedRef, s"fusion drifted: extra ${got -- fusedRef}, missing ${fusedRef -- got}")
+    // sanity: the fusion is non-trivially hybrid — some retrieved docs
+    // come from only one system each way
+    assert(got.exists(t => t._4 && !t._5) && got.exists(t => !t._4 && t._5),
+      "gate corpus should exercise lexical-only and vector-only hits")
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= topK))
+  }
 }
