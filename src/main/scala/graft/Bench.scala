@@ -69,9 +69,20 @@ object Bench {
     * run-to-run noise floor): the driver's capture keeps only a
     * bounded stdout tail, and full-precision doubles pushed the
     * 91-query line past it two rounds running (BENCH_r05/r06
-    * `parsed: null`). ~40% smaller line, same information. */
+    * `parsed: null`).
+    *
+    * Key ORDER is part of the contract: the wall-time "queries" map is
+    * the LAST key. The driver preserves only the TAIL of stdout, and
+    * in round 7 the line (100 queries × wall + cpu maps) exceeded it
+    * with cpu_sec last — the surviving fragment showed CPU seconds
+    * masquerading as wall times, which read as a phantom 3× regression.
+    * With queries last, any truncation eats the header, never the wall
+    * numbers. The stdout line also drops cpu_sec entirely
+    * (includeCpu=false): per-query cpu already streams to stderr as
+    * `[bench] name Ws (cpu Cs)` lines, and the full record including
+    * the cpu_sec map goes to bench_out.json, which has no size bound. */
   def renderJson(results: Seq[(String, Either[String, (Double, Double)])],
-                 sfDir: String, env: String): String = {
+                 sfDir: String, env: String, includeCpu: Boolean = true): String = {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -84,12 +95,16 @@ object Bench {
     val ok = results.collect { case (k, Right(v)) => (k, v) }
     val failed = results.collect { case (k, Left(m)) => (k, m) }
     val qs = ok.map { case (k, (w, _)) => jstr(k) + ":" + r3(w) }.mkString("{", ",", "}")
-    val cpu = ok.map { case (k, (_, c)) => jstr(k) + ":" + r3(c) }.mkString("{", ",", "}")
+    val cpu =
+      if (includeCpu)
+        ok.map { case (k, (_, c)) => jstr(k) + ":" + r3(c) }
+          .mkString(""""cpu_sec":{""", ",", "},")
+      else ""
     val fj = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = r3(ok.map(_._2._1).sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu_sec":$cpu,"failures":$fj,"n_ok":${ok.size},"n_failed":${failed.size},""" +
-      s""""sf":${jstr(sfDir)},$env}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},$env,""" +
+      s""""failures":$fj,"n_ok":${ok.size},"n_failed":${failed.size},""" +
+      cpu + s""""queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -145,8 +160,11 @@ object Bench {
     def r2(x: Double): Double = math.rint(x * 100) / 100
     val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
       s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)}"""
-    val json = renderJson(results, sfDir, env)
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // file record keeps cpu_sec (no size bound there); the stdout line
+    // drops it so the wall map survives the driver's bounded tail
+    Files.writeString(Paths.get("bench_out.json"),
+      renderJson(results, sfDir, env, includeCpu = true) + "\n")
+    val json = renderJson(results, sfDir, env, includeCpu = false)
     spark.stop()
     // last stdout line, after all Spark lifecycle logging
     println(json)

@@ -443,20 +443,75 @@ object Main {
       case "quality-score" =>
         val docs = spark.read.parquet(req("in")).select("doc_id", "text")
         val lam = opts.get("weights") match {
-          case Some(p) =>
-            val w = new Array[Long](graft.queries.PipelineQueries.DsirBuckets)
-            spark.read.parquet(p).select(col("bucket").cast("int"),
-                col("weight_milli").cast("long"))
-              .collect().foreach(r => w(r.getInt(0)) = r.getLong(1))
-            w
+          case Some(p) => readQualityWeights(spark, p)
           case None => graft.queries.TextQueries.qualityModelWeights
         }
         val scored = graft.queries.TextQueries.qualityModelScore(docs, lam)
           .localCheckpoint()
         scored.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), scored.filter(col("keep")).count())
+      // trigram language ID: profiles=<(lang, text) parquet> derives
+      // the profile table from a real corpus slice (new languages ride
+      // along free); absent ⇒ the built-in passages. Input lang column
+      // is optional — it is echoed for evaluation, not consumed.
+      case "langid" =>
+        val in = spark.read.parquet(req("in"))
+        val docs = (if (in.columns.contains("lang")) in
+          else in.withColumn("lang", lit(null).cast("string")))
+          .select("doc_id", "lang", "text")
+        val profiles = opts.get("profiles") match {
+          case Some(p) => graft.queries.TextQueries.deriveLangProfiles(
+            spark.read.parquet(p).select("lang", "text"))
+          case None => graft.functions.LangProfiles.builtin
+        }
+        val out = graft.queries.TextQueries.langIdNgram(docs, profiles)
+          .localCheckpoint()
+        out.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), out.count())
+      // train the quality filter: NB log-count-ratio weights from a
+      // labeled (good=curated, bad=rejected) pair of (doc_id, text)
+      // corpora, written as the full 4096-row (bucket, weight_milli)
+      // table quality-score weights= ingests
+      case "quality-train" =>
+        val good = spark.read.parquet(req("good")).select("doc_id", "text")
+        val bad = spark.read.parquet(req("bad")).select("doc_id", "text")
+        val lam = graft.queries.TextQueries.qualityModelFit(good, bad)
+        graft.queries.TextQueries.qualityWeightsTable(spark, lam)
+          .coalesce(1).write.mode("overwrite").parquet(req("out"))
+        done(good.count() + bad.count(), lam.length.toLong)
       case other => sys.error(s"unknown pipeline command: $other")
     }
+  }
+
+  /** Weights ingestion with loud validation: a model file is OPERATOR
+    * INPUT, and a malformed one must fail with the problem named, not
+    * an ArrayIndexOutOfBounds/NPE three stages later — and a duplicate
+    * bucket must never silently last-write-win (two rows for one
+    * bucket means the file is not the table the trainer wrote).
+    * Buckets ABSENT from the file default to weight 0 (no evidence ⇒
+    * no score contribution — the NB-natural neutral); the in-repo
+    * trainer always writes full coverage, so the zero-fill only fires
+    * on hand-built partial tables, and the count is logged. */
+  private[graft] def readQualityWeights(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Long] = {
+    val b = graft.queries.PipelineQueries.DsirBuckets
+    val w = new Array[Long](b)
+    val seen = new java.util.BitSet(b)
+    spark.read.parquet(path).select(col("bucket").cast("int"),
+        col("weight_milli").cast("long"))
+      .collect().foreach { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"weights $path: null bucket/weight_milli row")
+        val k = r.getInt(0)
+        require(k >= 0 && k < b,
+          s"weights $path: bucket $k outside [0, $b)")
+        require(!seen.get(k), s"weights $path: duplicate bucket $k")
+        seen.set(k); w(k) = r.getLong(1)
+      }
+    if (seen.cardinality() < b)
+      System.err.println(
+        s"[graft] weights $path: ${b - seen.cardinality()} of $b buckets absent, defaulting to 0")
+    w
   }
 
   private def pipelineJson(p: PipelineStats): String =

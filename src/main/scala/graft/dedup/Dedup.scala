@@ -508,13 +508,25 @@ object Dedup {
     * (the paper accepts this; DedupSpec pins planted-corpus recall at
     * the operating point). Resolution (keep one per group) composes
     * exactly as for every other pair op: [[resolveClusters]]. */
-  def semdedupPairs(df: DataFrame, vec: Column, id: String, nClusters: Int,
+  def semdedupPairs(df: DataFrame, vec: Column, id: String, nClusters: Int = 0,
                     minCosine: Double, seed: Long = 42L,
                     prefit: Option[graft.similarity.Similarity.IvfModel] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     import graft.similarity.Similarity
     val base = df.select(col(id).as("id"), vec.as("vec"))
-    val model = prefit.getOrElse(Similarity.ivfFit(base, nClusters, seed))
+    // nClusters = 0 ⇒ corpus-sized cells (~4√n, suggestNCells): a FIXED
+    // cell count makes Σ|cell|² = n²/k — quadratic with a constant
+    // divisor — where sized cells give ~n^1.5/16. The count() is one
+    // bounded metadata-cheap action paid once per fit (a prefit skips
+    // it entirely, which is the production path). Same self-sizing
+    // contract as PqIndex.build(nCells = 0).
+    val model = prefit.getOrElse {
+      // max(2, …): Spark ML KMeans rejects k < 2, and suggestNCells
+      // floors at 1 for a near-empty corpus
+      val k = if (nClusters > 0) nClusters
+              else math.max(2, Similarity.suggestNCells(base.count()))
+      Similarity.ivfFit(base, k, seed)
+    }
     // fanout barrier: assignment + norm feed both join sides — without
     // it the argmin (nClusters dot products per row) re-executes per
     // consumer, same lesson as embeddingPairs

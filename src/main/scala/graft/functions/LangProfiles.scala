@@ -83,25 +83,61 @@ object LangProfiles {
   private def trigramsOf(text: String): Seq[String] =
     "[a-z]+".r.findAllIn(text.toLowerCase).flatMap(wordTrigrams).toSeq
 
-  /** `(lang, trigram, milliLogP)` — the profile table, derived once,
-    * deterministic (count desc, trigram asc cut). */
-  val rows: Seq[(String, String, Int)] =
-    Languages.flatMap { case (lang, _) =>
-      val counts = trigramsOf(samples(lang))
-        .groupBy(identity).map { case (t, ts) => t -> ts.size }
-      val total = counts.values.sum.toDouble
+  /** A derived profile table plus its language priority order — the
+    * unit the scorer consumes. [[builtin]] is the shipped default;
+    * [[graft.queries.TextQueries.deriveLangProfiles]] builds one from
+    * any `(lang, text)` corpus slice with the SAME derivation, so a
+    * production profile swap is an input file, not a code edit. */
+  final case class ProfileSet(languages: Seq[(String, Int)],
+                              rows: Seq[(String, String, Int)]) {
+    /** Evidence-free documents default to the priority-0 language. */
+    def defaultLang: String = languages.minBy(_._2)._1
+  }
+
+  /** The one derivation both the built-in table and corpus-slice
+    * ingestion go through: per language, keep the [[TopK]] most
+    * frequent trigrams (ties cut deterministically: count desc,
+    * trigram asc) weighted `round(1000·ln(count/total))` — `total`
+    * over ALL of that language's trigrams, not just the kept ones, so
+    * the weights are true log-probabilities.
+    *
+    * Weights are clamped strictly above [[MissMilli]]: the scorer's
+    * argmax runs over langs with ≥1 matched trigram ONLY, which is
+    * sound precisely because a match always outscores a miss — a
+    * profile derived from a huge corpus slice (where a kept trigram's
+    * log-prob could fall below e^-10) must keep the invariant, so it
+    * is enforced here, not assumed. `langOrder` is the tie-break
+    * priority (first = the evidence-free default). `totals` overrides
+    * the per-language normalizer when `countsByLang` holds only a
+    * pre-cut top-K (the distributed derivation collects top-K rows
+    * plus the full totals, never every distinct trigram). */
+  def fromCounts(countsByLang: Map[String, Map[String, Long]],
+                 langOrder: Seq[String],
+                 totals: Map[String, Long] = Map.empty): ProfileSet = {
+    require(langOrder.nonEmpty && langOrder.forall(countsByLang.contains),
+      s"profile derivation needs counts for every ordered language: $langOrder")
+    val rows = langOrder.flatMap { lang =>
+      val counts = countsByLang(lang)
+      val total = totals.getOrElse(lang, counts.values.sum).toDouble
+      require(total > 0, s"language '$lang' contributed no trigrams")
       counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(TopK)
         .map { case (t, c) =>
-          // clamped strictly above MissMilli: the scorer's argmax runs
-          // over langs with ≥1 matched trigram ONLY, which is sound
-          // precisely because a match always outscores a miss — a
-          // profile derived from a huge corpus slice (where a kept
-          // trigram's log-prob could fall below e^-10) must keep the
-          // invariant, so it's enforced here, not assumed
           (lang, t, math.max(MissMilli + 1,
             math.round(1000.0 * math.log(c / total)).toInt))
         }
     }
+    ProfileSet(langOrder.zipWithIndex, rows)
+  }
+
+  /** The shipped default, derived from the built-in passages. */
+  val builtin: ProfileSet = fromCounts(
+    samples.view.mapValues(
+      trigramsOf(_).groupBy(identity).map { case (t, ts) => t -> ts.size.toLong }
+    ).toMap,
+    Languages.map(_._1))
+
+  /** `(lang, trigram, milliLogP)` — the built-in profile table. */
+  val rows: Seq[(String, String, Int)] = builtin.rows
 
   /** The profile as DuckDB `VALUES` rows, embedded into the oracle so
     * both engines score against byte-identical weights. */

@@ -79,17 +79,18 @@ object DedupQueries {
     Dedup.embeddingLshPairs(df, col(vecCol), idCol,
       minCosine = 0.8, dim = LshDim, bands = TightBands, bitsPerBand = TightBits)
 
-  /** SemDeDup gate entry: k-means cells sized by the corpus guideline
-    * (nClusters = suggestNCells would give ~√n·4; the gate corpus is
-    * small, so a fixed 16 matches the spec-scale IVF operating point),
-    * verified at the corpus's populated threshold. rows-only at the
-    * gate (a DuckDB oracle cannot replay the k-means fit — same
-    * adjudication as ann_ivf); DedupSpec pins the semantics: exact
-    * subset of the brute-force pairs, planted-corpus recall, and
-    * determinism across runs. */
+  /** SemDeDup gate entry: nClusters = 0 ⇒ the operator self-sizes via
+    * `Similarity.suggestNCells(count)` (~4√n cells), so the within-cell
+    * all-pairs cost follows the n^1.5/16 curve at ANY corpus size — a
+    * pinned cell count here would be Σ|cell|² = n²/k, quadratic with a
+    * constant divisor (the r7 verdict's one weak config). rows-only at
+    * the gate (a DuckDB oracle cannot replay the k-means fit — same
+    * adjudication as ann_ivf); SemdedupSpec pins the semantics: exact
+    * subset of the brute-force pairs, planted-corpus recall,
+    * determinism, and that auto-sizing == suggestNCells. */
   def dedupSemdedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.semdedupPairs(embs(spark, dir), col("embedding"), "vec_id",
-      nClusters = 16, minCosine = 0.4)
+      nClusters = 0, minCosine = 0.4)
 
   /** Dedup execution: near-dup pairs → canonical survivor per doc via
     * distributed connected components. */

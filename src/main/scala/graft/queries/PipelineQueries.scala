@@ -287,17 +287,28 @@ object PipelineQueries {
     * Docs with zero extractable grams carry no distributional
     * evidence and are excluded (both sides of the gate agree: the
     * oracle's explode/join drops them naturally). */
-  def corpusDsirSelectDocs(candidates: DataFrame, targets: DataFrame,
-                           keepFrac: Double): DataFrame = {
+  /** Per-bucket fixed-point milli-log-ratio weights λ_b =
+    * ⌊1000·ln(p̂_t(b)/p̂_r(b)) + 0.5⌋ over `grammed` rows of
+    * `(tgt: boolean, grams: array<string>)` — add-one smoothing both
+    * sides. This is BOTH the DSIR importance weight (tgt = target
+    * domain, ¬tgt = raw pool) and the multinomial Naive-Bayes
+    * log-count-ratio classifier weight (tgt = quality reference,
+    * ¬tgt = rejected crawl; Wang & Manning 2012's NB feature — the
+    * fastText/GPT-3-style linear quality filter reduces to exactly
+    * this shape over hashed grams), which is why it is shared.
+    *
+    * Cost: ONE scan with map-side partial agg to ≤ DsirBuckets ×
+    * partitions shuffle rows, a bounded 4096-row collect. The
+    * smoothed-count products stay exact in a double up to 2^53 ≈ 9e15
+    * gram tokens per side (~36 PB of ASCII text at 4 B/gram) — beyond
+    * that the products round before the ln, shifting λ by < 1 ulp of
+    * the ratio. Normalizers are cross-multiplied so both operands of
+    * the one division are EXACT integers: (tc+1)/(tTot+B) ÷
+    * (rc+1)/(rTot+B) = (tc+1)(rTot+B) / (rc+1)(tTot+B). `floor(x+0.5)`
+    * on both engines: `math.round` and SQL `round` disagree on
+    * negative halves. */
+  private[graft] def milliLogRatioLambda(grammed: DataFrame): Array[Long] = {
     val B = DsirBuckets
-    // words projected FIRST so the regexp runs once per row — grams
-    // reference the materialized array attribute, not the regexp tree
-    val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
-        dsirWords(col("text")).as("ws"))
-      .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
-        dsirWords(col("text")).as("ws")))
-      .select(col("doc_id"), col("tgt"), dsirGrams(col("ws")).as("grams"))
-    // pass 1: per-bucket counts, both distributions in one aggregate
     val counts = grammed.select(col("tgt"), explode(col("grams")).as("g"))
       .groupBy(dsirBucket(col("g")).as("b"))
       .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"),
@@ -308,19 +319,24 @@ object PipelineQueries {
       val b = r.getLong(0).toInt; tc(b) = r.getLong(1); rc(b) = r.getLong(2)
     }
     val tTot = tc.sum; val rTot = rc.sum
-    // λ as milli-log-ratios. The smoothed-count products stay exact
-    // in a double up to 2^53 ≈ 9e15 gram tokens per side (~36 PB of
-    // ASCII text at 4 B/gram) — beyond that the products round before
-    // the ln, shifting λ by < 1 ulp of the ratio: harmless to the
-    // selection, but the oracle mirror would need the same rounding.
-    // λ_b = ln(p̂_t(b)/p̂_r(b)) with the normalizers cross-multiplied
-    // so both operands of the one division are EXACT integers:
-    // (tc+1)/(tTot+B) ÷ (rc+1)/(rTot+B) = (tc+1)(rTot+B) / (rc+1)(tTot+B)
-    val lam: Array[Long] = Array.tabulate(B) { b =>
+    Array.tabulate(B) { b =>
       val x = 1000.0 * math.log(
         ((tc(b) + 1L) * (rTot + B)).toDouble / ((rc(b) + 1L) * (tTot + B)).toDouble)
       math.floor(x + 0.5).toLong
     }
+  }
+
+  def corpusDsirSelectDocs(candidates: DataFrame, targets: DataFrame,
+                           keepFrac: Double): DataFrame = {
+    val B = DsirBuckets
+    // words projected FIRST so the regexp runs once per row — grams
+    // reference the materialized array attribute, not the regexp tree
+    val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
+        dsirWords(col("text")).as("ws"))
+      .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
+        dsirWords(col("text")).as("ws")))
+      .select(col("doc_id"), col("tgt"), dsirGrams(col("ws")).as("grams"))
+    val lam = milliLogRatioLambda(grammed)
     val lams = typedLit(lam.toSeq)
     // pass 2: scan-local weights, persisted as the 16 B/doc projection
     val wdoc = grammed.filter(!col("tgt")).filter(size(col("grams")) > 0)

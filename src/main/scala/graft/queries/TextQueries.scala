@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis query surface over the `documents` table
@@ -64,17 +64,16 @@ object TextQueries {
     * always outscores every matchless lang, and the argmax needs only
     * the matched (doc, lang) rows: no per-doc fan-out to all langs
     * (a cartesian at plan level), no n_tg aggregate at all. */
-  def langIdNgram(in: DataFrame): DataFrame = {
+  def langIdNgram(in: DataFrame,
+                  profiles: graft.functions.LangProfiles.ProfileSet =
+                    graft.functions.LangProfiles.builtin): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
     import graft.functions.LangProfiles
-    val prof = LangProfiles.rows.toDF("plang", "tg", "w")
-    val langs = LangProfiles.Languages.toDF("plang", "prio")
-    val tgs = in.select(col("doc_id"),
-      explode(flatten(transform(
-        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)),
-        w => transform(sequence(lit(1), length(w)),
-          i => concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))).as("tg"))
+    val prof = profiles.rows.toDF("plang", "tg", "w")
+    val langs = profiles.languages.toDF("plang", "prio")
+    val tgs = in.select(col("doc_id"), trigramsCol(col("text")).as("tgs"))
+      .select(col("doc_id"), explode(col("tgs")).as("tg"))
     val matched = tgs.join(broadcast(prof), Seq("tg"))
       .groupBy("doc_id", "plang")
       .agg(sum(col("w") - lit(LangProfiles.MissMilli)).as("adj"))
@@ -89,7 +88,62 @@ object TextQueries {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         when(col("cjk") > 0, lit("zh"))
-          .otherwise(coalesce(col("plang"), lit("en"))).as("predicted_lang"))
+          .otherwise(coalesce(col("plang"), lit(profiles.defaultLang)))
+          .as("predicted_lang"))
+  }
+
+  /** Space-padded character trigrams of every `[a-z]+` word in `text`
+    * — the ONE trigram expression shared by the scorer and the profile
+    * derivation, so the two can never disagree on tokenization (it
+    * also mirrors `LangProfiles.wordTrigrams` in Scala and the oracle
+    * SQL — three engines, one definition). */
+  private def trigramsCol(text: Column): Column =
+    flatten(transform(
+      regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)),
+      w => transform(sequence(lit(1), length(w)),
+        i => concat(lit(" "), w, lit(" ")).substr(i, lit(3)))))
+
+  /** Derive a [[graft.functions.LangProfiles.ProfileSet]] from a real
+    * `(lang, text)` corpus slice — the production path the built-in
+    * passages stand in for: one distributed trigram count (ONE scan of
+    * the slice, map-side partial agg; distinct trigrams per language
+    * are bounded at ~27³ so the aggregate is small however large the
+    * slice), two bounded collects (per-lang totals + per-lang top-K
+    * via window over the tiny aggregate), then the SAME clamp-enforced
+    * derivation as the built-in table. Language priority: `en` first
+    * when present (the evidence-free default stays aligned with the
+    * word heuristic), remaining languages alphabetically — a
+    * deterministic order whatever the slice's row order. New languages
+    * ride along free: ship rows for them and they become candidates. */
+  def deriveLangProfiles(slices: DataFrame): graft.functions.LangProfiles.ProfileSet = {
+    import graft.functions.LangProfiles
+    val counts = slices
+      .select(col("lang"), explode(trigramsCol(col("text"))).as("tg"))
+      .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = counts.groupBy("lang").agg(sum("c").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c").desc, col("tg"))
+      val top = counts.withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= LangProfiles.TopK)
+        .select("lang", "tg", "c").collect()
+        .groupBy(_.getString(0))
+        .map { case (l, rs) =>
+          l -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+      val order = {
+        val langs = totals.keySet
+        (if (langs("en")) Seq("en") else Seq.empty) ++
+          (langs - "en").toSeq.sorted
+      }
+      require(order.nonEmpty, "profile slice contains no languages")
+      // counts hold only the collected top-K per language — the true
+      // normalizer rides in via the totals override
+      LangProfiles.fromCounts(
+        order.map(l => l -> top.getOrElse(l, Map.empty)).toMap, order, totals)
+    } finally { counts.unpersist() }
   }
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -413,6 +467,42 @@ object TextQueries {
     * convention); the score/count split is emitted rather than a
     * quotient because Spark `div` truncates where DuckDB `//`
     * floors on negatives. */
+  /** TRAIN the model-based quality filter in-repo: multinomial
+    * Naive-Bayes log-count-ratio weights (Wang & Manning 2012, public
+    * — the NB half of NBSVM; the GPT-3/LLaMA quality-classifier loop
+    * is the same linear-model-over-hashed-grams shape) over the shared
+    * [[PipelineQueries.DsirBuckets]] uni+bigram feature space.
+    * `good` is the quality reference (curated corpus), `bad` the
+    * rejected crawl sample; w_b = ⌊1000·ln(p̂_good(b)/p̂_bad(b))+0.5⌋
+    * — exactly [[PipelineQueries.milliLogRatioLambda]], so trainer and
+    * DSIR resampler stay feature- AND fixed-point-compatible, and the
+    * output feeds [[qualityModelScore]] unchanged: a doc's score is
+    * its summed per-gram log-odds, i.e. the NB decision function with
+    * the class prior dropped (keep ⟺ mean gram log-odds ≥ 0).
+    *
+    * Cost at 100 TB: ONE scan over each labeled corpus (map-side
+    * partial agg to ≤ 4096 × partitions rows), one bounded 4096-row
+    * collect. No iterative solver, no label shuffling — determinism
+    * is free, which is what lets QualityTrainSpec pin separation
+    * exactly. */
+  def qualityModelFit(good: DataFrame, bad: DataFrame): Array[Long] =
+    PipelineQueries.milliLogRatioLambda(
+      good.select(lit(true).as("tgt"),
+          PipelineQueries.dsirGrams(PipelineQueries.dsirWords(col("text"))).as("grams"))
+        .unionByName(bad.select(lit(false).as("tgt"),
+          PipelineQueries.dsirGrams(PipelineQueries.dsirWords(col("text"))).as("grams"))))
+
+  /** Trained weights as the `(bucket, weight_milli)` table
+    * `quality-score weights=` ingests — always FULL 4096-bucket
+    * coverage, so a train→score round trip never relies on the
+    * reader's zero-fill default. */
+  def qualityWeightsTable(spark: SparkSession, lam: Array[Long]): DataFrame = {
+    require(lam.length == PipelineQueries.DsirBuckets)
+    import spark.implicits._
+    lam.toSeq.zipWithIndex.map { case (w, b) => (b, w) }
+      .toDF("bucket", "weight_milli")
+  }
+
   def qualityModelScore(in: DataFrame, lam: Array[Long]): DataFrame = {
     require(lam.length == PipelineQueries.DsirBuckets,
       s"weight table must cover all ${PipelineQueries.DsirBuckets} feature buckets")

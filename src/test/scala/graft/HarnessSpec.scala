@@ -43,6 +43,24 @@ class HarnessSpec extends SparkSpec {
     assert(json.contains(""""value":1.235"""), json)
   }
 
+  test("bench JSON key order: wall-time queries map is LAST; cpu_sec droppable") {
+    // the driver keeps only a bounded stdout TAIL — rounds 5-7 lost the
+    // wall map to truncation because cpu_sec trailed it. Pin: queries
+    // is the final key (truncation eats the header, never wall times),
+    // and includeCpu=false (the stdout mode) omits cpu_sec entirely.
+    val results = Seq[(String, Either[String, (Double, Double)])](
+      "a" -> Right((1.0, 0.8)), "b" -> Right((2.0, 1.6)))
+    val full = Bench.renderJson(results, "/tmp/sf", """"cpus":4""")
+    assert(full.endsWith(""""queries":{"a":1.0,"b":2.0}}"""), full)
+    assert(full.indexOf("\"cpu_sec\"") < full.indexOf("\"queries\""), full)
+    val lean = Bench.renderJson(results, "/tmp/sf", """"cpus":4""", includeCpu = false)
+    assert(!lean.contains("cpu_sec"), lean)
+    assert(lean.endsWith(""""queries":{"a":1.0,"b":2.0}}"""), lean)
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(lean) // both modes stay valid JSON
+    JsonMethods.parse(full)
+  }
+
   test("bench JSON is machine-parseable, including pathological failure messages") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods

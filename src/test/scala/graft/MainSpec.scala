@@ -383,6 +383,82 @@ class MainSpec extends SparkSpec {
     assert(kept == Set(10L), s"weighted vocabulary must decide keep: $kept")
   }
 
+  test("pipeline subcommands: quality-train → quality-score round trip") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_qtrain").toString
+    val good = Seq(
+      (1L, "the committee reviewed the annual report and approved the budget"),
+      (2L, "researchers published a detailed study of coastal erosion and harbors"))
+    val bad = Seq(
+      (10L, "click here buy cheap pills winner free prize claim now"),
+      (11L, "subscribe smash that button giveaway jackpot bonus code claim"))
+    good.toDF("doc_id", "text").write.parquet(s"$base/good.parquet")
+    bad.toDF("doc_id", "text").write.parquet(s"$base/bad.parquet")
+    val rt = Main.runPipeline(spark, Seq("quality-train",
+      s"good=$base/good.parquet", s"bad=$base/bad.parquet", s"out=$base/weights"))
+    assert(rt.rowsIn == 4 && rt.rowsOut == 4096)
+    // held-out docs reuse each vocabulary in fresh combinations
+    Seq((20L, "the committee published a detailed report of the budget"),
+      (21L, "click subscribe free bonus jackpot claim winner now"))
+      .toDF("doc_id", "text").write.parquet(s"$base/held.parquet")
+    val rs = Main.runPipeline(spark, Seq("quality-score",
+      s"in=$base/held.parquet", s"out=$base/scored", s"weights=$base/weights"))
+    assert(rs.rowsIn == 2 && rs.rowsOut == 1)
+    val kept = spark.read.parquet(s"$base/scored").filter($"keep")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(20L), s"trained weights must keep the good-vocab doc: $kept")
+  }
+
+  test("pipeline subcommands: langid with corpus-slice profiles") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_langid").toString
+    Seq(("en", "the harbor was quiet and the fishermen checked their nets in the morning light"),
+      ("it", "il porto era tranquillo e i pescatori controllavano le reti nella luce del mattino"))
+      .toDF("lang", "text").write.parquet(s"$base/slices.parquet")
+    // input WITHOUT a lang column — it is optional on the CLI path
+    Seq((1L, "the fishermen will check the nets tomorrow morning"),
+      (2L, "i pescatori controlleranno le reti domani mattina"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val r = Main.runPipeline(spark, Seq("langid",
+      s"in=$base/docs.parquet", s"out=$base/pred", s"profiles=$base/slices.parquet"))
+    assert(r.rowsIn == 2 && r.rowsOut == 2)
+    val pred = spark.read.parquet(s"$base/pred")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "it"),
+      s"slice-derived profiles must drive the prediction: $pred")
+  }
+
+  test("quality weights ingestion fails loudly on malformed model files") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_qweights").toString
+    Seq((5000, 1L)).toDF("bucket", "weight_milli")
+      .write.parquet(s"$base/oob.parquet")
+    val oob = intercept[IllegalArgumentException] {
+      Main.readQualityWeights(spark, s"$base/oob.parquet")
+    }
+    assert(oob.getMessage.contains("outside"), oob.getMessage)
+    Seq((7, 1L), (7, 2L)).toDF("bucket", "weight_milli")
+      .write.parquet(s"$base/dup.parquet")
+    val dup = intercept[IllegalArgumentException] {
+      Main.readQualityWeights(spark, s"$base/dup.parquet")
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    Seq((Some(3), Some(1L)), (None, Some(2L)))
+      .toDF("bucket", "weight_milli").write.parquet(s"$base/nul.parquet")
+    val nul = intercept[IllegalArgumentException] {
+      Main.readQualityWeights(spark, s"$base/nul.parquet")
+    }
+    assert(nul.getMessage.contains("null"), nul.getMessage)
+    // partial coverage is legal: absent buckets zero-fill (documented)
+    Seq((3, 42L)).toDF("bucket", "weight_milli")
+      .write.parquet(s"$base/part.parquet")
+    val w = Main.readQualityWeights(spark, s"$base/part.parquet")
+    assert(w(3) == 42L && w.sum == 42L)
+  }
+
   test("query subcommand runs any registered operator by name") {
     val base = java.nio.file.Files.createTempDirectory("graft_main_query").toString
     val r = Main.runPipeline(spark, Seq("query",

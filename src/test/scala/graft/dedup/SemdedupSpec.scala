@@ -101,6 +101,20 @@ class SemdedupSpec extends SparkSpec {
       s"semdedup plan must be an equi-join on cell:\n$plan")
   }
 
+  test("semdedup: nClusters = 0 self-sizes to suggestNCells — identical to the explicit call") {
+    // the gate/production default: cells track the corpus (~4√n ⇒
+    // n^1.5 total pair cost), never a pinned literal (n²/k). Seeded
+    // fit ⇒ the auto path must be bit-identical to passing the
+    // suggested count explicitly.
+    val n = corpus.count()
+    val suggested = math.max(2, graft.similarity.Similarity.suggestNCells(n))
+    val auto = keyed(Dedup.semdedupPairs(corpus, col("embedding"), "vec_id",
+      nClusters = 0, minCosine = 0.9))
+    val explicit = keyed(Dedup.semdedupPairs(corpus, col("embedding"), "vec_id",
+      nClusters = suggested, minCosine = 0.9))
+    assert(auto == explicit, s"auto sizing must resolve to suggestNCells($n) = $suggested")
+  }
+
   test("semdedup gate entry: non-trivial and a subset of the gate brute-force") {
     val sem = keyed(DedupQueries.dedupSemdedup(spark, sf("any")))
     val exact = keyed(DedupQueries.dedupEmbeddingBruteforce(spark, sf("any")))
