@@ -236,9 +236,13 @@ object Main {
           docs, index, opts.getOrElse("batch", "0").toLong).localCheckpoint()
         kept.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), kept.count())
+      // minrecall=0.8 validates the built layout against brute force
+      // on a bounded self-query sample and fails the build below the
+      // floor (default off — validation costs sample × corpus dots)
       case "index-build" =>
         val corpus = vectors(req("in"))
-        pqIndex(req("index")).build(corpus)
+        pqIndex(req("index")).build(corpus,
+          minRecall = opts.getOrElse("minrecall", "0").toDouble)
         val n = corpus.count()
         done(n, n)
       case "index-add" =>
@@ -389,7 +393,13 @@ object Main {
           names.foreach(println)
           done(0, names.size.toLong)
         } else {
-          val referenced = SparkEntry.queries.keySet.filter(n => q.contains(s"graft_$n"))
+          // word-boundary match, not substring: a query over
+          // graft_corpus_mix_temperature must not also construct the
+          // graft_corpus_mix view (prefix collision — harmless results,
+          // wasted eager work)
+          val referenced = SparkEntry.queries.keySet.filter(n =>
+            s"\\bgraft_${java.util.regex.Pattern.quote(n)}\\b".r
+              .findFirstIn(q).isDefined)
           SparkEntry.registerViews(spark, req("dir"), referenced)
           val result = spark.sql(q).localCheckpoint()
           result.write.mode("overwrite").parquet(req("out"))
@@ -414,12 +424,21 @@ object Main {
           .localCheckpoint()
         flagged.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), flagged.count())
+      // write=true materializes the sharded corpus itself (one file
+      // per shard=N dir, rows in shard_pos order — the layout a
+      // training job streams); default emits the assignment table
       case "corpus-shard" =>
         val docs = spark.read.parquet(req("in"))
-        val sharded = graft.queries.PipelineQueries.shardDocs(
-          docs, opts.getOrElse("shards", "16").toInt).localCheckpoint()
-        sharded.write.mode("overwrite").parquet(req("out"))
-        done(docs.count(), sharded.count())
+        val shards = opts.getOrElse("shards", "16").toInt
+        if (opts.getOrElse("write", "false").toBoolean) {
+          graft.queries.PipelineQueries.writeShards(docs, shards, req("out"))
+          done(docs.count(), spark.read.parquet(req("out")).count())
+        } else {
+          val sharded = graft.queries.PipelineQueries.shardDocs(docs, shards)
+            .localCheckpoint()
+          sharded.write.mode("overwrite").parquet(req("out"))
+          done(docs.count(), sharded.count())
+        }
       case "dsir-select" =>
         val docs = spark.read.parquet(req("in"))
         val targets = spark.read.parquet(req("targets"))

@@ -184,17 +184,20 @@ object ScrubUtil {
   def chunks(s: UTF8String, w: Int): ArrayData =
     new GenericArrayData(chunkArray(s, w).asInstanceOf[Array[AnyRef]])
 
-  /** One compiled pass: chunk, hash, binary-search the sorted hot-span
-    * table, rejoin survivors → struct(text_scrubbed, n_chunks,
-    * n_scrubbed). */
-  def scrub(s: UTF8String, w: Int, seed: Long, p: Long,
+  /** One compiled pass: chunk, hash into the packed two-fold span key
+    * (h₁·2³¹ + h₂ — the frequency pass's key, see
+    * PipelineQueries.scrubDocs for why one 31-bit fold is not enough),
+    * binary-search the sorted hot-span table, rejoin survivors →
+    * struct(text_scrubbed, n_chunks, n_scrubbed). */
+  def scrub(s: UTF8String, w: Int, seed: Long, p: Long, seed2: Long, p2: Long,
             hot: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
     val cs = chunkArray(s, w)
     val kept = new java.util.ArrayList[UTF8String](cs.length)
     var scrubbed = 0
     var i = 0
     while (i < cs.length) {
-      if (java.util.Arrays.binarySearch(hot, polyHash(cs(i), seed, p)) >= 0) scrubbed += 1
+      val key = polyHash(cs(i), seed, p) * 2147483648L + polyHash(cs(i), seed2, p2)
+      if (java.util.Arrays.binarySearch(hot, key) >= 0) scrubbed += 1
       else kept.add(cs(i))
       i += 1
     }
@@ -234,9 +237,14 @@ case class WordChunks(child: Expression, w: Int) extends UnaryExpression {
   * row, no join, no shuffle — document text never leaves its scan
   * partition. Returns struct(text_scrubbed, n_chunks, n_scrubbed). */
 case class ScrubText(child: Expression, w: Int, seed: Long, p: Long,
+                     seed2: Long, p2: Long,
                      hot: Array[Long]) extends UnaryExpression {
 
   require(w >= 1, "chunk width must be >= 1")
+  require(p != p2,
+    "the two folds must use different moduli — same-length collisions " +
+      "under one (base, p) persist under every seed, so a seed-only " +
+      "second fold verifies nothing")
   require(hot.length <= 1 || (1 until hot.length).forall(i => hot(i - 1) <= hot(i)),
     "hot-span table must be sorted ascending (binary search)")
 
@@ -247,12 +255,13 @@ case class ScrubText(child: Expression, w: Int, seed: Long, p: Long,
   override def prettyName: String = "scrub_text"
 
   override protected def nullSafeEval(a: Any): Any =
-    ScrubUtil.scrub(a.asInstanceOf[UTF8String], w, seed, p, hot)
+    ScrubUtil.scrub(a.asInstanceOf[UTF8String], w, seed, p, seed2, p2, hot)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tbl = ctx.addReferenceObj("hotSpans", hot, "long[]")
     nullSafeCodeGen(ctx, ev, x =>
-      s"${ev.value} = graft.functions.expr.ScrubUtil$$.MODULE$$.scrub($x, $w, ${seed}L, ${p}L, $tbl);")
+      s"${ev.value} = graft.functions.expr.ScrubUtil$$.MODULE$$.scrub(" +
+        s"$x, $w, ${seed}L, ${p}L, ${seed2}L, ${p2}L, $tbl);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ScrubText =

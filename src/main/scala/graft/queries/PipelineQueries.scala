@@ -489,7 +489,18 @@ object PipelineQueries {
     * shuffle, threshold rides a broadcast join. */
   def corpusMixTemperatureDocs(docs: DataFrame, budgetTokens: Long,
                                alpha: Double): DataFrame =
-    corpusMixTemperatureFromToked(tokenizeDocs(docs), budgetTokens, alpha)
+    // persist spans BOTH consumers of the tokenize — the collected
+    // supply aggregate (which materializes the cache) and the final
+    // keep-filter scan; without it the full BPE tokenize runs twice,
+    // contradicting the one-aggregation-plus-one-scan cost model.
+    // No explicit unpersist: the result frame still reads the cached
+    // plan, so release is the context cleaner's job once the caller
+    // drops the frame (long-lived batch drivers doing MANY mixes
+    // should use the CLI pattern: tokenize, persist, mix, write,
+    // unpersist — Main.runPipeline does exactly that).
+    corpusMixTemperatureFromToked(
+      tokenizeDocs(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      budgetTokens, alpha)
 
   private[graft] def corpusMixTemperatureFromToked(toked: DataFrame,
       budgetTokens: Long, alpha: Double): DataFrame = {
@@ -501,8 +512,14 @@ object PipelineQueries {
       if (alpha == 0.5) math.sqrt(t.toDouble) else math.pow(t.toDouble, alpha)
     val sumW = supply.foldLeft(0.0) { case (a, (_, t)) => a + w(t) }
     val thr = supply.toSeq.map { case (l, t) =>
-      (l, t, math.floor(math.min(1.0,
-        budgetTokens.toDouble * w(t) / sumW / t) * MixHashMod.toDouble).toLong)
+      // t == 0 ⇒ keep-all, explicitly: w(0)/sumW/0 is NaN for α > 0 and
+      // floor(NaN·mod) = 0 would silently DROP the language's docs —
+      // the opposite of corpusMix, whose Inf rate clamps to keep-all.
+      // A zero-token language has nothing to downsample; keep rate 1
+      // (also covers the all-languages-empty corpus, where sumW = 0).
+      val rate = if (t == 0L) 1.0
+        else math.min(1.0, budgetTokens.toDouble * w(t) / sumW / t)
+      (l, t, math.floor(rate * MixHashMod.toDouble).toLong)
     }.toDF("lang", "lang_tokens", "keep_points")
     toked.join(broadcast(thr.select("lang", "keep_points")), Seq("lang"))
       .filter(
@@ -582,16 +599,45 @@ object PipelineQueries {
     * shard that the write needs anyway. */
   def shardDocs(docs: DataFrame, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive: $shards")
-    val p = 2147483647L
-    def mix(a: Long, b: Long): Column =
-      pmod(pmod(col("doc_id"), lit(p)) * lit(a) + lit(b), lit(p))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
     docs.select(col("doc_id"),
-        pmod(mix(1103515245L, 12345L), lit(shards.toLong)).as("shard"),
-        mix(1140671485L, 12820163L).as("ord"))
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
+        pmod(shardMixCol(1103515245L, 12345L), lit(shards.toLong)).as("shard"),
+        shardMixCol(1140671485L, 12820163L).as("ord"))
+      .withColumn("shard_pos", row_number().over(shardWindow).cast("long"))
       .select(col("doc_id"), col("shard"), col("shard_pos"))
+  }
+
+  // the two affine residues shared by shardDocs and writeShards — one
+  // definition so assignment and physical layout can never disagree
+  private val ShardP = 2147483647L
+  private def shardMixCol(a: Long, b: Long): Column =
+    pmod(pmod(col("doc_id"), lit(ShardP)) * lit(a) + lit(b), lit(ShardP))
+  private def shardWindow =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+
+  /** The physical OUTPUT step [[shardDocs]] stops short of: write the
+    * sharded corpus as one parquet file per shard, rows in shard_pos
+    * order — the on-disk layout a training job streams directly
+    * (read shard k, rows arrive pre-shuffled). Plan: ONE corpus-sized
+    * exchange (hash partition by shard — `shards` partitions, so each
+    * shard occupies exactly one task and therefore one file under
+    * `partitionBy`), a per-partition sort on (shard, ord, doc_id), and
+    * the shard_pos window rides the SAME partitioning and ordering —
+    * no second exchange, no extra sort. Deterministic end-to-end:
+    * re-running writes the same rows in the same order to the same
+    * `shard=` directories. ALL input columns ride along (text
+    * included) — this is the final materialization, so the text
+    * shuffles here and nowhere else. */
+  def writeShards(docs: DataFrame, shards: Int, out: String): Unit = {
+    require(shards > 0, s"shards must be positive: $shards")
+    docs
+      .withColumn("shard", pmod(shardMixCol(1103515245L, 12345L), lit(shards.toLong)))
+      .withColumn("ord", shardMixCol(1140671485L, 12820163L))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col("doc_id"))
+      .withColumn("shard_pos", row_number().over(shardWindow).cast("long"))
+      .drop("ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
   }
 
   /** Span width of the repeated-passage scrub: long enough that a
@@ -616,6 +662,15 @@ object PipelineQueries {
 
   private[graft] val ScrubSeed = 11L // distinct from simhash 1,3 / dsir 7
   private[graft] val ScrubP = 2147483647L
+  // second INDEPENDENT fold for the packed span key: the modulus must
+  // differ, not just the seed — two same-length strings colliding
+  // under (seed, p) collide under EVERY seed with the same base and
+  // p (the seed term seed·31^n cancels in the difference), so a
+  // seed-only second hash verifies nothing. 2147483629 is the next
+  // prime below 2^31; the packed key h1·2^31 + h2 stays < 2^62
+  // (exact BIGINT both engines).
+  private[graft] val ScrubSeed2 = 13L
+  private[graft] val ScrubP2 = 2147483629L
 
   /** Cross-document repeated-span scrub (C4/RefinedWeb-style
     * boilerplate REMOVAL — the scrubbing pass the detection-only
@@ -633,13 +688,24 @@ object PipelineQueries {
     * scans, document text never shuffles:
     *
     *  1. Frequency pass: explode per-doc chunk arrays ([[graft.functions.expr.WordChunks]],
-    *     one compiled loop per row), hash each chunk
-    *     ([[graft.functions.expr.RollingHash]], seed [[ScrubSeed]] mod 2^31−1 — the
+    *     one compiled loop per row), hash each chunk into the PACKED
+    *     62-bit span key h₁·2³¹ + h₂ — two independent Horner folds
+    *     ([[graft.functions.expr.RollingHash]], seeds/moduli
+    *     [[ScrubSeed]]/[[ScrubP]] and [[ScrubSeed2]]/[[ScrubP2]]; the
     *     arithmetic the DuckDB oracle replays exactly), count DISTINCT
-    *     docs per hash. The only exchange carries (hash, doc_id)
-    *     16-byte rows with map-side partial distinct; spans with
-    *     df ≥ minDocs — the hot table — collect to the driver under
-    *     [[ScrubMaxSpans]] (loud failure above it, see there).
+    *     docs per key. A single 31-bit key was the r7 advisor's
+    *     finding: at 100 TB (~1e13 chunks × up to 4M hot spans) the
+    *     expected chunk↔hot collisions are ~n·|hot|/2³¹ ≈ thousands of
+    *     legitimate spans silently deleted, and colliding chunks pool
+    *     their doc counts across the threshold; at 2⁻⁶² the expectation
+    *     is ~0.01 for the same corpus. Only FULL-WIDTH chunks enter
+    *     the hot table: a tail chunk can be as short as one word, and
+    *     "20 shared words = template text" says nothing about a shared
+    *     1-word tail (common short tails and whole short docs are not
+    *     boilerplate evidence). The only exchange carries
+    *     (key, doc_id) 16-byte rows with map-side partial distinct;
+    *     spans with df ≥ minDocs — the hot table — collect to the
+    *     driver under [[ScrubMaxSpans]] (loud failure above it).
     *  2. Rebuild pass: scan-local [[graft.functions.expr.ScrubText]] — the sorted hot
     *     table rides the codegen reference array (the PQ-codebook /
     *     gram-bloom pattern), each chunk binary-searches it, and the
@@ -658,8 +724,14 @@ object PipelineQueries {
       ofExpr(graft.functions.expr.WordChunks(toExpr(col("text")), chunkWords)).as("chunks"))
     val hot = chunked
       .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      // sub-width tail chunks never become hot (w words ⇒ w−1 spaces;
+      // chunks are single-space rejoins so the count is exact)
+      .filter(size(split(col("chunk"), " ", -1)) === chunkWords)
       .select(col("doc_id"),
-        ofExpr(graft.functions.expr.RollingHash(toExpr(col("chunk")), ScrubSeed, ScrubP)).as("h"))
+        (ofExpr(graft.functions.expr.RollingHash(toExpr(col("chunk")), ScrubSeed, ScrubP))
+          * lit(2147483648L) +
+          ofExpr(graft.functions.expr.RollingHash(toExpr(col("chunk")), ScrubSeed2, ScrubP2)))
+          .as("h"))
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
       .select("h").limit(maxSpans + 1)
@@ -671,7 +743,7 @@ object PipelineQueries {
     java.util.Arrays.sort(hot)
     docs.select(col("doc_id"),
         ofExpr(graft.functions.expr.ScrubText(toExpr(col("text")), chunkWords,
-          ScrubSeed, ScrubP, hot)).as("s"))
+          ScrubSeed, ScrubP, ScrubSeed2, ScrubP2, hot)).as("s"))
       .select(col("doc_id"),
         col("s.text_scrubbed").as("text_scrubbed"),
         col("s.n_chunks").cast("long").as("n_chunks"),
@@ -1043,8 +1115,10 @@ object PipelineQueries {
         |         AS shard_pos
         |FROM m""".stripMargin,
     // same chunking (1-based inclusive slice = non-overlapping 20-word
-    // spans), same seed-11 Horner fold mod 2^31−1 (ord = UTF-8 byte on
-    // this ASCII corpus — the dsir/simhash mirror argument), same
+    // spans), same PACKED two-fold span key (seed-11 mod 2^31−1 and
+    // seed-13 mod 2147483629, h1·2^31 + h2 — exact BIGINT; ord =
+    // UTF-8 byte on this ASCII corpus — the dsir/simhash mirror
+    // argument), same full-width floor on hot membership, same
     // distinct-doc frequency floor; the rebuild keeps chunk order
     "corpus_scrub" ->
       """WITH d AS (
@@ -1055,13 +1129,17 @@ object PipelineQueries {
         |  FROM d, unnest(generate_series(0, (len(ws)-1)//20)) AS t(i)),
         |h AS (
         |  SELECT doc_id, chunk_idx, chunk,
+        |         len(string_split(chunk, ' ')) AS cw,
         |         list_reduce(list_prepend(CAST(11 AS BIGINT),
         |             list_transform(string_split_regex(chunk, ''), ch -> ord(ch))),
-        |           (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |           (a, b) -> (a * 31 + b) % 2147483647) * 2147483648 +
+        |         list_reduce(list_prepend(CAST(13 AS BIGINT),
+        |             list_transform(string_split_regex(chunk, ''), ch -> ord(ch))),
+        |           (a, b) -> (a * 31 + b) % 2147483629) AS h
         |  FROM c),
         |hot AS (
-        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM h) GROUP BY h
-        |  HAVING count(*) >= 3),
+        |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM h WHERE cw = 20)
+        |  GROUP BY h HAVING count(*) >= 3),
         |m AS (
         |  SELECT h.*, hot.h IS NOT NULL AS is_hot
         |  FROM h LEFT JOIN hot ON h.h = hot.h)

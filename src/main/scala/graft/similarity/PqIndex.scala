@@ -94,8 +94,26 @@ class PqIndex(spark: SparkSession, dir: String,
     * (re-)encode the full corpus. With `opq` the rotation is learned
     * first and the coarse + residual quantizers are fit in the
     * ROTATED space (Pq.fitOpqIvfPq), so every later encode/search
-    * must — and does — rotate through the same frozen matrix. */
-  def build(corpus: DataFrame): Unit = {
+    * must — and does — rotate through the same frozen matrix.
+    *
+    * `minRecall` > 0 turns on build-time layout validation: after the
+    * encode, a bounded deterministic self-query sample (`recallQueries`
+    * corpus vectors by hash(id) order — layout-independent, no count)
+    * is searched through the index as built and compared to brute
+    * force; measured recall@`recallTopK` below the floor FAILS THE
+    * BUILD loudly, naming the resolved layout. This is what stops an
+    * auto-sized build from silently shipping a bad layout (the
+    * suggest rules are guidelines; this is the number that says
+    * whether they hold on THIS corpus): a degenerate config — 1 cell
+    * per 500 probes, collapsed quantizer — surfaces here, at build,
+    * not as a production recall mystery. Cost: recallQueries × |corpus|
+    * dot products for the ground truth — bound the sample, never the
+    * corpus. The artifacts are already written when the check fails:
+    * a failed build must be re-run (or re-validated) after fixing the
+    * layout, which is the safe direction — serving from it was the
+    * thing the floor exists to prevent. */
+  def build(corpus: DataFrame, minRecall: Double = 0.0,
+            recallQueries: Int = 64, recallTopK: Int = 10): Unit = {
     // resolve the layout knobs: explicit values win; 0 = size from the
     // corpus (the count is one cheap agg next to the k-means fit +
     // full encode this method already pays for)
@@ -119,6 +137,19 @@ class PqIndex(spark: SparkSession, dir: String,
       val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
       saveModels(model, coarse, None)
       buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
+    }
+    if (minRecall > 0.0) {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val sample = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("__h"))
+        .orderBy("__h").limit(recallQueries).drop("__h")
+      val r = recallAt(sample, corpus, recallTopK)
+      if (r < minRecall) {
+        val coarse = loadModels()._2
+        sys.error(f"PqIndex build failed recall validation: recall@$recallTopK = " +
+          f"$r%.3f < floor $minRecall%.3f on a $recallQueries-query self-sample " +
+          s"(layout: ${coarse.nCells} cells, nProbe ${probeFor(coarse)}, m=$m k=$k" +
+          s"${if (opq) ", opq" else ""}) — raise probe/cells/codebook or lower the floor")
+      }
     }
   }
 

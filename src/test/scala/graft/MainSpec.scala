@@ -410,6 +410,52 @@ class MainSpec extends SparkSpec {
     assert(kept == Set(20L), s"trained weights must keep the good-vocab doc: $kept")
   }
 
+  test("corpus-shard write=true: one parquet file per shard, rows in shard_pos order, re-run identical") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_shardw").toString
+    val docs = (1L to 200L).map(i => (i, s"document body $i"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$base/docs.parquet")
+    def partFiles(out: String): Map[Int, Seq[java.io.File]] =
+      (0 until 8).map { k =>
+        k -> Option(new java.io.File(s"$out/shard=$k")
+            .listFiles((_, n) => n.endsWith(".parquet")))
+          .map(_.toSeq).getOrElse(Seq.empty)
+      }.toMap
+    def shardSeq(out: String, k: Int): Seq[(Long, Long)] =
+      spark.read.parquet(partFiles(out)(k).head.getPath)
+        .select("doc_id", "shard_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val r = Main.runPipeline(spark, Seq("corpus-shard", "write=true", "shards=8",
+      s"in=$base/docs.parquet", s"out=$base/out1"))
+    assert(r.rowsIn == 200 && r.rowsOut == 200)
+    val files = partFiles(s"$base/out1")
+    assert(files.forall(_._2.size == 1),
+      s"exactly one file per shard dir: ${files.view.mapValues(_.size).toMap}")
+    val seqs = (0 until 8).map(k => k -> shardSeq(s"$base/out1", k)).toMap
+    // within-file physical order IS shard_pos order, starting at 1
+    seqs.foreach { case (k, rows) =>
+      assert(rows.map(_._2) == (1L to rows.size).toSeq,
+        s"shard $k file must be written in shard_pos order: ${rows.take(10)}")
+    }
+    // the written layout agrees with the assignment table operator
+    val assigned = graft.queries.PipelineQueries
+      .shardDocs(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    seqs.foreach { case (k, rows) =>
+      rows.foreach { case (id, pos) =>
+        assert(assigned(id) == (k.toLong, pos),
+          s"doc $id: written (shard=$k, pos=$pos) vs assigned ${assigned(id)}")
+      }
+    }
+    // determinism: a re-run writes identical per-shard sequences
+    Main.runPipeline(spark, Seq("corpus-shard", "write=true", "shards=8",
+      s"in=$base/docs.parquet", s"out=$base/out2"))
+    (0 until 8).foreach(k =>
+      assert(shardSeq(s"$base/out2", k) == seqs(k), s"shard $k re-run differs"))
+  }
+
   test("pipeline subcommands: langid with corpus-slice profiles") {
     val s = spark
     import s.implicits._
@@ -492,6 +538,23 @@ class MainSpec extends SparkSpec {
     val listed = Main.runPipeline(spark, Seq("sql", "query=list",
       s"dir=${sf("any")}", s"out=$base/unused"))
     assert(listed.rowsOut == SparkEntry.queries.size.toLong)
+  }
+
+  test("sql subcommand: view detection is word-bounded — a prefixed name does not drag its prefix in") {
+    val base = java.nio.file.Files.createTempDirectory("graft_main_sqlwb").toString
+    // corpus_mix prefixes corpus_mix_temperature in the registry;
+    // querying the LONGER view must not eagerly construct the shorter
+    assert(SparkEntry.queries.contains("corpus_mix") &&
+      SparkEntry.queries.contains("corpus_mix_temperature"), "fixture premise")
+    spark.catalog.dropTempView("graft_corpus_mix")
+    spark.catalog.dropTempView("graft_corpus_mix_temperature")
+    val r = Main.runPipeline(spark, Seq("sql",
+      "query=SELECT count(*) AS n FROM graft_corpus_mix_temperature",
+      s"dir=${sf("any")}", s"out=$base/t"))
+    assert(r.rowsOut == 1)
+    assert(spark.catalog.tableExists("graft_corpus_mix_temperature"))
+    assert(!spark.catalog.tableExists("graft_corpus_mix"),
+      "prefix view must not be registered by a query over the longer name")
   }
 
   test("data-quality report frame carries per-column null rates") {

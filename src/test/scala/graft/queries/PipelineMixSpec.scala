@@ -144,6 +144,23 @@ class PipelineMixSpec extends SparkSpec {
     assert(temp0 == uniform)
   }
 
+  test("temperature mix: a zero-token language keeps all its docs, matching corpusMix's clamp") {
+    val s = spark
+    import s.implicits._
+    // "zz" contributes 0 tokens: w(0)/sumW/0 is NaN for alpha > 0, and
+    // an unguarded floor(NaN*mod) = 0 silently dropped the language
+    // (corpusMix's Inf rate clamps the same case to keep-all)
+    val toked = ((0L until 1000L).map(i => (i, "en", 5L)) ++
+      (2000L until 2020L).map(i => (i, "zz", 0L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val kept = PipelineQueries.corpusMixTemperatureFromToked(toked, 600L, 0.5)
+      .filter(col("lang") === "zz").count()
+    assert(kept == 20L, s"zero-token language must be kept whole, got $kept of 20")
+    // the all-empty corpus keeps everything rather than dropping everything
+    val empty = (0L until 10L).map(i => (i, "en", 0L)).toDF("doc_id", "lang", "n_tokens")
+    assert(PipelineQueries.corpusMixTemperatureFromToked(empty, 600L, 0.5).count() == 10L)
+  }
+
   test("temperature mix: alpha interpolates tail shares between uniform and proportional") {
     val s = spark
     import s.implicits._

@@ -95,6 +95,49 @@ class PipelineScrubSpec extends SparkSpec {
     assert(viaExpr == viaUtil)
   }
 
+  test("scrub: a first-fold hash collision must not delete innocent text (packed key verifies)") {
+    // brute-force a real 31-bit collision: two DIFFERENT words with
+    // equal seed-11 folds mod 2^31−1 (~2^16 candidates by birthday).
+    // Same-length collisions persist under every seed with the same
+    // base and modulus — which is why the second fold changes the
+    // modulus, and what this test would catch regressing.
+    import graft.functions.expr.ScrubUtil.polyHash
+    def h1(s: String) = polyHash(UTF8String.fromString(s),
+      PipelineQueries.ScrubSeed, PipelineQueries.ScrubP)
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    val (hot, innocent) = Iterator.from(0).map(i => s"w$i")
+      .map(w => (seen.getOrElseUpdate(h1(w), w), w))
+      .collectFirst { case (prev, w) if prev != w => (prev, w) }.get
+    assert(hot != innocent && h1(hot) == h1(innocent), "fixture premise: a true h1 collision")
+    val in = docsOf(
+      0L -> hot, 1L -> hot, 2L -> hot, // the span genuinely hot in 3 docs
+      3L -> innocent)                  // collides on fold 1 ONLY
+    val out = PipelineQueries.scrubDocs(in, chunkWords = 1, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.take(3).forall(_.getString(1) == ""), "the real hot span is removed")
+    assert(out(3).getString(1) == innocent,
+      s"a chunk colliding on one fold must survive — '$innocent' vs hot '$hot'")
+  }
+
+  test("scrub: sub-width tail chunks never become hot — shared tails and short docs survive") {
+    // 3 docs share a 1-word tail chunk (5 words at w=4 ⇒ tail width 1):
+    // a shared short tail is not boilerplate evidence
+    val tails = docsOf(
+      0L -> "alpha beta gamma delta end",
+      1L -> "one two three four end",
+      2L -> "red green blue white end")
+    val out = PipelineQueries.scrubDocs(tails, chunkWords = 4, minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(3) == 0L),
+      s"shared sub-width tails must not scrub: ${out.map(_.getString(1)).toSeq}")
+    // whole short docs (below chunk width) are likewise never evidence
+    val shorts = docsOf(0L -> "hello world", 1L -> "hello world",
+      2L -> "hello world", 3L -> "hello world")
+    val out2 = PipelineQueries.scrubDocs(shorts, chunkWords = 4, minDocs = 3)
+      .collect()
+    assert(out2.forall(r => r.getString(1) == "hello world" && r.getLong(3) == 0L))
+  }
+
   test("scrub: hot-span table overflow fails loudly, not by truncation") {
     // w=1, minDocs=2 over docs sharing every word ⇒ every word is a
     // hot span; cap of 3 must throw, naming the cap

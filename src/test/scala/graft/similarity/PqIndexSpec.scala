@@ -305,6 +305,36 @@ class PqIndexSpec extends SparkSpec {
       f"auto probe budget lost planted near-duplicates: $rate%.3f < 0.8")
   }
 
+  test("build-time recall floor: auto layout passes, a probe-starved layout fails loudly") {
+    val s = spark
+    import s.implicits._
+    // 100 tight clusters × 10 members: every vector's true top-10 IS
+    // its cluster (cross-cluster anchors are near-orthogonal), so a
+    // layout that keeps clusters probeable achieves high recall and a
+    // shattered one (500 cells, probe 1 ⇒ ~2 candidates/query) cannot —
+    // the verdict's "bad layout ships silently" case, now a build error
+    val corpus = (for (c <- 0 until 100; i <- 0 until 10) yield {
+      val anchor = graft.VecFixtures.unit(64, 3000L + c)
+      val rnd = new scala.util.Random(c * 1000L + i)
+      ((c * 10 + i).toLong, anchor.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }).toDF("id", "vec")
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_floor").toString
+    // full-auto layout clears the floor — build completes
+    new PqIndex(spark, s"$base/ok").build(corpus, minRecall = 0.8)
+    // degenerate: cells ≫ clusters with a single probe starves every
+    // query of its candidates; the floor must fail the build, naming
+    // the resolved layout
+    val err = intercept[RuntimeException] {
+      new PqIndex(spark, s"$base/bad", nCells = 500, nProbe = 1)
+        .build(corpus, minRecall = 0.8)
+    }
+    assert(err.getMessage.contains("recall validation"), err.getMessage)
+    assert(err.getMessage.contains("500 cells") && err.getMessage.contains("nProbe 1"),
+      s"failure must name the layout it measured: ${err.getMessage}")
+    // minRecall = 0 (default) keeps validation off: the same layout builds
+    new PqIndex(spark, s"$base/off", nCells = 500, nProbe = 1).build(corpus)
+  }
+
   test("suggestBuckets: floor 1 locally (file floor = buckets × cells), 64MiB-file growth, capped") {
     import PqIndex.suggestBuckets
     // sf-local: MBs of codes over corpus-sized cells must NOT multiply
