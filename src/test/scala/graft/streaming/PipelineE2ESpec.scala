@@ -150,4 +150,112 @@ class PipelineE2ESpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got.toSet == batchTop, "streamed serve must equal the batch topK")
   }
+
+  test("scrub -> dsir-select -> temperature mix -> shard: the output path composes, ids trace end-to-end") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e_out").toString
+
+    // two-domain candidate pool: 15 on-topic docs share the targets'
+    // vocabulary, 15 off-topic docs don't; every on-topic doc opens
+    // with the same 8-word template footer (two full 4-word chunks —
+    // exactly the cross-document boilerplate scrub exists to remove),
+    // followed by a unique on-topic body. Languages: 12 en + 3 zz
+    // among the on-topic docs, so the mix stage has a head language
+    // to downsample and a tail language to keep whole.
+    val footer = "subscribe to our newsletter for daily updates now"
+    val onVocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    val offVocab = Seq("recipe", "butter", "flour", "oven", "bake",
+      "sugar", "dough", "pan", "mix", "cream", "salt", "yeast")
+    // three 4-word chunks per body, each carrying a doc-unique marker
+    // word so no BODY chunk repeats across docs (only the footer is
+    // cross-document boilerplate); the other 9 words are shared-vocab
+    // rotations, which is what DSIR scores on
+    def body(vocab: Seq[String], id: Long): String = {
+      val tag = ('a' + (id % 26).toInt).toChar
+      (0 until 3).map(c =>
+        (0 until 3).map(j => vocab((3 * c + j + id.toInt) % 12)).mkString(" ") +
+          s" uniq$tag$c").mkString(" ")
+    }
+    val targets = (100L until 110L).map(i =>
+      (i, body(onVocab, i))).toDF("doc_id", "text")
+    val onIds = (0L until 15L)
+    val candidates = (onIds.map(i =>
+        (i, if (i < 12) "en" else "zz", footer + " " + body(onVocab, i))) ++
+      (20L until 35L).map(i => (i, "en", body(offVocab, i))))
+      .toDF("doc_id", "lang", "text")
+
+    // stage 1 — scrub the whole pool FIRST (boilerplate removal
+    // precedes importance weighting, or the template footer's grams
+    // drown the domain signal — the RefinedWeb ordering): the shared
+    // footer is hot (df = 15 >= 3), every unique body survives
+    val scrubbed = PipelineQueries.scrubDocs(
+      candidates.select("doc_id", "text"), chunkWords = 4, minDocs = 3)
+    val scrubRows = scrubbed.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    assert(scrubRows.map(_._1).toSet == onIds.toSet ++ (20L until 35L))
+    scrubRows.foreach { case (id, text, nScrubbed) =>
+      assert(nScrubbed == (if (id < 15L) 2L else 0L),
+        s"doc $id: exactly the footer chunks scrub, got $nScrubbed")
+      assert(!text.contains("newsletter") && !text.contains("subscribe"),
+        s"doc $id still carries footer text: $text")
+      assert(text.contains(s"uniq${('a' + (id % 26).toInt).toChar}0"),
+        s"doc $id lost its unique body: $text")
+    }
+    val scrubbedDocs = scrubbed
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+      .join(candidates.select("doc_id", "lang"), Seq("doc_id"))
+
+    // stage 2 — DSIR selection at keepFrac 0.5 over the scrubbed text
+    // must pick exactly the on-topic half: shared-vocab grams carry
+    // the high milli-log ratios, off-topic grams the low ones
+    val selected = PipelineQueries.corpusDsirSelectDocs(
+      scrubbedDocs.select("doc_id", "text"), targets, 0.5)
+    val selIds = selected.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selIds == onIds.toSet,
+      s"DSIR must select the on-topic half, got $selIds")
+
+    // stage 3 — temperature mix over the selected scrubbed docs
+    // (drops propagate: off-topic ids never reach this scan); budget
+    // set at zz's exact keep-all threshold, below en's, so the tail
+    // language rides whole and the head downsamples
+    val mixIn = scrubbedDocs.join(selected.select("doc_id"), Seq("doc_id"))
+    val toked = PipelineQueries.tokenizeDocs(mixIn)
+    val supply = toked.groupBy("lang").agg(sum("n_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (tEn, tZz) = (supply("en"), supply("zz"))
+    val sumW = math.sqrt(tEn.toDouble) + math.sqrt(tZz.toDouble)
+    val budget = math.ceil(tZz * sumW / math.sqrt(tZz.toDouble)).toLong + 1L
+    assert(budget < tEn * sumW / math.sqrt(tEn.toDouble),
+      s"fixture premise: budget $budget must downsample en (supply $supply)")
+    val mixed = PipelineQueries.corpusMixTemperatureDocs(mixIn, budget, 0.5)
+    val mixedIds = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixedIds.subsetOf(onIds.toSet), "mix keeps only selected docs")
+    assert(Set(12L, 13L, 14L).subsetOf(mixedIds),
+      s"tail language zz must ride whole through the mix: $mixedIds")
+    val enKept = mixedIds.count(_ < 12L)
+    assert(enKept > 0 && enKept < 12,
+      s"head language en must downsample to a proper subset, kept $enKept of 12")
+
+    // stage 4 — physical shard write of the mixed survivors; the
+    // sharded corpus on disk is exactly the mix output, scrubbed text
+    // and all, in shard_pos order
+    val outDocs = mixIn.join(mixed.select("doc_id"), Seq("doc_id"))
+    PipelineQueries.writeShards(outDocs, shards = 4, s"$base/shards")
+    val shardRows = spark.read.parquet(s"$base/shards")
+      .select(col("doc_id"), col("shard").cast("long"), col("shard_pos"), col("text"))
+      .collect()
+    assert(shardRows.map(_.getLong(0)).toSet == mixedIds,
+      "sharded corpus must hold exactly the mixed survivors")
+    assert(shardRows.forall(r => !r.getString(3).contains("newsletter")),
+      "scrubbed text must be what ships")
+    // written layout agrees with the assignment operator
+    val assigned = PipelineQueries.shardDocs(outDocs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    shardRows.foreach { r =>
+      assert(assigned(r.getLong(0)) == (r.getLong(1), r.getLong(2)),
+        s"doc ${r.getLong(0)}: written (${r.getLong(1)}, ${r.getLong(2)}) vs assigned ${assigned(r.getLong(0))}")
+    }
+  }
 }
