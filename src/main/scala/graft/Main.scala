@@ -43,8 +43,11 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false]
+  *   runMain graft.Main contamination-score in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
+  *   runMain graft.Main bpe-train     in=<docs.parquet> out=<merges dir> [merges=1000 maxforms=65536]
+  *   runMain graft.Main bpe-encode    in=<docs.parquet> out=<dir> [merges=<rank,left,right parquet>]
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
-  *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16]
+  *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
   *   runMain graft.Main quality-score in=<docs.parquet> out=<dir> [weights=<bucket,weight_milli parquet>]
   *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
@@ -84,8 +87,8 @@ object Main {
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
-    "corpus-stats", "decontaminate", "dsir-select", "corpus-scrub",
-    "quality-score", "query", "sql")
+    "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
+    "corpus-scrub", "quality-score", "bpe-train", "bpe-encode", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -424,6 +427,40 @@ object Main {
           .localCheckpoint()
         flagged.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), flagged.count())
+      // graded twin of decontaminate: per-doc eval-overlap fraction
+      // over EVERY training doc (the audit table a curation policy
+      // thresholds on)
+      case "contamination-score" =>
+        val docs = spark.read.parquet(req("in"))
+        val evals = spark.read.parquet(req("evals"))
+        val scored = graft.queries.PipelineQueries.corpusContaminationScoreDocs(
+          docs, evals, opts.getOrElse("k", "5").toInt).localCheckpoint()
+        scored.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), scored.count())
+      // learn a BPE merge table from the corpus (one word-count scan
+      // + bounded driver solve); merges= caps the table size
+      case "bpe-train" =>
+        val docs = spark.read.parquet(req("in")).select("doc_id", "text")
+        val merges = graft.functions.Bpe.train(docs,
+          opts.getOrElse("merges", "1000").toInt,
+          opts.getOrElse("maxforms", graft.functions.Bpe.MaxForms.toString).toInt)
+        graft.functions.Bpe.mergesTable(spark, merges)
+          .coalesce(1).write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), merges.length.toLong)
+      // tokenize under a trained merge table (merges= from bpe-train;
+      // absent -> the builtin gate model)
+      case "bpe-encode" =>
+        val docs = spark.read.parquet(req("in")).select("doc_id", "text")
+        val merges = opts.get("merges") match {
+          case Some(p) => graft.functions.Bpe.readMerges(spark, p)
+          case None => graft.functions.Bpe.builtin
+        }
+        val enc = docs.select(col("doc_id"),
+          graft.functions.Bpe.bpeEncode(col("text"), merges).as("tokens"))
+          .withColumn("n_tokens", size(col("tokens")).cast("long"))
+          .localCheckpoint()
+        enc.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), enc.count())
       // write=true materializes the sharded corpus itself (one file
       // per shard=N dir, rows in shard_pos order — the layout a
       // training job streams); default emits the assignment table

@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expr.BpeUtil
+
+/** BPE tokenizer TRAINING and the trained-encode column — the
+  * tokenizer half a training-data pipeline needs between corpus
+  * curation and sequence packing (the repo's `bpeTokens` regex is the
+  * PRE-tokenizer; this learns the merges that turn pre-tokens into a
+  * real subword vocabulary).
+  *
+  * Spark-first split of the classic Sennrich/GPT-2 algorithm: the
+  * corpus-sized work — word counting — is ONE distributed scan with
+  * map-side partial aggregation, and the iterative merge learning
+  * runs on the DRIVER over the bounded word-frequency table (BPE
+  * training only ever consumes the word histogram, never the corpus:
+  * this is exactly how sentencepiece/subword-nmt train too, so the
+  * driver solve is the textbook algorithm, not a shortcut). The same
+  * bounded-collect pattern as the DSIR lambda fit and the
+  * quality-model trainer.
+  */
+object Bpe {
+
+  /** Cap on the word-frequency table the driver solve consumes.
+    * 2^16 forms × ~16 B is ~1 MB — trivially collectable — while
+    * Zipf means the tail beyond it is almost all singletons that
+    * could never win a merge anyway. The cap is LOUD: [[train]]
+    * reports the token coverage of the kept forms on stderr, so a
+    * corpus whose tail actually matters (coverage ≪ 1) is visible,
+    * not silently mis-trained. */
+  val MaxForms = 1 << 16
+
+  /** Pairs seen fewer than this many times stop the merge loop — a
+    * merge learned from one occurrence is noise, and stopping early
+    * keeps the table honest when `nMerges` exceeds what the corpus
+    * supports. */
+  val MinPairCount = 2L
+
+  /** Distributed half: per-word occurrence counts, one scan. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextFunctions.bpeTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Learn up to `nMerges` merges from `docs`. Returns the merge
+    * list in rank order. The only corpus-sized job is the word-count
+    * aggregate; the collect is bounded by [[MaxForms]] (top forms by
+    * count, then word — deterministic under ties). */
+  def train(docs: DataFrame, nMerges: Int, maxForms: Int = MaxForms): Array[(String, String)] = {
+    val wc = wordCounts(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val forms = wc.orderBy(desc("n"), asc("word")).limit(maxForms)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val totals = wc.agg(sum("n"), count(lit(1))).head()
+    wc.unpersist()
+    val (totalTokens, totalForms) = (totals.getLong(0), totals.getLong(1))
+    if (totalForms > maxForms) {
+      val covered = forms.map(_._2).sum
+      System.err.println(
+        f"[graft] bpe-train: $totalForms word forms capped to $maxForms " +
+          f"(token coverage ${covered.toDouble / totalTokens}%.4f)")
+    }
+    trainFromCounts(forms, nMerges)
+  }
+
+  /** The driver solve: iterative highest-count pair merging over the
+    * word histogram, incremental pair-count maintenance (only words
+    * CONTAINING the merged pair are re-counted — the classic
+    * efficient implementation). Deterministic end to end: ties on
+    * count break lexicographically on (left, right). */
+  def trainFromCounts(forms: Array[(String, Long)], nMerges: Int): Array[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be >= 0: $nMerges")
+    // NB: map(_.toString), not map(String.valueOf) — eta-expanding the
+    // overloaded valueOf can resolve Char through the Int overload
+    val seqs: Array[Array[String]] =
+      forms.map(_._1.toCharArray.map(_.toString))
+    val freq: Array[Long] = forms.map(_._2)
+
+    val pairCount = new java.util.HashMap[(String, String), Long]()
+    val pairForms = new java.util.HashMap[(String, String), java.util.BitSet]()
+    def addForm(fi: Int, sign: Long): Unit = {
+      val s = seqs(fi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCount.merge(p, sign * freq(fi), (a, b) => a + b)
+        if (sign > 0)
+          pairForms.computeIfAbsent(p, _ => new java.util.BitSet()).set(fi)
+        i += 1
+      }
+    }
+    forms.indices.foreach(addForm(_, 1L))
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < nMerges && !pairCount.isEmpty) {
+      // argmax by (count desc, pair asc) — an explicit total order, so
+      // the table is a pure function of the histogram
+      var best: (String, String) = null
+      var bestN = 0L
+      pairCount.forEach { (p, n) =>
+        if (n > bestN || (n == bestN && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestN = n
+        }
+      }
+      if (best == null || bestN < MinPairCount) return merges.toArray
+      merges += best
+      val touched = pairForms.get(best)
+      // pairForms bitsets go stale as words mutate — harmless: a
+      // stale index just re-counts a word that no longer holds the
+      // pair (subtract + re-add is a no-op for it)
+      var fi = touched.nextSetBit(0)
+      while (fi >= 0) {
+        addForm(fi, -1L)
+        seqs(fi) = mergePair(seqs(fi), best._1, best._2)
+        addForm(fi, 1L)
+        fi = touched.nextSetBit(fi + 1)
+      }
+      pairCount.remove(best)
+      pairForms.remove(best)
+    }
+    merges.toArray
+  }
+
+  private def mergePair(s: Array[String], l: String, r: String): Array[String] = {
+    val out = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out.add(l + r); i += 2 }
+      else { out.add(s(i)); i += 1 }
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+
+  /** Merges as the `(rank, left, right)` table `Main bpe-encode
+    * merges=` ingests — rank is 1-based and contiguous. */
+  def mergesTable(spark: SparkSession, merges: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** Merge-table ingestion with loud validation (the quality-weights
+    * contract): ranks must be the contiguous 1..n, symbols non-null;
+    * rank VALIDITY itself (multi-char symbols produced by earlier
+    * merges) is then enforced by the [[BpeUtil.Model]] constructor. */
+  def readMerges(spark: SparkSession, path: String): Array[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+    val out = new Array[(String, String)](rows.length)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"merges $path: null rank/left/right row")
+      val k = r.getInt(0)
+      require(k >= 1 && k <= rows.length,
+        s"merges $path: rank $k outside the contiguous 1..${rows.length}")
+      require(out(k - 1) == null, s"merges $path: duplicate rank $k")
+      out(k - 1) = (r.getString(1), r.getString(2))
+    }
+    out
+  }
+
+  /** Trained-BPE token array of `text` under `merges` (compiled
+    * scan-local [[graft.functions.expr.BpeEncode]]). */
+  def bpeEncode(text: Column, merges: Array[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    ofExpr(graft.functions.expr.BpeEncode(toExpr(text), new BpeUtil.Model(merges)))
+  }
+
+  /** The frozen gate model: [[train]] run once over the sf0.001
+    * documents table (nMerges = 40) and pinned here, the
+    * LangProfiles-builtin pattern — the gate query and its DuckDB
+    * oracle embed the SAME table, so the encode arithmetic is
+    * oracle-checked while training itself is spec-checked
+    * (BpeSpec pins [[trainFromCounts]] against hand-computed merges
+    * and the train->encode round trip). Regenerate with
+    * `Main bpe-train` if the testdata generator ever changes. */
+  val builtin: Array[(String, String)] = Array(
+    ("e", "r"),
+    ("o", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("s", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("m", "er"),
+    ("a", "t"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("d", "ow"),
+    ("in", "dow"),
+    ("w", "indow"),
+    ("d", "er"),
+    ("or", "der"),
+    ("or", "t"),
+    ("s", "ort"),
+    ("par", "t"),
+    ("u", "p"),
+    ("a", "g"),
+    ("ag", "g"),
+    ("a", "lu"),
+    ("alu", "e"),
+    ("v", "alue"),
+    ("in", "e"),
+    ("l", "ine"),
+    ("e", "y"),
+    ("k", "ey"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("g", "e"),
+    ("mer", "ge"),
+    ("er", "y"))
+}

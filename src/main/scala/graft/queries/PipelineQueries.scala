@@ -188,6 +188,49 @@ object PipelineQueries {
       .agg(count(lit(1)).as(s"n_shared_${k}grams"))
   }
 
+  /** Gate form of [[corpusContaminationScoreDocs]]: same eval slice
+    * as `corpus_decontaminate`, scored over EVERY training doc. */
+  def corpusContaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    corpusContaminationScoreDocs(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0), k = 5)
+  }
+
+  /** GRADED contamination — the decision-surface complement to the
+    * binary [[corpusDecontaminateDocs]] flag: for EVERY training doc,
+    * the fraction of its distinct word `k`-grams that appear anywhere
+    * in the eval corpus. The binary form answers "touched at all?";
+    * real curation policies threshold on the FRACTION (drop above
+    * ~0.8 = the doc IS the benchmark; scrub between; keep below —
+    * the GPT-3/PaLM appendix-B shape), and reporting 0-overlap docs
+    * matters because the output doubles as the decontamination AUDIT
+    * table.
+    *
+    * Same scale plan as the exact form (eval grams broadcast, corpus
+    * scanned once, shuffle = per-doc gram counts only) with one LEFT
+    * join so clean docs survive with contamination 0. Docs with fewer
+    * than `k` words have no grams and score 0 by definition, not
+    * 0/0. The division is exact-int over exact-int in IEEE double —
+    * bit-identical in DuckDB. */
+  def corpusContaminationScoreDocs(docs: DataFrame, evals: DataFrame,
+                                   k: Int = 5): DataFrame = {
+    val evalG = decontaminateGrams(evals, k).select("sh").distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = decontaminateGrams(docs, k)
+      .join(broadcast(evalG), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("hit"), lit(0L)).as("n_shared"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0L,
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+
   /** Hashed n-gram feature space for importance resampling: every
     * word unigram and bigram maps to one of [[DsirBuckets]] buckets.
     * A power-of-two count keeps the DuckDB mirror a plain `%`. 4096
@@ -933,6 +976,7 @@ object PipelineQueries {
     "corpus_stats" -> (corpusStats _),
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _),
+    "corpus_contamination" -> (corpusContaminationScore _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_shard" -> (corpusShard _),
     "corpus_scrub" -> (corpusScrub _),
@@ -1058,6 +1102,33 @@ object PipelineQueries {
         |FROM sh JOIN ev USING (s)
         |WHERE doc_id % 23 != 0
         |GROUP BY doc_id""".stripMargin,
+    // graded twin of corpus_decontaminate: same shingling, LEFT joins
+    // so 0-overlap and no-gram docs score 0; the division is exact
+    // int / exact int in IEEE double on both engines
+    "corpus_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(CASE WHEN len(ws) >= 5
+        |           THEN list_transform(generate_series(1, len(ws) - 4),
+        |                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |                       ws[i+3] || ' ' || ws[i+4])
+        |           ELSE [] END)) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |ev AS (SELECT DISTINCT s, 1 AS hit FROM sh WHERE doc_id % 23 = 0),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_shared
+        |  FROM sh LEFT JOIN ev USING (s)
+        |  WHERE doc_id % 23 != 0
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(n_grams, 0) AS n_grams,
+        |       coalesce(n_shared, 0) AS n_shared,
+        |       CASE WHEN coalesce(n_grams, 0) > 0
+        |            THEN CAST(n_shared AS DOUBLE) / n_grams ELSE 0.0 END
+        |         AS contamination
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 != 0) d
+        |LEFT JOIN agg USING (doc_id)""".stripMargin,
     // mirrors corpusDsirSelectDocs step for step: same Horner-fold
     // bucket hash (seed 7, universal remix), same integer milli-log
     // ratio (floor(x+0.5) both sides — SQL round() and Scala

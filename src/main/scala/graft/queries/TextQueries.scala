@@ -23,6 +23,19 @@ object TextQueries {
       size(bpeTokens(col("text"))).as("n_bpe_tokens"),
       length(col("text")).as("n_chars"))
 
+  /** Token counts under the TRAINED BPE model ([[graft.functions.Bpe.builtin]],
+    * learned by [[graft.functions.Bpe.train]] from the sf0.001 slice and
+    * frozen — the LangProfiles pattern: derivation in-repo, model as
+    * data, encode arithmetic oracle-checked against a DuckDB
+    * recursive-CTE replay of the merge loop). One compiled scan-local
+    * pass per row; no exchange. */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(bpeTokens(col("text"))).as("n_pretokens"),
+      size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
+        .as("n_tokens"))
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val nWords = size(words(col("text"))).cast("double")
@@ -522,6 +535,7 @@ object TextQueries {
     "text_lm_score" -> (textLmScore _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_tokens" -> (textTokens _),
+    "text_bpe_tokens" -> (textBpeTokens _),
     "text_quality" -> (textQuality _),
     "text_quality_model" -> (textQualityModel _),
     "text_langid" -> (textLangid _),
@@ -540,6 +554,15 @@ object TextQueries {
 
   private val bm25QueriesSql =
     Bm25QuerySet.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+
+  /** [[graft.functions.Bpe.builtin]] as a SQL VALUES list — the same
+    * frozen model on both sides of the gate (symbols are letter runs
+    * on this corpus; quotes doubled anyway for SQL safety). */
+  private def bpeMergeValues: String =
+    graft.functions.Bpe.builtin.zipWithIndex.map { case ((l, r), i) =>
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      s"(${i + 1}, ${q(l)}, ${q(r)})"
+    }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
     // mirrors searchBm25: same Lucene-idf BM25, same k1/b, same
@@ -658,6 +681,50 @@ object TextQueries {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
         |       length(text) AS n_chars
         |FROM documents""".stripMargin,
+    // replays the trained-BPE merge loop in SQL: the builtin merge
+    // table rides as VALUES, and a recursive CTE applies, per distinct
+    // pre-token, the leftmost occurrence of the lowest-rank applicable
+    // pair until none applies. One occurrence at a time is EQUAL to
+    // the engine's merge-all-per-rank loop because the table is rank-
+    // valid (a pair containing symbol s can only be learned after the
+    // merge creating s — see BpeUtil.Model), so a merge can never
+    // create a lower-ranked pair. Symbols are tracked in a space-
+    // separated sentinel string ' a b c '; a merge is substring
+    // surgery at strpos, which sidesteps replace()'s shared-boundary
+    // miss on overlapping occurrences.
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE m(rank, l, r) AS (VALUES $bpeMergeValues),
+         |pt AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(text,
+         |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word
+         |  FROM documents),
+         |w AS (SELECT DISTINCT word FROM pt),
+         |enc(word, s, it) AS (
+         |  SELECT word,
+         |         ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' ',
+         |         0
+         |  FROM w
+         |  UNION ALL
+         |  SELECT e.word,
+         |         substr(e.s, 1, strpos(e.s, ' ' || m.l || ' ' || m.r || ' '))
+         |           || m.l || m.r || ' '
+         |           || substr(e.s, strpos(e.s, ' ' || m.l || ' ' || m.r || ' ')
+         |                            + len(m.l) + len(m.r) + 3),
+         |         e.it + 1
+         |  FROM enc e JOIN m ON m.rank = (
+         |    SELECT min(m2.rank) FROM m m2
+         |    WHERE strpos(e.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)),
+         |toks AS (
+         |  SELECT word, len(string_split(trim(arg_max(s, it)), ' ')) AS nt
+         |  FROM enc GROUP BY word),
+         |cnt AS (
+         |  SELECT doc_id, count(*) AS n_pre, CAST(sum(nt) AS BIGINT) AS n_tok
+         |  FROM pt JOIN toks USING (word) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(cnt.n_pre, 0) AS n_pretokens,
+         |       coalesce(cnt.n_tok, 0) AS n_tokens
+         |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin,
     // mirrors qualityModelScore: same DSIR gram/bucket arithmetic
     // (seed-7 Horner fold, affine remix, 4096 buckets) and the same
     // stand-in weight formula — all exact BIGINT, summed per doc

@@ -410,6 +410,55 @@ class MainSpec extends SparkSpec {
     assert(kept == Set(20L), s"trained weights must keep the good-vocab doc: $kept")
   }
 
+  test("pipeline subcommands: bpe-train → bpe-encode round trip; builtin fallback") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_bpe").toString
+    val docs = (Seq.fill(20)("the window of the window") ++ Seq.fill(2)("zq zq"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    docs.toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val rt = Main.runPipeline(spark, Seq("bpe-train", "merges=8",
+      s"in=$base/docs.parquet", s"out=$base/merges"))
+    assert(rt.rowsIn == 22 && rt.rowsOut == 8)
+    val re = Main.runPipeline(spark, Seq("bpe-encode",
+      s"in=$base/docs.parquet", s"out=$base/enc", s"merges=$base/merges"))
+    assert(re.rowsIn == 22 && re.rowsOut == 22)
+    val enc = spark.read.parquet(s"$base/enc")
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dominant words compress to whole-word tokens: 5 words -> 5 tokens
+    assert(enc(0L) == 5L, s"'the window of the window' must be 5 trained tokens, got ${enc(0L)}")
+    // the rare word stays character-split: 'zq zq' -> 4 tokens
+    assert(enc(20L) == 4L, s"'zq zq' must stay split, got ${enc(20L)}")
+    // builtin fallback runs without merges=
+    val rb = Main.runPipeline(spark, Seq("bpe-encode",
+      s"in=$base/docs.parquet", s"out=$base/enc_builtin"))
+    assert(rb.rowsOut == 22)
+  }
+
+  test("pipeline subcommands: contamination-score grades every doc, zero for clean") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_contam").toString
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((100L, evalText)).toDF("doc_id", "text").write.parquet(s"$base/evals.parquet")
+    Seq(
+      (1L, evalText),                                           // fully contaminated
+      (2L, "alpha beta gamma delta epsilon completely new tail"), // partial overlap
+      (3L, "utterly unrelated words about something else here"),  // clean
+      (4L, "tiny doc"))                                           // < k words, no grams
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val r = Main.runPipeline(spark, Seq("contamination-score",
+      s"in=$base/docs.parquet", s"evals=$base/evals.parquet", s"out=$base/scored"))
+    assert(r.rowsIn == 4 && r.rowsOut == 4, "every doc is scored, clean ones included")
+    val got = spark.read.parquet(s"$base/scored")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(got(1L)._3 == 1.0, s"identical doc scores 1.0: ${got(1L)}")
+    assert(got(2L)._2 == 1L && got(2L)._3 > 0.0 && got(2L)._3 < 1.0,
+      s"partial overlap scores in (0,1): ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0.0)), s"clean doc scores 0: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0.0)), s"sub-k doc has no grams and scores 0: ${got(4L)}")
+  }
+
   test("corpus-shard write=true: one parquet file per shard, rows in shard_pos order, re-run identical") {
     val s = spark
     import s.implicits._

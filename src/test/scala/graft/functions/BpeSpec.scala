@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expr.BpeUtil
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  private def model(ms: (String, String)*) = new BpeUtil.Model(ms.toArray)
+
+  // The reference the oracle implements: merge ONE leftmost occurrence
+  // of the lowest-rank applicable pair per step. The engine merges ALL
+  // occurrences of the lowest-rank pair per step; rank validity makes
+  // them equal, and this spec CHECKS that equality rather than
+  // assuming it.
+  private def refEncode(word: String, m: BpeUtil.Model): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val ranked = syms.indices.dropRight(1).flatMap { i =>
+        val r = m.pairRank.get(syms(i) + " " + syms(i + 1))
+        if (r == null) None else Some((r.intValue(), i))
+      }
+      if (ranked.isEmpty) done = true
+      else {
+        val (rank, _) = ranked.minBy(t => (t._1, t._2))
+        val i = ranked.filter(_._1 == rank).map(_._2).min // leftmost of lowest rank
+        val (l, r) = m.merges(rank)
+        syms = (syms.take(i) :+ (l + r)) ++ syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  test("trainFromCounts learns the textbook merges on the Sennrich example") {
+    // 'low'x5, 'lower'x2, 'newest'x6, 'widest'x3: pair counts give
+    // (e,s)=9 first, then (es,t)=9, then (l,o)=7, then (lo,w)=7 ...
+    val forms = Array("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainFromCounts(forms, 4)
+    assert(merges.toSeq == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      s"got ${merges.toSeq}")
+  }
+
+  test("trainFromCounts is deterministic under count ties (lexicographic pair order)") {
+    // every pair appears exactly twice -> ties everywhere
+    val forms = Array("ab" -> 2L, "cd" -> 2L, "ef" -> 2L)
+    val m1 = Bpe.trainFromCounts(forms, 3)
+    val m2 = Bpe.trainFromCounts(forms.reverse, 3)
+    assert(m1.toSeq == Seq(("a", "b"), ("c", "d"), ("e", "f")))
+    assert(m1.toSeq == m2.toSeq, "input order must not matter")
+  }
+
+  test("trainFromCounts stops below the min pair count instead of learning noise") {
+    val merges = Bpe.trainFromCounts(Array("abc" -> 1L, "xyz" -> 1L), 10)
+    assert(merges.isEmpty, s"singleton pairs must not become merges: ${merges.toSeq}")
+  }
+
+  test("merge-all encode equals the one-occurrence-at-a-time reference on a trained model") {
+    val corpusForms = Array("window" -> 20L, "windows" -> 5L, "widow" -> 3L,
+      "in" -> 30L, "inner" -> 4L, "winner" -> 6L, "dow" -> 2L, "own" -> 7L)
+    val m = new BpeUtil.Model(Bpe.trainFromCounts(corpusForms, 12))
+    val words = corpusForms.map(_._1) ++ Array("w", "windowing", "owow", "nnnn", "dowdow")
+    words.foreach { w =>
+      assert(BpeUtil.encodeWord(w, m).toSeq == refEncode(w, m),
+        s"'$w' under ${m.merges.toSeq}")
+    }
+    // and on the frozen builtin, over real corpus words
+    val bm = new BpeUtil.Model(Bpe.builtin)
+    Seq("window", "windows", "scan", "merge", "partition", "query", "colucolumn",
+      "sort", "sorted", "value", "keykey", "x", "joinjoin").foreach { w =>
+      assert(BpeUtil.encodeWord(w, bm).toSeq == refEncode(w, bm), s"builtin on '$w'")
+    }
+  }
+
+  test("Model rejects rank-invalid tables loudly (the oracle-equivalence precondition)") {
+    val e = intercept[IllegalArgumentException](model(("ab", "c")))
+    assert(e.getMessage.contains("not produced by an earlier merge"))
+    intercept[IllegalArgumentException](model(("a", "b"), ("c", "ab2")))
+    // valid: multi-char symbols in creation order
+    model(("a", "b"), ("ab", "c"), ("d", "abc"))
+  }
+
+  test("encode pre-tokenizes like bpeTokens and concatenates per-token encodings") {
+    val s = spark
+    import s.implicits._
+    val m = Array(("a", "b"), ("c", "d"))
+    val out = Seq((1L, "ab cd! ab99cd"), (2L, ""), (3L, "zzz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.bpeEncode(col("text"), m).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // 'ab' merges; '!' is its own pre-token; digits split from letters
+    assert(out(1L) == Seq("ab", "cd", "!", "ab", "9", "9", "cd"))
+    assert(out(2L) == Seq.empty)
+    assert(out(3L) == Seq("z", "z", "z"))
+  }
+
+  test("per-thread memo is model-keyed: alternating models never mix segmentations") {
+    val mA = model(("a", "b"))
+    val mB = model(("b", "c"))
+    (1 to 3).foreach { _ =>
+      assert(BpeUtil.encodeWord("abc", mA).toSeq == Seq("ab", "c"))
+      assert(BpeUtil.encodeWord("abc", mB).toSeq == Seq("a", "bc"))
+    }
+    // the cached path (encode goes through the memo)
+    import org.apache.spark.unsafe.types.UTF8String
+    val gA = BpeUtil.encode(UTF8String.fromString("abc abc"), mA)
+    val gB = BpeUtil.encode(UTF8String.fromString("abc abc"), mB)
+    assert(gA.numElements() == 4 && gB.numElements() == 4)
+    assert(gA.getUTF8String(0).toString == "ab" && gB.getUTF8String(0).toString == "a")
+  }
+
+  test("mergesTable/readMerges round-trip; ingest validation is loud") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val merges = Bpe.trainFromCounts(Array("window" -> 9L, "widow" -> 4L), 6)
+    Bpe.mergesTable(spark, merges).write.parquet(s"$base/m")
+    assert(Bpe.readMerges(spark, s"$base/m").toSeq == merges.toSeq)
+    // gap in ranks
+    Seq((1, "a", "b"), (3, "c", "d")).toDF("rank", "left", "right")
+      .write.parquet(s"$base/gap")
+    val e = intercept[Exception](Bpe.readMerges(spark, s"$base/gap"))
+    assert(e.getMessage.contains("rank"), e.getMessage)
+    // duplicate rank
+    Seq((1, "a", "b"), (1, "c", "d")).toDF("rank", "left", "right")
+      .write.parquet(s"$base/dup")
+    assert(intercept[Exception](Bpe.readMerges(spark, s"$base/dup"))
+      .getMessage.contains("duplicate"))
+  }
+
+  test("train end-to-end: distributed counts feed the driver solve; merges reflect corpus frequency") {
+    val s = spark
+    import s.implicits._
+    val docs = (Seq.fill(30)("the window of the window") ++ Seq.fill(2)("zq zq"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 8)
+    val bm = new BpeUtil.Model(merges)
+    // the dominant words must tokenize to single symbols, the rare one must not
+    assert(BpeUtil.encodeWord("window", bm).length == 1,
+      s"'window' should be one token: ${BpeUtil.encodeWord("window", bm).toSeq}")
+    assert(BpeUtil.encodeWord("the", bm).length == 1)
+    assert(BpeUtil.encodeWord("zq", bm).length == 2, "rare word stays split")
+  }
+}
