@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
-  *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false]
+  *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false near=false minjaccard=0.8]
   *   runMain graft.Main contamination-score in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
   *   runMain graft.Main bpe-train     in=<docs.parquet> out=<merges dir> [merges=1000 maxforms=65536]
   *   runMain graft.Main bpe-encode    in=<docs.parquet> out=<dir> [merges=<rank,left,right parquet>]
@@ -419,8 +419,13 @@ object Main {
         val evals = spark.read.parquet(req("evals"))
         val k = opts.getOrElse("k", "5").toInt
         // bloom=true is the frontier-scale form (eval suite too big to
-        // broadcast exactly); identical output by construction
-        val flagged = (if (opts.getOrElse("bloom", "false").toBoolean)
+        // broadcast exactly); identical output by construction.
+        // near=true switches to MinHash near-dup pairs (doc_id,
+        // eval_id, jaccard >= minjaccard) — the reworded-eval catcher.
+        val flagged = (if (opts.getOrElse("near", "false").toBoolean)
+          graft.queries.PipelineQueries.corpusDecontaminateNearDocs(docs, evals,
+            opts.getOrElse("minjaccard", "0.8").toDouble)
+        else if (opts.getOrElse("bloom", "false").toBoolean)
           graft.queries.PipelineQueries.corpusDecontaminateDocsBloom(docs, evals, k)
         else
           graft.queries.PipelineQueries.corpusDecontaminateDocs(docs, evals, k))

@@ -189,6 +189,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** BIPARTITE [[minhashLshPairs]]: near-dup pairs between a large
+    * corpus and a SMALL reference set (near-duplicate benchmark
+    * decontamination — the GPT-4-report shape, where exact-gram
+    * matching misses reworded eval items). Same signatures, same band
+    * keys, same exact-Jaccard verification; the asymmetry is the
+    * plan: the reference side's band table and shingle sets are
+    * eval-sized, so the band equi-join broadcasts them and the corpus
+    * is SCANNED, never shuffled — candidates (true near-dups + band
+    * collisions, both ∝ the small side) are the only moving rows.
+    * Output `(doc_id, eval_id, jaccard)`, one row per surviving pair. */
+  def minhashLshPairsBipartite(big: DataFrame, small: DataFrame, text: Column,
+                               id: String, minJaccard: Double,
+                               numPerm: Int = 128, bands: Int = 16, k: Int = 3,
+                               seed: Long = 42L): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    def sh(df: DataFrame) = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
+      .filter(size(col("s")) > 0)
+    def banded(shDf: DataFrame) = graft.sources.PlanUtils.fanout(
+        shDf.select(col("doc_id"), minhashSignature(col("s"), numPerm, seed).as("sig")))
+      .withColumn("bh", bandHashes(col("sig"), bands, r))
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val bigSh = sh(big)
+    val smallSh = sh(small)
+    val cand = banded(bigSh)
+      .join(broadcast(banded(smallSh)
+        .select(col("doc_id").as("eval_id"), col("band"), col("h"))), Seq("band", "h"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    cand
+      .join(bigSh, Seq("doc_id")) // candidate-sized: AQE broadcasts cand
+      .join(broadcast(smallSh.select(col("doc_id").as("eval_id"), col("s").as("s_e"))),
+        Seq("eval_id"))
+      .withColumn("inter", size(array_intersect(col("s"), col("s_e"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("s")) + size(col("s_e")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("eval_id"), col("jaccard"))
+  }
+
   // ---- SimHash ----
 
   /** Per-element 62-bit base hash for SimHash: two independent

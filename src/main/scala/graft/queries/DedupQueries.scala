@@ -135,7 +135,7 @@ object DedupQueries {
 
   /** DuckDB shingle expression mirroring Dedup.shingles (word 3-grams,
     * distinct). */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """list_distinct(CASE WHEN len(ws) >= 3
       |  THEN list_transform(generate_series(1, len(ws) - 2),
       |                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])

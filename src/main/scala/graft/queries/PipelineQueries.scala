@@ -188,6 +188,31 @@ object PipelineQueries {
       .agg(count(lit(1)).as(s"n_shared_${k}grams"))
   }
 
+  /** Gate form of [[corpusDecontaminateNearDocs]]: same eval slice as
+    * `corpus_decontaminate`, MinHash threshold shared with
+    * `dedup_minhash_lsh` (0.8). */
+  def corpusDecontaminateNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    corpusDecontaminateNearDocs(
+      docs.filter(col("doc_id") % 23 =!= 0),
+      docs.filter(col("doc_id") % 23 === 0), minJaccard = 0.8)
+  }
+
+  /** NEAR-duplicate decontamination — the recall extension of the
+    * exact-gram forms: a reworded eval item shares few verbatim
+    * 5-grams but keeps most of its 3-shingle set, so MinHash/LSH vs
+    * the eval corpus catches what [[corpusDecontaminateDocs]] can't
+    * (the GPT-4-report motivation for fuzzy decontamination). Pure
+    * composition of the dedup machinery
+    * ([[graft.dedup.Dedup.minhashLshPairsBipartite]]): eval-side band
+    * table + shingle sets broadcast, the corpus is scanned once and
+    * never shuffled, candidates alone move. Output one row per
+    * (training doc, eval doc) pair at true Jaccard ≥ `minJaccard` —
+    * join-ready against both the drop policy and the audit table. */
+  def corpusDecontaminateNearDocs(docs: DataFrame, evals: DataFrame,
+                                  minJaccard: Double): DataFrame =
+    Dedup.minhashLshPairsBipartite(docs, evals, col("text"), "doc_id", minJaccard)
+
   /** Gate form of [[corpusContaminationScoreDocs]]: same eval slice
     * as `corpus_decontaminate`, scored over EVERY training doc. */
   def corpusContaminationScore(spark: SparkSession, dir: String): DataFrame = {
@@ -977,6 +1002,7 @@ object PipelineQueries {
     "corpus_decontaminate" -> (corpusDecontaminate _),
     "corpus_decontaminate_bloom" -> (corpusDecontaminateBloom _),
     "corpus_contamination" -> (corpusContaminationScore _),
+    "corpus_decontaminate_near" -> (corpusDecontaminateNear _),
     "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_shard" -> (corpusShard _),
     "corpus_scrub" -> (corpusScrub _),
@@ -1129,6 +1155,22 @@ object PipelineQueries {
         |         AS contamination
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 23 != 0) d
         |LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // bipartite exact-Jaccard ground truth (dedup_minhash_lsh's
+    // recall-1.0-at-gate-scale argument carries: the planted cross-
+    // boundary pair sits at j ~ 0.96, where 16x8 banding misses with
+    // probability ~1e-9)
+    "corpus_decontaminate_near" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${DedupQueries.shinglesSql} AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         |SELECT a.doc_id AS doc_id, b.doc_id AS eval_id,
+         |       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id % 23 != 0 AND b.doc_id % 23 = 0
+         |WHERE len(a.s) > 0 AND len(b.s) > 0
+         |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""".stripMargin,
     // mirrors corpusDsirSelectDocs step for step: same Horner-fold
     // bucket hash (seed 7, universal remix), same integer milli-log
     // ratio (floor(x+0.5) both sides — SQL round() and Scala

@@ -435,6 +435,24 @@ class MainSpec extends SparkSpec {
     assert(rb.rowsOut == 22)
   }
 
+  test("pipeline subcommands: decontaminate near=true emits bipartite minhash pairs") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_near").toString
+    val w = (1 to 30).map(i => s"word$i")
+    Seq((100L, w.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$base/evals.parquet")
+    Seq((1L, (w ++ Seq("tail", "extra")).mkString(" ")), // reworded eval item
+        (2L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val r = Main.runPipeline(spark, Seq("decontaminate", "near=true",
+      s"in=$base/docs.parquet", s"evals=$base/evals.parquet", s"out=$base/pairs"))
+    assert(r.rowsIn == 2 && r.rowsOut == 1)
+    val got = spark.read.parquet(s"$base/pairs").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set(1L -> 100L), s"only the reworded doc pairs: $got")
+  }
+
   test("pipeline subcommands: contamination-score grades every doc, zero for clean") {
     val s = spark
     import s.implicits._

@@ -270,4 +270,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"substring pairing must stay an equi-join:\n$plan")
   }
+
+  test("bipartite minhash: near-dups of the REFERENCE side pair, train-train dups don't") {
+    import spark.implicits._
+    val w = (1 to 30).map(i => s"word$i")
+    val evalDoc = w.mkString(" ")
+    val train = Seq(
+      1L -> (w ++ Seq("tail", "extra")).mkString(" "), // reworded eval: j = 28/30
+      2L -> evalDoc,                                   // verbatim copy: j = 1.0
+      3L -> (1 to 30).map(i => s"other$i").mkString(" "), // unrelated
+      4L -> "too short",                               // < k words: no shingles
+      5L -> ((1 to 30).map(i => s"other$i").mkString(" ") + " x")) // near-dup of 3, NOT of evals
+      .toDF("doc_id", "text")
+    val evals = Seq(100L -> evalDoc,
+      101L -> (1 to 30).map(i => s"unrelatedeval$i").mkString(" ")).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsBipartite(train, evals, col("text"), "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair.keySet == Set(1L -> 100L, 2L -> 100L),
+      s"exactly the two eval near-dups pair (train-train dup 3~5 must NOT): ${got.toSeq}")
+    assert(byPair(2L -> 100L) == 1.0)
+    assert(math.abs(byPair(1L -> 100L) - 28.0 / 30.0) < 1e-12,
+      s"jaccard must be the exact shingle ratio: ${byPair(1L -> 100L)}")
+    // the corpus-side plan has no corpus shuffle: band join and set
+    // joins all broadcast the eval-sized side
+    val plan = Dedup.minhashLshPairsBipartite(train, evals, col("text"), "doc_id", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"bipartite banding must stay an equi-join:\n$plan")
+  }
 }
