@@ -44,8 +44,9 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false near=false minjaccard=0.8]
   *   runMain graft.Main contamination-score in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
-  *   runMain graft.Main bpe-train     in=<docs.parquet> out=<merges dir> [merges=1000 maxforms=65536]
-  *   runMain graft.Main bpe-encode    in=<docs.parquet> out=<dir> [merges=<rank,left,right parquet>]
+  *   runMain graft.Main bpe-train     in=<docs.parquet> out=<merges dir> [merges=1000 maxforms=65536 vocabout=<dir>]
+  *   runMain graft.Main bpe-encode    in=<docs.parquet> out=<dir> [merges=<rank,left,right parquet> vocab=<id,token parquet>]
+  *   runMain graft.Main corpus-pack   in=<docs.parquet> out=<dir> [merges= vocab= budget=512 buckets=16]
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -88,7 +89,8 @@ object Main {
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
-    "corpus-scrub", "quality-score", "bpe-train", "bpe-encode", "query", "sql")
+    "corpus-scrub", "quality-score", "bpe-train", "bpe-encode", "corpus-pack",
+    "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -451,21 +453,53 @@ object Main {
           opts.getOrElse("maxforms", graft.functions.Bpe.MaxForms.toString).toInt)
         graft.functions.Bpe.mergesTable(spark, merges)
           .coalesce(1).write.mode("overwrite").parquet(req("out"))
+        // vocabout= also writes the induced (id, token) vocabulary —
+        // alphabet from the corpus (exact, not the capped histogram)
+        opts.get("vocabout").foreach { vp =>
+          graft.functions.Bpe.vocabTable(spark,
+              graft.functions.Bpe.vocab(merges, graft.functions.Bpe.alphabet(docs)))
+            .coalesce(1).write.mode("overwrite").parquet(vp)
+        }
         done(docs.count(), merges.length.toLong)
       // tokenize under a trained merge table (merges= from bpe-train;
-      // absent -> the builtin gate model)
+      // absent -> the builtin gate model). vocab= switches the output
+      // to token IDS (-1 = out-of-vocab, never silent)
       case "bpe-encode" =>
         val docs = spark.read.parquet(req("in")).select("doc_id", "text")
         val merges = opts.get("merges") match {
           case Some(p) => graft.functions.Bpe.readMerges(spark, p)
           case None => graft.functions.Bpe.builtin
         }
-        val enc = docs.select(col("doc_id"),
-          graft.functions.Bpe.bpeEncode(col("text"), merges).as("tokens"))
-          .withColumn("n_tokens", size(col("tokens")).cast("long"))
-          .localCheckpoint()
+        val enc = (opts.get("vocab") match {
+          case Some(vp) =>
+            val v = graft.functions.Bpe.readVocab(spark, vp)
+            docs.select(col("doc_id"),
+              graft.functions.Bpe.bpeEncodeIds(col("text"), merges, v).as("token_ids"))
+              .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+          case None =>
+            docs.select(col("doc_id"),
+              graft.functions.Bpe.bpeEncode(col("text"), merges).as("tokens"))
+              .withColumn("n_tokens", size(col("tokens")).cast("long"))
+        }).localCheckpoint()
         enc.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), enc.count())
+      // the materialized tokenizer end: trained-BPE ids packed to the
+      // token budget, one row per pack (the training artifact)
+      case "corpus-pack" =>
+        val docs = spark.read.parquet(req("in")).select("doc_id", "text")
+        val merges = opts.get("merges") match {
+          case Some(p) => graft.functions.Bpe.readMerges(spark, p)
+          case None => graft.functions.Bpe.builtin
+        }
+        val v = opts.get("vocab") match {
+          case Some(vp) => graft.functions.Bpe.readVocab(spark, vp)
+          case None => graft.functions.Bpe.vocab(merges, graft.functions.Bpe.alphabet(docs))
+        }
+        val packed = graft.queries.PipelineQueries.packTokens(docs, merges, v,
+          opts.getOrElse("budget", "512").toInt,
+          opts.getOrElse("buckets", "16").toInt).localCheckpoint()
+        packed.write.mode("overwrite").parquet(req("out"))
+        done(docs.count(), packed.count())
       // write=true materializes the sharded corpus itself (one file
       // per shard=N dir, rows in shard_pos order — the layout a
       // training job streams); default emits the assignment table

@@ -132,6 +132,66 @@ object Bpe {
     out.toArray(new Array[String](out.size()))
   }
 
+  /** The vocabulary a merge table induces over an alphabet: ids
+    * 0..|alphabet|−1 for the sorted single characters, then one id
+    * per merge OUTPUT in rank order. This is the artifact a training
+    * job actually consumes (token IDS, not strings); its id layout is
+    * a pure function of (alphabet, merges), so re-deriving it
+    * anywhere gives the same mapping. */
+  def vocab(merges: Array[(String, String)], alphabet: Seq[String]): Array[String] = {
+    val chars = alphabet.distinct.sorted
+    require(chars.forall(_.length == 1),
+      s"alphabet must be single characters: ${chars.filter(_.length != 1).take(5)}")
+    (chars ++ merges.map { case (l, r) => l + r }).toArray
+  }
+
+  /** Distinct characters across the corpus's pre-tokens — the exact
+    * alphabet (not capped with the form histogram: chars outside the
+    * top forms still need ids). One tiny distinct agg. */
+  def alphabet(docs: DataFrame): Seq[String] = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(split(concat_ws("", TextFunctions.bpeTokens(col("text"))), ""))
+        .as("c"))
+      .filter(length(col("c")) > 0).distinct().as[String].collect().toSeq.sorted
+  }
+
+  /** Vocab as the `(id, token)` table `Main bpe-encode vocab=`
+    * ingests. */
+  def vocabTable(spark: SparkSession, v: Array[String]): DataFrame = {
+    import spark.implicits._
+    v.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("id", "token")
+  }
+
+  /** Vocab ingestion with the same loud-validation contract as
+    * [[readMerges]]: contiguous ids from 0, unique tokens. */
+  def readVocab(spark: SparkSession, path: String): Array[String] = {
+    val rows = spark.read.parquet(path)
+      .select(col("id").cast("int"), col("token")).collect()
+    val out = new Array[String](rows.length)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1), s"vocab $path: null id/token row")
+      val k = r.getInt(0)
+      require(k >= 0 && k < rows.length,
+        s"vocab $path: id $k outside the contiguous 0..${rows.length - 1}")
+      require(out(k) == null, s"vocab $path: duplicate id $k")
+      out(k) = r.getString(1)
+    }
+    require(out.distinct.length == out.length, s"vocab $path: duplicate token")
+    out
+  }
+
+  /** Token-ID array of `text`: trained-BPE encode then vocab lookup,
+    * one compiled pass ([[graft.functions.expr.BpeEncodeIds]]).
+    * Tokens outside the vocab (alphabet drift between train and
+    * encode corpora) map to −1, the documented UNK — a training job
+    * filters or remaps them explicitly rather than silently. */
+  def bpeEncodeIds(text: Column, merges: Array[(String, String)],
+                   vocab: Array[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    ofExpr(graft.functions.expr.BpeEncodeIds(toExpr(text),
+      new BpeUtil.Model(merges), vocab))
+  }
+
   /** Merges as the `(rank, left, right)` table `Main bpe-encode
     * merges=` ingests — rank is 1-based and contiguous. */
   def mergesTable(spark: SparkSession, merges: Array[(String, String)]): DataFrame = {

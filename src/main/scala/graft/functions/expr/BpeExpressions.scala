@@ -126,6 +126,34 @@ object BpeUtil {
     }
     new GenericArrayData(out.toArray[AnyRef](new Array[AnyRef](out.size())))
   }
+
+  /** [[encode]] + vocab lookup in the same pass: token IDS, −1 = UNK
+    * (token outside the vocab — alphabet drift; never silent). */
+  def encodeIds(text: UTF8String, m: Model, vocab: VocabLookup): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(64)
+    val matcher = PreTok.matcher(text.toString)
+    while (matcher.find()) {
+      val toks = cachedEncode(matcher.group(), m)
+      var i = 0
+      while (i < toks.length) { out += vocab.id(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.result())
+  }
+
+  /** Serializable token→id map (built once per executor from the
+    * broadcast-by-reference vocab array). */
+  final class VocabLookup(val tokens: Array[String]) extends Serializable {
+    @transient private lazy val map: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](tokens.length * 2)
+      tokens.zipWithIndex.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+      m
+    }
+    def id(tok: String): Int = {
+      val r = map.get(tok)
+      if (r == null) -1 else r.intValue()
+    }
+  }
 }
 
 /** `bpe_encode(text)` under a frozen merge table — returns the
@@ -149,5 +177,33 @@ case class BpeEncode(child: Expression, model: BpeUtil.Model) extends UnaryExpre
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** `bpe_encode_ids(text)`: [[BpeEncode]] fused with the vocab lookup —
+  * array<int> of token ids, −1 = out-of-vocab (documented UNK). Same
+  * scan-local codegen shape; model + vocab ride the reference array. */
+case class BpeEncodeIds(child: Expression, model: BpeUtil.Model,
+                        vocab: Array[String]) extends UnaryExpression {
+
+  @transient private lazy val lookup = new BpeUtil.VocabLookup(vocab)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType,
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encode_ids"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BpeUtil.encodeIds(a.asInstanceOf[UTF8String], model, lookup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeModel", model, classOf[BpeUtil.Model].getName)
+    val v = ctx.addReferenceObj("bpeVocab", lookup,
+      classOf[BpeUtil.VocabLookup].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.expr.BpeUtil$$.MODULE$$.encodeIds($x, $m, $v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
     copy(child = newChild)
 }

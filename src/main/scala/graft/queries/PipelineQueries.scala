@@ -438,6 +438,46 @@ object PipelineQueries {
       .select(col("doc_id"), col("weight_milli"), col("sel_rank"))
   }
 
+  /** The MATERIALIZED end of the tokenizer loop: [[packSequences]]'s
+    * assignment executed over TRAINED-BPE token ids, one row per pack
+    * with the concatenated id array — the tensor-shaped artifact a
+    * training job memory-maps. Plan: encode is scan-local
+    * (codegen [[graft.functions.expr.BpeEncodeIds]], model + vocab on the reference
+    * array), the pack window rides the same hash-bucket partitioning
+    * as [[packSequences]], and the ONE exchange of token ids (4 B
+    * each) is the groupBy(pack) that assembles packs — the final
+    * materialization, so the ids shuffle here and nowhere else
+    * (the writeShards argument). Within-pack order is pinned by the
+    * window's row_number, so re-runs are byte-identical. Docs over
+    * `budget` overflow their own pack (the packSequences trade),
+    * reported honestly in n_tokens. */
+  def packTokens(docs: DataFrame, merges: Array[(String, String)],
+                 vocab: Array[String], budget: Int = 512,
+                 buckets: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        graft.functions.Bpe.bpeEncodeIds(col("text"), merges, vocab).as("ids"),
+        pmod(col("doc_id"), lit(buckets)).as("bucket"))
+      .withColumn("n_tokens", least(size(col("ids")), lit(budget)).cast("long"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("pack_id",
+        col("bucket").cast("long") * 1000000L + floor(col("tokens_before") / lit(budget)))
+      .withColumn("pos", row_number().over(w))
+      .groupBy(col("pack_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("doc_id"), col("ids"))))
+        .as("items"))
+      .select(col("pack_id"),
+        transform(col("items"), x => x.getField("doc_id")).as("doc_ids"),
+        flatten(transform(col("items"), x => x.getField("ids"))).as("token_ids"))
+      .withColumn("n_docs", size(col("doc_ids")).cast("long"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences. Docs are hash-bucketed (packs are independent, so
     * packing runs per-bucket in parallel — the window never sees more

@@ -435,6 +435,40 @@ class MainSpec extends SparkSpec {
     assert(rb.rowsOut == 22)
   }
 
+  test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_pack").toString
+    val docs = (0L until 40L).map(i => (i, "the window of the window"))
+    docs.toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    val rt = Main.runPipeline(spark, Seq("bpe-train", "merges=8",
+      s"in=$base/docs.parquet", s"out=$base/merges", s"vocabout=$base/vocab"))
+    assert(rt.rowsOut == 8)
+    // every doc is 5 trained tokens (see the bpe round-trip spec);
+    // budget 20 / buckets 2 => 4 docs per pack, 20 docs per bucket
+    // => exactly 10 packs of 20 tokens
+    val rp = Main.runPipeline(spark, Seq("corpus-pack", "budget=20", "buckets=2",
+      s"in=$base/docs.parquet", s"merges=$base/merges", s"vocab=$base/vocab",
+      s"out=$base/packs"))
+    assert(rp.rowsIn == 40 && rp.rowsOut == 10, s"expected 10 full packs: $rp")
+    val packs = spark.read.parquet(s"$base/packs").collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1), r.getSeq[Int](2), r.getLong(3), r.getLong(4)))
+    assert(packs.forall(p => p._4 == 4L && p._5 == 20L),
+      s"every pack holds 4 docs / 20 tokens: ${packs.map(p => (p._1, p._4, p._5)).toSeq}")
+    // within-pack ids are the per-doc encodes concatenated in doc order
+    val vocab = graft.functions.Bpe.readVocab(spark, s"$base/vocab")
+    val merges = graft.functions.Bpe.readMerges(spark, s"$base/merges")
+    val perDoc = Seq("the", "window", "of", "the", "window")
+      .flatMap(w => graft.functions.expr.BpeUtil.encodeWord(w,
+        new graft.functions.expr.BpeUtil.Model(merges)).map(t => vocab.indexOf(t)))
+    packs.foreach { p =>
+      assert(p._2 == p._2.sorted, s"pack ${p._1}: docs in doc_id order")
+      assert(p._3 == p._2.flatMap(_ => perDoc), s"pack ${p._1}: ids are the ordered concat")
+    }
+    // all 40 docs appear exactly once across packs
+    assert(packs.flatMap(_._2).sorted.toSeq == (0L until 40L).toSeq)
+  }
+
   test("pipeline subcommands: decontaminate near=true emits bipartite minhash pairs") {
     val s = spark
     import s.implicits._

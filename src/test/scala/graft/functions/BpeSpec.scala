@@ -109,6 +109,43 @@ class BpeSpec extends SparkSpec {
     assert(gA.getUTF8String(0).toString == "ab" && gB.getUTF8String(0).toString == "a")
   }
 
+  test("token ids: vocab lookup mirrors the string encode; out-of-vocab is -1, never silent") {
+    val s = spark
+    import s.implicits._
+    val merges = Array(("a", "b"), ("ab", "c"))
+    val v = Bpe.vocab(merges, Seq("a", "b", "c", "x"))
+    // sorted alphabet first, then merge outputs in rank order
+    assert(v.toSeq == Seq("a", "b", "c", "x", "ab", "abc"))
+    val df = Seq((1L, "abc xa b"), (2L, "abq")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Bpe.bpeEncode(col("text"), merges).as("toks"),
+        Bpe.bpeEncodeIds(col("text"), merges, v).as("ids"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getSeq[Int](2)))).toMap
+    // ids are exactly the vocab indices of the string tokens
+    got.foreach { case (id, (toks, ids)) =>
+      assert(ids == toks.map(t => v.indexOf(t)),
+        s"doc $id: $toks vs $ids (vocab ${v.toSeq})")
+    }
+    assert(got(1L)._2 == Seq(v.indexOf("abc"), v.indexOf("x"), v.indexOf("a"), v.indexOf("b")))
+    // 'q' is outside the alphabet -> -1 (alphabet drift surfaces)
+    assert(got(2L)._2.contains(-1), s"OOV must be -1: ${got(2L)}")
+  }
+
+  test("vocabTable/readVocab round-trip; validation is loud") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bpevocab").toString
+    val v = Bpe.vocab(Array(("a", "b")), Seq("b", "a"))
+    Bpe.vocabTable(spark, v).write.parquet(s"$base/v")
+    assert(Bpe.readVocab(spark, s"$base/v").toSeq == v.toSeq)
+    Seq((0, "a"), (2, "b")).toDF("id", "token").write.parquet(s"$base/gap")
+    assert(intercept[Exception](Bpe.readVocab(spark, s"$base/gap"))
+      .getMessage.contains("id"))
+    Seq((0, "a"), (1, "a")).toDF("id", "token").write.parquet(s"$base/dup")
+    assert(intercept[Exception](Bpe.readVocab(spark, s"$base/dup"))
+      .getMessage.contains("duplicate"))
+  }
+
   test("mergesTable/readMerges round-trip; ingest validation is loud") {
     val s = spark
     import s.implicits._
