@@ -47,6 +47,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main bpe-train     in=<docs.parquet> out=<merges dir> [merges=1000 maxforms=65536 vocabout=<dir>]
   *   runMain graft.Main bpe-encode    in=<docs.parquet> out=<dir> [merges=<rank,left,right parquet> vocab=<id,token parquet>]
   *   runMain graft.Main corpus-pack   in=<docs.parquet> out=<dir> [merges= vocab= budget=512 buckets=16]
+  *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
+  *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -90,7 +92,7 @@ object Main {
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
     "corpus-scrub", "quality-score", "bpe-train", "bpe-encode", "corpus-pack",
-    "query", "sql")
+    "corpus-pipeline", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -500,6 +502,104 @@ object Main {
           opts.getOrElse("buckets", "16").toInt).localCheckpoint()
         packed.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), packed.count())
+      // ONE-SHOT curation DAG — the data-pipeline analog of the
+      // tagging scenario scheduler (reference scenario_scheduler.py):
+      // raw docs flow clean -> decontaminate -> scrub -> select ->
+      // mix -> shard -> pack with consistent intermediates. Scrub
+      // PRECEDES select by design: boilerplate grams shift the DSIR
+      // importance distribution, and with a template footer in place
+      // selection measurably inverts (PipelineE2ESpec pins the same
+      // ordering lesson) — RefinedWeb's ordering. Stages
+      // whose inputs are absent (evals=, targets=) are skipped with a
+      // loud line, steps= limits/reorders, every stage count goes to
+      // stderr, and the text column flows forward WITHOUT re-joins
+      // where the stage allows it (clean/scrub emit text; the keep
+      // stages join survivor ids back — the honest composition cost,
+      // AQE broadcasts the id side when it fits). Outputs under out/:
+      // survivors/ (+ shards/, packs/, merges/, vocab/ when those
+      // stages run).
+      case "corpus-pipeline" =>
+        import org.apache.spark.storage.StorageLevel
+        val base = req("out")
+        val raw = spark.read.parquet(req("in")).select("doc_id", "lang", "text")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val rowsIn = raw.count()
+        val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard", "pack")
+        val steps = opts.getOrElse("steps", known.mkString(","))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        steps.foreach(s => require(known.contains(s),
+          s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
+        var cur = raw
+        def advance(stage: String, next0: org.apache.spark.sql.DataFrame): Unit = {
+          val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
+          val n = next.count()
+          if (cur ne raw) cur.unpersist()
+          cur = next
+          System.err.println(s"[graft] corpus-pipeline $stage -> $n docs")
+        }
+        val P = graft.queries.PipelineQueries
+        steps.foreach {
+          case "clean" =>
+            advance("clean", P.corpusCleanDocs(cur).select("doc_id", "lang", "text"))
+          case "decontaminate" => opts.get("evals") match {
+            case Some(p) =>
+              val evals = spark.read.parquet(p).select("doc_id", "text")
+              val exact = P.corpusDecontaminateDocs(cur, evals,
+                opts.getOrElse("k", "5").toInt).select("doc_id")
+              val near = P.corpusDecontaminateNearDocs(cur, evals,
+                opts.getOrElse("minjaccard", "0.8").toDouble).select("doc_id")
+              advance("decontaminate",
+                cur.join(exact.union(near).distinct(), Seq("doc_id"), "left_anti"))
+            case None =>
+              System.err.println("[graft] corpus-pipeline decontaminate SKIPPED (no evals=)")
+          }
+          case "select" => opts.get("targets") match {
+            case Some(p) =>
+              val targets = spark.read.parquet(p).select("doc_id", "text")
+              val sel = P.corpusDsirSelectDocs(cur.select("doc_id", "text"), targets,
+                opts.getOrElse("frac", "0.5").toDouble).select("doc_id")
+              advance("select", cur.join(sel, Seq("doc_id")))
+            case None =>
+              System.err.println("[graft] corpus-pipeline select SKIPPED (no targets=)")
+          }
+          case "scrub" =>
+            val scrubbed = P.scrubDocs(cur.select("doc_id", "text"),
+              opts.getOrElse("w", P.ScrubChunkWords.toString).toInt,
+              opts.getOrElse("mindocs", P.ScrubMinDocs.toString).toInt)
+            advance("scrub", cur.select("doc_id", "lang").join(
+              scrubbed.select(col("doc_id"), col("text_scrubbed").as("text")),
+              Seq("doc_id")))
+          case "mix" =>
+            val kept = P.corpusMixTemperatureDocs(cur,
+              opts.getOrElse("budget", P.MixBudgetTokens.toString).toLong,
+              opts.getOrElse("alpha", "0.5").toDouble).select("doc_id")
+            advance("mix", cur.join(kept, Seq("doc_id")))
+          case "shard" =>
+            P.writeShards(cur, opts.getOrElse("shards", "16").toInt, s"$base/shards")
+            System.err.println("[graft] corpus-pipeline shard -> written")
+          case "pack" =>
+            val merges = opts.get("merges") match {
+              case Some(p) => graft.functions.Bpe.readMerges(spark, p)
+              case None => graft.functions.Bpe.train(cur,
+                opts.getOrElse("nmerges", "1000").toInt)
+            }
+            val v = graft.functions.Bpe.vocab(merges, graft.functions.Bpe.alphabet(cur))
+            graft.functions.Bpe.mergesTable(spark, merges).coalesce(1)
+              .write.mode("overwrite").parquet(s"$base/merges")
+            graft.functions.Bpe.vocabTable(spark, v).coalesce(1)
+              .write.mode("overwrite").parquet(s"$base/vocab")
+            P.packTokens(cur, merges, v,
+              opts.getOrElse("packbudget", "512").toInt,
+              opts.getOrElse("buckets", "16").toInt)
+              .write.mode("overwrite").parquet(s"$base/packs")
+            System.err.println("[graft] corpus-pipeline pack -> written")
+        }
+        cur.select("doc_id", "lang", "text")
+          .write.mode("overwrite").parquet(s"$base/survivors")
+        val rowsOut = cur.count()
+        if (cur ne raw) cur.unpersist()
+        raw.unpersist()
+        done(rowsIn, rowsOut)
       // write=true materializes the sharded corpus itself (one file
       // per shard=N dir, rows in shard_pos order — the layout a
       // training job streams); default emits the assignment table

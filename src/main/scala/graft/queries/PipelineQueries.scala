@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   val QualityFloor = 0.5
 
-  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    corpusCleanDocs(Tables.load(spark, dir, "documents")).drop("text")
+
+  /** [[corpusClean]] over any `(doc_id, lang, text)` frame, KEEPING
+    * the text column — the pipeline form, so a downstream stage
+    * consumes survivors without re-joining text (the gate query drops
+    * it to preserve its oracle schema). */
+  def corpusCleanDocs(docs: DataFrame): DataFrame = {
     // hot-shingle guard ON: a shingle shared by >100 docs cannot make
     // a 0.8-Jaccard pair it alone witnesses (planted near-dups share
     // ~all their shingles, with doc-freq 2-3); verified identical to
@@ -32,7 +38,16 @@ object PipelineQueries {
     val losers = Dedup.resolveClusters(pairs)
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
-    scoreAndFloor(docs.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= QualityFloor)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("text"),
+        col("quality"),
+        size(words(col("text"))).as("n_words"),
+        size(bpeTokens(col("text"))).as("n_bpe_tokens"))
   }
 
   /** The quality floor + token accounting shared by the full and

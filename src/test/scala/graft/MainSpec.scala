@@ -435,6 +435,76 @@ class MainSpec extends SparkSpec {
     assert(rb.rowsOut == 22)
   }
 
+  test("corpus-pipeline: the one-shot curation DAG drops each planted defect at its stage") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_pipe").toString
+    val onVocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    val offVocab = Seq("recipe", "butter", "flour", "oven", "bake",
+      "sugar", "dough", "pan", "mix", "cream", "salt", "yeast")
+    val footer = "subscribe to our newsletter for daily updates now"
+    // 60 words = 5 seeded shuffles of the 12-word domain vocab: every
+    // gram is a DOMAIN gram (no filler noise in the hashed DSIR
+    // feature space — a filler-based fixture drowned the signal in
+    // bucket-collision noise), while random permutations keep
+    // cross-doc 3-shingle overlap near zero (no spurious dedup) and
+    // chunk-aligned 4-word windows effectively unique (no spurious
+    // scrub hits)
+    def content(vocab: Seq[String], seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    val docs =
+      (0L until 15L).map(i =>
+        (i, if (i < 12) "en" else "zz", footer + " " + content(onVocab, i))) ++
+      (20L until 35L).map(i => (i, "en", content(offVocab, i))) ++
+      Seq((50L, "en", footer + " " + content(onVocab, 0) + " tailzz"), // near-dup of doc 0 -> clean
+          (51L, "en", "ZZZZ!!! @@@@ 9999 ####"))                       // junk -> quality floor
+    docs.toDF("doc_id", "lang", "text").write.parquet(s"$base/docs.parquet")
+    // eval doc = doc 3's content verbatim -> decontaminate drops doc 3
+    Seq((900L, content(onVocab, 3L))).toDF("doc_id", "text")
+      .write.parquet(s"$base/evals.parquet")
+    val targets = (100L until 110L).map(i => (i, content(onVocab, 1000L + i)))
+    targets.toDF("doc_id", "text").write.parquet(s"$base/targets.parquet")
+
+    // frac 0.48 of the 29 post-decontaminate docs = 14 = exactly the
+    // on-topic remainder, so select's top-k IS the domain boundary
+    val r = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/docs.parquet", s"out=$base/out",
+      s"evals=$base/evals.parquet", s"targets=$base/targets.parquet",
+      "frac=0.48", "w=4", "mindocs=3", "budget=800", "shards=4",
+      "nmerges=40", "packbudget=128", "buckets=2"))
+    assert(r.rowsIn == 32, s"fixture: $r")
+
+    val survivors = spark.read.parquet(s"$base/out/survivors")
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    val ids = survivors.keySet
+    assert(r.rowsOut == ids.size.toLong)
+    // stage drops: 50 (near-dup) + 51 (junk) at clean; 3 at
+    // decontaminate (exact + near vs the eval); 20-34 at select
+    assert(!ids.contains(50L) && !ids.contains(51L), "clean drops dup + junk")
+    assert(!ids.contains(3L), "decontaminate drops the eval near-copy")
+    assert(ids.forall(_ < 15L), s"select keeps only on-topic docs: $ids")
+    // mix: zz rides whole, en downsamples to a proper subset
+    assert(Set(12L, 13L, 14L).subsetOf(ids), s"tail language kept whole: $ids")
+    val enKept = ids.count(_ < 12L)
+    assert(enKept > 0 && enKept < 11, s"en must downsample (11 in, kept $enKept)")
+    // scrub ran before the final text was materialized
+    assert(survivors.values.forall(t => !t.contains("newsletter")),
+      "survivor text is scrubbed")
+    // physical outputs: shards cover the survivors, packs cover them
+    // with the in-pipeline-trained model, model artifacts exist
+    val shardIds = spark.read.parquet(s"$base/out/shards")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardIds == ids, s"shards hold exactly the survivors: $shardIds vs $ids")
+    val packs = spark.read.parquet(s"$base/out/packs").collect()
+    assert(packs.flatMap(_.getSeq[Long](1)).toSet == ids, "packs cover the survivors")
+    assert(packs.forall(p => !p.getSeq[Int](2).contains(-1)), "self-trained vocab: no OOV")
+    assert(spark.read.parquet(s"$base/out/merges").count() > 0)
+    assert(spark.read.parquet(s"$base/out/vocab").count() > 0)
+  }
+
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
     val s = spark
     import s.implicits._

@@ -257,5 +257,21 @@ class PipelineE2ESpec extends SparkSpec {
       assert(assigned(r.getLong(0)) == (r.getLong(1), r.getLong(2)),
         s"doc ${r.getLong(0)}: written (${r.getLong(1)}, ${r.getLong(2)}) vs assigned ${assigned(r.getLong(0))}")
     }
+
+    // stage 5 — tokenizer end: train BPE on the mixed survivors, pack
+    // their ids; every surviving doc's ids land in exactly one pack
+    // and every id resolves in the trained vocab (no OOV: the vocab's
+    // alphabet came from this same corpus)
+    import graft.functions.Bpe
+    val merges = Bpe.train(outDocs, nMerges = 30)
+    val vocab = Bpe.vocab(merges, Bpe.alphabet(outDocs))
+    val packs = PipelineQueries.packTokens(outDocs, merges, vocab,
+      budget = 64, buckets = 2).collect()
+    val packedDocIds = packs.flatMap(_.getSeq[Long](1)).sorted.toSeq
+    assert(packedDocIds == mixedIds.toSeq.sorted,
+      s"every mixed survivor packs exactly once: $packedDocIds vs $mixedIds")
+    assert(packs.forall(p => !p.getSeq[Int](2).contains(-1)),
+      "self-trained vocab must cover its own corpus (no OOV ids)")
+    assert(packs.forall(p => p.getSeq[Int](2).nonEmpty))
   }
 }
