@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets)
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
   *   runMain graft.Main index-delete in=<ids.parquet> index=<dir>      # takedown path; vacuum after
-  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n>]
+  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n> allowed=<ids.parquet>]
   *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count)
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
@@ -264,10 +264,17 @@ object Main {
           .select(col(opts.getOrElse("idcol", "id")))
         val removed = pqIndex(req("index")).remove(ids)
         done(ids.count(), removed)
+      // allowed=<ids.parquet> restricts candidates to the id set (the
+      // policy/tenant filter) — scored ranks stay within the filter
       case "index-search" =>
         val queries = vectors(req("in"))
-        val hits = pqIndex(req("index"))
-          .topK(queries, opts.getOrElse("topk", "10").toInt).localCheckpoint()
+        val idx = pqIndex(req("index"))
+        val k = opts.getOrElse("topk", "10").toInt
+        val hits = (opts.get("allowed") match {
+          case Some(p) => idx.topK(queries,
+            k, spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
+          case None => idx.topK(queries, k)
+        }).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
       // maintenance, operable like everything else: compaction bounds

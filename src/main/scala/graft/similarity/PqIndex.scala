@@ -188,6 +188,32 @@ class PqIndex(spark: SparkSession, dir: String,
     Pq.searchCodes(queries, codesTable(cells), topKn, model, coarse, np, rot)
   }
 
+  /** FILTERED serve — the policy/tenant/date restriction every
+    * production vector store needs next to takedown: candidates are
+    * limited to `allowed` (an `id` frame). The filter is applied to
+    * the codes table BEFORE any distance is scored (semi-join on
+    * neighbor_id, cell-pruned scan first, AQE broadcasts a small
+    * allow-list), so excluded vectors cost nothing and ranks are
+    * computed WITHIN the filtered set — post-filtering the top-k
+    * after scoring would instead return fewer than k (or leak
+    * near-misses) under selective filters. Recall vs a brute-force
+    * search of the filtered subset degrades only through cell
+    * pruning, exactly as for the unfiltered search — but note the
+    * probe budget does not self-adjust to filter selectivity: under a
+    * very selective filter the probed cells may hold few survivors,
+    * so pass a larger `nProbe` at construction (or 0 ⇒ layout-sized)
+    * when filters routinely keep < ~1% of the corpus. */
+  def topK(queries: DataFrame, topKn: Int, allowed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (model, coarse, rot) = loadModels()
+    val np = probeFor(coarse)
+    val cells = Pq.probeCells(queries, model, coarse, np, rot)
+    val filtered = codesTable(cells).join(
+      allowed.select(col("id").as("neighbor_id")).distinct(), Seq("neighbor_id"),
+      "left_semi")
+    Pq.searchCodes(queries, filtered, topKn, model, coarse, np, rot)
+  }
+
   /** The probe count a search will use: the explicit constructor value
     * if given, else [[Similarity.suggestNProbe]] of the FROZEN cell
     * count — the probe fraction tracks the corpus-sized layout. */

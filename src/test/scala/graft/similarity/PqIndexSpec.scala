@@ -38,6 +38,48 @@ class PqIndexSpec extends SparkSpec {
     assert(c2.centroids.map(_.toSeq).toSeq == coarse.centroids.map(_.toSeq).toSeq)
   }
 
+  test("filtered topK: ranks computed within the allow-list, excluded nearest surfaces the runner-up") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_filt").toString
+    // 10 twin-pairs (2i, 2i+1 near-identical), pairs mutually far;
+    // full-probe layout so the only semantics in play are the filter's
+    val twins = (0 until 10).flatMap { i =>
+      val anchor = graft.VecFixtures.unit(64, 7000L + i)
+      Seq(((2 * i).toLong, anchor),
+        ((2 * i + 1).toLong, graft.VecFixtures.nearDup(anchor, 7100L + i)))
+    }
+    val corpus = twins.toDF("id", "vec")
+    val index = new PqIndex(spark, s"$base/idx", nCells = 4, nProbe = 4)
+    index.build(corpus)
+    val qs = (0 until 10).map(i => (1000L + i, twins(2 * i)._2)).toDF("id", "vec")
+    val evens = twins.map(_._1).filter(_ % 2 == 0).toDF("id")
+    val odds = twins.map(_._1).filter(_ % 2 == 1).toDF("id")
+    def top1(df: DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).select("query_id", "neighbor_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // query i sits AT vector 2i: unfiltered top-1 is 2i itself
+    assert(top1(index.topK(qs, 3)) == (0 until 10).map(i => (1000L + i) -> (2L * i)).toMap)
+    // evens-only: same winners; odds-only: the twin takes rank 1 —
+    // the filter excluded the true nearest and the runner-up surfaced
+    assert(top1(index.topK(qs, 3, evens)) ==
+      (0 until 10).map(i => (1000L + i) -> (2L * i)).toMap)
+    assert(top1(index.topK(qs, 3, odds)) ==
+      (0 until 10).map(i => (1000L + i) -> (2L * i + 1)).toMap)
+    // nothing outside the allow-list is ever scored out
+    val oddHits = index.topK(qs, 5, odds).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(oddHits.forall(_ % 2 == 1), s"allow-list must bound results: $oddHits")
+    // and the filtered search equals brute force over the filtered
+    // subset (full probe, PQ scores both sides — set equality on ids)
+    val bf = Similarity.bruteForceTopK(qs,
+        corpus.filter(col("id") % 2 === 1), 3)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(index.topK(qs, 3, odds)) == bf,
+      "filtered rank-1 must match brute force over the allowed subset")
+  }
+
   test("OPQ-built index: parity with the inline composed chain; rotated adds retrievable") {
     val s = spark
     import s.implicits._
