@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
-  *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10]
+  *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 allowed=<doc_ids.parquet>]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares>]
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
@@ -306,10 +306,15 @@ object Main {
           .select(col(opts.getOrElse("idcol", "doc_id")))
         val removed = textIndex(req("index")).delete(ids)
         done(ids.count(), removed)
+      // allowed=<doc_ids.parquet> restricts candidates (corpus-level
+      // BM25 stats by contract — the filter never shifts scores)
       case "text-index-search" =>
         val queries = spark.read.parquet(req("in")).select("query_id", "qtext")
         val hits = textIndex(req("index"))
-          .search(queries, opts.getOrElse("topk", "10").toInt).localCheckpoint()
+          .search(queries, opts.getOrElse("topk", "10").toInt,
+            allowed = opts.get("allowed").map(p =>
+              spark.read.parquet(p).select("doc_id")))
+          .localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
       case "text-index-compact" =>

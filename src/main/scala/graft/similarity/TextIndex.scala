@@ -181,9 +181,20 @@ class TextIndex(spark: SparkSession, dir: String,
     *    than that corpus fraction are excluded from scores. This one
     *    still reads the term's postings (df is only known after the
     *    read); use the stoplist when the goal is I/O. */
+  /** `allowed` (an optional `doc_id` frame) is the FILTERED-search
+    * form — the policy/tenant restriction, symmetric with
+    * [[PqIndex.topK]]'s allow-list. Semantics follow Lucene's
+    * filtered queries: term statistics (df, n_docs, avgdl) stay
+    * CORPUS-level — a doc's score is identical with or without the
+    * filter, the filter only removes candidates — so scores remain
+    * comparable across differently-filtered requests. The semi-join
+    * applies after the probe prune and before ranking; an allowed doc
+    * absent from the probed partitions simply cannot match (it shares
+    * no query term). */
   def search(queries: DataFrame, topK: Int = 10,
              stoplist: Set[String] = Set.empty,
-             maxDfFrac: Double = 0.0): DataFrame = {
+             maxDfFrac: Double = 0.0,
+             allowed: Option[DataFrame] = None): DataFrame = {
     val (n, sumDl, parts) = loadStats()
     val qterms0 = queries.select(col("query_id"),
       explode(split(col("qtext"), " ")).as("word"))
@@ -203,11 +214,19 @@ class TextIndex(spark: SparkSession, dir: String,
       .filter(col("word").isInCollection(qwords.map(_.getString(0)).toSeq))
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
+    // df computed BEFORE the allow-list: corpus-level statistics by
+    // contract (see scaladoc) — filtering first would silently change
+    // every surviving doc's idf with the filter's selectivity
+    val candidates = allowed match {
+      case Some(a) =>
+        pruned.join(a.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      case None => pruned
+    }
     val stats = queries.sparkSession.range(1)
       .select(lit(n).as("n_docs"),
         (lit(sumDl.toDouble) / lit(n.toDouble)).as("avgdl"))
     graft.queries.TextQueries.bm25Rank(
-      pruned.join(broadcast(qterms), Seq("word")), stats, topK, maxDfFrac)
+      candidates.join(broadcast(qterms), Seq("word")), stats, topK, maxDfFrac)
   }
 
   /** Convenience: search a literal query list. */

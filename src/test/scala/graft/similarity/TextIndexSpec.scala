@@ -47,6 +47,47 @@ class TextIndexSpec extends SparkSpec {
     assert(!hits.contains(0L))
   }
 
+  test("filtered search: allow-list bounds candidates, scores stay corpus-level, runner-up surfaces") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_filt").toString
+    val index = new TextIndex(spark, s"$base/idx", termParts = 8)
+    index.build(corpus)
+    val unfiltered = index.search(qs, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val top1 = unfiltered.collect { case ((q, d), 1) => q -> d }
+    assert(top1.nonEmpty, "fixture: queries must have results")
+    // allow everything EXCEPT each query's rank-1 doc: results must
+    // exclude it and the former rank-2 doc must take rank 1
+    val banned = top1.values.toSet
+    val allowed = corpus.select("doc_id").filter(!col("doc_id").isInCollection(banned.toSeq))
+    val filtered = index.search(qs.toDF("query_id", "qtext"), 10,
+        allowed = Some(allowed)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(filtered.forall(t => !banned.contains(t._3)),
+      s"banned docs must never appear: ${filtered.filter(t => banned.contains(t._3))}")
+    val former2 = unfiltered.collect { case ((q, d), 2) => q -> d }
+    former2.foreach { case (q, d) =>
+      // only when q's former rank-2 wasn't itself banned for q
+      if (!banned.contains(d))
+        assert(filtered.contains((q, 1, d)),
+          s"query $q: former rank-2 doc $d must be the filtered rank-1")
+    }
+    // corpus-level stats contract: scores don't move, so the filtered
+    // ranking is EXACTLY the unfiltered one with banned docs struck
+    // out (bm25Rank's (score desc, doc_id) order is total, so the
+    // survivors' relative order is preserved and rank-11+ docs can
+    // only append, never interleave)
+    qs.map(_._1).foreach { q =>
+      val struck = unfiltered.toSeq.collect { case ((`q`, d), r) => (r, d) }
+        .sorted.map(_._2).filterNot(banned.contains)
+      val filteredQ = filtered.filter(_._1 == q).sortBy(_._2).map(_._3)
+      assert(filteredQ.take(struck.size) == struck,
+        s"query $q: filtered prefix must be the struck-out unfiltered ranking " +
+          s"(got ${filteredQ.take(struck.size)}, want $struck)")
+    }
+  }
+
   test("empty-text replacement retracts a document's postings (tombstone row)") {
     val s = spark
     import s.implicits._
