@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets)
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
   *   runMain graft.Main index-delete in=<ids.parquet> index=<dir>      # takedown path; vacuum after
-  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n> allowed=<ids.parquet>]
+  *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n> allowed=<ids.parquet> vectors=<corpus.parquet> rerank=4]
   *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count)
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
@@ -265,15 +265,19 @@ object Main {
         val removed = pqIndex(req("index")).remove(ids)
         done(ids.count(), removed)
       // allowed=<ids.parquet> restricts candidates to the id set (the
-      // policy/tenant filter) — scored ranks stay within the filter
+      // policy/tenant filter) — scored ranks stay within the filter.
+      // vectors=<corpus.parquet> [rerank=4] switches to two-stage
+      // retrieval: PQ shortlist, exact cosine re-rank
       case "index-search" =>
         val queries = vectors(req("in"))
         val idx = pqIndex(req("index"))
         val k = opts.getOrElse("topk", "10").toInt
-        val hits = (opts.get("allowed") match {
-          case Some(p) => idx.topK(queries,
+        val hits = ((opts.get("vectors"), opts.get("allowed")) match {
+          case (Some(vp), _) => idx.topKRerank(queries, vectors(vp),
+            k, opts.getOrElse("rerank", "4").toInt)
+          case (None, Some(p)) => idx.topK(queries,
             k, spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
-          case None => idx.topK(queries, k)
+          case (None, None) => idx.topK(queries, k)
         }).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())

@@ -214,6 +214,37 @@ class PqIndex(spark: SparkSession, dir: String,
     Pq.searchCodes(queries, filtered, topKn, model, coarse, np, rot)
   }
 
+  /** Two-stage retrieval: PQ-approximate candidate generation, EXACT
+    * re-rank — the standard answer to quantization error once codes
+    * are 8 B/vector. Stage 1 is the normal probed-code search widened
+    * to `candMult`·k candidates (still cell-pruned, still 8 B/vec);
+    * stage 2 joins ONLY those candidate ids back to `vectors` (the
+    * raw corpus the caller already has — the index itself stores
+    * codes only, by design) and re-scores them with exact cosines.
+    * Cost: the stage-1 search plus `|queries|·candMult·k` exact dots
+    * — candidate-sized, never corpus-sized; the join is id-equi and
+    * AQE-broadcastable. Recall can only improve over the plain
+    * search: the true neighbor is re-found whenever it survives
+    * stage 1 at ANY candidate rank, not just the top k (what PQ
+    * distortion actually costs is ORDER within the shortlist, and
+    * exact re-scoring repairs exactly that). Vectors absent from
+    * `vectors` (deleted between index and corpus snapshots) drop out
+    * — the id join is the consistency boundary. */
+  def topKRerank(queries: DataFrame, vectors: DataFrame, topKn: Int,
+                 candMult: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(candMult >= 1, s"candMult must be >= 1: $candMult")
+    val cand = topK(queries, topKn * candMult)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val v = vectors.select(col("id").as("neighbor_id"), col("vec").as("nv"))
+    val rescored = cand.join(v, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", graft.functions.VectorFunctions.cosine(col("qv"), col("nv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.topkAgg(rescored, topKn)
+  }
+
   /** The probe count a search will use: the explicit constructor value
     * if given, else [[Similarity.suggestNProbe]] of the FROZEN cell
     * count — the probe fraction tracks the corpus-sized layout. */

@@ -38,6 +38,43 @@ class PqIndexSpec extends SparkSpec {
     assert(c2.centroids.map(_.toSeq).toSeq == coarse.centroids.map(_.toSeq).toSeq)
   }
 
+  test("topKRerank: exact re-scoring repairs shortlist order; full-candidate rerank IS brute force") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_rr").toString
+    val vecs = (0 until 200).map(i => (i.toLong, graft.VecFixtures.unit(64, 8000L + i)))
+      .toDF("id", "vec")
+    // deliberately coarse codebook (m=2, k=2): heavy quantization so
+    // the PQ shortlist actually misorders and the rerank has work
+    val index = new PqIndex(spark, s"$base/idx", m = 2, k = 2, nCells = 4, nProbe = 4)
+    index.build(vecs)
+    val qs = (0 until 20).map(i => (1000L + i,
+      graft.VecFixtures.nearDup(graft.VecFixtures.unit(64, 8000L + i * 7), 9000L + i)))
+      .toDF("id", "vec")
+    val bf = Similarity.bruteForceTopK(qs, vecs, 5)
+    val plain = index.topK(qs, 5)
+    val rr = index.topKRerank(qs, vecs, 5, candMult = 4)
+    val (rPlain, rRr) = (Similarity.recall(plain, bf), Similarity.recall(rr, bf))
+    // deterministic dominance: any true neighbor the plain search
+    // returns was in the candidate set, and only other TRUE neighbors
+    // can out-score it exactly — rerank recall never loses
+    assert(rRr >= rPlain, f"rerank recall $rRr%.3f < plain $rPlain%.3f")
+    // reranked scores are EXACT cosines (match brute force pairwise)
+    val bfCos = bf.select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rr.select("query_id", "neighbor_id", "cosine").collect().foreach { r =>
+      bfCos.get((r.getLong(0), r.getLong(1))).foreach(exact =>
+        assert(math.abs(r.getDouble(2) - exact) < 1e-6,
+          s"rerank cosine must be exact: ${r.getLong(0)}->${r.getLong(1)}"))
+    }
+    // candMult covering the whole corpus + full probe = brute force
+    val rrFull = index.topKRerank(qs, vecs, 5, candMult = 40)
+    def rows(df: DataFrame) = df.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(rrFull) == rows(bf),
+      "full-candidate rerank must equal exact brute force")
+  }
+
   test("filtered topK: ranks computed within the allow-list, excluded nearest surfaces the runner-up") {
     val s = spark
     import s.implicits._
