@@ -53,6 +53,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
   *   runMain graft.Main quality-score in=<docs.parquet> out=<dir> [weights=<bucket,weight_milli parquet>]
+  *   runMain graft.Main quality-train good=<docs.parquet> bad=<docs.parquet> out=<weights dir>
+  *   runMain graft.Main langid        in=<docs.parquet> out=<dir> [profiles=<lang,text parquet>]
   *   runMain graft.Main query name=<any SparkEntry query|list> dir=<warehouse> out=<dir>
   *   runMain graft.Main sql query=<SQL over graft_* views|list> dir=<warehouse> out=<dir>
   * }}}
@@ -84,14 +86,15 @@ object Main {
       missingAfterWrite: Long,
       durationSec: Double)
 
-  private val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
+  private[graft] val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
     "index-delete", "index-search", "index-compact", "index-vacuum",
     "sig-compact", "sig-vacuum",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
-    "corpus-scrub", "quality-score", "bpe-train", "bpe-encode", "corpus-pack",
+    "corpus-scrub", "quality-score", "quality-train", "langid",
+    "bpe-train", "bpe-encode", "corpus-pack",
     "corpus-pipeline", "query", "sql")
 
   def main(args: Array[String]): Unit = {
@@ -272,11 +275,12 @@ object Main {
         val queries = vectors(req("in"))
         val idx = pqIndex(req("index"))
         val k = opts.getOrElse("topk", "10").toInt
-        val hits = ((opts.get("vectors"), opts.get("allowed")) match {
-          case (Some(vp), _) => idx.topKRerank(queries, vectors(vp),
-            k, opts.getOrElse("rerank", "4").toInt)
-          case (None, Some(p)) => idx.topK(queries,
-            k, spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
+        val allowedDf = opts.get("allowed").map(p =>
+          spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
+        val hits = ((opts.get("vectors"), allowedDf) match {
+          case (Some(vp), a) => idx.topKRerank(queries, vectors(vp),
+            k, opts.getOrElse("rerank", "4").toInt, a)
+          case (None, Some(a)) => idx.topK(queries, k, a)
           case (None, None) => idx.topK(queries, k)
         }).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
@@ -572,8 +576,10 @@ object Main {
           case "select" => opts.get("targets") match {
             case Some(p) =>
               val targets = spark.read.parquet(p).select("doc_id", "text")
+              // same default as the standalone dsir-select command —
+              // one silent default, not two
               val sel = P.corpusDsirSelectDocs(cur.select("doc_id", "text"), targets,
-                opts.getOrElse("frac", "0.5").toDouble).select("doc_id")
+                opts.getOrElse("frac", "0.2").toDouble).select("doc_id")
               advance("select", cur.join(sel, Seq("doc_id")))
             case None =>
               System.err.println("[graft] corpus-pipeline select SKIPPED (no targets=)")

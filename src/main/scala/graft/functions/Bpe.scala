@@ -53,6 +53,11 @@ object Bpe {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val totals = wc.agg(sum("n"), count(lit(1))).head()
     wc.unpersist()
+    // sum over zero rows is null — surface the empty corpus by name,
+    // not as an NPE (a pipeline whose select/decontaminate stages
+    // dropped everything lands here)
+    require(!totals.isNullAt(0),
+      "bpe-train: corpus has no pre-tokens (empty or all-whitespace text)")
     val (totalTokens, totalForms) = (totals.getLong(0), totals.getLong(1))
     if (totalForms > maxForms) {
       val covered = forms.map(_._2).sum
@@ -142,7 +147,17 @@ object Bpe {
     val chars = alphabet.distinct.sorted
     require(chars.forall(_.length == 1),
       s"alphabet must be single characters: ${chars.filter(_.length != 1).take(5)}")
-    (chars ++ merges.map { case (l, r) => l + r }).toArray
+    val v = (chars ++ merges.map { case (l, r) => l + r }).toArray
+    // two rank-valid merges can concatenate to the SAME string (e.g.
+    // (ab,c) and (a,bc)) — bpeTrain never emits that (a learned pair
+    // is removed from the count table), but operator-supplied tables
+    // can; fail here by name rather than three stages later when
+    // readVocab rejects the written table
+    val dup = v.groupBy(identity).collectFirst { case (t, g) if g.length > 1 => t }
+    require(dup.isEmpty,
+      s"vocab: duplicate token '${dup.getOrElse("")}' (two merges concatenate " +
+        "to the same string, or a merge output collides with the alphabet)")
+    v
   }
 
   /** Distinct characters across the corpus's pre-tokens — the exact

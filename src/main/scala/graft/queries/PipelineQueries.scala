@@ -38,30 +38,24 @@ object PipelineQueries {
     val losers = Dedup.resolveClusters(pairs)
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"))
-    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
-      .withColumn("quality", qualityScore(col("text")))
-      .filter(col("quality") >= QualityFloor)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        col("text"),
-        col("quality"),
-        size(words(col("text"))).as("n_words"),
-        size(bpeTokens(col("text"))).as("n_bpe_tokens"))
+    scoreAndFloor(docs.join(broadcast(losers), Seq("doc_id"), "left_anti"),
+      keepText = true)
   }
 
-  /** The quality floor + token accounting shared by the full and
-    * incremental cleans. */
-  private def scoreAndFloor(kept: DataFrame): DataFrame =
+  /** The quality floor + token accounting shared by the full,
+    * incremental, and pipeline cleans — ONE select list, so the
+    * clean-output contract can't fork (`keepText` only inserts the
+    * text column for the pipeline form). */
+  private def scoreAndFloor(kept: DataFrame, keepText: Boolean = false): DataFrame =
     kept
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= QualityFloor)
       .select(
-        col("doc_id"),
-        col("lang"),
-        col("quality"),
-        size(words(col("text"))).as("n_words"),
-        size(bpeTokens(col("text"))).as("n_bpe_tokens"))
+        Seq(col("doc_id"), col("lang")) ++
+          (if (keepText) Seq(col("text")) else Nil) ++
+          Seq(col("quality"),
+            size(words(col("text"))).as("n_words"),
+            size(bpeTokens(col("text"))).as("n_bpe_tokens")): _*)
 
   /** CDC-incremental corpus hygiene: clean ONLY `newDocs` against the
     * accumulated signature index of prior survivors — history
@@ -453,6 +447,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("weight_milli"), col("sel_rank"))
   }
 
+  /** Per-bucket pack-id stride (2^40): pack_id = bucket·stride +
+    * bucket-local pack index. The old 10^6 stride collided once a
+    * bucket exceeded a million packs (~0.5 G tokens/bucket at the
+    * 512 default — a ~32 GB corpus, far below target scale); 2^40
+    * packs/bucket is ~5·10^14 tokens per bucket before collision,
+    * while bucket·2^40 stays well inside a long for any sane bucket
+    * count. Exact BIGINT in DuckDB, so the oracle mirrors verbatim. */
+  private[graft] val PackBucketStride = 1099511627776L
+
   /** The MATERIALIZED end of the tokenizer loop: [[packSequences]]'s
     * assignment executed over TRAINED-BPE token ids, one row per pack
     * with the concatenated id array — the tensor-shaped artifact a
@@ -481,7 +484,7 @@ object PipelineQueries {
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
       .withColumn("pack_id",
-        col("bucket").cast("long") * 1000000L + floor(col("tokens_before") / lit(budget)))
+        col("bucket").cast("long") * PackBucketStride + floor(col("tokens_before") / lit(budget)))
       .withColumn("pos", row_number().over(w))
       .groupBy(col("pack_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("doc_id"), col("ids"))))
@@ -516,7 +519,7 @@ object PipelineQueries {
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("doc_id"), col("bucket"), col("n_tokens"),
-        (col("bucket").cast("long") * 1000000L +
+        (col("bucket").cast("long") * PackBucketStride +
           floor(col("tokens_before") / lit(budget))).as("pack_id"))
   }
 
@@ -1164,7 +1167,7 @@ object PipelineQueries {
         |         doc_id % 16 AS bucket
         |  FROM documents)
         |SELECT doc_id, bucket, n_tokens,
-        |       bucket * 1000000 + CAST(floor(
+        |       bucket * 1099511627776 + CAST(floor(
         |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |         / 512.0) AS BIGINT) AS pack_id

@@ -466,20 +466,6 @@ object TextQueries {
   def textQualityModel(spark: SparkSession, dir: String): DataFrame =
     qualityModelScore(docs(spark, dir), qualityModelWeights)
 
-  /** Model-based quality scoring (the GPT-3/LLaMA-style learned
-    * quality FILTER, vs `text_quality`'s hand-rule heuristics): each
-    * doc's hashed uni+bigram features index a weight table and the
-    * doc's score is the weight SUM — scan-local via one higher-order
-    * `aggregate` over the gram array with the λ table a broadcast
-    * plan literal (the DSIR pass-2 shape: no explode, no join, no
-    * shuffle of gram rows; at 100 TB this is one read-only scan).
-    * Integer milli-weights end-to-end, so no float summation order
-    * can flip `keep` and the DuckDB oracle reproduces every row
-    * bit-for-bit. `keep = sum ≥ 0` ⟺ mean-weight ≥ 0 (n_grams > 0 —
-    * gramless docs carry no evidence and are excluded, the DSIR
-    * convention); the score/count split is emitted rather than a
-    * quotient because Spark `div` truncates where DuckDB `//`
-    * floors on negatives. */
   /** TRAIN the model-based quality filter in-repo: multinomial
     * Naive-Bayes log-count-ratio weights (Wang & Manning 2012, public
     * — the NB half of NBSVM; the GPT-3/LLaMA quality-classifier loop
@@ -516,6 +502,20 @@ object TextQueries {
       .toDF("bucket", "weight_milli")
   }
 
+  /** Model-based quality scoring (the GPT-3/LLaMA-style learned
+    * quality FILTER, vs `text_quality`'s hand-rule heuristics): each
+    * doc's hashed uni+bigram features index a weight table and the
+    * doc's score is the weight SUM — scan-local via one higher-order
+    * `aggregate` over the gram array with the λ table a broadcast
+    * plan literal (the DSIR pass-2 shape: no explode, no join, no
+    * shuffle of gram rows; at 100 TB this is one read-only scan).
+    * Integer milli-weights end-to-end, so no float summation order
+    * can flip `keep` and the DuckDB oracle reproduces every row
+    * bit-for-bit. `keep = sum ≥ 0` ⟺ mean-weight ≥ 0 (n_grams > 0 —
+    * gramless docs carry no evidence and are excluded, the DSIR
+    * convention); the score/count split is emitted rather than a
+    * quotient because Spark `div` truncates where DuckDB `//`
+    * floors on negatives. */
   def qualityModelScore(in: DataFrame, lam: Array[Long]): DataFrame = {
     require(lam.length == PipelineQueries.DsirBuckets,
       s"weight table must cover all ${PipelineQueries.DsirBuckets} feature buckets")

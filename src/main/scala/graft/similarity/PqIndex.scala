@@ -231,11 +231,18 @@ class PqIndex(spark: SparkSession, dir: String,
     * `vectors` (deleted between index and corpus snapshots) drop out
     * — the id join is the consistency boundary. */
   def topKRerank(queries: DataFrame, vectors: DataFrame, topKn: Int,
-                 candMult: Int = 4): DataFrame = {
+                 candMult: Int = 4, allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     require(candMult >= 1, s"candMult must be >= 1: $candMult")
-    val cand = topK(queries, topKn * candMult)
-      .select(col("query_id"), col("neighbor_id"))
+    // the allow-list composes at stage 1 (candidates are generated
+    // within the filter, so the re-rank can never resurface an
+    // excluded id) — passing it only to stage 2 would silently waste
+    // shortlist slots on vectors the filter then removes
+    val shortlist = allowed match {
+      case Some(a) => topK(queries, topKn * candMult, a)
+      case None => topK(queries, topKn * candMult)
+    }
+    val cand = shortlist.select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val v = vectors.select(col("id").as("neighbor_id"), col("vec").as("nv"))
     val rescored = cand.join(v, Seq("neighbor_id"))

@@ -435,6 +435,26 @@ class MainSpec extends SparkSpec {
     assert(rb.rowsOut == 22)
   }
 
+  test("every pipeline subcommand is ROUTED: main() dispatch set covers runPipeline's cases") {
+    // a command handled by runPipeline but missing from
+    // PipelineCommands silently falls through to the tag-engine run()
+    // (which treats unknown commands as a full tag run) — langid and
+    // quality-train shipped exactly that way in r7/r8
+    val docs = java.nio.file.Files.createTempDirectory("graft_main_route").toString
+    Seq("corpus-clean", "index-build", "index-search", "index-delete",
+      "text-index-build", "text-index-search", "corpus-mix", "corpus-split",
+      "select-budget", "corpus-shard", "corpus-stats", "decontaminate",
+      "contamination-score", "dsir-select", "corpus-scrub", "quality-score",
+      "quality-train", "langid", "bpe-train", "bpe-encode", "corpus-pack",
+      "corpus-pipeline", "query", "sql").foreach { c =>
+      assert(Main.PipelineCommands(c), s"'$c' must be routed to runPipeline")
+    }
+    // and the handler map fails by name for anything the router passes
+    val e = intercept[RuntimeException](
+      Main.runPipeline(spark, Seq("definitely-not-a-command", s"in=$docs")))
+    assert(e.getMessage.contains("unknown pipeline command"))
+  }
+
   test("corpus-pipeline: the one-shot curation DAG drops each planted defect at its stage") {
     val s = spark
     import s.implicits._

@@ -107,6 +107,13 @@ class PqIndexSpec extends SparkSpec {
     val oddHits = index.topK(qs, 5, odds).select("neighbor_id")
       .collect().map(_.getLong(0)).toSet
     assert(oddHits.forall(_ % 2 == 1), s"allow-list must bound results: $oddHits")
+    // the allow-list composes with the exact re-rank: candidates are
+    // generated WITHIN the filter, so rerank can't resurface an
+    // excluded id, and the twin still wins rank 1 with exact scores
+    val rrOdd = index.topKRerank(qs, corpus, 3, candMult = 2, allowed = Some(odds))
+    assert(rrOdd.select("neighbor_id").collect().map(_.getLong(0)).forall(_ % 2 == 1),
+      "rerank must honor the allow-list")
+    assert(top1(rrOdd) == (0 until 10).map(i => (1000L + i) -> (2L * i + 1)).toMap)
     // and the filtered search equals brute force over the filtered
     // subset (full probe, PQ scores both sides — set equality on ids)
     val bf = Similarity.bruteForceTopK(qs,
