@@ -550,11 +550,16 @@ object Main {
         steps.foreach(s => require(known.contains(s),
           s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
         var cur = raw
+        // per-stage counts accumulate into out/stats.json at the end —
+        // the run record a scheduler checks without scraping stderr
+        val stageStats = scala.collection.mutable.ArrayBuffer[(String, Long)](
+          "input" -> rowsIn)
         def advance(stage: String, next0: org.apache.spark.sql.DataFrame): Unit = {
           val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
           val n = next.count()
           if (cur ne raw) cur.unpersist()
           cur = next
+          stageStats += stage -> n
           System.err.println(s"[graft] corpus-pipeline $stage -> $n docs")
         }
         val P = graft.queries.PipelineQueries
@@ -619,6 +624,13 @@ object Main {
         cur.select("doc_id", "lang", "text")
           .write.mode("overwrite").parquet(s"$base/survivors")
         val rowsOut = cur.count()
+        stageStats += "survivors" -> rowsOut
+        val statsJson = stageStats
+          .map { case (k, v) => s"""{"stage":"$k","docs":$v}""" }
+          .mkString("[", ",", "]")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(base, "stats.json"), statsJson + "\n")
         if (cur ne raw) cur.unpersist()
         raw.unpersist()
         done(rowsIn, rowsOut)

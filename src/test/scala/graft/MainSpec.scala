@@ -523,6 +523,13 @@ class MainSpec extends SparkSpec {
     assert(packs.forall(p => !p.getSeq[Int](2).contains(-1)), "self-trained vocab: no OOV")
     assert(spark.read.parquet(s"$base/out/merges").count() > 0)
     assert(spark.read.parquet(s"$base/out/vocab").count() > 0)
+    // the run record: stats.json carries the per-stage counts in order
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/out", "stats.json"))
+    val stages = """"stage":"([a-z]+)"""".r.findAllMatchIn(stats).map(_.group(1)).toSeq
+    assert(stages == Seq("input", "clean", "decontaminate", "scrub", "select",
+      "mix", "survivors"), s"stage order in stats.json: $stages ($stats)")
+    assert(stats.contains(s""""stage":"survivors","docs":${ids.size}"""), stats)
   }
 
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
