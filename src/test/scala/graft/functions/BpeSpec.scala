@@ -72,6 +72,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("oracle-equivalence property: merge-all == one-at-a-time across random trained models and words") {
+    // the equivalence the DuckDB oracle rests on, checked beyond the
+    // fixed cases: 30 random word histograms -> trained (rank-valid
+    // by construction) models -> random words over the same alphabet
+    val rnd = new scala.util.Random(4242L)
+    val alphabets = Seq("ab", "abc", "abcd", "abcde")
+    (0 until 30).foreach { trial =>
+      val alpha = alphabets(trial % alphabets.length)
+      def word(len: Int) = (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val forms = Array.fill(12)(word(2 + rnd.nextInt(8)) -> (1L + rnd.nextInt(20)))
+        .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }.toArray
+      val m = new BpeUtil.Model(Bpe.trainFromCounts(forms, 2 + rnd.nextInt(10)))
+      (0 until 40).foreach { _ =>
+        val w = word(1 + rnd.nextInt(12))
+        assert(BpeUtil.encodeWord(w, m).toSeq == refEncode(w, m),
+          s"trial $trial: '$w' diverged under ${m.merges.toSeq}")
+      }
+      // and the segmentation is a faithful partition: concat == word
+      val w = word(6)
+      assert(BpeUtil.encodeWord(w, m).mkString == w)
+    }
+  }
+
   test("Model rejects rank-invalid tables loudly (the oracle-equivalence precondition)") {
     val e = intercept[IllegalArgumentException](model(("ab", "c")))
     assert(e.getMessage.contains("not produced by an earlier merge"))
