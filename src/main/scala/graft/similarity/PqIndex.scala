@@ -278,7 +278,9 @@ class PqIndex(spark: SparkSession, dir: String,
     * `sink`. Models load once per stream (frozen); codes re-read per
     * batch so concurrent adds become visible. */
   def serveStream(queries: DataFrame, topKn: Int, sink: DataFrame => Unit,
-                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                  checkpoint: String,
+                  allowed: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
     val (model, coarse, rot) = loadModels()
     queries.writeStream
       .option("checkpointLocation", checkpoint)
@@ -286,10 +288,19 @@ class PqIndex(spark: SparkSession, dir: String,
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           // same cell-pruned read as topK, per micro-batch: serving
-          // I/O is O(probed cells), not O(index)
+          // I/O is O(probed cells), not O(index). The allow-list (the
+          // batch-side topK filter, same semantics) is re-evaluated
+          // per micro-batch, so a policy table that changes between
+          // batches is honored at its next batch.
           val np = probeFor(coarse)
           val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)
-          sink(Pq.searchCodes(batch.toDF(), codesTable(cells), topKn,
+          val codes = allowed match {
+            case Some(a) => codesTable(cells).join(
+              a.select(col("id").as("neighbor_id")).distinct(),
+              Seq("neighbor_id"), "left_semi")
+            case None => codesTable(cells)
+          }
+          sink(Pq.searchCodes(batch.toDF(), codes, topKn,
             model, coarse, np, rot))
         }
       }

@@ -122,6 +122,20 @@ class PqIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(top1(index.topK(qs, 3, odds)) == bf,
       "filtered rank-1 must match brute force over the allowed subset")
+    // streamed filtered serve equals the batch filtered search
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val qIn = MemoryStream[(Long, Array[Float])]
+    val sq = index.serveStream(qIn.toDF().toDF("id", "vec"), 3,
+      df => got ++= df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))),
+      java.nio.file.Files.createTempDirectory("graft_pqf_ckpt").toString,
+      allowed = Some(odds))
+    (0 until 10).foreach(i => qIn.addData((1000L + i, twins(2 * i)._2)))
+    sq.processAllAvailable(); sq.stop()
+    val batchRows = index.topK(qs, 3, odds)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == batchRows, "streamed filtered serve must equal batch filtered topK")
   }
 
   test("OPQ-built index: parity with the inline composed chain; rotated adds retrievable") {
