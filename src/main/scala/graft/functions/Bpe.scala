@@ -75,10 +75,12 @@ object Bpe {
     * count break lexicographically on (left, right). */
   def trainFromCounts(forms: Array[(String, Long)], nMerges: Int): Array[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0: $nMerges")
-    // NB: map(_.toString), not map(String.valueOf) — eta-expanding the
-    // overloaded valueOf can resolve Char through the Int overload
+    // split by CODE POINT (BpeUtil.codePointSymbols), never by UTF-16
+    // unit: a supplementary char split into surrogate halves would
+    // train merges over symbols the code-point alphabet/vocab can
+    // never contain (every occurrence then encodes to -1 UNK)
     val seqs: Array[Array[String]] =
-      forms.map(_._1.toCharArray.map(_.toString))
+      forms.map(f => BpeUtil.codePointSymbols(f._1))
     val freq: Array[Long] = forms.map(_._2)
 
     val pairCount = new java.util.HashMap[(String, String), Long]()
@@ -97,19 +99,31 @@ object Bpe {
     forms.indices.foreach(addForm(_, 1L))
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // any pair whose OUTPUT string is already a produced token is
+    // EXCLUDED from the argmax forever: a later merge can recreate an
+    // earlier pair's adjacency (addForm(+1) re-inserts it after its
+    // removal below), and two DISTINCT pairs can concatenate to the
+    // same string ((a,bc) vs (ab,c)) — either way vocab() would see a
+    // duplicate token and reject the trainer's own table. Tracking
+    // outputs (not pairs) closes both paths, so the vocab is
+    // duplicate-free by construction; the skipped merge adds no new
+    // token, so nothing is lost
+    val produced = new java.util.HashSet[String]()
     while (merges.size < nMerges && !pairCount.isEmpty) {
       // argmax by (count desc, pair asc) — an explicit total order, so
       // the table is a pure function of the histogram
       var best: (String, String) = null
       var bestN = 0L
       pairCount.forEach { (p, n) =>
-        if (n > bestN || (n == bestN && best != null &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+        if (!produced.contains(p._1 + p._2) &&
+            (n > bestN || (n == bestN && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))) {
           best = p; bestN = n
         }
       }
       if (best == null || bestN < MinPairCount) return merges.toArray
       merges += best
+      produced.add(best._1 + best._2)
       val touched = pairForms.get(best)
       // pairForms bitsets go stale as words mutate — harmless: a
       // stale index just re-counts a word that no longer holds the
@@ -145,14 +159,18 @@ object Bpe {
     * anywhere gives the same mapping. */
   def vocab(merges: Array[(String, String)], alphabet: Seq[String]): Array[String] = {
     val chars = alphabet.distinct.sorted
-    require(chars.forall(_.length == 1),
-      s"alphabet must be single characters: ${chars.filter(_.length != 1).take(5)}")
+    // single code POINT, not single char: alphabet() splits on code
+    // points, so an emoji entry is a length-2 string and must pass
+    require(chars.forall(BpeUtil.isSingleCodePoint),
+      s"alphabet must be single code points: ${
+        chars.filterNot(BpeUtil.isSingleCodePoint).take(5)}")
     val v = (chars ++ merges.map { case (l, r) => l + r }).toArray
     // two rank-valid merges can concatenate to the SAME string (e.g.
-    // (ab,c) and (a,bc)) — bpeTrain never emits that (a learned pair
-    // is removed from the count table), but operator-supplied tables
-    // can; fail here by name rather than three stages later when
-    // readVocab rejects the written table
+    // (ab,c) and (a,bc)) — trainFromCounts never emits that (learned
+    // pairs are excluded from the argmax permanently, so the merge
+    // list is duplicate-free by construction), but operator-supplied
+    // tables can; fail here by name rather than three stages later
+    // when readVocab rejects the written table
     val dup = v.groupBy(identity).collectFirst { case (t, g) if g.length > 1 => t }
     require(dup.isEmpty,
       s"vocab: duplicate token '${dup.getOrElse("")}' (two merges concatenate " +

@@ -36,9 +36,9 @@ object BpeUtil {
       val created = new java.util.HashSet[String]()
       merges.zipWithIndex.foreach { case ((l, r), i) =>
         require(l.nonEmpty && r.nonEmpty, s"BPE merge $i: empty symbol")
-        require(l.length == 1 || created.contains(l),
+        require(isSingleCodePoint(l) || created.contains(l),
           s"BPE merge $i: left symbol '$l' is multi-char but not produced by an earlier merge")
-        require(r.length == 1 || created.contains(r),
+        require(isSingleCodePoint(r) || created.contains(r),
           s"BPE merge $i: right symbol '$r' is multi-char but not produced by an earlier merge")
         created.add(l + r)
       }
@@ -54,10 +54,35 @@ object BpeUtil {
     }
   }
 
+  /** The BPE unit is the Unicode CODE POINT, not the UTF-16 unit: a
+    * supplementary char (emoji, rare CJK) is TWO chars, and splitting
+    * by char would make lone surrogates the base symbols — strings
+    * that can never equal a code-point alphabet entry, so they'd
+    * silently encode to −1 UNK on any real web corpus. These two
+    * helpers are the one definition of "one symbol" shared by the
+    * trainer, the encoder, the model validity check, and vocab(). */
+  def isSingleCodePoint(s: String): Boolean = s.length match {
+    case 1 => true
+    case 2 => Character.isSurrogatePair(s.charAt(0), s.charAt(1))
+    case _ => false
+  }
+
+  def codePointSymbols(word: String): Array[String] = {
+    val out = new java.util.ArrayList[String](word.length)
+    var c = 0
+    while (c < word.length) {
+      val n = Character.charCount(word.codePointAt(c))
+      out.add(word.substring(c, c + n))
+      c += n
+    }
+    out.toArray(new Array[String](out.size()))
+  }
+
   /** The pre-tokenizer: identical to
     * [[graft.functions.TextFunctions.bpeTokens]]'s regex — letter
-    * runs, digit runs, single other non-space symbols. BPE merges
-    * only ever apply WITHIN one pre-token. */
+    * runs, digit runs, single other non-space symbols (Java regex
+    * char classes match full code points, so an emoji is ONE
+    * pre-token). BPE merges only ever apply WITHIN one pre-token. */
   private val PreTok = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
 
   /** Encode one pre-token: repeatedly find the lowest-rank pair
@@ -65,9 +90,11 @@ object BpeUtil {
     * encoder loop). Terminates: every merge shortens the sequence. */
   def encodeWord(word: String, m: Model): Array[String] = {
     if (word.length <= 1) return Array(word)
-    var syms = new java.util.ArrayList[String](word.length)
+    val base = codePointSymbols(word)
+    if (base.length <= 1) return Array(word)
+    var syms = new java.util.ArrayList[String](base.length)
     var c = 0
-    while (c < word.length) { syms.add(String.valueOf(word.charAt(c))); c += 1 }
+    while (c < base.length) { syms.add(base(c)); c += 1 }
     while (true) {
       var best = -1
       var i = 0

@@ -201,4 +201,51 @@ class BpeSpec extends SparkSpec {
     assert(BpeUtil.encodeWord("the", bm).length == 1)
     assert(BpeUtil.encodeWord("zq", bm).length == 2, "rare word stays split")
   }
+
+  test("non-BMP text: train, vocab, and encode operate on code points, not UTF-16 units") {
+    val s = spark
+    import s.implicits._
+    // U+1F600 is supplementary: 2 UTF-16 units, 1 code point. Before
+    // the code-point normalization this crashed vocab() (length-2
+    // alphabet entry) and, with the check relaxed, encoded as two
+    // lone surrogates that silently mapped to -1 UNK.
+    val emoji = "😀"
+    val docs = Seq.fill(6)(s"smile $emoji$emoji and $emoji again").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val alpha = Bpe.alphabet(docs)
+    assert(alpha.contains(emoji), s"alphabet must hold the whole emoji: $alpha")
+    assert(!alpha.exists(a => a.length == 1 && Character.isSurrogate(a.charAt(0))),
+      s"no lone surrogates in the alphabet: $alpha")
+    // the pre-tokenizer makes each symbol its own pre-token, so corpus
+    // training never pairs emoji — but the driver solve is a public
+    // API and must split caller histograms by code point too: one
+    // (emoji, emoji) pair, never lone-surrogate pairs
+    assert(Bpe.trainFromCounts(Array(s"$emoji$emoji" -> 5L), 1).toSeq
+      == Seq((emoji, emoji)))
+    val merges = Bpe.train(docs, 8)
+    val v = Bpe.vocab(merges, alpha)
+    val ids = docs.filter(col("doc_id") === 0L)
+      .select(Bpe.bpeEncodeIds(col("text"), merges, v).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids.nonEmpty && !ids.contains(-1),
+      s"no code point of the training corpus may encode to UNK: $ids")
+  }
+
+  test("trained merge tables are duplicate-output-free by construction (vocab never rejects its own trainer)") {
+    // property over random small-alphabet histograms — the adversarial
+    // shape for output collisions ((a,bc) vs (ab,c)) and re-inserted
+    // adjacencies, both of which vocab() rejects loudly
+    val rnd = new scala.util.Random(777L)
+    val alpha = "abcd"
+    (1 to 40).foreach { round =>
+      def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+      val forms = Array.fill(10)(word(2 + rnd.nextInt(6)) -> (1L + rnd.nextInt(30)))
+        .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }.toArray
+        .sortBy(_._1)
+      val merges = Bpe.trainFromCounts(forms, 12)
+      assert(merges.map { case (l, r) => l + r }.distinct.length == merges.length,
+        s"round $round: duplicate merge output in ${merges.toSeq} for ${forms.toSeq}")
+      Bpe.vocab(merges, alpha.map(_.toString)) // must not throw
+    }
+  }
 }
