@@ -46,7 +46,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main contamination-score in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
   *   runMain graft.Main bpe-train     in=<docs.parquet> out=<merges dir> [merges=1000 maxforms=65536 vocabout=<dir>]
   *   runMain graft.Main bpe-encode    in=<docs.parquet> out=<dir> [merges=<rank,left,right parquet> vocab=<id,token parquet>]
-  *   runMain graft.Main corpus-pack   in=<docs.parquet> out=<dir> [merges= vocab= budget=512 buckets=16]
+  *   runMain graft.Main corpus-pack   in=<docs.parquet> out=<dir> [merges= vocab= budget=512 buckets=<n>]
+  *     (buckets defaults to corpus-sized: one pack-window bucket per ~1M pre-tokens)
   *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
   *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
@@ -517,9 +518,12 @@ object Main {
           case Some(vp) => graft.functions.Bpe.readVocab(spark, vp)
           case None => graft.functions.Bpe.vocab(merges, graft.functions.Bpe.alphabet(docs))
         }
+        // buckets absent ⇒ 0 ⇒ packTokens sizes the pack window from
+        // the corpus token mass (the r8 fixed-16 default was a
+        // multi-TB single-task sort at 100×; same fix as cells/tparts)
         val packed = graft.queries.PipelineQueries.packTokens(docs, merges, v,
           opts.getOrElse("budget", "512").toInt,
-          opts.getOrElse("buckets", "16").toInt).localCheckpoint()
+          opts.getOrElse("buckets", "0").toInt).localCheckpoint()
         packed.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), packed.count())
       // ONE-SHOT curation DAG — the data-pipeline analog of the
@@ -617,7 +621,7 @@ object Main {
               .write.mode("overwrite").parquet(s"$base/vocab")
             P.packTokens(cur, merges, v,
               opts.getOrElse("packbudget", "512").toInt,
-              opts.getOrElse("buckets", "16").toInt)
+              opts.getOrElse("buckets", "0").toInt)
               .write.mode("overwrite").parquet(s"$base/packs")
             System.err.println("[graft] corpus-pipeline pack -> written")
         }

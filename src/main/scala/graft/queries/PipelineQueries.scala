@@ -456,6 +456,70 @@ object PipelineQueries {
     * count. Exact BIGINT in DuckDB, so the oracle mirrors verbatim. */
   private[graft] val PackBucketStride = 1099511627776L
 
+  /** Bucket-local pack ids at or above this offset (2^39 — half the
+    * stride space) are OVERSIZED-doc packs: a doc longer than the
+    * budget gets a pack of its own and never co-mingles with normal
+    * docs (nor advances their cumulative count — removing an
+    * oversized doc can't re-shuffle its neighbors' packs). Normal
+    * packs stay below the offset until a bucket holds ~2^39·budget
+    * ≈ 2.8·10^14 tokens — far past any per-bucket mass the
+    * [[suggestPackBuckets]] layout allows. */
+  private[graft] val PackOversizedOffset = 549755813888L
+
+  /** Pack-window bucket guideline — [[TextIndex.suggestTermParts]]'s
+    * rule applied to the pack layout: the window sorts each bucket in
+    * ONE task, so bucket count is the pack stage's parallelism AND its
+    * per-task volume knob. ~1M tokens per bucket (a few MB of ids per
+    * task), floor 16 (the legacy spec-scale default), cap 4096 (the
+    * explicit-override point — a 25T-token corpus that wants more
+    * passes `buckets=` itself). The suggestion consumes PRE-token
+    * mass: for [[packTokens]] the true id mass is ≥ pre-tokens (each
+    * pre-token yields ≥ 1 id) by at most the merge-depth factor
+    * (~2-4× on natural text), so the per-bucket id volume stays
+    * single-task-sized — this is a layout guideline, not an exact
+    * count, and it avoids paying a second full BPE encode just to
+    * size the layout. */
+  def suggestPackBuckets(totalPreTokens: Long,
+                         tokensPerBucket: Long = 1L << 20): Int =
+    math.max(16L, math.min(
+      math.ceil(totalPreTokens.toDouble / tokensPerBucket).toLong, 4096L)).toInt
+
+  /** `buckets` = 0 ⇒ size the pack window from the corpus's pre-token
+    * mass (one cheap aggregate next to the encode the pack already
+    * pays for); explicit values win — the gate pins spec-scale
+    * literals so its oracle's `% 16` stays exact. */
+  private[graft] def resolvePackBuckets(docs: DataFrame, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else suggestPackBuckets(
+      docs.agg(coalesce(sum(size(bpeTokens(col("text"))).cast("long")), lit(0L)))
+        .head().getLong(0))
+
+  // The shared pack-assignment columns over a (doc_id, n_tokens,
+  // bucket, ...) frame: oversized docs (n_tokens > budget) are
+  // EXCLUDED from the normal cumulative count and each takes a
+  // bucket-local pack of its own above PackOversizedOffset; normal
+  // docs pack by cumulative token count as before. One window
+  // partitioning serves both running sums and the caller's
+  // row_number.
+  private def withPackId(toks: DataFrame, budget: Int): DataFrame = {
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("tokens_before",
+        coalesce(sum(when(col("n_tokens") > lit(budget), lit(0L))
+          .otherwise(col("n_tokens"))).over(wcum), lit(0L)))
+      .withColumn("over_before",
+        coalesce(sum(when(col("n_tokens") > lit(budget), lit(1L))
+          .otherwise(lit(0L))).over(wcum), lit(0L)))
+      .withColumn("pack_id",
+        col("bucket").cast("long") * PackBucketStride +
+          when(col("n_tokens") > lit(budget),
+            lit(PackOversizedOffset) + col("over_before"))
+          .otherwise(floor(col("tokens_before") / lit(budget))))
+      .drop("tokens_before", "over_before")
+  }
+
   /** The MATERIALIZED end of the tokenizer loop: [[packSequences]]'s
     * assignment executed over TRAINED-BPE token ids, one row per pack
     * with the concatenated id array — the tensor-shaped artifact a
@@ -466,25 +530,22 @@ object PipelineQueries {
     * each) is the groupBy(pack) that assembles packs — the final
     * materialization, so the ids shuffle here and nowhere else
     * (the writeShards argument). Within-pack order is pinned by the
-    * window's row_number, so re-runs are byte-identical. Docs over
-    * `budget` overflow their own pack (the packSequences trade),
-    * reported honestly in n_tokens. */
+    * window's row_number, so re-runs are byte-identical. Docs whose
+    * id count exceeds `budget` take a pack of their OWN (full ids,
+    * honest n_tokens — see [[PackOversizedOffset]]); they never
+    * co-mingle with normal docs. */
   def packTokens(docs: DataFrame, merges: Array[(String, String)],
                  vocab: Array[String], budget: Int = 512,
-                 buckets: Int = 16): DataFrame = {
+                 buckets: Int = 0): DataFrame = {
+    val b = resolvePackBuckets(docs, buckets)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
-    docs
-      .select(col("doc_id"),
-        graft.functions.Bpe.bpeEncodeIds(col("text"), merges, vocab).as("ids"),
-        pmod(col("doc_id"), lit(buckets)).as("bucket"))
-      .withColumn("n_tokens", least(size(col("ids")), lit(budget)).cast("long"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .withColumn("pack_id",
-        col("bucket").cast("long") * PackBucketStride + floor(col("tokens_before") / lit(budget)))
+    withPackId(
+      docs.select(col("doc_id"),
+          graft.functions.Bpe.bpeEncodeIds(col("text"), merges, vocab).as("ids"),
+          pmod(col("doc_id"), lit(b)).as("bucket"))
+        .withColumn("n_tokens", size(col("ids")).cast("long")),
+      budget)
       .withColumn("pos", row_number().over(w))
       .groupBy(col("pack_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("doc_id"), col("ids"))))
@@ -504,23 +565,23 @@ object PipelineQueries {
     * budget). This is the shuffle-cheap streaming approximation of
     * first-fit (a doc straddling a boundary overflows its pack by at
     * most itself — the standard trade; exact bin packing needs a
-    * sequential scan). Oversized docs count as one full budget so they
-    * get a pack of their own. */
+    * sequential scan). Oversized docs each take a pack of their own
+    * ([[PackOversizedOffset]]) and never advance the normal cumsum. */
   def packSequences(spark: SparkSession, dir: String,
-                    budget: Int = 512, buckets: Int = 16): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("doc_id"))
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        least(size(bpeTokens(col("text"))), lit(budget)).as("n_tokens"),
-        pmod(col("doc_id"), lit(buckets)).as("bucket"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("doc_id"), col("bucket"), col("n_tokens"),
-        (col("bucket").cast("long") * PackBucketStride +
-          floor(col("tokens_before") / lit(budget))).as("pack_id"))
+                    budget: Int = 512, buckets: Int = 0): DataFrame =
+    packSequencesDocs(Tables.load(spark, dir, "documents"), budget, buckets)
+
+  /** [[packSequences]] over any `(doc_id, text)` frame — the
+    * CLI/spec form. */
+  private[graft] def packSequencesDocs(docs: DataFrame, budget: Int,
+                                       buckets: Int): DataFrame = {
+    val b = resolvePackBuckets(docs, buckets)
+    withPackId(
+      docs.select(col("doc_id"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(b)).as("bucket")),
+      budget)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("pack_id"))
   }
 
   /** Token budget for [[corpusMix]] — at sf0.01 (≈27k BPE tokens,
@@ -1064,7 +1125,10 @@ object PipelineQueries {
     "corpus_dsir_select" -> (corpusDsirSelect _),
     "corpus_shard" -> (corpusShard _),
     "corpus_scrub" -> (corpusScrub _),
-    "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    // buckets pinned to the spec-scale 16 so the oracle's `% 16` and
+    // pack-id literals stay exact regardless of testdata token mass
+    // (the API default is 0 = corpus-sized)
+    "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d, buckets = 16)),
     "sample_stratified" -> (sampleStratified _))
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
@@ -1160,18 +1224,30 @@ object PipelineQueries {
          |       max(n_chars) AS max_chars,
          |       quantile_cont(n_chars, 0.5) AS median_chars
          |FROM q GROUP BY lang""".stripMargin,
+    // mirrors packSequences/withPackId: oversized docs (> budget) are
+    // excluded from the normal running sum and take bucket-local pack
+    // ids above the 2^39 offset; normal docs pack by cumulative count
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         least(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 512) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
         |         doc_id % 16 AS bucket
-        |  FROM documents)
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |         CAST(coalesce(sum(CASE WHEN n_tokens > 512 THEN 0 ELSE n_tokens END)
+        |                OVER win, 0) AS BIGINT) AS tokens_before,
+        |         CAST(coalesce(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END)
+        |                OVER win, 0) AS BIGINT) AS over_before
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY bucket ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |SELECT doc_id, bucket, n_tokens,
-        |       bucket * 1099511627776 + CAST(floor(
-        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-        |         / 512.0) AS BIGINT) AS pack_id
-        |FROM t""".stripMargin,
+        |       bucket * 1099511627776 + CASE WHEN n_tokens > 512
+        |         THEN 549755813888 + over_before
+        |         ELSE CAST(floor(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT) END
+        |         AS pack_id
+        |FROM w""".stripMargin,
     "corpus_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -156,12 +156,58 @@ class TextSpec extends SparkSpec {
   }
 
   test("sequence packing: no pack exceeds budget by more than one straddling doc") {
-    val packs = graft.queries.PipelineQueries.packSequences(spark, sf("any"))
+    val P = graft.queries.PipelineQueries
+    val packs = P.packSequences(spark, sf("any"))
       .groupBy("pack_id").agg(sum("n_tokens").as("total"))
-      .collect().map(_.getLong(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(packs.nonEmpty)
-    // every doc is capped at budget, so the straddler bound is 2*budget
-    assert(packs.forall(_ < 2 * 512), s"pack overflow beyond straddler bound: ${packs.max}")
+    // testdata has no oversized docs (max ~99 pre-tokens), so every
+    // pack is a normal pack below the oversized offset and the
+    // straddler bound holds
+    assert(packs.forall(_._1 % P.PackBucketStride < P.PackOversizedOffset))
+    assert(packs.forall(_._2 < 2 * 512),
+      s"pack overflow beyond straddler bound: ${packs.map(_._2).max}")
+  }
+
+  test("sequence packing: oversized docs take a pack of their own and never shift normal packs") {
+    import spark.implicits._
+    val P = graft.queries.PipelineQueries
+    val word = "alpha "
+    // bucket 0 (doc_ids all ≡ 0 mod 1): two normal docs around an
+    // oversized one — budget 10, the 25-token doc is oversized
+    def doc(id: Long, n: Int) = (id, (word * n).trim)
+    val docs = Seq(doc(1, 6), doc(2, 25), doc(3, 6), doc(4, 25), doc(5, 6))
+      .toDF("doc_id", "text")
+    val got = P.packSequencesDocs(docs, budget = 10, buckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(2))).toMap
+    val overBase = P.PackOversizedOffset
+    // oversized docs: own packs, in doc order, full honest n_tokens
+    assert(got(2L) == (overBase, 25L), s"first oversized: ${got(2L)}")
+    assert(got(4L) == (overBase + 1, 25L), s"second oversized: ${got(4L)}")
+    // normal docs pack as if the oversized ones were absent:
+    // cumsums 0, 6, 12 -> packs 0, 0, 1
+    assert(got(1L)._1 == 0L && got(3L)._1 == 0L && got(5L)._1 == 1L,
+      s"normal docs must ignore oversized neighbors: $got")
+    // and removing the oversized docs changes nothing for the normal ones
+    val without = P.packSequencesDocs(
+      docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 4L),
+      budget = 10, buckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(Seq(1L, 3L, 5L).forall(id => without(id) == got(id)._1))
+  }
+
+  test("pack buckets self-size from pre-token mass (auto == suggested; floor and cap hold)") {
+    import spark.implicits._
+    val P = graft.queries.PipelineQueries
+    val docs = (0L until 50L).map(i => (i, "one two three four five"))
+      .toDF("doc_id", "text")
+    // 250 pre-tokens -> floor
+    assert(P.resolvePackBuckets(docs, 0) == P.suggestPackBuckets(250L))
+    assert(P.suggestPackBuckets(0L) == 16, "floor")
+    assert(P.suggestPackBuckets(100L << 20) == 100, "~1M tokens per bucket")
+    assert(P.suggestPackBuckets(Long.MaxValue / 4) == 4096, "cap")
+    // explicit wins
+    assert(P.resolvePackBuckets(docs, 7) == 7)
   }
 
   test("decontamination: flagged docs are outside the eval slice with positive overlap") {
