@@ -558,6 +558,9 @@ object Main {
         // the run record a scheduler checks without scraping stderr
         val stageStats = scala.collection.mutable.ArrayBuffer[(String, Long)](
           "input" -> rowsIn)
+        // the mix budget actually applied, recorded in stats.json so a
+        // scheduler can tell keep-all from a downsampling run
+        var mixBudget: Option[Long] = None
         def advance(stage: String, next0: org.apache.spark.sql.DataFrame): Unit = {
           val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
           val n = next.count()
@@ -600,11 +603,31 @@ object Main {
             advance("scrub", cur.select("doc_id", "lang").join(
               scrubbed.select(col("doc_id"), col("text_scrubbed").as("text")),
               Seq("doc_id")))
-          case "mix" =>
-            val kept = P.corpusMixTemperatureDocs(cur,
-              opts.getOrElse("budget", P.MixBudgetTokens.toString).toLong,
-              opts.getOrElse("alpha", "0.5").toDouble).select("doc_id")
-            advance("mix", cur.join(kept, Seq("doc_id")))
+          // mix is SAFE BY DEFAULT: without budget= the stage keeps
+          // the full supply and says so — the gate-scale 20k-token
+          // literal as a silent default collapsed a 235k-doc sf10 run
+          // to 317 docs (r8 PLANS.md), and a one-shot DAG must not
+          // destroy 99.9% of its corpus because a knob went unread.
+          // The tokenize is persisted around BOTH its consumers (the
+          // collected supply aggregate and the keep-filter scan) and
+          // released before the stage returns — the CLI corpus-mix
+          // pattern, not the wrapper that leaves the release to the
+          // context cleaner.
+          case "mix" => opts.get("budget") match {
+            case None =>
+              System.err.println("[graft] corpus-pipeline mix KEEP-ALL " +
+                "(no budget= — pass budget=<tokens> to downsample to a token budget)")
+              stageStats += "mix" -> cur.count()
+            case Some(b) =>
+              mixBudget = Some(b.toLong)
+              val toked = P.tokenizeDocs(cur)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val kept = try P.corpusMixTemperatureFromToked(toked, b.toLong,
+                  opts.getOrElse("alpha", "0.5").toDouble)
+                .select("doc_id").localCheckpoint()
+                finally toked.unpersist()
+              advance("mix", cur.join(kept, Seq("doc_id")))
+          }
           case "shard" =>
             P.writeShards(cur, opts.getOrElse("shards", "16").toInt, s"$base/shards")
             System.err.println("[graft] corpus-pipeline shard -> written")
@@ -631,7 +654,9 @@ object Main {
         stageStats += "survivors" -> rowsOut
         val statsJson = stageStats
           .map { case (k, v) => s"""{"stage":"$k","docs":$v}""" }
-          .mkString("[", ",", "]")
+          .mkString(
+            s"""{"mix_budget_tokens":${mixBudget.map(_.toString).getOrElse("null")},"stages":[""",
+            ",", "]}")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(base, "stats.json"), statsJson + "\n")

@@ -530,6 +530,32 @@ class MainSpec extends SparkSpec {
     assert(stages == Seq("input", "clean", "decontaminate", "scrub", "select",
       "mix", "survivors"), s"stage order in stats.json: $stages ($stats)")
     assert(stats.contains(s""""stage":"survivors","docs":${ids.size}"""), stats)
+    // the budget the mix stage actually applied is in the run record
+    assert(stats.contains(""""mix_budget_tokens":800"""), stats)
+  }
+
+  test("corpus-pipeline: mix without budget= is keep-all, recorded as such (never a silent gate-scale literal)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_keepall").toString
+    // enough real text to clear the clean stage's quality floor; en
+    // heavily oversupplied vs zz so ANY default token budget near the
+    // old 20k literal would downsample it
+    def body(seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(6)(rnd.shuffle(Seq("the", "model", "is", "training", "on", "a",
+        "large", "corpus", "of", "documents", "and", "it"))).flatten.mkString(" ")
+    }
+    val docs = (0L until 40L).map(i => (i, if (i < 36) "en" else "zz", body(i)))
+    docs.toDF("doc_id", "lang", "text").write.parquet(s"$base/docs.parquet")
+    val r = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/docs.parquet", s"out=$base/out", "steps=mix"))
+    // keep-all: every doc survives the mix stage untouched
+    assert(r.rowsIn == 40 && r.rowsOut == 40, s"no-budget mix must keep the supply: $r")
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/out", "stats.json"))
+    assert(stats.contains(""""mix_budget_tokens":null"""), stats)
+    assert(stats.contains(""""stage":"mix","docs":40"""), stats)
   }
 
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
