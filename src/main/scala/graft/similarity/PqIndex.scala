@@ -198,20 +198,53 @@ class PqIndex(spark: SparkSession, dir: String,
     * after scoring would instead return fewer than k (or leak
     * near-misses) under selective filters. Recall vs a brute-force
     * search of the filtered subset degrades only through cell
-    * pruning, exactly as for the unfiltered search — but note the
-    * probe budget does not self-adjust to filter selectivity: under a
-    * very selective filter the probed cells may hold few survivors,
-    * so pass a larger `nProbe` at construction (or 0 ⇒ layout-sized)
-    * when filters routinely keep < ~1% of the corpus. */
+    * pruning, exactly as for the unfiltered search — and under an
+    * AUTO probe budget (nProbe = 0) the budget self-adjusts to filter
+    * SELECTIVITY: the layout-sized count is scaled by ~1/selectivity
+    * (capped at every cell), because a filter keeping 1% of the
+    * corpus leaves the probed cells holding ~1% of the usual
+    * survivors — a fixed budget silently under-recalls exactly when
+    * the filter is most selective. Both counts the estimate needs are
+    * cheap next to the search (allow-list ids, codes row count — the
+    * 32 B/row table, counted once per index handle). An EXPLICIT
+    * nProbe stays verbatim: the serving operator overrode the
+    * guideline, and a filter must not un-override it. */
   def topK(queries: DataFrame, topKn: Int, allowed: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (model, coarse, rot) = loadModels()
-    val np = probeFor(coarse)
+    // the distinct id set feeds the count AND the semi-join: checkpoint
+    // so the dedup shuffle runs once, not once per consumer
+    val allow = allowed.select(col("id").as("neighbor_id")).distinct().localCheckpoint()
+    val np = probeForFiltered(coarse, allow.count())
     val cells = Pq.probeCells(queries, model, coarse, np, rot)
-    val filtered = codesTable(cells).join(
-      allowed.select(col("id").as("neighbor_id")).distinct(), Seq("neighbor_id"),
-      "left_semi")
+    val filtered = codesTable(cells).join(allow, Seq("neighbor_id"), "left_semi")
     Pq.searchCodes(queries, filtered, topKn, model, coarse, np, rot)
+  }
+
+  /** Live rows in the codes store — the denominator of the filter
+    * selectivity estimate. One count(*) over the 32 B/row codes (no
+    * columns read), cached per index handle: serving processes are
+    * long-lived, and a stale-by-one-delta denominator only perturbs a
+    * guideline. */
+  @transient private lazy val codesCount: Long =
+    store.read().map(_.count()).getOrElse(0L)
+
+  /** The probe budget for a filtered search over `allowedCount` ids:
+    * explicit nProbe verbatim; auto = layout-sized base scaled by
+    * 1/selectivity, capped at the frozen cell count (probing every
+    * cell degenerates to PQ-scoring the whole allow-list — the
+    * correct floor under an extreme filter, and still O(|allowed|)
+    * distance work after the semi-join). An empty allow-list keeps
+    * the base: the result is empty whatever we probe. */
+  private[graft] def probeForFiltered(coarse: Similarity.IvfModel,
+                                      allowedCount: Long): Int = {
+    val base = probeFor(coarse)
+    if (nProbe > 0 || allowedCount <= 0 || codesCount <= 0) base
+    else {
+      val sel = math.min(1.0, allowedCount.toDouble / codesCount)
+      math.min(coarse.nCells.toLong,
+        math.max(base.toLong, math.ceil(base / sel).toLong)).toInt
+    }
   }
 
   /** Two-stage retrieval: PQ-approximate candidate generation, EXACT
@@ -276,11 +309,20 @@ class PqIndex(spark: SparkSession, dir: String,
   /** Serve a streaming frame of `(id, vec)` queries: each micro-batch
     * is searched against the index as of that batch and handed to
     * `sink`. Models load once per stream (frozen); codes re-read per
-    * batch so concurrent adds become visible. */
+    * batch so concurrent adds become visible.
+    *
+    * `allowed` is a THUNK, invoked once per micro-batch, mirroring
+    * the codes re-read: a DataFrame captured at stream start would
+    * snapshot its parquet file listing at creation, so an overwrite
+    * that replaces the policy table's files (new part names) would
+    * never be seen — `Some(() => spark.read.parquet(policyPath))`
+    * re-lists at every batch, and the batch-N search honors the
+    * policy as of batch N. Filter semantics per batch are exactly
+    * the batch-side [[topK]]'s, selectivity-scaled probe budget
+    * included. */
   def serveStream(queries: DataFrame, topKn: Int, sink: DataFrame => Unit,
                   checkpoint: String,
-                  allowed: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+                  allowed: Option[() => DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val (model, coarse, rot) = loadModels()
     queries.writeStream
       .option("checkpointLocation", checkpoint)
@@ -288,20 +330,22 @@ class PqIndex(spark: SparkSession, dir: String,
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           // same cell-pruned read as topK, per micro-batch: serving
-          // I/O is O(probed cells), not O(index). The allow-list (the
-          // batch-side topK filter, same semantics) is re-evaluated
-          // per micro-batch, so a policy table that changes between
-          // batches is honored at its next batch.
-          val np = probeFor(coarse)
-          val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)
-          val codes = allowed match {
-            case Some(a) => codesTable(cells).join(
-              a.select(col("id").as("neighbor_id")).distinct(),
-              Seq("neighbor_id"), "left_semi")
-            case None => codesTable(cells)
+          // I/O is O(probed cells), not O(index)
+          allowed match {
+            case Some(a) =>
+              import org.apache.spark.sql.functions.col
+              val allow = a().select(col("id").as("neighbor_id"))
+                .distinct().localCheckpoint()
+              val np = probeForFiltered(coarse, allow.count())
+              val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)
+              val codes = codesTable(cells).join(allow, Seq("neighbor_id"), "left_semi")
+              sink(Pq.searchCodes(batch.toDF(), codes, topKn, model, coarse, np, rot))
+            case None =>
+              val np = probeFor(coarse)
+              val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)
+              sink(Pq.searchCodes(batch.toDF(), codesTable(cells), topKn,
+                model, coarse, np, rot))
           }
-          sink(Pq.searchCodes(batch.toDF(), codes, topKn,
-            model, coarse, np, rot))
         }
       }
       .start()

@@ -129,13 +129,58 @@ class PqIndexSpec extends SparkSpec {
       df => got ++= df.select("query_id", "neighbor_id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))),
       java.nio.file.Files.createTempDirectory("graft_pqf_ckpt").toString,
-      allowed = Some(odds))
+      allowed = Some(() => odds))
     (0 until 10).foreach(i => qIn.addData((1000L + i, twins(2 * i)._2)))
     sq.processAllAvailable(); sq.stop()
     val batchRows = index.topK(qs, 3, odds)
       .select("query_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got.toSet == batchRows, "streamed filtered serve must equal batch filtered topK")
+  }
+
+  test("filtered topK: auto probe budget scales with allow-list selectivity; fixed budget under-recalls") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_sel").toString
+    // 8 tight clusters whose anchors have strictly DECREASING cosine
+    // to the query direction e0: anchor_j = a_j·e0 + sqrt(1-a_j²)·e_j
+    // with a_j = 0.8 − 0.1j — so a probe budget of 4 provably probes
+    // clusters 0..3 and the allow-list (cluster 7, cosine 0.1) lives
+    // entirely in cells a fixed budget never opens
+    def anchor(j: Int): Array[Float] = {
+      val a = (0.8 - 0.1 * j).toFloat
+      val v = new Array[Float](64)
+      v(0) = a; v(8 + j) = math.sqrt(1.0 - a * a).toFloat
+      v
+    }
+    val clusters = (0 until 8).flatMap { j =>
+      (0 until 20).map(i => ((20 * j + i).toLong,
+        graft.VecFixtures.nearDup(anchor(j), 600L + 20 * j + i)))
+    }
+    val corpus = clusters.toDF("id", "vec")
+    val autoIdx = new PqIndex(spark, s"$base/idx", nCells = 8) // nProbe = 0 = auto
+    autoIdx.build(corpus)
+    val coarse = autoIdx.models()._2
+    val q = { val v = new Array[Float](64); v(0) = 1f; v }
+    val qs = Seq((1L, q)).toDF("id", "vec")
+    val allowed = (140L until 160L).toDF("id") // cluster 7 only
+    // base budget: suggestNProbe(8) = 4; selectivity 20/160 = 12.5%
+    // scales it to ceil(4/0.125) = 32, capped at every cell
+    assert(autoIdx.probeForFiltered(coarse, 20L) == 8,
+      s"12.5% filter must scale 4 -> all 8 cells: ${autoIdx.probeForFiltered(coarse, 20L)}")
+    val got = autoIdx.topK(qs, 20, allowed)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(got == (140L until 160L).toSet,
+      s"auto probe must recover the whole allowed cluster: $got")
+    // the same store under an EXPLICIT nProbe=4 handle: the operator's
+    // override is honored verbatim — and demonstrably under-recalls,
+    // which is exactly why the auto path must scale
+    val fixedIdx = new PqIndex(spark, s"$base/idx", nCells = 8, nProbe = 4)
+    assert(fixedIdx.probeForFiltered(coarse, 20L) == 4, "explicit nProbe stays verbatim")
+    assert(fixedIdx.topK(qs, 20, allowed).count() == 0L,
+      "fixed 4-cell probe never opens the allowed cluster's cell")
+    // empty allow-list: no scaling (result is empty whatever we probe)
+    assert(autoIdx.probeForFiltered(coarse, 0L) == 4)
   }
 
   test("OPQ-built index: parity with the inline composed chain; rotated adds retrievable") {
