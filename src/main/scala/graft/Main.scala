@@ -50,6 +50,9 @@ import org.apache.spark.sql.functions._
   *     (buckets defaults to corpus-sized: one pack-window bucket per ~1M pre-tokens)
   *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
   *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
+  *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
+  *                                    [steps=clean,decontaminate,shard ...]   # CDC form: delta cleaned vs state/sig,
+  *                                    # survivors/shards appended under state/.../batch=<id>; batch= is the replay key
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -545,14 +548,42 @@ object Main {
       case "corpus-pipeline" =>
         import org.apache.spark.storage.StorageLevel
         val base = req("out")
+        // incremental=true turns the DAG into its CDC form: the input
+        // is a DELTA, cleaned against the accumulated SigIndex under
+        // state=, survivors/shards APPENDED under per-batch dirs
+        // (batch= is the replay key — re-running a batch overwrites
+        // its own dirs and reproduces the same survivors, the
+        // dedupNearBatch idempotency). Only the delta-sound stages
+        // are allowed: clean (CDC by construction), decontaminate
+        // (per-doc vs a fixed eval set), shard (assignment is a pure
+        // function of doc_id, so per-batch sharding composes).
+        // scrub/select/mix/pack are corpus-global or supply-dependent
+        // — running them per-delta would silently give batch-local
+        // answers (a span repeated across batches never scrubbed, a
+        // DSIR threshold per batch, a per-batch BPE model) — so they
+        // refuse loudly; run them as full passes over the accumulated
+        // survivors when needed.
+        val incremental = opts.get("incremental").exists(_.toBoolean)
+        val stateDir = opts.get("state")
+        val batchId = opts.get("batch").map(_.toLong)
+        if (incremental) {
+          require(stateDir.isDefined, "incremental corpus-pipeline requires state=<dir>")
+          require(batchId.isDefined,
+            "incremental corpus-pipeline requires batch=<id> (the replay key)")
+        }
         val raw = spark.read.parquet(req("in")).select("doc_id", "lang", "text")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val rowsIn = raw.count()
         val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard", "pack")
-        val steps = opts.getOrElse("steps", known.mkString(","))
+        val incrementalSteps = Set("clean", "decontaminate", "shard")
+        val steps = opts.getOrElse("steps",
+            (if (incremental) known.filter(incrementalSteps) else known).mkString(","))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         steps.foreach(s => require(known.contains(s),
           s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
+        if (incremental) steps.foreach(s => require(incrementalSteps.contains(s),
+          s"incremental corpus-pipeline supports steps ${incrementalSteps.toSeq.sorted.mkString(",")} " +
+            s"— '$s' is corpus-global/supply-dependent and needs a full (non-incremental) run"))
         var cur = raw
         // per-stage counts accumulate into out/stats.json at the end —
         // the run record a scheduler checks without scraping stderr
@@ -571,6 +602,15 @@ object Main {
         }
         val P = graft.queries.PipelineQueries
         steps.foreach {
+          case "clean" if incremental =>
+            // the CDC clean: dedup the delta against the accumulated
+            // signature index (bandparts sizes a NEW index; 0 adopts
+            // an existing one's frozen layout — the corpus-clean CLI
+            // contract)
+            val index = new graft.streaming.SigIndex(spark, s"${stateDir.get}/sig",
+              idCol = "doc_id", bandParts = opts.getOrElse("bandparts", "0").toInt)
+            advance("clean", P.corpusCleanIncremental(cur, index, batchId.get,
+              keepText = true).select("doc_id", "lang", "text"))
           case "clean" =>
             advance("clean", P.corpusCleanDocs(cur).select("doc_id", "lang", "text"))
           case "decontaminate" => opts.get("evals") match {
@@ -629,8 +669,17 @@ object Main {
               advance("mix", cur.join(kept, Seq("doc_id")))
           }
           case "shard" =>
-            P.writeShards(cur, opts.getOrElse("shards", "16").toInt, s"$base/shards")
-            System.err.println("[graft] corpus-pipeline shard -> written")
+            // incremental: the delta's rows land under the STATE's
+            // shard tree in a per-batch dir (replay overwrites its own
+            // dir). shardDocs' assignment is a pure function of
+            // doc_id, so state/shards/batch=*/shard=k is the same
+            // partition a one-shot run would put those docs in;
+            // shard_pos orders within the batch.
+            val shardOut =
+              if (incremental) s"${stateDir.get}/shards/batch=${batchId.get}"
+              else s"$base/shards"
+            P.writeShards(cur, opts.getOrElse("shards", "16").toInt, shardOut)
+            System.err.println(s"[graft] corpus-pipeline shard -> written ($shardOut)")
           case "pack" =>
             val merges = opts.get("merges") match {
               case Some(p) => graft.functions.Bpe.readMerges(spark, p)
@@ -648,8 +697,15 @@ object Main {
               .write.mode("overwrite").parquet(s"$base/packs")
             System.err.println("[graft] corpus-pipeline pack -> written")
         }
+        // incremental: survivors APPEND under a per-batch dir of the
+        // state (overwrite of the batch's own dir = replay-idempotent;
+        // reading state/survivors unions every committed batch via
+        // partition discovery). Full run: the single survivors dir.
+        val survivorsOut =
+          if (incremental) s"${stateDir.get}/survivors/batch=${batchId.get}"
+          else s"$base/survivors"
         cur.select("doc_id", "lang", "text")
-          .write.mode("overwrite").parquet(s"$base/survivors")
+          .write.mode("overwrite").parquet(survivorsOut)
         val rowsOut = cur.count()
         stageStats += "survivors" -> rowsOut
         val statsJson = stageStats

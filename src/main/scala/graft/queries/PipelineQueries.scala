@@ -76,10 +76,12 @@ object PipelineQueries {
     * retracted). */
   def corpusCleanIncremental(newDocs: DataFrame,
                              index: graft.streaming.SigIndex,
-                             batchId: Long): DataFrame =
+                             batchId: Long,
+                             keepText: Boolean = false): DataFrame =
     scoreAndFloor(graft.streaming.Streaming.dedupNearBatch(
       newDocs, index, "text", "doc_id",
-      minJaccard = 0.8, numPerm = 128, bands = 16, k = 3, batchId = batchId))
+      minJaccard = 0.8, numPerm = 128, bands = 16, k = 3, batchId = batchId),
+      keepText = keepText)
 
   /** Multimodal corpus hygiene: near-dup detection over BOTH
     * modalities at once — word-shingle Jaccard on the text (the

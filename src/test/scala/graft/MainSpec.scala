@@ -558,6 +558,82 @@ class MainSpec extends SparkSpec {
     assert(stats.contains(""""stage":"mix","docs":40"""), stats)
   }
 
+  test("corpus-pipeline incremental: two batches == one batch on the union; replay-idempotent; non-delta steps refuse") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_incr").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    // batch A: six distinct docs. batch B: two fresh (6, 7), a
+    // cross-batch near-dup of doc 2 (8), an intra-batch near-dup of
+    // doc 6 (9), an eval verbatim copy (10), one more fresh (11).
+    val batchA = (0L until 6L).map(i => (i, "en", body(i)))
+    val batchB = Seq(
+      (6L, "en", body(100L)), (7L, "en", body(101L)),
+      (8L, "en", body(2L) + " tailzz"),
+      (9L, "en", body(100L) + " tailyy"),
+      (10L, "en", body(200L)),
+      (11L, "en", body(102L)))
+    batchA.toDF("doc_id", "lang", "text").write.parquet(s"$base/a.parquet")
+    batchB.toDF("doc_id", "lang", "text").write.parquet(s"$base/b.parquet")
+    (batchA ++ batchB).toDF("doc_id", "lang", "text").write.parquet(s"$base/all.parquet")
+    Seq((900L, body(200L))).toDF("doc_id", "text").write.parquet(s"$base/evals.parquet")
+    val expect = Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 11L)
+
+    def run(in: String, state: String, batch: Long) = Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$in", s"out=$base/out", "incremental=true",
+        s"state=$state", s"batch=$batch", s"evals=$base/evals.parquet", "shards=2"))
+    def survivors(state: String): Seq[(Long, Int)] =
+      spark.read.parquet(s"$state/survivors")
+        .select("doc_id", "batch").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+    val rA = run(s"$base/a.parquet", s"$base/state", 1L)
+    assert(rA.rowsIn == 6 && rA.rowsOut == 6, s"batch A all survive: $rA")
+    val rB = run(s"$base/b.parquet", s"$base/state", 2L)
+    assert(rB.rowsIn == 6 && rB.rowsOut == 3,
+      s"batch B keeps 6,7,11 (drops cross-batch dup 8, intra dup 9, eval copy 10): $rB")
+    assert(survivors(s"$base/state").map(_._1).toSet == expect)
+
+    // one-shot incremental over the union reproduces the same set
+    run(s"$base/all.parquet", s"$base/state1", 1L)
+    assert(survivors(s"$base/state1").map(_._1).toSet == expect,
+      "two-batch survivors must equal the one-batch union run")
+
+    // replaying batch 2 (at-least-once delivery) changes nothing:
+    // same survivor rows, no duplicates under the batch dir
+    val before = survivors(s"$base/state")
+    run(s"$base/b.parquet", s"$base/state", 2L)
+    assert(survivors(s"$base/state") == before, "replay must be idempotent")
+
+    // shards accumulate per batch, cover exactly the survivors, and a
+    // doc's shard assignment matches the one-shot run's (pure function
+    // of doc_id)
+    def shardOf(state: String): Map[Long, Long] =
+      spark.read.parquet(s"$state/shards")
+        .select(col("doc_id"), col("shard").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = shardOf(s"$base/state")
+    assert(incr.keySet == expect, s"shards cover the survivors: ${incr.keySet}")
+    assert(incr == shardOf(s"$base/state1"),
+      "per-batch sharding must equal the one-shot assignment")
+
+    // supply-dependent steps refuse loudly in incremental mode
+    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/b.parquet", s"out=$base/out2",
+        "incremental=true", s"state=$base/state", "batch=3", "steps=clean,mix")))
+    assert(e.getMessage.contains("supply-dependent"), e.getMessage)
+    // and the replay key is required
+    val e2 = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/b.parquet", s"out=$base/out2",
+        "incremental=true", s"state=$base/state")))
+    assert(e2.getMessage.contains("batch="), e2.getMessage)
+  }
+
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
     val s = spark
     import s.implicits._
