@@ -53,6 +53,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
   *                                    [steps=clean,decontaminate,shard ...]   # CDC form: delta cleaned vs state/sig,
   *                                    # survivors/shards appended under state/.../batch=<id>; batch= is the replay key
+  *     (opt-in step `index` builds out/text_index over the survivors, plus out/index
+  *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time floor)
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -574,10 +576,15 @@ object Main {
         val raw = spark.read.parquet(req("in")).select("doc_id", "lang", "text")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val rowsIn = raw.count()
-        val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard", "pack")
+        // `index` is opt-in (never in the default step list): building
+        // retrieval artifacts over the survivors is a deliberate
+        // output, not a side effect of every curation run
+        val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard",
+          "pack", "index")
         val incrementalSteps = Set("clean", "decontaminate", "shard")
         val steps = opts.getOrElse("steps",
-            (if (incremental) known.filter(incrementalSteps) else known).mkString(","))
+            (if (incremental) known.filter(incrementalSteps)
+             else known.filterNot(_ == "index")).mkString(","))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         steps.foreach(s => require(known.contains(s),
           s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
@@ -696,6 +703,38 @@ object Main {
               opts.getOrElse("buckets", "0").toInt)
               .write.mode("overwrite").parquet(s"$base/packs")
             System.err.println("[graft] corpus-pipeline pack -> written")
+          // retrieval artifacts over the survivors as they stand at
+          // this point in the DAG: a text index always (the corpus IS
+          // text), a vector index when vectors= supplies the (id, vec)
+          // embeddings (semi-joined to survivor ids — curation
+          // decisions bind the index too). minrecall= gives the DAG's
+          // vector build the same validated floor the standalone
+          // index-build CLI has: an auto-sized layout that under-
+          // recalls fails HERE, at build, not as a serving mystery.
+          // The DAG's buckets= belongs to the pack window; both index
+          // stores self-size their layout.
+          case "index" =>
+            new graft.similarity.TextIndex(spark, s"$base/text_index",
+              termParts = opts.getOrElse("tparts", "0").toInt)
+              .build(cur.select("doc_id", "text"))
+            System.err.println("[graft] corpus-pipeline index -> text index built")
+            opts.get("vectors") match {
+              case Some(vp) =>
+                val vecs = vectors(vp)
+                  .join(cur.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+                new graft.similarity.PqIndex(spark, s"$base/index",
+                  dim = opts.getOrElse("dim", "64").toInt,
+                  m = opts.getOrElse("m", "8").toInt,
+                  k = opts.getOrElse("k", "16").toInt,
+                  nCells = opts.getOrElse("cells", "0").toInt,
+                  nProbe = opts.getOrElse("probe", "0").toInt,
+                  opq = opts.getOrElse("opq", "false").toBoolean)
+                  .build(vecs, minRecall = opts.getOrElse("minrecall", "0").toDouble)
+                System.err.println("[graft] corpus-pipeline index -> vector index built")
+              case None =>
+                System.err.println(
+                  "[graft] corpus-pipeline index: vector side SKIPPED (no vectors=)")
+            }
         }
         // incremental: survivors APPEND under a per-batch dir of the
         // state (overwrite of the batch's own dir = replay-idempotent;

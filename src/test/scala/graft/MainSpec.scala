@@ -634,6 +634,49 @@ class MainSpec extends SparkSpec {
     assert(e2.getMessage.contains("batch="), e2.getMessage)
   }
 
+  test("corpus-pipeline: opt-in index step builds validated retrieval artifacts (minrecall floor enforced)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_pidx").toString
+    // 100 tight clusters × 10 members (the PqIndexSpec floor fixture):
+    // recall is high under a sane layout, provably poor shattered
+    val vecs = for (c <- 0 until 100; i <- 0 until 10) yield {
+      val anchor = graft.VecFixtures.unit(64, 3000L + c)
+      val rnd = new scala.util.Random(c * 1000L + i)
+      ((c * 10 + i).toLong, anchor.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    // docs cover only HALF the vector ids — the survivor semi-join
+    // must keep the other half out of the index. The index tokenizer
+    // is letter-runs, so the per-cluster marker must be letters-only
+    // (and distinct per cluster, or BM25's idf degenerates)
+    def cword(c: Long) = s"cl${('a' + c / 10).toChar}${('a' + c % 10).toChar}"
+    val docIds = vecs.map(_._1).filter(_ % 2 == 0)
+    docIds.map(id => (id, "en", s"${cword(id / 10)} docbody corpus text"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/docs.parquet")
+    vecs.toDF("id", "vec").write.parquet(s"$base/vecs.parquet")
+    val r = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/docs.parquet", s"out=$base/out", "steps=index",
+      s"vectors=$base/vecs.parquet", "minrecall=0.6"))
+    assert(r.rowsOut == docIds.size.toLong)
+    // text index serves the survivors
+    val ti = new graft.similarity.TextIndex(spark, s"$base/out/text_index")
+    val hits = ti.search(Seq(1 -> cword(7)), topK = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty && hits.forall(id => id / 10 == 7 && id % 2 == 0), s"$hits")
+    // vector index serves only survivor ids (the semi-join bound)
+    val vi = new graft.similarity.PqIndex(spark, s"$base/out/index")
+    val got = vi.topK(Seq((1L, graft.VecFixtures.unit(64, 3000L + 7))).toDF("id", "vec"), 5)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.forall(_ % 2 == 0),
+      s"index must hold only survivor vectors: ${got.toSeq}")
+    // the DAG's build honors the recall floor: a shattered layout
+    // (cells >> clusters, single probe) fails loudly at build
+    val err = intercept[RuntimeException](Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/docs.parquet", s"out=$base/out2", "steps=index",
+      s"vectors=$base/vecs.parquet", "cells=500", "probe=1", "minrecall=0.6")))
+    assert(err.getMessage.contains("recall validation"), err.getMessage)
+  }
+
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
     val s = spark
     import s.implicits._
