@@ -81,8 +81,14 @@ object Bench {
     * (includeCpu=false): per-query cpu already streams to stderr as
     * `[bench] name Ws (cpu Cs)` lines, and the full record including
     * the cpu_sec map goes to bench_out.json, which has no size bound. */
+  /** `omitEmptyFailures` (the stdout variant) drops the
+    * `"failures":{}` / `"n_failed":0` keys when nothing failed — the
+    * normal case — so more of the bounded stdout tail is left for the
+    * wall map; their ABSENCE means zero failures by contract. The
+    * file record always carries them. */
   def renderJson(results: Seq[(String, Either[String, (Double, Double)])],
-                 sfDir: String, env: String, includeCpu: Boolean = true): String = {
+                 sfDir: String, env: String, includeCpu: Boolean = true,
+                 omitEmptyFailures: Boolean = false): String = {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -102,8 +108,11 @@ object Bench {
       else ""
     val fj = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = r3(ok.map(_._2._1).sum)
+    val failPart =
+      if (omitEmptyFailures && failed.isEmpty) ""
+      else s""""failures":$fj,"n_failed":${failed.size},"""
     s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},$env,""" +
-      s""""failures":$fj,"n_ok":${ok.size},"n_failed":${failed.size},""" +
+      failPart + s""""n_ok":${ok.size},""" +
       cpu + s""""queries":$qs}"""
   }
 
@@ -164,7 +173,8 @@ object Bench {
     // drops it so the wall map survives the driver's bounded tail
     Files.writeString(Paths.get("bench_out.json"),
       renderJson(results, sfDir, env, includeCpu = true) + "\n")
-    val json = renderJson(results, sfDir, env, includeCpu = false)
+    val json = renderJson(results, sfDir, env, includeCpu = false,
+      omitEmptyFailures = true)
     spark.stop()
     // last stdout line, after all Spark lifecycle logging
     println(json)

@@ -61,6 +61,21 @@ class HarnessSpec extends SparkSpec {
     JsonMethods.parse(full)
   }
 
+  test("bench stdout JSON omits failure keys when nothing failed (absence == zero failures)") {
+    import org.json4s.jackson.JsonMethods
+    val ok = Seq[(String, Either[String, (Double, Double)])]("a" -> Right((1.0, 0.8)))
+    val lean = Bench.renderJson(ok, "/tmp/sf", """"cpus":4""",
+      includeCpu = false, omitEmptyFailures = true)
+    assert(!lean.contains("failures") && !lean.contains("n_failed"), lean)
+    assert(lean.contains(""""n_ok":1""") && lean.endsWith(""""queries":{"a":1.0}}"""), lean)
+    JsonMethods.parse(lean)
+    // a real failure brings the keys back even in omit mode
+    val withFail = Bench.renderJson(ok :+ ("bad" -> Left("x")), "/tmp/sf",
+      """"cpus":4""", includeCpu = false, omitEmptyFailures = true)
+    assert(withFail.contains(""""failures":{"bad":"x"}"""), withFail)
+    assert(withFail.contains(""""n_failed":1"""), withFail)
+  }
+
   test("bench JSON is machine-parseable, including pathological failure messages") {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
