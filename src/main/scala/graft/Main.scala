@@ -747,10 +747,16 @@ object Main {
           .write.mode("overwrite").parquet(survivorsOut)
         val rowsOut = cur.count()
         stageStats += "survivors" -> rowsOut
+        // incremental runs also record their replay key: a scheduler
+        // auditing state/.../batch=* dirs can tie each run record to
+        // its batch without parsing stderr
+        val batchField =
+          if (incremental) s""""batch":${batchId.get},""" else ""
         val statsJson = stageStats
           .map { case (k, v) => s"""{"stage":"$k","docs":$v}""" }
           .mkString(
-            s"""{"mix_budget_tokens":${mixBudget.map(_.toString).getOrElse("null")},"stages":[""",
+            s"""{$batchField"mix_budget_tokens":${
+              mixBudget.map(_.toString).getOrElse("null")},"stages":[""",
             ",", "]}")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         java.nio.file.Files.writeString(

@@ -237,14 +237,20 @@ class TextIndex(spark: SparkSession, dir: String,
 
   /** Serve a streaming `(query_id, qtext)` frame: each micro-batch is
     * searched against the index as of that batch (concurrent adds
-    * visible at the next batch) and handed to `sink`. */
+    * visible at the next batch) and handed to `sink`. `allowed` is a
+    * per-micro-batch THUNK (the [[PqIndex.serveStream]] contract): a
+    * DataFrame captured at stream start snapshots its parquet file
+    * listing, so an overwritten policy table would never be re-seen —
+    * the thunk re-resolves at every batch. */
   def serveStream(queries: DataFrame, topK: Int, sink: DataFrame => Unit,
-                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                  checkpoint: String,
+                  allowed: Option[() => DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) sink(search(batch.toDF(), topK))
+        if (!batch.isEmpty) sink(search(batch.toDF(), topK,
+          allowed = allowed.map(a => a())))
       }
       .start()
 

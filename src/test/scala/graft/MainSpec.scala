@@ -622,6 +622,11 @@ class MainSpec extends SparkSpec {
     assert(incr == shardOf(s"$base/state1"),
       "per-batch sharding must equal the one-shot assignment")
 
+    // the run record carries the replay key
+    val incrStats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/out", "stats.json"))
+    assert(incrStats.contains(""""batch":2"""), incrStats)
+
     // supply-dependent steps refuse loudly in incremental mode
     val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
       Seq("corpus-pipeline", s"in=$base/b.parquet", s"out=$base/out2",

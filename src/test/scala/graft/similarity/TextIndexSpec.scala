@@ -175,6 +175,24 @@ class TextIndexSpec extends SparkSpec {
     serve.stop()
     assert(got.contains(910001L) && got.contains(910002L),
       "stream-maintained docs must be retrievable by the serving stream")
+
+    // filtered streamed serve (allow-list as a per-batch thunk, the
+    // PqIndex.serveStream contract) equals the batch filtered search
+    val allowedIds = Seq(910002L).toDF("doc_id")
+    var fgot = Set.empty[Long]
+    val qIn2 = MemoryStream[(Int, String)]
+    val serveF = index.serveStream(
+      qIn2.toDF().toDF("query_id", "qtext"), 10,
+      b => fgot = fgot ++ b.select("doc_id").collect().map(_.getLong(0)),
+      s"$base/cp_sf", allowed = Some(() => allowedIds))
+    qIn2.addData((1, "hash join table"), (2, "window agg stream"))
+    serveF.processAllAvailable()
+    serveF.stop()
+    val batchF = index.search(Seq(1 -> "hash join table", 2 -> "window agg stream")
+        .toDF("query_id", "qtext"), 10, allowed = Some(allowedIds))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fgot == batchF && fgot == Set(910002L),
+      s"streamed filtered serve must equal batch filtered search: $fgot vs $batchF")
   }
 
   test("auto build sizes termParts from token mass; explicit termParts wins") {
