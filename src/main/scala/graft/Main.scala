@@ -54,7 +54,9 @@ import org.apache.spark.sql.functions._
   *                                    [steps=clean,decontaminate,shard ...]   # CDC form: delta cleaned vs state/sig,
   *                                    # survivors/shards appended under state/.../batch=<id>; batch= is the replay key
   *     (opt-in step `index` builds out/text_index over the survivors, plus out/index
-  *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time floor)
+  *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time
+  *      floor; PQ knobs: dim= m= pqk= cells= probe= opq= fitsample= — pqk, because
+  *      k= is the decontaminate shingle size in this namespace)
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -722,13 +724,20 @@ object Main {
               case Some(vp) =>
                 val vecs = vectors(vp)
                   .join(cur.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+                // pqk=, not k=: the DAG's flat option namespace already
+                // gives k= to the decontaminate shingle size, and a
+                // silent collision would either degrade the codebook
+                // or (worse) turn decontamination into 256-word
+                // shingles that match nothing — the packbudget=
+                // lesson, applied before it bites
                 new graft.similarity.PqIndex(spark, s"$base/index",
                   dim = opts.getOrElse("dim", "64").toInt,
                   m = opts.getOrElse("m", "8").toInt,
-                  k = opts.getOrElse("k", "16").toInt,
+                  k = opts.getOrElse("pqk", "16").toInt,
                   nCells = opts.getOrElse("cells", "0").toInt,
                   nProbe = opts.getOrElse("probe", "0").toInt,
-                  opq = opts.getOrElse("opq", "false").toBoolean)
+                  opq = opts.getOrElse("opq", "false").toBoolean,
+                  fitSampleN = opts.getOrElse("fitsample", "0").toInt)
                   .build(vecs, minRecall = opts.getOrElse("minrecall", "0").toDouble)
                 System.err.println("[graft] corpus-pipeline index -> vector index built")
               case None =>

@@ -487,9 +487,15 @@ object PipelineQueries {
       math.ceil(totalPreTokens.toDouble / tokensPerBucket).toLong, 4096L)).toInt
 
   /** `buckets` = 0 ⇒ size the pack window from the corpus's pre-token
-    * mass (one cheap aggregate next to the encode the pack already
-    * pays for); explicit values win — the gate pins spec-scale
-    * literals so its oracle's `% 16` stays exact. */
+    * mass; explicit values win — the gate pins spec-scale literals so
+    * its oracle's `% 16` stays exact. For [[packTokens]] the mass
+    * aggregate is one EXTRA pre-tokenize scan of the text in auto
+    * mode — a deliberate trade: persisting the corpus text (or the
+    * encoded ids) to avoid it costs more than the re-scan at target
+    * scale, and the pipeline pack stage's input is already
+    * stage-persisted, so there the scan reads cache. [[packSequences]]
+    * avoids the double tokenize entirely (it aggregates the
+    * materialized n_tokens projection it packs from). */
   private[graft] def resolvePackBuckets(docs: DataFrame, buckets: Int): Int =
     if (buckets > 0) buckets
     else suggestPackBuckets(
@@ -577,12 +583,20 @@ object PipelineQueries {
     * CLI/spec form. */
   private[graft] def packSequencesDocs(docs: DataFrame, budget: Int,
                                        buckets: Int): DataFrame = {
-    val b = resolvePackBuckets(docs, buckets)
-    withPackId(
-      docs.select(col("doc_id"),
-        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
-        pmod(col("doc_id"), lit(b)).as("bucket")),
-      budget)
+    val toks0 = docs.select(col("doc_id"),
+      size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
+    // auto layout: the mass aggregate and the assignment both consume
+    // the tokenize — materialize the ~16 B/doc projection once (eager
+    // localCheckpoint) instead of re-tokenizing the corpus text for
+    // the aggregate
+    val (toks, b) =
+      if (buckets > 0) (toks0, buckets)
+      else {
+        val t = toks0.localCheckpoint()
+        (t, suggestPackBuckets(
+          t.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)))
+      }
+    withPackId(toks.withColumn("bucket", pmod(col("doc_id"), lit(b))), budget)
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("pack_id"))
   }
 

@@ -206,16 +206,28 @@ class PqIndex(spark: SparkSession, dir: String,
     * survivors — a fixed budget silently under-recalls exactly when
     * the filter is most selective. Both counts the estimate needs are
     * cheap next to the search (allow-list ids, codes row count — the
-    * 32 B/row table, counted once per index handle). An EXPLICIT
+    * 32 B/row table, re-taken per call so a growing store keeps
+    * scaling the budget). An EXPLICIT
     * nProbe stays verbatim: the serving operator overrode the
     * guideline, and a filter must not un-override it. */
   def topK(queries: DataFrame, topKn: Int, allowed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val (model, coarse, rot) = loadModels()
-    // the distinct id set feeds the count AND the semi-join: checkpoint
-    // so the dedup shuffle runs once, not once per consumer
+    searchFiltered(queries, allowed, topKn, model, coarse, rot, codesCountNow())
+  }
+
+  /** The one filtered-search body both [[topK]] and [[serveStream]]
+    * use — the scaladoc promise "stream filter semantics == batch
+    * filter semantics" is enforced by sharing the code, not by
+    * keeping two copies aligned by hand. The distinct id set feeds
+    * the selectivity count AND the semi-join: checkpointed so the
+    * dedup shuffle runs once, not once per consumer. */
+  private def searchFiltered(queries: DataFrame, allowed: DataFrame, topKn: Int,
+                             model: Pq.Model, coarse: Similarity.IvfModel,
+                             rot: Option[Array[Float]],
+                             totalCount: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val allow = allowed.select(col("id").as("neighbor_id")).distinct().localCheckpoint()
-    val np = probeForFiltered(coarse, allow.count())
+    val np = probeForFiltered(coarse, allow.count(), totalCount)
     val cells = Pq.probeCells(queries, model, coarse, np, rot)
     val filtered = codesTable(cells).join(allow, Seq("neighbor_id"), "left_semi")
     Pq.searchCodes(queries, filtered, topKn, model, coarse, np, rot)
@@ -223,25 +235,29 @@ class PqIndex(spark: SparkSession, dir: String,
 
   /** Live rows in the codes store — the denominator of the filter
     * selectivity estimate. One count(*) over the 32 B/row codes (no
-    * columns read), cached per index handle: serving processes are
-    * long-lived, and a stale-by-one-delta denominator only perturbs a
-    * guideline. */
-  @transient private lazy val codesCount: Long =
+    * columns read, cheap next to the search it sizes). Resolved at
+    * each call site rather than cached on the handle: a long-lived
+    * serving process whose store grows under maintainStream would
+    * otherwise freeze the denominator and silently under-scale the
+    * probe budget — the exact failure this estimate exists to fix. */
+  private def codesCountNow(): Long =
     store.read().map(_.count()).getOrElse(0L)
 
   /** The probe budget for a filtered search over `allowedCount` ids:
     * explicit nProbe verbatim; auto = layout-sized base scaled by
-    * 1/selectivity, capped at the frozen cell count (probing every
-    * cell degenerates to PQ-scoring the whole allow-list — the
-    * correct floor under an extreme filter, and still O(|allowed|)
-    * distance work after the semi-join). An empty allow-list keeps
-    * the base: the result is empty whatever we probe. */
+    * 1/selectivity (`allowedCount / totalCount`), capped at the
+    * frozen cell count (probing every cell degenerates to PQ-scoring
+    * the whole allow-list — the correct floor under an extreme
+    * filter, and still O(|allowed|) distance work after the
+    * semi-join). An empty allow-list keeps the base: the result is
+    * empty whatever we probe. */
   private[graft] def probeForFiltered(coarse: Similarity.IvfModel,
-                                      allowedCount: Long): Int = {
+                                      allowedCount: Long,
+                                      totalCount: Long): Int = {
     val base = probeFor(coarse)
-    if (nProbe > 0 || allowedCount <= 0 || codesCount <= 0) base
+    if (nProbe > 0 || allowedCount <= 0 || totalCount <= 0) base
     else {
-      val sel = math.min(1.0, allowedCount.toDouble / codesCount)
+      val sel = math.min(1.0, allowedCount.toDouble / totalCount)
       math.min(coarse.nCells.toLong,
         math.max(base.toLong, math.ceil(base / sel).toLong)).toInt
     }
@@ -330,16 +346,15 @@ class PqIndex(spark: SparkSession, dir: String,
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
           // same cell-pruned read as topK, per micro-batch: serving
-          // I/O is O(probed cells), not O(index)
+          // I/O is O(probed cells), not O(index). The filtered branch
+          // IS the batch topK body (searchFiltered), with the codes
+          // count re-taken per batch — a store growing under a
+          // concurrent maintainStream must keep scaling the probe
+          // budget, same freshness rule as the codes re-read.
           allowed match {
             case Some(a) =>
-              import org.apache.spark.sql.functions.col
-              val allow = a().select(col("id").as("neighbor_id"))
-                .distinct().localCheckpoint()
-              val np = probeForFiltered(coarse, allow.count())
-              val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)
-              val codes = codesTable(cells).join(allow, Seq("neighbor_id"), "left_semi")
-              sink(Pq.searchCodes(batch.toDF(), codes, topKn, model, coarse, np, rot))
+              sink(searchFiltered(batch.toDF(), a(), topKn,
+                model, coarse, rot, codesCountNow()))
             case None =>
               val np = probeFor(coarse)
               val cells = Pq.probeCells(batch.toDF(), model, coarse, np, rot)

@@ -87,7 +87,7 @@ object ScaleProbeR9 {
     Seq(("50%", 2L), ("5%", 20L), ("0.5%", 200L)).foreach { case (label, mod) =>
       val allowed = vecs.filter(col("id") % mod === 0L).select("id").cache()
       val na = allowed.count()
-      val np = index.probeForFiltered(coarse, na)
+      val np = index.probeForFiltered(coarse, na, nVecs)
       (1 to 2).foreach { it =>
         timed(s"filtered topK allow=$label ($na ids, probe $np/${coarse.nCells}, iter $it)")(
           noop(index.topK(queries, 10, allowed)))

@@ -166,8 +166,8 @@ class PqIndexSpec extends SparkSpec {
     val allowed = (140L until 160L).toDF("id") // cluster 7 only
     // base budget: suggestNProbe(8) = 4; selectivity 20/160 = 12.5%
     // scales it to ceil(4/0.125) = 32, capped at every cell
-    assert(autoIdx.probeForFiltered(coarse, 20L) == 8,
-      s"12.5% filter must scale 4 -> all 8 cells: ${autoIdx.probeForFiltered(coarse, 20L)}")
+    assert(autoIdx.probeForFiltered(coarse, 20L, 160L) == 8,
+      s"12.5% filter must scale 4 -> all 8 cells: ${autoIdx.probeForFiltered(coarse, 20L, 160L)}")
     val got = autoIdx.topK(qs, 20, allowed)
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(got == (140L until 160L).toSet,
@@ -176,11 +176,11 @@ class PqIndexSpec extends SparkSpec {
     // override is honored verbatim — and demonstrably under-recalls,
     // which is exactly why the auto path must scale
     val fixedIdx = new PqIndex(spark, s"$base/idx", nCells = 8, nProbe = 4)
-    assert(fixedIdx.probeForFiltered(coarse, 20L) == 4, "explicit nProbe stays verbatim")
+    assert(fixedIdx.probeForFiltered(coarse, 20L, 160L) == 4, "explicit nProbe stays verbatim")
     assert(fixedIdx.topK(qs, 20, allowed).count() == 0L,
       "fixed 4-cell probe never opens the allowed cluster's cell")
     // empty allow-list: no scaling (result is empty whatever we probe)
-    assert(autoIdx.probeForFiltered(coarse, 0L) == 4)
+    assert(autoIdx.probeForFiltered(coarse, 0L, 160L) == 4)
   }
 
   test("OPQ-built index: parity with the inline composed chain; rotated adds retrievable") {
