@@ -51,8 +51,10 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
   *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
-  *                                    [steps=clean,decontaminate,shard ...]   # CDC form: delta cleaned vs state/sig,
-  *                                    # survivors/shards appended under state/.../batch=<id>; batch= is the replay key
+  *                                    [steps=clean,decontaminate,select,shard ...]   # CDC form: delta cleaned vs state/sig,
+  *                                    # survivors/shards appended under state/.../batch=<id>; batch= is the replay key;
+  *                                    # select fits a FROZEN DSIR model (λ + calibrated threshold) on the first batch
+  *                                    # given targets= and scores every later delta under it (state/select)
   *     (opt-in step `index` builds out/text_index over the survivors, plus out/index
   *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time
   *      floor; PQ knobs: dim= m= pqk= cells= probe= opq= fitsample= — pqk, because
@@ -559,14 +561,20 @@ object Main {
         // its own dirs and reproduces the same survivors, the
         // dedupNearBatch idempotency). Only the delta-sound stages
         // are allowed: clean (CDC by construction), decontaminate
-        // (per-doc vs a fixed eval set), shard (assignment is a pure
-        // function of doc_id, so per-batch sharding composes).
-        // scrub/select/mix/pack are corpus-global or supply-dependent
-        // — running them per-delta would silently give batch-local
-        // answers (a span repeated across batches never scrubbed, a
-        // DSIR threshold per batch, a per-batch BPE model) — so they
-        // refuse loudly; run them as full passes over the accumulated
-        // survivors when needed.
+        // (per-doc vs a fixed eval set), select (FROZEN-model DSIR —
+        // the first batch fits λ + a calibrated keep threshold and
+        // persists them under state/select, every later batch scores
+        // its docs under the frozen model: the PqIndex frozen-
+        // quantizer discipline applied to selection, so the decision
+        // is a pure per-doc function and domain drift is an explicit
+        // re-fit, never a silent per-batch model), shard (assignment
+        // is a pure function of doc_id, so per-batch sharding
+        // composes). scrub/mix/pack are corpus-global or
+        // supply-dependent — running them per-delta would silently
+        // give batch-local answers (a span repeated across batches
+        // never scrubbed, a per-batch supply, a drifting per-batch
+        // BPE model) — so they refuse loudly; run them as full passes
+        // over the accumulated survivors when needed.
         val incremental = opts.get("incremental").exists(_.toBoolean)
         val stateDir = opts.get("state")
         val batchId = opts.get("batch").map(_.toLong)
@@ -583,7 +591,7 @@ object Main {
         // output, not a side effect of every curation run
         val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard",
           "pack", "index")
-        val incrementalSteps = Set("clean", "decontaminate", "shard")
+        val incrementalSteps = Set("clean", "decontaminate", "select", "shard")
         val steps = opts.getOrElse("steps",
             (if (incremental) known.filter(incrementalSteps)
              else known.filterNot(_ == "index")).mkString(","))
@@ -634,6 +642,44 @@ object Main {
             case None =>
               System.err.println("[graft] corpus-pipeline decontaminate SKIPPED (no evals=)")
           }
+          // frozen-model CDC select: the FIRST batch is the seed —
+          // λ + threshold are fit on it (targets= required at seed
+          // time) and frozen under state/select; later batches score
+          // under the frozen model and never touch targets. The
+          // lambda artifact reuses the quality-weights (bucket,
+          // weight_milli) format and its loud-validation reader.
+          case "select" if incremental =>
+            val selState = s"${stateDir.get}/select"
+            val lamPath = s"$selState/lambda"
+            val fsSel = new org.apache.hadoop.fs.Path(selState)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val fitted = fsSel.exists(new org.apache.hadoop.fs.Path(s"$lamPath/_SUCCESS"))
+            if (!fitted && opts.get("targets").isEmpty)
+              // no frozen model and nothing to fit one from: skip like
+              // the non-incremental form — selection participates only
+              // once a seed run supplied targets=
+              System.err.println("[graft] corpus-pipeline select SKIPPED " +
+                "(no frozen model under state/select and no targets= to fit one)")
+            else {
+              val (lam, thr) =
+                if (fitted)
+                  (readQualityWeights(spark, lamPath), readThreshold(spark, selState))
+                else {
+                  val targets = spark.read.parquet(opts("targets"))
+                    .select("doc_id", "text")
+                  val (l, t) = P.dsirFitModel(cur.select("doc_id", "text"), targets,
+                    opts.getOrElse("frac", "0.2").toDouble)
+                  graft.queries.TextQueries.qualityWeightsTable(spark, l)
+                    .coalesce(1).write.mode("overwrite").parquet(lamPath)
+                  writeThreshold(spark, selState, t)
+                  System.err.println("[graft] corpus-pipeline select: " +
+                    s"frozen model fit on seed batch (threshold $t)")
+                  (l, t)
+                }
+              val keep = P.dsirScoreDocs(cur.select("doc_id", "text"), lam)
+                .filter(col("weight_milli") >= thr).select("doc_id")
+              advance("select", cur.join(keep, Seq("doc_id")))
+            }
           case "select" => opts.get("targets") match {
             case Some(p) =>
               val targets = spark.read.parquet(p).select("doc_id", "text")
@@ -849,6 +895,34 @@ object Main {
         done(good.count() + bad.count(), lam.length.toLong)
       case other => sys.error(s"unknown pipeline command: $other")
     }
+  }
+
+  /** The frozen select threshold sidecar (`<dir>/threshold.txt`) —
+    * the models.txt convention: tiny, text, atomic-rename publish so
+    * a reader never sees a half-written value. */
+  private def writeThreshold(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, thr: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/threshold.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-threshold-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$thr\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"threshold publish failed for $p")
+  }
+
+  private def readThreshold(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/threshold.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"frozen select model incomplete: $p missing " +
+      "(lambda present without its threshold — re-run the seed fit)")
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.trim.toLong
   }
 
   /** Weights ingestion with loud validation: a model file is OPERATOR

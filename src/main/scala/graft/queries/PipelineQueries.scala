@@ -405,34 +405,21 @@ object PipelineQueries {
     }
   }
 
-  def corpusDsirSelectDocs(candidates: DataFrame, targets: DataFrame,
-                           keepFrac: Double): DataFrame = {
-    val B = DsirBuckets
-    // words projected FIRST so the regexp runs once per row — grams
-    // reference the materialized array attribute, not the regexp tree
-    val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
-        dsirWords(col("text")).as("ws"))
-      .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
-        dsirWords(col("text")).as("ws")))
-      .select(col("doc_id"), col("tgt"), dsirGrams(col("ws")).as("grams"))
-    val lam = milliLogRatioLambda(grammed)
-    val lams = typedLit(lam.toSeq)
-    // pass 2: scan-local weights, persisted as the 16 B/doc projection
-    val wdoc = grammed.filter(!col("tgt")).filter(size(col("grams")) > 0)
-      .select(col("doc_id"),
-        aggregate(col("grams"), lit(0L),
-          (acc, g) => acc + element_at(lams, (dsirBucket(g) + 1).cast("int")))
-          .as("weight_milli"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one job materializes the persist AND returns count+min+max
-    val stats = wdoc.agg(count(lit(1)), min("weight_milli"), max("weight_milli")).head()
-    val n = stats.getLong(0)
-    val k = math.ceil(n * keepFrac).toLong
-    if (k <= 0L || n == 0L) return wdoc.limit(0)
-      .withColumn("sel_rank", lit(0L)).filter(lit(false))
-    // step 4: integer histogram → prefix-superset edge → small sort
-    val (lo, hi) = (stats.getLong(1), stats.getLong(2))
-    val width = math.max(1L, (hi - lo) / B + 1L)
+  // The scan-local DSIR weight of a `grams` array under a λ literal —
+  // one definition for the exact select, the frozen-model fit, and
+  // the frozen-model delta scorer.
+  private def dsirWeightExpr(lams: Column): Column =
+    aggregate(col("grams"), lit(0L),
+      (acc, g) => acc + element_at(lams, (dsirBucket(g) + 1).cast("int")))
+
+  /** Highest weight edge whose from-the-top cumulative count reaches
+    * `k` over an integer [[DsirBuckets]]-bin histogram of
+    * `wdoc("weight_milli")` ∈ [lo, hi] — shared by the exact top-k
+    * select (as a prefix-superset bound) and the frozen-model fit
+    * (as the calibrated keep threshold). Integer bin arithmetic —
+    * no FP edge rounding. */
+  private def weightEdge(wdoc: DataFrame, k: Long, lo: Long, hi: Long): Long = {
+    val width = math.max(1L, (hi - lo) / DsirBuckets + 1L)
     val hist = wdoc.groupBy(((col("weight_milli") - lo) / width).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
@@ -441,12 +428,85 @@ object PipelineQueries {
     while (cum < k && it.hasNext) {
       val (bin, cnt) = it.next(); cum += cnt; edge = lo + bin * width
     }
+    edge
+  }
+
+  def corpusDsirSelectDocs(candidates: DataFrame, targets: DataFrame,
+                           keepFrac: Double): DataFrame = {
+    // words projected FIRST so the regexp runs once per row — grams
+    // reference the materialized array attribute, not the regexp tree
+    val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
+        dsirWords(col("text")).as("ws"))
+      .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
+        dsirWords(col("text")).as("ws")))
+      .select(col("doc_id"), col("tgt"), dsirGrams(col("ws")).as("grams"))
+    val lam = milliLogRatioLambda(grammed)
+    // pass 2: scan-local weights, persisted as the 16 B/doc projection
+    val wdoc = grammed.filter(!col("tgt")).filter(size(col("grams")) > 0)
+      .select(col("doc_id"), dsirWeightExpr(typedLit(lam.toSeq)).as("weight_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one job materializes the persist AND returns count+min+max
+    val stats = wdoc.agg(count(lit(1)), min("weight_milli"), max("weight_milli")).head()
+    val n = stats.getLong(0)
+    val k = math.ceil(n * keepFrac).toLong
+    if (k <= 0L || n == 0L) return wdoc.limit(0)
+      .withColumn("sel_rank", lit(0L)).filter(lit(false))
+    // step 4: integer histogram → prefix-superset edge → small sort
+    val edge = weightEdge(wdoc, k, stats.getLong(1), stats.getLong(2))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("weight_milli").desc, col("doc_id"))
     wdoc.filter(col("weight_milli") >= edge)
       .withColumn("sel_rank", row_number().over(w).cast("long"))
       .filter(col("sel_rank") <= k)
       .select(col("doc_id"), col("weight_milli"), col("sel_rank"))
+  }
+
+  /** Score `(doc_id, text)` docs under a FROZEN λ table: the
+    * delta-scoring half of the frozen-model select. A pure per-doc
+    * function of (text, λ) — no corpus statistics touched — which is
+    * exactly what makes the incremental select batch-composable and
+    * replay-idempotent. Gramless docs are excluded (no evidence),
+    * as in the exact form. */
+  private[graft] def dsirScoreDocs(docs: DataFrame, lam: Array[Long]): DataFrame = {
+    require(lam.length == DsirBuckets,
+      s"dsir lambda table must have $DsirBuckets buckets: ${lam.length}")
+    docs.select(col("doc_id"), dsirWords(col("text")).as("ws"))
+      .select(col("doc_id"), dsirGrams(col("ws")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), dsirWeightExpr(typedLit(lam.toSeq)).as("weight_milli"))
+  }
+
+  /** Fit-and-FREEZE: the [[graft.similarity.PqIndex.build]] discipline applied to
+    * selection. λ is fit once from (seed pool, targets) and the keep
+    * THRESHOLD is calibrated on the seed so it keeps ≈ `keepFrac`
+    * (the same histogram edge the exact select uses as its pruning
+    * bound — realized keep can exceed keepFrac by at most one bin's
+    * mass). Returns (λ, threshold). Decisions thereafter are
+    * `weight ≥ threshold` — per-doc, order-free — so corpus deltas
+    * score under the frozen model exactly like corpus deltas encode
+    * under frozen quantizers; domain drift is an explicit re-fit
+    * (a new seed run), never a silent per-batch model. */
+  private[graft] def dsirFitModel(candidates: DataFrame, targets: DataFrame,
+                                  keepFrac: Double): (Array[Long], Long) = {
+    val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
+        dsirWords(col("text")).as("ws"))
+      .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
+        dsirWords(col("text")).as("ws")))
+      .select(col("doc_id"), col("tgt"), dsirGrams(col("ws")).as("grams"))
+    val lam = milliLogRatioLambda(grammed)
+    val wdoc = grammed.filter(!col("tgt")).filter(size(col("grams")) > 0)
+      .select(col("doc_id"), dsirWeightExpr(typedLit(lam.toSeq)).as("weight_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = wdoc.agg(count(lit(1)), min("weight_milli"), max("weight_milli")).head()
+      val n = stats.getLong(0)
+      val k = math.ceil(n * keepFrac).toLong
+      // an empty/gramless seed can calibrate nothing: fail loudly —
+      // a silent Long.MinValue threshold would keep everything forever
+      require(n > 0L && k > 0L,
+        s"dsir fit: seed pool has no grammed docs to calibrate a threshold on (n=$n)")
+      (lam, weightEdge(wdoc, k, stats.getLong(1), stats.getLong(2)))
+    } finally wdoc.unpersist()
   }
 
   /** Per-bucket pack-id stride (2^40): pack_id = bucket·stride +

@@ -639,6 +639,64 @@ class MainSpec extends SparkSpec {
     assert(e2.getMessage.contains("batch="), e2.getMessage)
   }
 
+  test("corpus-pipeline incremental select: frozen DSIR model fit on the seed batch, deltas scored under it") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_fsel").toString
+    val onVocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    val offVocab = Seq("recipe", "butter", "flour", "oven", "bake",
+      "sugar", "dough", "pan", "stir", "cream", "salt", "yeast")
+    def content(vocab: Seq[String], seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    // seed: 10 on-topic + 10 off-topic; targets sample the on-domain
+    val seedDocs = (0L until 10L).map(i => (i, "en", content(onVocab, i))) ++
+      (20L until 30L).map(i => (i, "en", content(offVocab, i)))
+    seedDocs.toDF("doc_id", "lang", "text").write.parquet(s"$base/seed.parquet")
+    (100L until 110L).map(i => (i, content(onVocab, 1000L + i)))
+      .toDF("doc_id", "text").write.parquet(s"$base/targets.parquet")
+    val rA = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/seed.parquet", s"out=$base/out", "steps=select",
+      "incremental=true", s"state=$base/state", "batch=1",
+      s"targets=$base/targets.parquet", "frac=0.5"))
+    assert(rA.rowsOut == 10, s"seed keeps the calibrated ~half (the on-topic mode): $rA")
+    def survivors(): Set[Long] = spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors() == (0L until 10L).toSet, s"seed survivors: ${survivors()}")
+    // model artifacts frozen under state/select
+    val thrPath = java.nio.file.Paths.get(s"$base/state/select", "threshold.txt")
+    val thr0 = java.nio.file.Files.readString(thrPath)
+
+    // delta batch: new on/off docs, NO targets= — scored under the
+    // frozen model; passing targets again must be ignored (no refit)
+    val deltaDocs = (40L until 45L).map(i => (i, "en", content(onVocab, 2000L + i))) ++
+      (50L until 55L).map(i => (i, "en", content(offVocab, 2000L + i)))
+    deltaDocs.toDF("doc_id", "lang", "text").write.parquet(s"$base/delta.parquet")
+    val rB = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/delta.parquet", s"out=$base/out", "steps=select",
+      "incremental=true", s"state=$base/state", "batch=2",
+      s"targets=$base/targets.parquet"))
+    assert(rB.rowsOut == 5, s"delta keeps its on-topic half under the frozen model: $rB")
+    assert(survivors() == ((0L until 10L) ++ (40L until 45L)).toSet, survivors().toString)
+    assert(java.nio.file.Files.readString(thrPath) == thr0,
+      "a later batch must never re-fit the frozen model")
+    // the decision IS the frozen per-doc score: verify directly
+    val lam = Main.readQualityWeights(spark, s"$base/state/select/lambda")
+    val direct = graft.queries.PipelineQueries.dsirScoreDocs(
+        deltaDocs.toDF("doc_id", "lang", "text").select("doc_id", "text"), lam)
+      .filter(col("weight_milli") >= thr0.trim.toLong)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(direct == (40L until 45L).toSet,
+      s"pipeline decisions must equal direct frozen-model scoring: $direct")
+    // replay of the delta batch is idempotent
+    Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/delta.parquet", s"out=$base/out", "steps=select",
+      "incremental=true", s"state=$base/state", "batch=2"))
+    assert(survivors() == ((0L until 10L) ++ (40L until 45L)).toSet)
+  }
+
   test("corpus-pipeline: opt-in index step builds validated retrieval artifacts (minrecall floor enforced)") {
     val s = spark
     import s.implicits._
