@@ -51,10 +51,11 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
   *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
-  *                                    [steps=clean,decontaminate,select,shard ...]   # CDC form: delta cleaned vs state/sig,
-  *                                    # survivors/shards appended under state/.../batch=<id>; batch= is the replay key;
-  *                                    # select fits a FROZEN DSIR model (λ + calibrated threshold) on the first batch
-  *                                    # given targets= and scores every later delta under it (state/select)
+  *                                    [steps=clean,decontaminate,scrub,select,shard ...]   # CDC form: delta cleaned vs
+  *                                    # state/sig, survivors/shards appended under state/.../batch=<id>; batch= is the
+  *                                    # replay key; scrub and select fit FROZEN models on the first batch (hot-span
+  *                                    # table under state/scrub; DSIR λ + calibrated threshold under state/select,
+  *                                    # given targets=) and apply them per-doc to every later delta
   *     (opt-in step `index` builds out/text_index over the survivors, plus out/index
   *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time
   *      floor; PQ knobs: dim= m= pqk= cells= probe= opq= fitsample= — pqk, because
@@ -567,14 +568,16 @@ object Main {
         // its docs under the frozen model: the PqIndex frozen-
         // quantizer discipline applied to selection, so the decision
         // is a pure per-doc function and domain drift is an explicit
-        // re-fit, never a silent per-batch model), shard (assignment
-        // is a pure function of doc_id, so per-batch sharding
-        // composes). scrub/mix/pack are corpus-global or
-        // supply-dependent — running them per-delta would silently
-        // give batch-local answers (a span repeated across batches
-        // never scrubbed, a per-batch supply, a drifting per-batch
-        // BPE model) — so they refuse loudly; run them as full passes
-        // over the accumulated survivors when needed.
+        // re-fit, never a silent per-batch model), scrub (the same
+        // discipline: the seed batch freezes the hot-span table,
+        // deltas scrub under it — a cross-batch-only template waits
+        // for an explicit re-fit, exactly like a quantizer refresh),
+        // shard (assignment is a pure function of doc_id, so
+        // per-batch sharding composes). mix/pack are supply-dependent
+        // with no frozen-model form that preserves their semantics
+        // (mix's keep rate IS the global supply; pack's model should
+        // not drift per batch) — so they refuse loudly; run them as
+        // full passes over the accumulated survivors when needed.
         val incremental = opts.get("incremental").exists(_.toBoolean)
         val stateDir = opts.get("state")
         val batchId = opts.get("batch").map(_.toLong)
@@ -591,7 +594,7 @@ object Main {
         // output, not a side effect of every curation run
         val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard",
           "pack", "index")
-        val incrementalSteps = Set("clean", "decontaminate", "select", "shard")
+        val incrementalSteps = Set("clean", "decontaminate", "scrub", "select", "shard")
         val steps = opts.getOrElse("steps",
             (if (incremental) known.filter(incrementalSteps)
              else known.filterNot(_ == "index")).mkString(","))
@@ -663,7 +666,7 @@ object Main {
             else {
               val (lam, thr) =
                 if (fitted)
-                  (readQualityWeights(spark, lamPath), readThreshold(spark, selState))
+                  (readQualityWeights(spark, lamPath), readLongSidecar(spark, selState, "threshold"))
                 else {
                   val targets = spark.read.parquet(opts("targets"))
                     .select("doc_id", "text")
@@ -671,7 +674,7 @@ object Main {
                     opts.getOrElse("frac", "0.2").toDouble)
                   graft.queries.TextQueries.qualityWeightsTable(spark, l)
                     .coalesce(1).write.mode("overwrite").parquet(lamPath)
-                  writeThreshold(spark, selState, t)
+                  writeLongSidecar(spark, selState, "threshold", t)
                   System.err.println("[graft] corpus-pipeline select: " +
                     s"frozen model fit on seed batch (threshold $t)")
                   (l, t)
@@ -691,6 +694,45 @@ object Main {
             case None =>
               System.err.println("[graft] corpus-pipeline select SKIPPED (no targets=)")
           }
+          // frozen-model CDC scrub: the seed batch learns the hot-span
+          // table (pass 1 of scrubDocs) and freezes it under
+          // state/scrub with its chunk width; deltas scrub under the
+          // frozen table — a pure per-doc rewrite. The honest frozen-
+          // model caveat, same as frozen quantizers: a template that
+          // only becomes hot ACROSS batches is missed until an
+          // explicit re-fit (delete state/scrub and re-seed).
+          case "scrub" if incremental =>
+            val scrState = s"${stateDir.get}/scrub"
+            val spansPath = s"$scrState/spans"
+            val fsScr = new org.apache.hadoop.fs.Path(scrState)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val fitted = fsScr.exists(new org.apache.hadoop.fs.Path(s"$spansPath/_SUCCESS"))
+            val (w, hot) =
+              if (fitted) {
+                val frozenW = readLongSidecar(spark, scrState, "chunkwords").toInt
+                // the chunk width is part of the frozen model: a
+                // different w= on a later batch would scrub on
+                // misaligned boundaries — refuse, never silently drift
+                opts.get("w").foreach(v => require(v.toInt == frozenW,
+                  s"incremental scrub: w=$v conflicts with the frozen chunk width " +
+                    s"$frozenW under $scrState — re-seed to change it"))
+                (frozenW, spark.read.parquet(spansPath)
+                  .select(col("h").cast("long")).collect().map(_.getLong(0)))
+              } else {
+                val fitW = opts.getOrElse("w", P.ScrubChunkWords.toString).toInt
+                val h = P.hotSpans(cur.select("doc_id", "text"), fitW,
+                  opts.getOrElse("mindocs", P.ScrubMinDocs.toString).toInt)
+                import spark.implicits._
+                h.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(spansPath)
+                writeLongSidecar(spark, scrState, "chunkwords", fitW.toLong)
+                System.err.println("[graft] corpus-pipeline scrub: frozen " +
+                  s"${h.length}-span table fit on seed batch (w=$fitW)")
+                (fitW, h)
+              }
+            advance("scrub", cur.select("doc_id", "lang").join(
+              P.scrubWithSpans(cur.select("doc_id", "text"), w, hot)
+                .select(col("doc_id"), col("text_scrubbed").as("text")),
+              Seq("doc_id")))
           case "scrub" =>
             val scrubbed = P.scrubDocs(cur.select("doc_id", "text"),
               opts.getOrElse("w", P.ScrubChunkWords.toString).toInt,
@@ -897,28 +939,29 @@ object Main {
     }
   }
 
-  /** The frozen select threshold sidecar (`<dir>/threshold.txt`) —
-    * the models.txt convention: tiny, text, atomic-rename publish so
-    * a reader never sees a half-written value. */
-  private def writeThreshold(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, thr: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/threshold.txt")
+  /** Frozen-model long-valued sidecars (`<dir>/<name>.txt` — the
+    * select threshold, the scrub chunk width) — the models.txt
+    * convention: tiny, text, atomic-rename publish so a reader never
+    * sees a half-written value. */
+  private def writeLongSidecar(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, name: String, value: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.txt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-threshold-${java.util.UUID.randomUUID}")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-$name-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
-    try out.write(s"$thr\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$value\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"threshold publish failed for $p")
+      throw new java.io.IOException(s"$name publish failed for $p")
   }
 
-  private def readThreshold(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/threshold.txt")
+  private def readLongSidecar(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.txt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"frozen select model incomplete: $p missing " +
-      "(lambda present without its threshold — re-run the seed fit)")
+    require(fs.exists(p), s"frozen model incomplete: $p missing " +
+      "(data artifact present without its sidecar — re-run the seed fit)")
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()

@@ -981,7 +981,17 @@ object PipelineQueries {
     * line-based scrubbers inherit from '\n', transplanted to
     * width-w boundaries because the corpus has no line structure. */
   def scrubDocs(docs: DataFrame, chunkWords: Int, minDocs: Int,
-                maxSpans: Int = ScrubMaxSpans): DataFrame = {
+                maxSpans: Int = ScrubMaxSpans): DataFrame =
+    scrubWithSpans(docs, chunkWords,
+      hotSpans(docs, chunkWords, minDocs, maxSpans))
+
+  /** Pass 1 of [[scrubDocs]] as its own artifact: the hot-span table
+    * (sorted packed 62-bit keys of chunks shared by ≥ minDocs docs) —
+    * also the FREEZABLE half of the incremental scrub: fit it once on
+    * a seed corpus, persist the longs, scrub every later delta under
+    * it with [[scrubWithSpans]]. */
+  private[graft] def hotSpans(docs: DataFrame, chunkWords: Int, minDocs: Int,
+                              maxSpans: Int = ScrubMaxSpans): Array[Long] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
     val chunked = docs.select(col("doc_id"),
       ofExpr(graft.functions.expr.WordChunks(toExpr(col("text")), chunkWords)).as("chunks"))
@@ -1003,6 +1013,18 @@ object PipelineQueries {
       s"hot-span table exceeds $maxSpans entries — the chunk width/" +
         "threshold combination is degenerate for this corpus; raise " +
         "maxSpans only if a multi-ten-MB broadcast is intended")
+    java.util.Arrays.sort(hot)
+    hot
+  }
+
+  /** Pass 2 of [[scrubDocs]]: scrub under a GIVEN span table (just-fit
+    * or frozen). Defensively re-sorts — the binary search inside
+    * [[graft.functions.expr.ScrubText]] requires it, and a frozen
+    * table read back from parquet carries no order guarantee. */
+  private[graft] def scrubWithSpans(docs: DataFrame, chunkWords: Int,
+                                    spans: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    val hot = spans.clone()
     java.util.Arrays.sort(hot)
     docs.select(col("doc_id"),
         ofExpr(graft.functions.expr.ScrubText(toExpr(col("text")), chunkWords,

@@ -697,6 +697,52 @@ class MainSpec extends SparkSpec {
     assert(survivors() == ((0L until 10L) ++ (40L until 45L)).toSet)
   }
 
+  test("corpus-pipeline incremental scrub: frozen hot-span table; deltas scrubbed under it; width conflicts refuse") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_main_fscr").toString
+    val footer = "subscribe newsletter daily updates" // 4 words, w=4-aligned
+    // 8 unique words then the shared footer: chunks [u1..u4][u5..u8][footer]
+    def doc(i: Long, tail: String) =
+      (i, "en", (1 to 8).map(j => s"w${i}x$j").mkString(" ") + " " + tail)
+    val seed = (0L until 5L).map(doc(_, footer))
+    seed.toDF("doc_id", "lang", "text").write.parquet(s"$base/seed.parquet")
+    val rA = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/seed.parquet", s"out=$base/out", "steps=scrub",
+      "incremental=true", s"state=$base/state", "batch=1", "w=4", "mindocs=3"))
+    assert(rA.rowsOut == 5)
+    def texts(): Map[Long, String] = spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts().values.forall(!_.contains("subscribe")),
+      s"seed template must be scrubbed: ${texts()}")
+    assert(spark.read.parquet(s"$base/state/scrub/spans").count() == 1L,
+      "exactly the footer span is frozen")
+
+    // delta: one doc with the FROZEN template (scrubbed), three docs
+    // sharing a NEW template — hot within the delta, but the frozen
+    // model doesn't know it: NOT scrubbed until an explicit re-fit
+    val newTpl = "brand new template here"
+    val delta = Seq(doc(100L, footer)) ++ (101L until 104L).map(doc(_, newTpl))
+    delta.toDF("doc_id", "lang", "text").write.parquet(s"$base/delta.parquet")
+    Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/delta.parquet", s"out=$base/out", "steps=scrub",
+      "incremental=true", s"state=$base/state", "batch=2"))
+    val t = texts()
+    assert(!t(100L).contains("subscribe"), s"frozen span must scrub the delta: ${t(100L)}")
+    assert((101L until 104L).forall(i => t(i).contains("brand")),
+      "a cross-delta-only template waits for a re-fit (frozen-model semantics)")
+    // chunk width is part of the frozen model: a conflicting w refuses
+    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/delta.parquet", s"out=$base/out",
+        "steps=scrub", "incremental=true", s"state=$base/state", "batch=3", "w=5")))
+    assert(e.getMessage.contains("frozen chunk width"), e.getMessage)
+    // replay of the delta is idempotent
+    Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/delta.parquet", s"out=$base/out", "steps=scrub",
+      "incremental=true", s"state=$base/state", "batch=2"))
+    assert(texts() == t)
+  }
+
   test("corpus-pipeline: opt-in index step builds validated retrieval artifacts (minrecall floor enforced)") {
     val s = spark
     import s.implicits._
