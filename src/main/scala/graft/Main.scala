@@ -595,8 +595,15 @@ object Main {
         val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard",
           "pack", "index")
         val incrementalSteps = Set("clean", "decontaminate", "scrub", "select", "shard")
+        // the frozen-model stages (scrub/select) are OPT-IN in
+        // incremental mode: whichever delta runs them first becomes
+        // the model's SEED, and that must be a deliberate operator
+        // decision — a step-less invocation against existing state
+        // must not let an arbitrary mid-stream batch freeze an
+        // unrepresentative (possibly empty) model forever
+        val incrementalDefault = Seq("clean", "decontaminate", "shard")
         val steps = opts.getOrElse("steps",
-            (if (incremental) known.filter(incrementalSteps)
+            (if (incremental) incrementalDefault
              else known.filterNot(_ == "index")).mkString(","))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         steps.foreach(s => require(known.contains(s),
@@ -664,23 +671,43 @@ object Main {
               System.err.println("[graft] corpus-pipeline select SKIPPED " +
                 "(no frozen model under state/select and no targets= to fit one)")
             else {
-              val (lam, thr) =
-                if (fitted)
-                  (readQualityWeights(spark, lamPath), readLongSidecar(spark, selState, "threshold"))
-                else {
+              val keep =
+                if (fitted) {
+                  // calibration knobs are part of the frozen model: a
+                  // conflicting frac= refuses like scrub's w= — using
+                  // the seed calibration silently would let the
+                  // operator misattribute the keep rate to the data
+                  opts.get("frac").foreach { v =>
+                    val frozen = readLongSidecar(spark, selState, "fracmicro")
+                    require(math.round(v.toDouble * 1e6) == frozen,
+                      s"incremental select: frac=$v conflicts with the frozen " +
+                        s"calibration (frac ${frozen / 1e6}) under $selState — " +
+                        "re-seed to change it")
+                  }
+                  val lam = readQualityWeights(spark, lamPath)
+                  val thr = readLongSidecar(spark, selState, "threshold")
+                  P.dsirScoreDocs(cur.select("doc_id", "text"), lam)
+                    .filter(col("weight_milli") >= thr).select("doc_id")
+                } else {
+                  val frac = opts.getOrElse("frac", "0.2").toDouble
                   val targets = spark.read.parquet(opts("targets"))
                     .select("doc_id", "text")
-                  val (l, t) = P.dsirFitModel(cur.select("doc_id", "text"), targets,
-                    opts.getOrElse("frac", "0.2").toDouble)
+                  // the fit already scored every seed doc — reuse its
+                  // kept set rather than re-scanning the seed text
+                  val (l, t, keptSeed) = P.dsirFitModel(
+                    cur.select("doc_id", "text"), targets, frac)
+                  // sidecars FIRST: the lambda parquet's _SUCCESS is
+                  // the fitted-model commit point, so a crash before
+                  // it leaves a re-fittable state, never a half-model
+                  writeLongSidecar(spark, selState, "threshold", t)
+                  writeLongSidecar(spark, selState, "fracmicro",
+                    math.round(frac * 1e6))
                   graft.queries.TextQueries.qualityWeightsTable(spark, l)
                     .coalesce(1).write.mode("overwrite").parquet(lamPath)
-                  writeLongSidecar(spark, selState, "threshold", t)
                   System.err.println("[graft] corpus-pipeline select: " +
                     s"frozen model fit on seed batch (threshold $t)")
-                  (l, t)
+                  keptSeed
                 }
-              val keep = P.dsirScoreDocs(cur.select("doc_id", "text"), lam)
-                .filter(col("weight_milli") >= thr).select("doc_id")
               advance("select", cur.join(keep, Seq("doc_id")))
             }
           case "select" => opts.get("targets") match {
@@ -710,21 +737,31 @@ object Main {
             val (w, hot) =
               if (fitted) {
                 val frozenW = readLongSidecar(spark, scrState, "chunkwords").toInt
-                // the chunk width is part of the frozen model: a
-                // different w= on a later batch would scrub on
-                // misaligned boundaries — refuse, never silently drift
+                // both fit knobs are part of the frozen model: a
+                // different w= would scrub on misaligned boundaries, a
+                // different mindocs= would claim a threshold the
+                // frozen table never saw — refuse, never silently drift
                 opts.get("w").foreach(v => require(v.toInt == frozenW,
                   s"incremental scrub: w=$v conflicts with the frozen chunk width " +
                     s"$frozenW under $scrState — re-seed to change it"))
+                opts.get("mindocs").foreach { v =>
+                  val frozenMd = readLongSidecar(spark, scrState, "mindocs")
+                  require(v.toLong == frozenMd,
+                    s"incremental scrub: mindocs=$v conflicts with the frozen " +
+                      s"fit threshold $frozenMd under $scrState — re-seed to change it")
+                }
                 (frozenW, spark.read.parquet(spansPath)
                   .select(col("h").cast("long")).collect().map(_.getLong(0)))
               } else {
                 val fitW = opts.getOrElse("w", P.ScrubChunkWords.toString).toInt
-                val h = P.hotSpans(cur.select("doc_id", "text"), fitW,
-                  opts.getOrElse("mindocs", P.ScrubMinDocs.toString).toInt)
+                val fitMd = opts.getOrElse("mindocs", P.ScrubMinDocs.toString).toInt
+                val h = P.hotSpans(cur.select("doc_id", "text"), fitW, fitMd)
+                // sidecars FIRST: the spans parquet's _SUCCESS is the
+                // fitted-model commit point (see writeLongSidecar)
+                writeLongSidecar(spark, scrState, "chunkwords", fitW.toLong)
+                writeLongSidecar(spark, scrState, "mindocs", fitMd.toLong)
                 import spark.implicits._
                 h.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(spansPath)
-                writeLongSidecar(spark, scrState, "chunkwords", fitW.toLong)
                 System.err.println("[graft] corpus-pipeline scrub: frozen " +
                   s"${h.length}-span table fit on seed batch (w=$fitW)")
                 (fitW, h)
@@ -940,28 +977,35 @@ object Main {
   }
 
   /** Frozen-model long-valued sidecars (`<dir>/<name>.txt` — the
-    * select threshold, the scrub chunk width) — the models.txt
-    * convention: tiny, text, atomic-rename publish so a reader never
-    * sees a half-written value. */
+    * select threshold/frac, the scrub chunk width/mindocs). Publish
+    * is a genuinely atomic replace (FileContext rename with
+    * OVERWRITE — delete-then-rename would leave a no-file window),
+    * and the fit paths write EVERY sidecar BEFORE committing the
+    * data artifact whose _SUCCESS marks the model fitted: a crash
+    * mid-fit leaves `fitted` false and the next seed run re-fits —
+    * self-healing, never a stuck half-model. */
   private def writeLongSidecar(spark: org.apache.spark.sql.SparkSession,
                                dir: String, name: String, value: Long): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.txt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-$name-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(s"$value\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"$name publish failed for $p")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readLongSidecar(spark: org.apache.spark.sql.SparkSession,
                               dir: String, name: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.txt")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"frozen model incomplete: $p missing " +
-      "(data artifact present without its sidecar — re-run the seed fit)")
+    // sidecars are written before the data artifact commits, so this
+    // can only fire on manual tampering — name the actual remedy
+    require(fs.exists(p), s"frozen model incomplete: $p missing — " +
+      s"delete $dir and re-run the seed fit")
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()

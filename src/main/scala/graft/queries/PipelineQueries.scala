@@ -485,9 +485,15 @@ object PipelineQueries {
     * `weight ≥ threshold` — per-doc, order-free — so corpus deltas
     * score under the frozen model exactly like corpus deltas encode
     * under frozen quantizers; domain drift is an explicit re-fit
-    * (a new seed run), never a silent per-batch model. */
+    * (a new seed run), never a silent per-batch model.
+    *
+    * Also returns the seed's OWN kept doc_ids (checkpointed before
+    * the scored projection is released): the fit already paid the
+    * words→grams→weights scan over every seed doc, so the caller's
+    * seed-batch decision must not re-scan the text to recompute the
+    * identical weights. */
   private[graft] def dsirFitModel(candidates: DataFrame, targets: DataFrame,
-                                  keepFrac: Double): (Array[Long], Long) = {
+                                  keepFrac: Double): (Array[Long], Long, DataFrame) = {
     val grammed = candidates.select(col("doc_id"), lit(false).as("tgt"),
         dsirWords(col("text")).as("ws"))
       .unionByName(targets.select(col("doc_id"), lit(true).as("tgt"),
@@ -505,7 +511,10 @@ object PipelineQueries {
       // a silent Long.MinValue threshold would keep everything forever
       require(n > 0L && k > 0L,
         s"dsir fit: seed pool has no grammed docs to calibrate a threshold on (n=$n)")
-      (lam, weightEdge(wdoc, k, stats.getLong(1), stats.getLong(2)))
+      val edge = weightEdge(wdoc, k, stats.getLong(1), stats.getLong(2))
+      val kept = wdoc.filter(col("weight_milli") >= edge)
+        .select("doc_id").localCheckpoint()
+      (lam, edge, kept)
     } finally wdoc.unpersist()
   }
 

@@ -224,7 +224,7 @@ class PqIndex(spark: SparkSession, dir: String,
   private def searchFiltered(queries: DataFrame, allowed: DataFrame, topKn: Int,
                              model: Pq.Model, coarse: Similarity.IvfModel,
                              rot: Option[Array[Float]],
-                             totalCount: Long): DataFrame = {
+                             totalCount: => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     val allow = allowed.select(col("id").as("neighbor_id")).distinct().localCheckpoint()
     val np = probeForFiltered(coarse, allow.count(), totalCount)
@@ -253,11 +253,16 @@ class PqIndex(spark: SparkSession, dir: String,
     * empty whatever we probe. */
   private[graft] def probeForFiltered(coarse: Similarity.IvfModel,
                                       allowedCount: Long,
-                                      totalCount: Long): Int = {
+                                      totalCount: => Long): Int = {
     val base = probeFor(coarse)
-    if (nProbe > 0 || allowedCount <= 0 || totalCount <= 0) base
+    // totalCount is by-name: the codes count(*) only runs when the
+    // estimate can actually use it — an explicit-nProbe serve or an
+    // empty allow-list must not pay a count job per call/micro-batch
+    if (nProbe > 0 || allowedCount <= 0) return base
+    val total = totalCount
+    if (total <= 0) base
     else {
-      val sel = math.min(1.0, allowedCount.toDouble / totalCount)
+      val sel = math.min(1.0, allowedCount.toDouble / total)
       math.min(coarse.nCells.toLong,
         math.max(base.toLong, math.ceil(base / sel).toLong)).toInt
     }

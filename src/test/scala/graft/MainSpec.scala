@@ -695,6 +695,18 @@ class MainSpec extends SparkSpec {
       s"in=$base/delta.parquet", s"out=$base/out", "steps=select",
       "incremental=true", s"state=$base/state", "batch=2"))
     assert(survivors() == ((0L until 10L) ++ (40L until 45L)).toSet)
+    // a conflicting frac= on a fitted batch refuses (the calibration
+    // is part of the frozen model — same rule as scrub's w=)
+    val eFrac = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/delta.parquet", s"out=$base/out",
+        "steps=select", "incremental=true", s"state=$base/state",
+        "batch=3", "frac=0.9")))
+    assert(eFrac.getMessage.contains("frozen calibration"), eFrac.getMessage)
+    // the matching value passes (no drift, no false refusal)
+    Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/delta.parquet", s"out=$base/out", "steps=select",
+      "incremental=true", s"state=$base/state", "batch=2", "frac=0.5"))
+    assert(survivors() == ((0L until 10L) ++ (40L until 45L)).toSet)
   }
 
   test("corpus-pipeline incremental scrub: frozen hot-span table; deltas scrubbed under it; width conflicts refuse") {
@@ -736,6 +748,12 @@ class MainSpec extends SparkSpec {
       Seq("corpus-pipeline", s"in=$base/delta.parquet", s"out=$base/out",
         "steps=scrub", "incremental=true", s"state=$base/state", "batch=3", "w=5")))
     assert(e.getMessage.contains("frozen chunk width"), e.getMessage)
+    // so is the fit threshold: a conflicting mindocs refuses too
+    val eMd = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/delta.parquet", s"out=$base/out",
+        "steps=scrub", "incremental=true", s"state=$base/state", "batch=3",
+        "mindocs=10")))
+    assert(eMd.getMessage.contains("frozen fit threshold"), eMd.getMessage)
     // replay of the delta is idempotent
     Main.runPipeline(spark, Seq("corpus-pipeline",
       s"in=$base/delta.parquet", s"out=$base/out", "steps=scrub",
