@@ -62,42 +62,26 @@ object Bench {
     }
   }
 
-  /** Assemble the one-line JSON. Failed queries appear ONLY in
-    * "failures" (name → message); their absence from "queries" plus
-    * the explicit list is unambiguous to both humans and parsers.
-    * Timings are rounded to 3 decimals (ms resolution — below the
-    * run-to-run noise floor): the driver's capture keeps only a
-    * bounded stdout tail, and full-precision doubles pushed the
-    * 91-query line past it two rounds running (BENCH_r05/r06
-    * `parsed: null`).
-    *
-    * Key ORDER is part of the contract: the wall-time "queries" map is
-    * the LAST key. The driver preserves only the TAIL of stdout, and
-    * in round 7 the line (100 queries × wall + cpu maps) exceeded it
-    * with cpu_sec last — the surviving fragment showed CPU seconds
-    * masquerading as wall times, which read as a phantom 3× regression.
-    * With queries last, any truncation eats the header, never the wall
-    * numbers. The stdout line also drops cpu_sec entirely
-    * (includeCpu=false): per-query cpu already streams to stderr as
-    * `[bench] name Ws (cpu Cs)` lines, and the full record including
-    * the cpu_sec map goes to bench_out.json, which has no size bound. */
-  /** `omitEmptyFailures` (the stdout variant) drops the
-    * `"failures":{}` / `"n_failed":0` keys when nothing failed — the
-    * normal case — so more of the bounded stdout tail is left for the
-    * wall map; their ABSENCE means zero failures by contract. The
-    * file record always carries them. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  // Double.toString of the rounded value (not a locale-aware "%.3f"
+  // format, which could emit comma decimals): 1.234567890123 → 1.235
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+  /** Assemble the FILE record (`bench_out.json` — no size bound).
+    * Failed queries appear ONLY in "failures" (name → message); their
+    * absence from "queries" plus the explicit list is unambiguous to
+    * both humans and parsers. Timings are rounded to 3 decimals (ms
+    * resolution — below the run-to-run noise floor). Key ORDER: the
+    * wall-time "queries" map is the LAST key, so a reader that
+    * truncates loses the header, never wall numbers. */
   def renderJson(results: Seq[(String, Either[String, (Double, Double)])],
-                 sfDir: String, env: String, includeCpu: Boolean = true,
-                 omitEmptyFailures: Boolean = false): String = {
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // Double.toString of the rounded value (not a locale-aware "%.3f"
-    // format, which could emit comma decimals): 1.234567890123 → 1.235
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+                 sfDir: String, env: String, includeCpu: Boolean = true): String = {
     val ok = results.collect { case (k, Right(v)) => (k, v) }
     val failed = results.collect { case (k, Left(m)) => (k, m) }
     val qs = ok.map { case (k, (w, _)) => jstr(k) + ":" + r3(w) }.mkString("{", ",", "}")
@@ -108,12 +92,29 @@ object Bench {
       else ""
     val fj = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val total = r3(ok.map(_._2._1).sum)
-    val failPart =
-      if (omitEmptyFailures && failed.isEmpty) ""
-      else s""""failures":$fj,"n_failed":${failed.size},"""
     s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},$env,""" +
-      failPart + s""""n_ok":${ok.size},""" +
+      s""""failures":$fj,"n_failed":${failed.size},"n_ok":${ok.size},""" +
       cpu + s""""queries":$qs}"""
+  }
+
+  /** The STDOUT line: totals only, NO per-query map. Rounds 5-9 tried
+    * to fit the 91→103-query wall map into the driver's bounded stdout
+    * tail by trimming (3-decimal timings, cpu_sec dropped, queries
+    * last, empty failures omitted) and the line STILL truncated
+    * mid-map two rounds running (BENCH_r08/r09 `parsed: null`). The
+    * map cannot win that fight at this query count, so it no longer
+    * plays: stdout carries the summary a driver needs to grade the run
+    * (total/n_ok/n_failed + host-load markers in `env`), and the
+    * per-query walls live exclusively in `bench_out.json`, named here
+    * by `queries_file` so a reader knows where to look. */
+  def renderSummaryJson(results: Seq[(String, Either[String, (Double, Double)])],
+                        sfDir: String, env: String,
+                        queriesFile: String = "bench_out.json"): String = {
+    val ok = results.collect { case (k, Right(v)) => (k, v) }
+    val nFailed = results.count(_._2.isLeft)
+    val total = r3(ok.map(_._2._1).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},$env,""" +
+      s""""n_ok":${ok.size},"n_failed":$nFailed,"queries_file":${jstr(queriesFile)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,12 +170,11 @@ object Bench {
     def r2(x: Double): Double = math.rint(x * 100) / 100
     val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
       s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)}"""
-    // file record keeps cpu_sec (no size bound there); the stdout line
-    // drops it so the wall map survives the driver's bounded tail
+    // the FULL record (per-query walls + cpu_sec + failures) goes to
+    // the file; stdout gets only the summary line — see renderSummaryJson
     Files.writeString(Paths.get("bench_out.json"),
       renderJson(results, sfDir, env, includeCpu = true) + "\n")
-    val json = renderJson(results, sfDir, env, includeCpu = false,
-      omitEmptyFailures = true)
+    val json = renderSummaryJson(results, sfDir, env)
     spark.stop()
     // last stdout line, after all Spark lifecycle logging
     println(json)

@@ -44,10 +44,8 @@ class HarnessSpec extends SparkSpec {
   }
 
   test("bench JSON key order: wall-time queries map is LAST; cpu_sec droppable") {
-    // the driver keeps only a bounded stdout TAIL — rounds 5-7 lost the
-    // wall map to truncation because cpu_sec trailed it. Pin: queries
-    // is the final key (truncation eats the header, never wall times),
-    // and includeCpu=false (the stdout mode) omits cpu_sec entirely.
+    // the file record keeps queries as the final key (a truncating
+    // reader loses the header, never wall times) and cpu_sec before it
     val results = Seq[(String, Either[String, (Double, Double)])](
       "a" -> Right((1.0, 0.8)), "b" -> Right((2.0, 1.6)))
     val full = Bench.renderJson(results, "/tmp/sf", """"cpus":4""")
@@ -61,19 +59,25 @@ class HarnessSpec extends SparkSpec {
     JsonMethods.parse(full)
   }
 
-  test("bench stdout JSON omits failure keys when nothing failed (absence == zero failures)") {
+  test("bench STDOUT line is the bounded summary: no per-query map, ever") {
+    // rounds 8 and 9 both shipped a driver-side record that truncated
+    // mid-map (`parsed: null`) despite trimming — the stdout line must
+    // therefore carry NO per-query map at any query count, only the
+    // totals and a pointer to the file that has the map
+    import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val ok = Seq[(String, Either[String, (Double, Double)])]("a" -> Right((1.0, 0.8)))
-    val lean = Bench.renderJson(ok, "/tmp/sf", """"cpus":4""",
-      includeCpu = false, omitEmptyFailures = true)
-    assert(!lean.contains("failures") && !lean.contains("n_failed"), lean)
-    assert(lean.contains(""""n_ok":1""") && lean.endsWith(""""queries":{"a":1.0}}"""), lean)
-    JsonMethods.parse(lean)
-    // a real failure brings the keys back even in omit mode
-    val withFail = Bench.renderJson(ok :+ ("bad" -> Left("x")), "/tmp/sf",
-      """"cpus":4""", includeCpu = false, omitEmptyFailures = true)
-    assert(withFail.contains(""""failures":{"bad":"x"}"""), withFail)
-    assert(withFail.contains(""""n_failed":1"""), withFail)
+    val many = (1 to 500).map(i =>
+      s"query_with_a_long_name_$i" ->
+        (Right((i * 0.001, i * 0.0008)): Either[String, (Double, Double)]))
+    val line = Bench.renderSummaryJson(many :+ ("bad" -> Left("boom")),
+      "/tmp/sf", """"cpus":4,"load_avg_start":0.1""")
+    assert(line.length < 300, s"summary must stay bounded: ${line.length} chars")
+    assert(!line.contains("query_with_a_long_name"), line)
+    val parsed = JsonMethods.parse(line)
+    assert((parsed \ "n_ok") == JInt(500) && (parsed \ "n_failed") == JInt(1))
+    assert((parsed \ "queries_file") == JString("bench_out.json"))
+    val JDouble(total) = (parsed \ "value"): @unchecked
+    assert(math.abs(total - (1 to 500).map(_ * 0.001).sum) < 0.01)
   }
 
   test("bench JSON is machine-parseable, including pathological failure messages") {
