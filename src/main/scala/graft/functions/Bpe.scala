@@ -72,7 +72,20 @@ object Bpe {
     * word histogram, incremental pair-count maintenance (only words
     * CONTAINING the merged pair are re-counted — the classic
     * efficient implementation). Deterministic end to end: ties on
-    * count break lexicographically on (left, right). */
+    * count break lexicographically on (left, right).
+    *
+    * DIVERGENCE FROM UPSTREAM BPE (operator-facing): any pair whose
+    * concatenated OUTPUT string was already produced by an earlier
+    * merge is permanently excluded from the argmax — e.g. once
+    * `(ab, c)` exists, `(a, bc)` is never learned, however frequent.
+    * Standard trainers (the original Sennrich code, HF tokenizers)
+    * learn both and let the two merge rules share one token string;
+    * this trainer trades that (slightly coarser segmentation on
+    * corpora where the same surface form arises via competing merge
+    * paths) for a vocab that is duplicate-free BY CONSTRUCTION —
+    * the unique-id contract `vocab()`/`bpeEncodeIds` enforce. The
+    * skipped merge adds no new token, so vocabulary coverage is
+    * unchanged; only the segmentation of those surface forms is. */
   def trainFromCounts(forms: Array[(String, Long)], nMerges: Int): Array[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be >= 0: $nMerges")
     // split by CODE POINT (BpeUtil.codePointSymbols), never by UTF-16

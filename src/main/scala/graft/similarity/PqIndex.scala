@@ -227,6 +227,10 @@ class PqIndex(spark: SparkSession, dir: String,
                              totalCount: => Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     val allow = allowed.select(col("id").as("neighbor_id")).distinct().localCheckpoint()
+    // allow.count() is by-name too: an explicit-nProbe serve skips BOTH
+    // count jobs per call/micro-batch, not just the codes one — the
+    // checkpoint above is still paid (the semi-join needs it), but the
+    // estimate's inputs only run when the estimate runs
     val np = probeForFiltered(coarse, allow.count(), totalCount)
     val cells = Pq.probeCells(queries, model, coarse, np, rot)
     val filtered = codesTable(cells).join(allow, Seq("neighbor_id"), "left_semi")
@@ -252,17 +256,20 @@ class PqIndex(spark: SparkSession, dir: String,
     * semi-join). An empty allow-list keeps the base: the result is
     * empty whatever we probe. */
   private[graft] def probeForFiltered(coarse: Similarity.IvfModel,
-                                      allowedCount: Long,
+                                      allowedCount: => Long,
                                       totalCount: => Long): Int = {
     val base = probeFor(coarse)
-    // totalCount is by-name: the codes count(*) only runs when the
-    // estimate can actually use it — an explicit-nProbe serve or an
-    // empty allow-list must not pay a count job per call/micro-batch
-    if (nProbe > 0 || allowedCount <= 0) return base
+    // BOTH counts are by-name: they only run when the estimate can
+    // actually use them — an explicit-nProbe serve must not pay a
+    // count job (allow-list or codes) per call/micro-batch, and an
+    // empty allow-list must not pay the codes count
+    if (nProbe > 0) return base
+    val allowedN = allowedCount
+    if (allowedN <= 0) return base
     val total = totalCount
     if (total <= 0) base
     else {
-      val sel = math.min(1.0, allowedCount.toDouble / total)
+      val sel = math.min(1.0, allowedN.toDouble / total)
       math.min(coarse.nCells.toLong,
         math.max(base.toLong, math.ceil(base / sel).toLong)).toInt
     }

@@ -181,6 +181,14 @@ class PqIndexSpec extends SparkSpec {
       "fixed 4-cell probe never opens the allowed cluster's cell")
     // empty allow-list: no scaling (result is empty whatever we probe)
     assert(autoIdx.probeForFiltered(coarse, 0L, 160L) == 4)
+    // BOTH estimate inputs are lazy: an explicit-nProbe serve must not
+    // pay EITHER count job (allow-list or codes) per call/micro-batch,
+    // and an empty allow-list must not pay the codes count
+    assert(fixedIdx.probeForFiltered(coarse,
+      sys.error("allow count must not run under explicit nProbe"),
+      sys.error("codes count must not run under explicit nProbe")) == 4)
+    assert(autoIdx.probeForFiltered(coarse, 0L,
+      sys.error("codes count must not run for an empty allow-list")) == 4)
   }
 
   test("OPQ-built index: parity with the inline composed chain; rotated adds retrievable") {
