@@ -158,8 +158,21 @@ object PipelineQueries {
     * training corpus is never shuffled. */
   def corpusDecontaminateDocs(docs: DataFrame, evals: DataFrame,
                               k: Int = 5): DataFrame =
+    corpusDecontaminateDocsFromGrams(docs,
+      decontaminateGrams(evals, k).select("sh").distinct(), k)
+
+  /** [[corpusDecontaminateDocs]] against an ALREADY-DERIVED distinct
+    * eval-gram frame (`sh` column) — the frozen-eval-state form of the
+    * incremental pipeline: the seed batch derives and persists the
+    * gram table once, every later delta joins against the persisted
+    * frame instead of re-shingling the eval corpus per batch. `k` is
+    * display-only here (the output column name); the caller owns the
+    * contract that the grams were derived at the same k. */
+  private[graft] def corpusDecontaminateDocsFromGrams(docs: DataFrame,
+                                                      evalGrams: DataFrame,
+                                                      k: Int): DataFrame =
     decontaminateGrams(docs, k)
-      .join(broadcast(decontaminateGrams(evals, k).select("sh").distinct()), Seq("sh"))
+      .join(broadcast(evalGrams.select("sh")), Seq("sh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as(s"n_shared_${k}grams"))
 
@@ -514,6 +527,22 @@ object PipelineQueries {
       val edge = weightEdge(wdoc, k, stats.getLong(1), stats.getLong(2))
       val kept = wdoc.filter(col("weight_milli") >= edge)
         .select("doc_id").localCheckpoint()
+      // the calibrated threshold over-keeps by at most "one bin's
+      // mass" — which is UNBOUNDED when the seed's weights collapse
+      // into one histogram bin (near-uniform weight_milli): the edge
+      // equals the minimum and the frozen model keeps ~everything
+      // forever, regardless of keepFrac. The exact select caps at k
+      // via row_number; the frozen form cannot (a per-doc threshold
+      // is the point), so a degenerate calibration must be VISIBLE at
+      // seed time, not discovered as inflated keep rates batches later.
+      val keptN = kept.count()
+      if (keptN > 2 * k)
+        System.err.println(f"[graft] dsir fit: DEGENERATE calibration — " +
+          f"threshold $edge keeps $keptN of $n seed docs " +
+          f"(${keptN.toDouble / n}%.2f realized vs $keepFrac%.2f requested); " +
+          "the seed weight distribution is too flat to calibrate a " +
+          "threshold on (one histogram bin holds the whole keep edge) — " +
+          "every later batch will over-keep at the same rate")
       (lam, edge, kept)
     } finally wdoc.unpersist()
   }
@@ -654,19 +683,25 @@ object PipelineQueries {
                                        buckets: Int): DataFrame = {
     val toks0 = docs.select(col("doc_id"),
       size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
-    // auto layout: the mass aggregate and the assignment both consume
-    // the tokenize — materialize the ~16 B/doc projection once (eager
-    // localCheckpoint) instead of re-tokenizing the corpus text for
-    // the aggregate
-    val (toks, b) =
-      if (buckets > 0) (toks0, buckets)
-      else {
-        val t = toks0.localCheckpoint()
-        (t, suggestPackBuckets(
-          t.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)))
-      }
-    withPackId(toks.withColumn("bucket", pmod(col("doc_id"), lit(b))), budget)
-      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("pack_id"))
+    def assign(toks: DataFrame, b: Int): DataFrame =
+      withPackId(toks.withColumn("bucket", pmod(col("doc_id"), lit(b))), budget)
+        .select(col("doc_id"), col("bucket"), col("n_tokens"), col("pack_id"))
+    if (buckets > 0) assign(toks0, buckets)
+    else {
+      // auto layout: the mass aggregate and the assignment both
+      // consume the tokenize — materialize the ~16 B/doc projection
+      // once (eager localCheckpoint) instead of re-tokenizing the
+      // corpus text for the aggregate, and RELEASE it before
+      // returning: the final ~32 B/doc assignment is checkpointed
+      // eagerly, so the intermediate's blocks are not left to the
+      // context cleaner (the rule the mix stage pins)
+      val t = toks0.localCheckpoint()
+      try {
+        val b = suggestPackBuckets(
+          t.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0))
+        assign(t, b).localCheckpoint()
+      } finally t.unpersist()
+    }
   }
 
   /** Token budget for [[corpusMix]] — at sf0.01 (≈27k BPE tokens,
@@ -994,17 +1029,20 @@ object PipelineQueries {
     scrubWithSpans(docs, chunkWords,
       hotSpans(docs, chunkWords, minDocs, maxSpans))
 
-  /** Pass 1 of [[scrubDocs]] as its own artifact: the hot-span table
-    * (sorted packed 62-bit keys of chunks shared by ≥ minDocs docs) —
-    * also the FREEZABLE half of the incremental scrub: fit it once on
-    * a seed corpus, persist the longs, scrub every later delta under
-    * it with [[scrubWithSpans]]. */
-  private[graft] def hotSpans(docs: DataFrame, chunkWords: Int, minDocs: Int,
-                              maxSpans: Int = ScrubMaxSpans): Array[Long] = {
+  /** The frequency half of [[hotSpans]] as a FRAME: per packed 62-bit
+    * span key, the number of DISTINCT docs carrying that full-width
+    * chunk. This is also the ACCUMULABLE evidence of the incremental
+    * scrub: each CDC batch persists its own `(h, df)` table, and
+    * because a doc belongs to exactly one batch, summing `df` across
+    * batch tables IS the union corpus's distinct-doc count — which is
+    * what lets a later batch detect spans that crossed the hot
+    * threshold only ACROSS batches (the frozen-model caveat, measured
+    * instead of footnoted). ~16 B/span parquet rows, never collected
+    * here. */
+  private[graft] def spanFreq(docs: DataFrame, chunkWords: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
-    val chunked = docs.select(col("doc_id"),
-      ofExpr(graft.functions.expr.WordChunks(toExpr(col("text")), chunkWords)).as("chunks"))
-    val hot = chunked
+    docs.select(col("doc_id"),
+        ofExpr(graft.functions.expr.WordChunks(toExpr(col("text")), chunkWords)).as("chunks"))
       .select(col("doc_id"), explode(col("chunks")).as("chunk"))
       // sub-width tail chunks never become hot (w words ⇒ w−1 spaces;
       // chunks are single-space rejoins so the count is exact)
@@ -1015,7 +1053,13 @@ object PipelineQueries {
           ofExpr(graft.functions.expr.RollingHash(toExpr(col("chunk")), ScrubSeed2, ScrubP2)))
           .as("h"))
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
+  }
+
+  /** Threshold + collect of a [[spanFreq]] frame into the driver-side
+    * hot table [[scrubWithSpans]] broadcasts. */
+  private[graft] def hotSpansFromFreq(freq: DataFrame, minDocs: Int,
+                                      maxSpans: Int = ScrubMaxSpans): Array[Long] = {
+    val hot = freq.filter(col("df") >= minDocs)
       .select("h").limit(maxSpans + 1)
       .collect().map(_.getLong(0))
     require(hot.length <= maxSpans,
@@ -1025,6 +1069,15 @@ object PipelineQueries {
     java.util.Arrays.sort(hot)
     hot
   }
+
+  /** Pass 1 of [[scrubDocs]] as its own artifact: the hot-span table
+    * (sorted packed 62-bit keys of chunks shared by ≥ minDocs docs) —
+    * also the FREEZABLE half of the incremental scrub: fit it once on
+    * a seed corpus, persist the longs, scrub every later delta under
+    * it with [[scrubWithSpans]]. */
+  private[graft] def hotSpans(docs: DataFrame, chunkWords: Int, minDocs: Int,
+                              maxSpans: Int = ScrubMaxSpans): Array[Long] =
+    hotSpansFromFreq(spanFreq(docs, chunkWords), minDocs, maxSpans)
 
   /** Pass 2 of [[scrubDocs]]: scrub under a GIVEN span table (just-fit
     * or frozen). Defensively re-sorts — the binary search inside

@@ -36,6 +36,42 @@ class PipelineDsirSpec extends SparkSpec {
     assert(sel.forall(_.getLong(1) > 0L), "science weights must be positive")
   }
 
+  test("dsir fit: a collapsed weight distribution warns DEGENERATE at seed time") {
+    // every candidate identical ⇒ every weight lands in ONE histogram
+    // bin ⇒ the calibrated threshold equals the minimum and the frozen
+    // model keeps 100% regardless of keepFrac. The exact select caps
+    // at k via row_number; the frozen per-doc threshold cannot — so
+    // the fit must make the degeneracy VISIBLE at seed time instead
+    // of silently inflating every later batch's keep rate.
+    val sci = "quantum entanglement spectral decomposition tensor manifold " * 5
+    val targets = docsOf((1000L to 1009L).map(i => i -> sci): _*)
+    val flat = docsOf((0L until 20L).map(i => i -> sci): _*)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val (_, _, kept) =
+      try {
+        System.setErr(new java.io.PrintStream(errBuf, true))
+        PipelineQueries.dsirFitModel(flat, targets, keepFrac = 0.2)
+      } finally System.setErr(realErr)
+    // behavior documented: the flat seed keeps everything...
+    assert(kept.count() == 20L, "one-bin seed keeps 100% by construction")
+    // ...and says so loudly, naming realized vs requested
+    val err = errBuf.toString
+    assert(err.contains("DEGENERATE"), s"expected a degenerate-fit warning, got: $err")
+    assert(err.contains("20 of 20"), err)
+    // a seed with real signal stays quiet (no cry-wolf warnings)
+    val spo = "goalkeeper penalty halftime referee offside striker " * 5
+    val mixed = docsOf(((0L until 10L).map(i => i -> sci) ++
+      (10L until 20L).map(i => i -> spo)): _*)
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    try {
+      System.setErr(new java.io.PrintStream(errBuf2, true))
+      PipelineQueries.dsirFitModel(mixed, targets, keepFrac = 0.5)
+    } finally System.setErr(realErr)
+    assert(!errBuf2.toString.contains("DEGENERATE"),
+      s"a separable seed must not warn: ${errBuf2.toString}")
+  }
+
   test("dsir: exact top-K with deterministic doc_id tie-break at the boundary") {
     // every candidate identical ⇒ every weight identical ⇒ the whole
     // corpus IS the boundary class. K = ceil(10 * 0.2) = 2 must be
