@@ -586,6 +586,45 @@ object Main {
           require(batchId.isDefined,
             "incremental corpus-pipeline requires batch=<id> (the replay key)")
         }
+        // resume=true (full runs): every completed stage persists its
+        // output frame (or a .done marker for side-effect/no-op
+        // stages) under out/stages/, and a re-run with resume=true
+        // restarts at the first INCOMPLETE stage, reading the prior
+        // run's persisted frames instead of recomputing — a crashed
+        // 7-stage run (hours at real scale) costs only its failed
+        // stage. The extra stage writes are the opt-in price of
+        // restartability; a plain run writes nothing extra.
+        // Incremental batches already have a replay unit — the batch —
+        // so resume refuses there.
+        val resume = opts.get("resume").exists(_.toBoolean)
+        require(!(incremental && resume),
+          "resume= applies to full runs only — an incremental batch's replay " +
+            "unit is the batch itself (re-run with the same batch=)")
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        def pExists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hadoopConf).exists(hp)
+        }
+        def touch(p: String): Unit = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val hfs = hp.getFileSystem(hadoopConf)
+          hfs.mkdirs(hp.getParent)
+          hfs.create(hp, true).close()
+        }
+        // pqk=, not k=: the DAG's flat option namespace already gives
+        // k= to the decontaminate shingle size, and a silent collision
+        // would either degrade the codebook or (worse) turn
+        // decontamination into 256-word shingles that match nothing —
+        // the packbudget= lesson, applied before it bites
+        def dagPqIndex(dir: String) = new graft.similarity.PqIndex(spark, dir,
+          dim = opts.getOrElse("dim", "64").toInt,
+          m = opts.getOrElse("m", "8").toInt,
+          k = opts.getOrElse("pqk", "16").toInt,
+          nCells = opts.getOrElse("cells", "0").toInt,
+          nProbe = opts.getOrElse("probe", "0").toInt,
+          opq = opts.getOrElse("opq", "false").toBoolean,
+          fitSampleN = opts.getOrElse("fitsample", "0").toInt)
+        val tIn = System.nanoTime()
         val raw = spark.read.parquet(req("in")).select("doc_id", "lang", "text")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val rowsIn = raw.count()
@@ -594,7 +633,8 @@ object Main {
         // output, not a side effect of every curation run
         val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard",
           "pack", "index")
-        val incrementalSteps = Set("clean", "decontaminate", "scrub", "select", "shard")
+        val incrementalSteps = Set("clean", "decontaminate", "scrub", "select",
+          "shard", "index")
         // the frozen-model stages (scrub/select) are OPT-IN in
         // incremental mode: whichever delta runs them first becomes
         // the model's SEED, and that must be a deliberate operator
@@ -612,23 +652,106 @@ object Main {
           s"incremental corpus-pipeline supports steps ${incrementalSteps.toSeq.sorted.mkString(",")} " +
             s"— '$s' is corpus-global/supply-dependent and needs a full (non-incremental) run"))
         var cur = raw
-        // per-stage counts accumulate into out/stats.json at the end —
-        // the run record a scheduler checks without scraping stderr
-        val stageStats = scala.collection.mutable.ArrayBuffer[(String, Long)](
-          "input" -> rowsIn)
+        // per-stage run record, accumulated into out/stats.json — the
+        // record a scheduler checks without scraping stderr: docs
+        // where the stage advanced the frame (absent for side-effect
+        // and skipped stages), wall seconds ALWAYS (the curator's
+        // first question about a slow nightly run), resumed=true when
+        // a prior run's persisted output was adopted instead of
+        // recomputed
+        case class StageRec(stage: String, docs: Option[Long], sec: Double,
+                            resumed: Boolean = false)
+        val recs = scala.collection.mutable.ArrayBuffer[StageRec](
+          StageRec("input", Some(rowsIn), (System.nanoTime() - tIn) / 1e9))
         // the mix budget actually applied, recorded in stats.json so a
         // scheduler can tell keep-all from a downsampling run
         var mixBudget: Option[Long] = None
-        def advance(stage: String, next0: org.apache.spark.sql.DataFrame): Unit = {
+        // incremental observability: realized per-batch rates of the
+        // frozen-model stages, drift warnings against the seed
+        // calibration, and the cross-batch emergent-span count — the
+        // numbers that distinguish a healthy 29.8%→27.4% drift from a
+        // pathological 29.8%→3% collapse, which were previously
+        // indistinguishable to the operator
+        val rates = scala.collection.mutable.LinkedHashMap[String, Double]()
+        val driftWarnings = scala.collection.mutable.ArrayBuffer[String]()
+        var scrubEmergent: Option[Long] = None
+        def lastDocs: Long = recs.reverseIterator
+          .collectFirst { case r if r.docs.isDefined => r.docs.get }.get
+        def advance(next0: org.apache.spark.sql.DataFrame): Long = {
           val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
           val n = next.count()
           if (cur ne raw) cur.unpersist()
           cur = next
-          stageStats += stage -> n
-          System.err.println(s"[graft] corpus-pipeline $stage -> $n docs")
+          n
         }
+        // drift band: ±25% RELATIVE to the seed calibration — wide
+        // enough for ordinary supply noise, narrow enough that a
+        // collapsed stage cannot hide. Advisory only (loud warning +
+        // stats.json field), never a behavior change: that is the
+        // frozen-model discipline.
+        def checkDrift(key: String, state: String, sidecar: String,
+                       rate: Double): Unit = {
+          rates += key -> rate
+          readLongSidecarIfExists(spark, state, sidecar).foreach { micro =>
+            val seed = micro / 1e6
+            if (seed > 0 && math.abs(rate - seed) / seed > 0.25) {
+              val msg = f"$key rate drift: batch $rate%.4f vs seed calibration $seed%.4f"
+              driftWarnings += msg
+              System.err.println(s"[graft] corpus-pipeline WARNING $msg — the frozen " +
+                "model may no longer fit the incoming data; re-seed to re-fit " +
+                "(frozen-model discipline: drift is reported, never silently absorbed)")
+            }
+          }
+        }
+        // resume bookkeeping: the plan record refuses a resume whose
+        // steps/knobs differ from the crashed run's (silently composing
+        // half-old half-new stage outputs would be worse than starting
+        // over), then the completed prefix is the run of stages whose
+        // output parquet (_SUCCESS) or .done marker committed
+        val stagesDir = s"$base/stages"
+        def stagePath(i: Int, s: String) = s"$stagesDir/${i}_$s"
+        val transformStages = Set("clean", "decontaminate", "scrub", "select", "mix")
+        val completedPrefix: Int =
+          if (!resume) 0
+          else {
+            val planKey = steps.mkString(",") + " | " + opts.toSeq
+              .filterNot { case (k, _) => k == "out" || k == "resume" }
+              .sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+            val planPath = s"$stagesDir/plan.txt"
+            if (pExists(planPath)) {
+              val prior = readTextFile(spark, planPath).trim
+              require(prior == planKey,
+                s"resume=true but the prior run's plan differs:\n  prior: $prior\n" +
+                  s"  this:  $planKey\n— delete $stagesDir to start clean")
+              steps.zipWithIndex.takeWhile { case (s0, j) =>
+                pExists(s"${stagePath(j, s0)}/_SUCCESS") ||
+                  pExists(s"${stagePath(j, s0)}.done")
+              }.size
+            } else {
+              writeTextFileAtomic(spark, planPath, planKey + "\n")
+              0
+            }
+          }
+        if (completedPrefix > 0)
+          System.err.println("[graft] corpus-pipeline resume: adopting completed " +
+            s"stages ${steps.take(completedPrefix).mkString(",")} from $stagesDir")
         val P = graft.queries.PipelineQueries
-        steps.foreach {
+        steps.zipWithIndex.foreach { case (step, stepIdx) =>
+          val tStage = System.nanoTime()
+          var docs: Option[Long] = None
+          var resumed = false
+          if (stepIdx < completedPrefix) {
+            resumed = true
+            val dir = stagePath(stepIdx, step)
+            // a transform stage that advanced left its output parquet;
+            // a side-effect/no-op stage left only .done and the frame
+            // flows through unchanged
+            if (pExists(s"$dir/_SUCCESS"))
+              docs = Some(advance(spark.read.parquet(dir)))
+            System.err.println(s"[graft] corpus-pipeline $step -> resumed" +
+              docs.map(n => s" ($n docs)").getOrElse(""))
+          } else {
+          step match {
           case "clean" if incremental =>
             // the CDC clean: dedup the delta against the accumulated
             // signature index (bandparts sizes a NEW index; 0 adopts
@@ -636,10 +759,80 @@ object Main {
             // contract)
             val index = new graft.streaming.SigIndex(spark, s"${stateDir.get}/sig",
               idCol = "doc_id", bandParts = opts.getOrElse("bandparts", "0").toInt)
-            advance("clean", P.corpusCleanIncremental(cur, index, batchId.get,
-              keepText = true).select("doc_id", "lang", "text"))
+            docs = Some(advance(P.corpusCleanIncremental(cur, index, batchId.get,
+              keepText = true).select("doc_id", "lang", "text")))
           case "clean" =>
-            advance("clean", P.corpusCleanDocs(cur).select("doc_id", "lang", "text"))
+            docs = Some(advance(P.corpusCleanDocs(cur).select("doc_id", "lang", "text")))
+          // frozen-eval-state CDC decontaminate: the eval set is a
+          // FROZEN MODEL like scrub's span table — the seed batch
+          // derives and persists the distinct eval-gram table (the
+          // exact side's broadcast input) and a copy of the evals
+          // (the near side's input) under state/decontaminate with a
+          // fingerprint + the fit knobs; later batches run entirely
+          // from the frozen state — no evals= dependency per batch,
+          // no per-batch re-shingling of the eval corpus — and an
+          // evals= that IS passed must fingerprint-match (a silently
+          // different eval set would mean batches were decontaminated
+          // against different contracts).
+          case "decontaminate" if incremental =>
+            val decState = s"${stateDir.get}/decontaminate"
+            val gramsPath = s"$decState/grams"
+            val evalsCopy = s"$decState/evals"
+            val fitted = pExists(s"$gramsPath/_SUCCESS")
+            // order-independent content fingerprint: xor of per-row
+            // hashes mixed with the row count
+            def fingerprint(evals: DataFrame): Long = {
+              val r = evals.agg(count(lit(1)),
+                coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
+              java.lang.Long.rotateLeft(r.getLong(0), 32) ^ r.getLong(1)
+            }
+            if (!fitted && opts.get("evals").isEmpty)
+              System.err.println("[graft] corpus-pipeline decontaminate SKIPPED " +
+                "(no frozen eval state under state/decontaminate and no evals= to seed it)")
+            else {
+              val (k, minJ) =
+                if (fitted) {
+                  val fk = readLongSidecar(spark, decState, "shinglek").toInt
+                  opts.get("k").foreach(v => require(v.toInt == fk,
+                    s"incremental decontaminate: k=$v conflicts with the frozen " +
+                      s"shingle size $fk under $decState — re-seed to change it"))
+                  val fmj = readLongSidecar(spark, decState, "minjmicro")
+                  opts.get("minjaccard").foreach(v =>
+                    require(math.round(v.toDouble * 1e6) == fmj,
+                      s"incremental decontaminate: minjaccard=$v conflicts with the " +
+                        s"frozen threshold ${fmj / 1e6} under $decState — re-seed to change it"))
+                  opts.get("evals").foreach { p =>
+                    val fp = fingerprint(spark.read.parquet(p).select("doc_id", "text"))
+                    require(fp == readLongSidecar(spark, decState, "fingerprint"),
+                      s"incremental decontaminate: evals=$p is NOT the frozen eval set " +
+                        s"under $decState (fingerprint mismatch) — the eval contract is " +
+                        "seed-frozen; re-seed to change it")
+                  }
+                  (fk, fmj / 1e6)
+                } else {
+                  val k0 = opts.getOrElse("k", "5").toInt
+                  val mj = opts.getOrElse("minjaccard", "0.8").toDouble
+                  val evals = spark.read.parquet(opts("evals")).select("doc_id", "text")
+                  // sidecars + the evals copy FIRST; grams/_SUCCESS is
+                  // the commit point (the select/scrub discipline): a
+                  // crash mid-seed leaves fitted=false and re-seeds
+                  writeLongSidecar(spark, decState, "shinglek", k0.toLong)
+                  writeLongSidecar(spark, decState, "minjmicro", math.round(mj * 1e6))
+                  writeLongSidecar(spark, decState, "fingerprint", fingerprint(evals))
+                  evals.write.mode("overwrite").parquet(evalsCopy)
+                  P.decontaminateGrams(evals, k0).select("sh").distinct()
+                    .write.mode("overwrite").parquet(gramsPath)
+                  System.err.println("[graft] corpus-pipeline decontaminate: eval " +
+                    s"state frozen on seed batch (k=$k0, minjaccard=$mj)")
+                  (k0, mj)
+                }
+              val exact = P.corpusDecontaminateDocsFromGrams(cur,
+                spark.read.parquet(gramsPath), k).select("doc_id")
+              val near = P.corpusDecontaminateNearDocs(cur,
+                spark.read.parquet(evalsCopy), minJ).select("doc_id")
+              docs = Some(advance(
+                cur.join(exact.union(near).distinct(), Seq("doc_id"), "left_anti")))
+            }
           case "decontaminate" => opts.get("evals") match {
             case Some(p) =>
               val evals = spark.read.parquet(p).select("doc_id", "text")
@@ -647,8 +840,8 @@ object Main {
                 opts.getOrElse("k", "5").toInt).select("doc_id")
               val near = P.corpusDecontaminateNearDocs(cur, evals,
                 opts.getOrElse("minjaccard", "0.8").toDouble).select("doc_id")
-              advance("decontaminate",
-                cur.join(exact.union(near).distinct(), Seq("doc_id"), "left_anti"))
+              docs = Some(advance(
+                cur.join(exact.union(near).distinct(), Seq("doc_id"), "left_anti")))
             case None =>
               System.err.println("[graft] corpus-pipeline decontaminate SKIPPED (no evals=)")
           }
@@ -671,44 +864,56 @@ object Main {
               System.err.println("[graft] corpus-pipeline select SKIPPED " +
                 "(no frozen model under state/select and no targets= to fit one)")
             else {
-              val keep =
-                if (fitted) {
-                  // calibration knobs are part of the frozen model: a
-                  // conflicting frac= refuses like scrub's w= — using
-                  // the seed calibration silently would let the
-                  // operator misattribute the keep rate to the data
-                  opts.get("frac").foreach { v =>
-                    val frozen = readLongSidecar(spark, selState, "fracmicro")
-                    require(math.round(v.toDouble * 1e6) == frozen,
-                      s"incremental select: frac=$v conflicts with the frozen " +
-                        s"calibration (frac ${frozen / 1e6}) under $selState — " +
-                        "re-seed to change it")
-                  }
-                  val lam = readQualityWeights(spark, lamPath)
-                  val thr = readLongSidecar(spark, selState, "threshold")
-                  P.dsirScoreDocs(cur.select("doc_id", "text"), lam)
-                    .filter(col("weight_milli") >= thr).select("doc_id")
-                } else {
-                  val frac = opts.getOrElse("frac", "0.2").toDouble
-                  val targets = spark.read.parquet(opts("targets"))
-                    .select("doc_id", "text")
-                  // the fit already scored every seed doc — reuse its
-                  // kept set rather than re-scanning the seed text
-                  val (l, t, keptSeed) = P.dsirFitModel(
-                    cur.select("doc_id", "text"), targets, frac)
-                  // sidecars FIRST: the lambda parquet's _SUCCESS is
-                  // the fitted-model commit point, so a crash before
-                  // it leaves a re-fittable state, never a half-model
-                  writeLongSidecar(spark, selState, "threshold", t)
-                  writeLongSidecar(spark, selState, "fracmicro",
-                    math.round(frac * 1e6))
-                  graft.queries.TextQueries.qualityWeightsTable(spark, l)
-                    .coalesce(1).write.mode("overwrite").parquet(lamPath)
-                  System.err.println("[graft] corpus-pipeline select: " +
-                    s"frozen model fit on seed batch (threshold $t)")
-                  keptSeed
+              val nBefore = math.max(1L, lastDocs)
+              if (fitted) {
+                // calibration knobs are part of the frozen model: a
+                // conflicting frac= refuses like scrub's w= — using
+                // the seed calibration silently would let the
+                // operator misattribute the keep rate to the data
+                opts.get("frac").foreach { v =>
+                  val frozen = readLongSidecar(spark, selState, "fracmicro")
+                  require(math.round(v.toDouble * 1e6) == frozen,
+                    s"incremental select: frac=$v conflicts with the frozen " +
+                      s"calibration (frac ${frozen / 1e6}) under $selState — " +
+                      "re-seed to change it")
                 }
-              advance("select", cur.join(keep, Seq("doc_id")))
+                val lam = readQualityWeights(spark, lamPath)
+                val thr = readLongSidecar(spark, selState, "threshold")
+                val keep = P.dsirScoreDocs(cur.select("doc_id", "text"), lam)
+                  .filter(col("weight_milli") >= thr).select("doc_id")
+                docs = Some(advance(cur.join(keep, Seq("doc_id"))))
+                // the drift signal: a delta whose realized keep rate
+                // diverges from the seed calibration is flagged — the
+                // one number that separates healthy supply noise from
+                // an off-domain delta the frozen model mis-scores
+                checkDrift("select_keep", selState, "seedkeepmicro",
+                  docs.get.toDouble / nBefore)
+              } else {
+                val frac = opts.getOrElse("frac", "0.2").toDouble
+                val targets = spark.read.parquet(opts("targets"))
+                  .select("doc_id", "text")
+                // the fit already scored every seed doc — reuse its
+                // kept set rather than re-scanning the seed text
+                val (l, t, keptSeed) = P.dsirFitModel(
+                  cur.select("doc_id", "text"), targets, frac)
+                // sidecars FIRST: the lambda parquet's _SUCCESS is
+                // the fitted-model commit point, so a crash before
+                // it leaves a re-fittable state, never a half-model.
+                // seedkeepmicro is the REALIZED seed keep rate — the
+                // baseline every later batch's drift check compares to
+                val seedRate = keptSeed.count().toDouble / nBefore
+                writeLongSidecar(spark, selState, "threshold", t)
+                writeLongSidecar(spark, selState, "fracmicro",
+                  math.round(frac * 1e6))
+                writeLongSidecar(spark, selState, "seedkeepmicro",
+                  math.round(seedRate * 1e6))
+                graft.queries.TextQueries.qualityWeightsTable(spark, l)
+                  .coalesce(1).write.mode("overwrite").parquet(lamPath)
+                System.err.println("[graft] corpus-pipeline select: frozen model " +
+                  f"fit on seed batch (threshold $t, keep rate $seedRate%.4f)")
+                docs = Some(advance(cur.join(keptSeed, Seq("doc_id"))))
+                rates += "select_keep" -> seedRate
+              }
             }
           case "select" => opts.get("targets") match {
             case Some(p) =>
@@ -717,7 +922,7 @@ object Main {
               // one silent default, not two
               val sel = P.corpusDsirSelectDocs(cur.select("doc_id", "text"), targets,
                 opts.getOrElse("frac", "0.2").toDouble).select("doc_id")
-              advance("select", cur.join(sel, Seq("doc_id")))
+              docs = Some(advance(cur.join(sel, Seq("doc_id"))))
             case None =>
               System.err.println("[graft] corpus-pipeline select SKIPPED (no targets=)")
           }
@@ -731,10 +936,18 @@ object Main {
           case "scrub" if incremental =>
             val scrState = s"${stateDir.get}/scrub"
             val spansPath = s"$scrState/spans"
-            val fsScr = new org.apache.hadoop.fs.Path(scrState)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val fitted = fsScr.exists(new org.apache.hadoop.fs.Path(s"$spansPath/_SUCCESS"))
-            val (w, hot) =
+            val fitted = pExists(s"$spansPath/_SUCCESS")
+            val textOnly = cur.select("doc_id", "text")
+            // every batch (seed included) persists its own span
+            // frequencies under state/scrub/freq/batch=<id> — the
+            // cross-batch evidence the frozen-model caveat needs.
+            // Batches are doc-disjoint (the CDC contract), so summing
+            // df across batch dirs IS the union corpus's distinct-doc
+            // count, and replay overwrites its own dir (idempotent).
+            val freqDir = s"$scrState/freq"
+            val batchFreqPath = s"$freqDir/batch=${batchId.get}"
+            val nBefore = math.max(1L, lastDocs)
+            val (w, md, hot) =
               if (fitted) {
                 val frozenW = readLongSidecar(spark, scrState, "chunkwords").toInt
                 // both fit knobs are part of the frozen model: a
@@ -744,39 +957,81 @@ object Main {
                 opts.get("w").foreach(v => require(v.toInt == frozenW,
                   s"incremental scrub: w=$v conflicts with the frozen chunk width " +
                     s"$frozenW under $scrState — re-seed to change it"))
-                opts.get("mindocs").foreach { v =>
-                  val frozenMd = readLongSidecar(spark, scrState, "mindocs")
-                  require(v.toLong == frozenMd,
-                    s"incremental scrub: mindocs=$v conflicts with the frozen " +
-                      s"fit threshold $frozenMd under $scrState — re-seed to change it")
-                }
-                (frozenW, spark.read.parquet(spansPath)
+                val frozenMd = readLongSidecar(spark, scrState, "mindocs")
+                opts.get("mindocs").foreach(v => require(v.toLong == frozenMd,
+                  s"incremental scrub: mindocs=$v conflicts with the frozen " +
+                    s"fit threshold $frozenMd under $scrState — re-seed to change it"))
+                P.spanFreq(textOnly, frozenW)
+                  .write.mode("overwrite").parquet(batchFreqPath)
+                (frozenW, frozenMd, spark.read.parquet(spansPath)
                   .select(col("h").cast("long")).collect().map(_.getLong(0)))
               } else {
                 val fitW = opts.getOrElse("w", P.ScrubChunkWords.toString).toInt
                 val fitMd = opts.getOrElse("mindocs", P.ScrubMinDocs.toString).toInt
-                val h = P.hotSpans(cur.select("doc_id", "text"), fitW, fitMd)
-                // sidecars FIRST: the spans parquet's _SUCCESS is the
-                // fitted-model commit point (see writeLongSidecar)
-                writeLongSidecar(spark, scrState, "chunkwords", fitW.toLong)
-                writeLongSidecar(spark, scrState, "mindocs", fitMd.toLong)
-                import spark.implicits._
-                h.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(spansPath)
-                System.err.println("[graft] corpus-pipeline scrub: frozen " +
-                  s"${h.length}-span table fit on seed batch (w=$fitW)")
-                (fitW, h)
+                // one frequency pass feeds BOTH the hot-table fit and
+                // the persisted batch evidence
+                val freq = P.spanFreq(textOnly, fitW)
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                val h =
+                  try {
+                    val h0 = P.hotSpansFromFreq(freq, fitMd)
+                    freq.write.mode("overwrite").parquet(batchFreqPath)
+                    h0
+                  } finally freq.unpersist()
+                (fitW, fitMd.toLong, h)
               }
-            advance("scrub", cur.select("doc_id", "lang").join(
-              P.scrubWithSpans(cur.select("doc_id", "text"), w, hot)
-                .select(col("doc_id"), col("text_scrubbed").as("text")),
-              Seq("doc_id")))
+            // scrub under the (frozen or just-fit) table; the batch
+            // HIT RATE (docs that lost >= 1 span) is the scrub stage's
+            // drift observable
+            val scrubbed = P.scrubWithSpans(textOnly, w, hot)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val hitRate =
+              scrubbed.filter(col("n_scrubbed") > 0).count().toDouble / nBefore
+            if (!fitted) {
+              // sidecars (fit knobs + the drift baseline) FIRST: the
+              // spans parquet's _SUCCESS is the fitted-model commit
+              // point (see writeLongSidecar)
+              writeLongSidecar(spark, scrState, "chunkwords", w.toLong)
+              writeLongSidecar(spark, scrState, "mindocs", md)
+              writeLongSidecar(spark, scrState, "seedhitmicro",
+                math.round(hitRate * 1e6))
+              import spark.implicits._
+              hot.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(spansPath)
+              System.err.println("[graft] corpus-pipeline scrub: frozen " +
+                f"${hot.length}-span table fit on seed batch (w=$w, hit rate $hitRate%.4f)")
+              rates += "scrub_hit" -> hitRate
+            } else checkDrift("scrub_hit", scrState, "seedhitmicro", hitRate)
+            docs = Some(advance(cur.select("doc_id", "lang").join(
+              scrubbed.select(col("doc_id"), col("text_scrubbed").as("text")),
+              Seq("doc_id"))))
+            scrubbed.unpersist()
+            // the cross-batch report: spans whose ACCUMULATED distinct
+            // doc count crossed the frozen threshold but are absent
+            // from the frozen table — the templates the frozen model
+            // is provably missing. Advisory (report + persisted
+            // evidence + suggest re-fit), never silent model mutation.
+            val emergent = spark.read.parquet(freqDir)
+              .groupBy("h").agg(sum("df").as("df"))
+              .filter(col("df") >= md)
+              .join(spark.read.parquet(spansPath).select("h"), Seq("h"), "left_anti")
+              .localCheckpoint()
+            val nEmergent = emergent.count()
+            scrubEmergent = Some(nEmergent)
+            if (nEmergent > 0) {
+              emergent.write.mode("overwrite").parquet(s"$scrState/emergent")
+              System.err.println(s"[graft] corpus-pipeline WARNING scrub: $nEmergent " +
+                s"span(s) crossed mindocs=$md ACROSS batches but are not in the " +
+                s"frozen table (evidence at $scrState/emergent) — these templates " +
+                "are NOT being scrubbed; re-seed state/scrub to re-fit " +
+                "(frozen-model discipline: advisory, never silent mutation)")
+            }
           case "scrub" =>
             val scrubbed = P.scrubDocs(cur.select("doc_id", "text"),
               opts.getOrElse("w", P.ScrubChunkWords.toString).toInt,
               opts.getOrElse("mindocs", P.ScrubMinDocs.toString).toInt)
-            advance("scrub", cur.select("doc_id", "lang").join(
+            docs = Some(advance(cur.select("doc_id", "lang").join(
               scrubbed.select(col("doc_id"), col("text_scrubbed").as("text")),
-              Seq("doc_id")))
+              Seq("doc_id"))))
           // mix is SAFE BY DEFAULT: without budget= the stage keeps
           // the full supply and says so — the gate-scale 20k-token
           // literal as a silent default collapsed a 235k-doc sf10 run
@@ -791,7 +1046,7 @@ object Main {
             case None =>
               System.err.println("[graft] corpus-pipeline mix KEEP-ALL " +
                 "(no budget= — pass budget=<tokens> to downsample to a token budget)")
-              stageStats += "mix" -> cur.count()
+              docs = Some(cur.count())
             case Some(b) =>
               mixBudget = Some(b.toLong)
               val toked = P.tokenizeDocs(cur)
@@ -800,19 +1055,42 @@ object Main {
                   opts.getOrElse("alpha", "0.5").toDouble)
                 .select("doc_id").localCheckpoint()
                 finally toked.unpersist()
-              advance("mix", cur.join(kept, Seq("doc_id")))
+              docs = Some(advance(cur.join(kept, Seq("doc_id"))))
           }
           case "shard" =>
             // incremental: the delta's rows land under the STATE's
             // shard tree in a per-batch dir (replay overwrites its own
             // dir). shardDocs' assignment is a pure function of
-            // doc_id, so state/shards/batch=*/shard=k is the same
-            // partition a one-shot run would put those docs in;
-            // shard_pos orders within the batch.
+            // (doc_id, shard COUNT), so state/shards/batch=*/shard=k
+            // is the same partition a one-shot run would put those
+            // docs in — PROVIDED every batch uses one count: the count
+            // is frozen by whichever batch shards first (sidecar
+            // state/shards.txt, next to the shards/ tree) and a later
+            // batch's conflicting shards= refuses like scrub's w= —
+            // a silently different count would scatter the same
+            // doc_id across assignments and the accumulated tree
+            // would no longer equal any one-shot run's.
+            val shardsN =
+              if (!incremental) opts.getOrElse("shards", "16").toInt
+              else {
+                val p = new org.apache.hadoop.fs.Path(s"${stateDir.get}/shards.txt")
+                val fsSh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                if (fsSh.exists(p)) {
+                  val frozen = readLongSidecar(spark, stateDir.get, "shards").toInt
+                  opts.get("shards").foreach(v => require(v.toInt == frozen,
+                    s"incremental shard: shards=$v conflicts with the frozen shard " +
+                      s"count $frozen under ${stateDir.get} — re-seed to change it"))
+                  frozen
+                } else {
+                  val n = opts.getOrElse("shards", "16").toInt
+                  writeLongSidecar(spark, stateDir.get, "shards", n.toLong)
+                  n
+                }
+              }
             val shardOut =
               if (incremental) s"${stateDir.get}/shards/batch=${batchId.get}"
               else s"$base/shards"
-            P.writeShards(cur, opts.getOrElse("shards", "16").toInt, shardOut)
+            P.writeShards(cur, shardsN, shardOut)
             System.err.println(s"[graft] corpus-pipeline shard -> written ($shardOut)")
           case "pack" =>
             val merges = opts.get("merges") match {
@@ -840,58 +1118,146 @@ object Main {
           // recalls fails HERE, at build, not as a serving mystery.
           // The DAG's buckets= belongs to the pack window; both index
           // stores self-size their layout.
+          // CDC-maintained retrieval artifacts — the serving half of a
+          // nightly pipeline: the indexes live under state/ (they
+          // accumulate across batches; out/ is per-run). Whichever
+          // batch runs `index` first SEEDS both indexes over the
+          // ACCUMULATED survivors ∪ this batch (so the step can join
+          // an existing state mid-stream without losing history);
+          // every later batch CDC-adds its own survivors under the
+          // frozen models. PqIndex.add / TextIndex.add are keyed
+          // replaces, so batch replays stay idempotent, and takedowns
+          // ride the standalone index-delete / text-index-delete
+          // commands against the same state dirs. The survivor-binding
+          // guarantee of the batch `index` step is preserved: each
+          // batch indexes exactly what it appended to state/survivors.
+          case "index" if incremental =>
+            val tiDir = s"${stateDir.get}/text_index"
+            val viDir = s"${stateDir.get}/index"
+            val survPath = s"${stateDir.get}/survivors"
+            val tiBuilt = pExists(s"$tiDir/stats.txt")
+            val viBuilt = pExists(s"$viDir/models.txt")
+            // the seed corpus: accumulated survivors EXCLUDING this
+            // batch's own rows (a replay has already appended them —
+            // the anti-join keeps the union duplicate-free), plus cur
+            def fullCorpus(): DataFrame =
+              if (pExists(survPath))
+                spark.read.parquet(survPath).select("doc_id", "lang", "text")
+                  .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+                  .unionByName(cur.select("doc_id", "lang", "text"))
+              else cur.select("doc_id", "lang", "text")
+            val needFull = !tiBuilt || (opts.contains("vectors") && !viBuilt)
+            val full = if (needFull)
+              Some(fullCorpus().persist(StorageLevel.MEMORY_AND_DISK)) else None
+            try {
+              if (!tiBuilt) {
+                textIndex(tiDir).build(full.get.select("doc_id", "text"))
+                System.err.println("[graft] corpus-pipeline index -> text index " +
+                  s"SEEDED over the accumulated survivors ($tiDir)")
+              } else {
+                textIndex(tiDir).add(cur.select("doc_id", "text"))
+                System.err.println(s"[graft] corpus-pipeline index -> text index add ($tiDir)")
+              }
+              opts.get("vectors") match {
+                case Some(vp) =>
+                  if (!viBuilt) {
+                    val vecs = vectors(vp).join(
+                      full.get.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+                    dagPqIndex(viDir).build(vecs,
+                      minRecall = opts.getOrElse("minrecall", "0").toDouble)
+                    System.err.println("[graft] corpus-pipeline index -> vector index " +
+                      s"SEEDED over the accumulated survivors ($viDir)")
+                  } else {
+                    val vecs = vectors(vp).join(
+                      cur.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+                    dagPqIndex(viDir).add(vecs)
+                    System.err.println(s"[graft] corpus-pipeline index -> vector index add ($viDir)")
+                  }
+                case None =>
+                  // an existing vector index a delta silently skips is
+                  // a serving gap, not a preference — say so loudly
+                  if (viBuilt)
+                    System.err.println("[graft] corpus-pipeline WARNING index: the " +
+                      s"vector index at $viDir exists but this batch passed no " +
+                      "vectors= — its survivors are MISSING from the vector side " +
+                      "until an index-add supplies their embeddings")
+                  else
+                    System.err.println(
+                      "[graft] corpus-pipeline index: vector side SKIPPED (no vectors=)")
+              }
+            } finally full.foreach(_.unpersist())
           case "index" =>
-            new graft.similarity.TextIndex(spark, s"$base/text_index",
-              termParts = opts.getOrElse("tparts", "0").toInt)
-              .build(cur.select("doc_id", "text"))
+            textIndex(s"$base/text_index").build(cur.select("doc_id", "text"))
             System.err.println("[graft] corpus-pipeline index -> text index built")
             opts.get("vectors") match {
               case Some(vp) =>
                 val vecs = vectors(vp)
                   .join(cur.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-                // pqk=, not k=: the DAG's flat option namespace already
-                // gives k= to the decontaminate shingle size, and a
-                // silent collision would either degrade the codebook
-                // or (worse) turn decontamination into 256-word
-                // shingles that match nothing — the packbudget=
-                // lesson, applied before it bites
-                new graft.similarity.PqIndex(spark, s"$base/index",
-                  dim = opts.getOrElse("dim", "64").toInt,
-                  m = opts.getOrElse("m", "8").toInt,
-                  k = opts.getOrElse("pqk", "16").toInt,
-                  nCells = opts.getOrElse("cells", "0").toInt,
-                  nProbe = opts.getOrElse("probe", "0").toInt,
-                  opq = opts.getOrElse("opq", "false").toBoolean,
-                  fitSampleN = opts.getOrElse("fitsample", "0").toInt)
+                dagPqIndex(s"$base/index")
                   .build(vecs, minRecall = opts.getOrElse("minrecall", "0").toDouble)
                 System.err.println("[graft] corpus-pipeline index -> vector index built")
               case None =>
                 System.err.println(
                   "[graft] corpus-pipeline index: vector side SKIPPED (no vectors=)")
             }
+          }
+          if (resume && stepIdx >= completedPrefix) {
+            // commit this stage's resume artifact: the transformed
+            // frame where the stage advanced it, a bare marker where
+            // the frame flowed through (side-effect/no-op stages) —
+            // the parquet _SUCCESS / .done file is the completion mark
+            // the next resume scans for
+            val dir = stagePath(stepIdx, step)
+            if (transformStages(step) && docs.isDefined &&
+                !(step == "mix" && mixBudget.isEmpty))
+              cur.select("doc_id", "lang", "text").write.mode("overwrite").parquet(dir)
+            else touch(s"$dir.done")
+          }
+          }
+          docs.foreach(n =>
+            System.err.println(s"[graft] corpus-pipeline $step -> $n docs"))
+          recs += StageRec(step, docs, (System.nanoTime() - tStage) / 1e9, resumed)
         }
         // incremental: survivors APPEND under a per-batch dir of the
         // state (overwrite of the batch's own dir = replay-idempotent;
         // reading state/survivors unions every committed batch via
         // partition discovery). Full run: the single survivors dir.
+        val tSurv = System.nanoTime()
         val survivorsOut =
           if (incremental) s"${stateDir.get}/survivors/batch=${batchId.get}"
           else s"$base/survivors"
         cur.select("doc_id", "lang", "text")
           .write.mode("overwrite").parquet(survivorsOut)
         val rowsOut = cur.count()
-        stageStats += "survivors" -> rowsOut
+        recs += StageRec("survivors", Some(rowsOut), (System.nanoTime() - tSurv) / 1e9)
         // incremental runs also record their replay key: a scheduler
         // auditing state/.../batch=* dirs can tie each run record to
         // its batch without parsing stderr
         val batchField =
           if (incremental) s""""batch":${batchId.get},""" else ""
-        val statsJson = stageStats
-          .map { case (k, v) => s"""{"stage":"$k","docs":$v}""" }
-          .mkString(
-            s"""{$batchField"mix_budget_tokens":${
-              mixBudget.map(_.toString).getOrElse("null")},"stages":[""",
-            ",", "]}")
+        // walls at ms resolution, rates at 1e-6 (Double.toString —
+        // locale-safe, valid JSON including any exponent form)
+        def r3(x: Double): Double = math.rint(x * 1000) / 1000
+        val ratesField =
+          if (rates.isEmpty) ""
+          else rates.map { case (k, v) => s""""$k":${math.rint(v * 1e6) / 1e6}""" }
+            .mkString(""""rates":{""", ",", "},")
+        val driftField =
+          if (driftWarnings.isEmpty) ""
+          else driftWarnings.map(m => "\"" + m.replace("\"", "'") + "\"")
+            .mkString(""""drift_warnings":[""", ",", "],")
+        val emergentField =
+          scrubEmergent.map(n => s""""scrub_emergent_spans":$n,""").getOrElse("")
+        val stagesJson = recs.map { r =>
+          s"""{"stage":"${r.stage}"""" +
+            r.docs.map(d => s""","docs":$d""").getOrElse("") +
+            s""","sec":${r3(r.sec)}""" +
+            (if (r.resumed) ""","resumed":true""" else "") + "}"
+        }.mkString("[", ",", "]")
+        val statsJson =
+          s"""{$batchField"mix_budget_tokens":${
+            mixBudget.map(_.toString).getOrElse("null")},""" +
+            ratesField + driftField + emergentField + s""""stages":$stagesJson}"""
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(base, "stats.json"), statsJson + "\n")
@@ -996,6 +1362,43 @@ object Main {
     org.apache.hadoop.fs.FileContext
       .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** [[readLongSidecar]] that tolerates absence — for sidecars ADDED
+    * to the frozen-model set after states already existed in the wild
+    * (the drift-baseline rates): an old state tree simply has no
+    * baseline, so the drift check is skipped rather than refused. */
+  private def readLongSidecarIfExists(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String, name: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(readLongSidecar(spark, dir, name)) else None
+  }
+
+  /** Atomic small-text publish (the [[writeLongSidecar]] rename
+    * discipline for arbitrary content — the resume plan record). */
+  private def writeTextFileAtomic(spark: org.apache.spark.sql.SparkSession,
+                                  pathStr: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${p.getParent}/.tmp-${p.getName}-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readTextFile(spark: org.apache.spark.sql.SparkSession,
+                           pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   private def readLongSidecar(spark: org.apache.spark.sql.SparkSession,

@@ -523,13 +523,17 @@ class MainSpec extends SparkSpec {
     assert(packs.forall(p => !p.getSeq[Int](2).contains(-1)), "self-trained vocab: no OOV")
     assert(spark.read.parquet(s"$base/out/merges").count() > 0)
     assert(spark.read.parquet(s"$base/out/vocab").count() > 0)
-    // the run record: stats.json carries the per-stage counts in order
+    // the run record: stats.json carries EVERY step in execution
+    // order (side-effect stages included — their wall time is the
+    // curator's first question about a slow run) plus input/survivors
     val stats = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$base/out", "stats.json"))
     val stages = """"stage":"([a-z]+)"""".r.findAllMatchIn(stats).map(_.group(1)).toSeq
     assert(stages == Seq("input", "clean", "decontaminate", "scrub", "select",
-      "mix", "survivors"), s"stage order in stats.json: $stages ($stats)")
+      "mix", "shard", "pack", "survivors"), s"stage order in stats.json: $stages ($stats)")
     assert(stats.contains(s""""stage":"survivors","docs":${ids.size}"""), stats)
+    // every stage entry carries its wall seconds
+    assert(""""sec":""".r.findAllMatchIn(stats).size == stages.size, stats)
     // the budget the mix stage actually applied is in the run record
     assert(stats.contains(""""mix_budget_tokens":800"""), stats)
   }
@@ -556,6 +560,83 @@ class MainSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/out", "stats.json"))
     assert(stats.contains(""""mix_budget_tokens":null"""), stats)
     assert(stats.contains(""""stage":"mix","docs":40"""), stats)
+  }
+
+  test("corpus-pipeline resume=true: re-runs adopt completed stages; a tampered prefix PROVES adoption; plan conflicts refuse") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_resume").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    val footer = "subscribe newsletter daily updates" // 4 words, w=4-aligned
+    def content(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    // footer FIRST so its chunk stays w=4-aligned after the 60-word body
+    val docs = (0L until 10L).map(i => (i, "en", footer + " " + content(i)))
+    docs.toDF("doc_id", "lang", "text").write.parquet(s"$base/docs.parquet")
+    val args = Seq("corpus-pipeline", s"in=$base/docs.parquet", s"out=$base/out",
+      "steps=clean,scrub,shard", "w=4", "mindocs=3", "shards=2", "resume=true")
+    def survivors(): Set[Long] = spark.read.parquet(s"$base/out/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def stats(): String =
+      Files.readString(java.nio.file.Paths.get(s"$base/out", "stats.json"))
+
+    val r1 = Main.runPipeline(spark, args)
+    assert(r1.rowsOut == 10, s"clean run: $r1")
+    assert(survivors() == (0L until 10L).toSet)
+    // stage artifacts committed: transform stages leave their frame,
+    // side-effect stages a bare marker, plus the plan record
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/out/stages/0_clean/_SUCCESS")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/out/stages/1_scrub/_SUCCESS")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/out/stages/2_shard.done")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/out/stages/plan.txt")))
+    assert(!stats().contains("resumed"), stats())
+
+    // a full re-run adopts every stage and says so in the run record
+    val r2 = Main.runPipeline(spark, args)
+    assert(r2.rowsOut == 10)
+    assert(survivors() == (0L until 10L).toSet)
+    assert(""""resumed":true""".r.findAllMatchIn(stats()).size == 3,
+      s"all three stages adopt on a complete re-run: ${stats()}")
+
+    // the adoption PROOF: tamper the committed clean output (drop doc
+    // 0), invalidate the later stages, re-run — the final survivors
+    // must reflect the tampered frame, which only happens if the
+    // resumed run READ it instead of recomputing clean from raw input
+    // (raw still holds doc 0)
+    val cleanDir = s"$base/out/stages/0_clean"
+    val tampered = spark.read.parquet(cleanDir)
+      .filter(col("doc_id") =!= 0L).localCheckpoint()
+    tampered.write.mode("overwrite").parquet(cleanDir)
+    def rmTree(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    rmTree(s"$base/out/stages/1_scrub")
+    rmTree(s"$base/out/stages/2_shard.done")
+    val r3 = Main.runPipeline(spark, args)
+    assert(r3.rowsOut == 9, s"resume must adopt the tampered clean frame: $r3")
+    assert(survivors() == (1L until 10L).toSet)
+    // the downstream stages really ran over the adopted frame
+    assert(spark.read.parquet(s"$base/out/survivors")
+      .filter(col("text").contains("subscribe")).count() == 0L,
+      "scrub recomputed over the adopted clean output")
+
+    // a resume whose plan differs from the crashed run's refuses —
+    // silently composing half-old half-new stage outputs is worse
+    // than starting over
+    val ePlan = intercept[IllegalArgumentException](
+      Main.runPipeline(spark, args.filterNot(_ == "mindocs=3") :+ "mindocs=4"))
+    assert(ePlan.getMessage.contains("plan differs"), ePlan.getMessage)
+
+    // incremental batches already have a replay unit (the batch):
+    // resume= refuses there rather than meaning something ambiguous
+    val eIncr = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/docs.parquet", s"out=$base/out2",
+        "incremental=true", s"state=$base/state", "batch=1", "resume=true")))
+    assert(eIncr.getMessage.contains("full runs only"), eIncr.getMessage)
   }
 
   test("corpus-pipeline incremental: two batches == one batch on the union; replay-idempotent; non-delta steps refuse") {
@@ -621,6 +702,23 @@ class MainSpec extends SparkSpec {
     assert(incr.keySet == expect, s"shards cover the survivors: ${incr.keySet}")
     assert(incr == shardOf(s"$base/state1"),
       "per-batch sharding must equal the one-shot assignment")
+
+    // the shard count is FROZEN by the first sharding batch (sidecar
+    // next to the tree): a later batch's conflicting shards= refuses —
+    // a silently different count would scatter the same doc_id across
+    // assignments and the accumulated tree would match no one-shot run
+    val eShards = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/b.parquet", s"out=$base/out3",
+        "incremental=true", s"state=$base/state", "batch=4",
+        s"evals=$base/evals.parquet", "shards=5")))
+    assert(eShards.getMessage.contains("frozen shard count"), eShards.getMessage)
+    // absent shards= adopts the frozen count (no false refusal, no
+    // silent fallback to the 16 default)
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/b.parquet",
+      s"out=$base/out3", "incremental=true", s"state=$base/state", "batch=2",
+      s"evals=$base/evals.parquet"))
+    assert(shardOf(s"$base/state") == incr,
+      "a shards=-less replay under the frozen count must reproduce the assignment")
 
     // the run record carries the replay key
     val incrStats = java.nio.file.Files.readString(
@@ -761,6 +859,180 @@ class MainSpec extends SparkSpec {
     assert(texts() == t)
   }
 
+  test("corpus-pipeline incremental select: a delta whose keep rate drifts from the seed calibration warns; healthy deltas stay quiet") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_drift").toString
+    val onVocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    val offVocab = Seq("recipe", "butter", "flour", "oven", "bake",
+      "sugar", "dough", "pan", "stir", "cream", "salt", "yeast")
+    def content(vocab: Seq[String], seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    def write(name: String, docs: Seq[(Long, String, String)]): String = {
+      val p = s"$base/$name.parquet"
+      docs.toDF("doc_id", "lang", "text").write.parquet(p)
+      p
+    }
+    val seedP = write("seed", (0L until 10L).map(i => (i, "en", content(onVocab, i))) ++
+      (20L until 30L).map(i => (i, "en", content(offVocab, i))))
+    (100L until 110L).map(i => (i, content(onVocab, 1000L + i)))
+      .toDF("doc_id", "text").write.parquet(s"$base/targets.parquet")
+    def run(in: String, batch: Long, extra: Seq[String] = Nil) =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$in",
+        s"out=$base/out", "steps=select", "incremental=true",
+        s"state=$base/state", s"batch=$batch") ++ extra)
+    def stats(): String =
+      Files.readString(java.nio.file.Paths.get(s"$base/out", "stats.json"))
+
+    // seed: 50/50 on/off at frac=0.5 calibrates keep rate 0.5 — the
+    // baseline lands in the run record AND the frozen state
+    run(seedP, 1L, Seq(s"targets=$base/targets.parquet", "frac=0.5"))
+    assert(stats().contains(""""rates":{"select_keep":0.5}"""), stats())
+    assert(!stats().contains("drift_warnings"), stats())
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$base/state/select", "seedkeepmicro.txt")))
+
+    // a healthy delta (same on/off mix → same realized rate) is quiet:
+    // the band must not cry wolf on ordinary supply
+    val okP = write("ok", (40L until 45L).map(i => (i, "en", content(onVocab, 2000L + i))) ++
+      (50L until 55L).map(i => (i, "en", content(offVocab, 2000L + i))))
+    run(okP, 2L)
+    assert(stats().contains(""""select_keep":0.5"""), stats())
+    assert(!stats().contains("drift_warnings"), stats())
+
+    // an off-domain delta collapses the keep rate — previously
+    // indistinguishable from healthy; now it's a loud advisory in the
+    // run record, and ONLY an advisory: the frozen model still decides
+    val badP = write("bad", (60L until 70L).map(i => (i, "en", content(offVocab, 3000L + i))))
+    val rBad = run(badP, 3L)
+    assert(rBad.rowsOut == 0, s"the frozen model still drops off-domain docs: $rBad")
+    assert(stats().contains(""""select_keep":0.0"""), stats())
+    assert(stats().contains(""""drift_warnings":["select_keep rate drift"""), stats())
+    assert(stats().contains("seed calibration 0.5"), stats())
+  }
+
+  test("corpus-pipeline incremental scrub: cross-batch span accumulation reports emergent templates; hit-rate drift warns") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_emrg").toString
+    val footer = "subscribe newsletter daily updates" // 4 words, w=4-aligned
+    val tplY = "brand new template words"             // 4 words, never seed-hot
+    def doc(i: Long, tail: String) =
+      (i, "en", (1 to 8).map(j => s"w${i}x$j").mkString(" ") + " " + tail)
+    def write(name: String, docs: Seq[(Long, String, String)]): String = {
+      val p = s"$base/$name.parquet"
+      docs.toDF("doc_id", "lang", "text").write.parquet(p)
+      p
+    }
+    def run(in: String, batch: Long, extra: Seq[String] = Nil) =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$in",
+        s"out=$base/out", "steps=scrub", "incremental=true",
+        s"state=$base/state", s"batch=$batch") ++ extra)
+    def stats(): String =
+      Files.readString(java.nio.file.Paths.get(s"$base/out", "stats.json"))
+    def texts(): Map[Long, String] = spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // seed: footer in 5 docs (hot at mindocs=3, frozen), template Y in
+    // only 2 (df=2 < 3 — NOT in the frozen table)
+    val seedP = write("seed",
+      (0L until 5L).map(doc(_, footer)) ++ (5L until 7L).map(doc(_, tplY)))
+    run(seedP, 1L, Seq("w=4", "mindocs=3"))
+    assert(stats().contains(""""scrub_emergent_spans":0"""),
+      s"the seed's own spans can never be emergent: ${stats()}")
+    assert(texts()(5L).contains("brand"), "a 2-doc seed template stays un-scrubbed")
+
+    // delta: 2 MORE template-Y docs (accumulated df = 4 crosses
+    // mindocs ACROSS batches) + 1 footer doc. The frozen model still
+    // keeps Y (advisory, never silent mutation) — but the run record
+    // now carries the evidence: 1 emergent span, persisted for audit,
+    // plus the hit-rate drift (1/3 vs the seed's 5/7)
+    val deltaP = write("delta",
+      (100L until 102L).map(doc(_, tplY)) :+ doc(102L, footer))
+    run(deltaP, 2L)
+    val t = texts()
+    assert((100L until 102L).forall(i => t(i).contains("brand")),
+      "frozen-model discipline: the emergent template is NOT scrubbed until a re-seed")
+    assert(!t(102L).contains("subscribe"), "the frozen footer span still scrubs")
+    assert(stats().contains(""""scrub_emergent_spans":1"""), stats())
+    assert(stats().contains(""""drift_warnings":["scrub_hit rate drift"""), stats())
+    assert(spark.read.parquet(s"$base/state/scrub/emergent").count() == 1L,
+      "the emergent evidence is persisted for audit/re-fit")
+
+    // replay of the delta must not double-count its frequencies (the
+    // batch dir overwrites itself): still exactly 1 emergent span
+    run(deltaP, 2L)
+    assert(stats().contains(""""scrub_emergent_spans":1"""), stats())
+    assert(texts() == t, "replay idempotent")
+
+    // the evidence is cumulative state, not a per-batch flash: a later
+    // batch with NO template-Y docs still reports the crossed span
+    val thirdP = write("third", Seq(doc(200L, footer)))
+    run(thirdP, 3L)
+    assert(stats().contains(""""scrub_emergent_spans":1"""),
+      s"accumulated evidence must persist across batches: ${stats()}")
+  }
+
+  test("corpus-pipeline incremental decontaminate: eval state frozen on seed; deltas run evals-free; conflicts refuse") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_fdec").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    Seq((900L, body(200L))).toDF("doc_id", "text").write.parquet(s"$base/e1.parquet")
+    Seq((901L, body(300L))).toDF("doc_id", "text").write.parquet(s"$base/e2.parquet")
+    def write(name: String, docs: Seq[(Long, String, String)]): String = {
+      val p = s"$base/$name.parquet"
+      docs.toDF("doc_id", "lang", "text").write.parquet(p)
+      p
+    }
+    def run(in: String, batch: Long, extra: Seq[String] = Nil) =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$in",
+        s"out=$base/out", "steps=decontaminate", "incremental=true",
+        s"state=$base/state", s"batch=$batch") ++ extra)
+
+    // seed: 5 fresh docs + 1 verbatim eval copy; evals= fits the
+    // frozen state (gram table + evals copy + fingerprint sidecars)
+    val seedP = write("seed",
+      (0L until 5L).map(i => (i, "en", body(i))) :+ ((5L, "en", body(200L))))
+    val rA = run(seedP, 1L, Seq(s"evals=$base/e1.parquet"))
+    assert(rA.rowsOut == 5, s"seed drops the eval copy: $rA")
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$base/state/decontaminate/grams/_SUCCESS")))
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$base/state/decontaminate", "fingerprint.txt")))
+
+    // the point of freezing: a delta batch decontaminates WITHOUT
+    // reading evals= — exact copy AND near copy both dropped under
+    // the frozen gram table / evals copy
+    val deltaP = write("delta", (10L until 13L).map(i => (i, "en", body(100L + i))) ++
+      Seq((13L, "en", body(200L)), (14L, "en", body(200L) + " tailzz")))
+    val rB = run(deltaP, 2L)
+    assert(rB.rowsOut == 3,
+      s"delta drops exact (13) and near (14) eval copies evals-free: $rB")
+    assert(spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ((0L until 5L) ++ (10L until 13L)).toSet)
+
+    // a DIFFERENT evals= on a later batch refuses: batches must never
+    // be decontaminated against silently different contracts
+    val eFp = intercept[IllegalArgumentException](
+      run(deltaP, 3L, Seq(s"evals=$base/e2.parquet")))
+    assert(eFp.getMessage.contains("fingerprint mismatch"), eFp.getMessage)
+    // the SAME evals= passes the fingerprint check (no false refusal)
+    run(deltaP, 2L, Seq(s"evals=$base/e1.parquet"))
+    // the shingle size is part of the frozen model
+    val eK = intercept[IllegalArgumentException](run(deltaP, 3L, Seq("k=7")))
+    assert(eK.getMessage.contains("frozen"), eK.getMessage)
+  }
+
   test("corpus-pipeline: opt-in index step builds validated retrieval artifacts (minrecall floor enforced)") {
     val s = spark
     import s.implicits._
@@ -802,6 +1074,114 @@ class MainSpec extends SparkSpec {
       s"in=$base/docs.parquet", s"out=$base/out2", "steps=index",
       s"vectors=$base/vecs.parquet", "cells=500", "probe=1", "minrecall=0.6")))
     assert(err.getMessage.contains("recall validation"), err.getMessage)
+  }
+
+  test("corpus-pipeline incremental index: seed builds over survivors, deltas CDC-add, replay idempotent, takedown composes") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_iidx").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    // letters-only per-cluster marker (the index tokenizer is letter
+    // runs; a digit-bearing marker would vanish)
+    def cword(c: Long) = s"cl${('a' + c / 10).toChar}${('a' + c % 10).toChar}"
+    // 30 tight clusters × 10 members, split WITHIN clusters: members
+    // 0-4 arrive in batch A (the seed — so the frozen quantizers cover
+    // every cluster direction), members 5-9 in batch B (the CDC adds).
+    // An out-of-domain delta is a drift problem, not an index-plumbing
+    // one — the select-drift spec owns that story.
+    val vecs = for (c <- 0 until 30; i <- 0 until 10) yield {
+      val anchor = graft.VecFixtures.unit(64, 7000L + c)
+      val rnd = new scala.util.Random(c * 1000L + i)
+      ((c * 10 + i).toLong, anchor.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    def docRow(id: Long) = (id, "en", s"${cword(id / 10)} ${body(id)}")
+    val allIds = (0L until 300L)
+    val batchA = allIds.filter(_ % 10 < 5).map(docRow)
+    // batch B carries a near-dup of doc 0 (id 900): clean drops it, so
+    // its vector must never reach the index (the survivor binding the
+    // batch `index` step guarantees, preserved incrementally)
+    val batchB = allIds.filter(_ % 10 >= 5).map(docRow) :+
+      ((900L, "en", s"${cword(0)} ${body(0)} tailzz"))
+    batchA.toDF("doc_id", "lang", "text").write.parquet(s"$base/a.parquet")
+    batchB.toDF("doc_id", "lang", "text").write.parquet(s"$base/b.parquet")
+    (batchA ++ batchB).toDF("doc_id", "lang", "text").write.parquet(s"$base/all.parquet")
+    (vecs :+ ((900L, graft.VecFixtures.unit(64, 7000L))))
+      .toDF("id", "vec").write.parquet(s"$base/vecs.parquet")
+    def run(in: String, state: String, batch: Long) = Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$in", s"out=$base/out", "steps=clean,index",
+        "incremental=true", s"state=$state", s"batch=$batch",
+        s"vectors=$base/vecs.parquet"))
+    run(s"$base/a.parquet", s"$base/state", 1L)
+    run(s"$base/b.parquet", s"$base/state", 2L)
+
+    // the vector index holds EXACTLY the accumulated survivors — every
+    // batch-A and batch-B member, never the cleaned-away 900
+    def codeIds(state: String): Set[Long] =
+      new graft.sources.SnapshotStore(spark, s"$state/index/codes", key = "neighbor_id")
+        .read().get.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(codeIds(s"$base/state") == (0L until 300L).toSet,
+      "codes == survivors of both batches (survivor binding, no 900)")
+
+    // text side: both batches servable from the accumulated state, and
+    // the serve is IDENTICAL to an index seeded over the whole union
+    // in one batch (the TextIndex add-parity contract, end to end)
+    run(s"$base/all.parquet", s"$base/state1", 1L)
+    def hits(state: String): Seq[(Int, Int, Long, Long)] = {
+      val ti = new graft.similarity.TextIndex(spark, s"$state/text_index")
+      ti.search(Seq(1 -> cword(3), 2 -> cword(20)), topK = 10)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    }
+    val twoBatch = hits(s"$base/state")
+    assert(twoBatch == hits(s"$base/state1"),
+      "two-batch text serve must equal the one-shot union build")
+    assert(twoBatch.filter(_._1 == 1).map(_._3).toSet == (30L until 40L).toSet)
+    assert(twoBatch.filter(_._1 == 2).map(_._3).toSet == (200L until 210L).toSet)
+
+    // vector side: a batch-B member's query retrieves its cluster, and
+    // the top-10 contains batch-B-ADDED ids — the codes written under
+    // the frozen batch-A models are genuinely servable, not just
+    // present in the store. (Tight clusters share PQ codes, so ADC
+    // ties break by neighbor_id — self-rank is not the observable;
+    // cluster membership is.)
+    val vi = new graft.similarity.PqIndex(spark, s"$base/state/index")
+    val qs = ((75L until 80L) ++ (205L until 210L))
+      .map(id => (id, vecs(id.toInt)._2)).toDF("id", "vec")
+    val byQuery = vi.topK(qs, 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    qs.collect().map(_.getLong(0)).foreach { q =>
+      val cluster = (q / 10 * 10) until (q / 10 * 10 + 10)
+      val inCluster = byQuery(q).count(cluster.contains)
+      assert(inCluster >= 8, s"query $q cluster recall@10: $inCluster (${byQuery(q)})")
+      val added = byQuery(q).count(id => cluster.contains(id) && id % 10 >= 5)
+      assert(added >= 3, s"query $q must surface batch-B-added codes: ${byQuery(q)}")
+    }
+
+    // replay of batch B is idempotent: keyed replaces, no duplicate
+    // codes, text serve unchanged
+    run(s"$base/b.parquet", s"$base/state", 2L)
+    val perId = new graft.sources.SnapshotStore(spark, s"$base/state/index/codes",
+      key = "neighbor_id").read().get
+      .groupBy("neighbor_id").count().filter(col("count") > 1).count()
+    assert(perId == 0L, "replay must not duplicate any code row")
+    assert(hits(s"$base/state") == twoBatch, "replay leaves the text serve unchanged")
+
+    // takedown rides the standalone maintenance commands against the
+    // SAME state dirs the DAG maintains
+    Seq((205L, 0)).toDF("id", "x").select("id")
+      .write.parquet(s"$base/takedown.parquet")
+    Main.runPipeline(spark, Seq("index-delete", s"in=$base/takedown.parquet",
+      s"index=$base/state/index"))
+    Main.runPipeline(spark, Seq("text-index-delete", s"in=$base/takedown.parquet",
+      "idcol=id", s"index=$base/state/text_index"))
+    assert(!codeIds(s"$base/state").contains(205L), "vector takedown")
+    assert(!hits(s"$base/state").map(_._3).contains(205L), "text takedown")
   }
 
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
