@@ -90,6 +90,14 @@ class PqIndex(spark: SparkSession, dir: String,
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** True iff a COMPLETE build committed: frozen models on disk AND a
+    * committed codes manifest. `models.txt` alone is NOT it — [[build]]
+    * writes the models before the (much longer) full-corpus encode, so
+    * a crash in between leaves models without codes; a caller adopting
+    * that as "built" would CDC-[[add]] onto a store that never saw the
+    * seed corpus and silently lose it. */
+  def isBuilt: Boolean = fs.exists(modelPath) && store.exists
+
   /** Fit quantizers on `corpus` (`(id, vec)`), persist them, and
     * (re-)encode the full corpus. With `opq` the rotation is learned
     * first and the coarse + residual quantizers are fit in the

@@ -25,7 +25,17 @@ class PqIndexSpec extends SparkSpec {
   test("built index serves the same top-k as the inline IVF-PQ query") {
     val base = java.nio.file.Files.createTempDirectory("graft_pqindex").toString
     val index = new PqIndex(spark, s"$base/idx")
+    // isBuilt is the COMMIT test, not a models.txt probe: build writes
+    // the models before the (long) full encode, so models-without-codes
+    // is a crashed build, not a built index — a caller adopting it
+    // would CDC-add onto a store that never saw the seed corpus
+    assert(!index.isBuilt, "fresh dir is not built")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/idx"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/idx", "models.txt"), "partial\n")
+    assert(!index.isBuilt, "models.txt without a committed codes manifest is a crashed build")
     index.build(corpus)
+    assert(index.isBuilt, "a committed build reports built")
     val (model, coarse) = index.models()
     val served = index.topK(queries, SimilarityQueries.K)
     val inline = Pq.ivfPqTopK(queries, corpus, SimilarityQueries.K, SimilarityQueries.Dim,
