@@ -104,7 +104,7 @@ object Main {
     "text-index-compact", "text-index-vacuum",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
-    "corpus-scrub", "quality-score", "quality-train", "langid",
+    "corpus-scrub", "scrub-refit", "quality-score", "quality-train", "langid",
     "bpe-train", "bpe-encode", "corpus-pack",
     "corpus-pipeline", "query", "sql")
 
@@ -748,6 +748,10 @@ object Main {
             // flows through unchanged
             if (pExists(s"$dir/_SUCCESS"))
               docs = Some(advance(spark.read.parquet(dir)))
+            // an adopted mix stage ran under THIS plan's budget= (plan
+            // conflicts refuse above), so the run record must carry it
+            // — a null here would misread as keep-all
+            if (step == "mix") mixBudget = opts.get("budget").map(_.toLong)
             System.err.println(s"[graft] corpus-pipeline $step -> resumed" +
               docs.map(n => s" ($n docs)").getOrElse(""))
           } else {
@@ -854,9 +858,7 @@ object Main {
           case "select" if incremental =>
             val selState = s"${stateDir.get}/select"
             val lamPath = s"$selState/lambda"
-            val fsSel = new org.apache.hadoop.fs.Path(selState)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val fitted = fsSel.exists(new org.apache.hadoop.fs.Path(s"$lamPath/_SUCCESS"))
+            val fitted = pExists(s"$lamPath/_SUCCESS")
             if (!fitted && opts.get("targets").isEmpty)
               // no frozen model and nothing to fit one from: skip like
               // the non-incremental form — selection participates only
@@ -864,7 +866,8 @@ object Main {
               System.err.println("[graft] corpus-pipeline select SKIPPED " +
                 "(no frozen model under state/select and no targets= to fit one)")
             else {
-              val nBefore = math.max(1L, lastDocs)
+              val nIn = lastDocs
+              val nBefore = math.max(1L, nIn)
               if (fitted) {
                 // calibration knobs are part of the frozen model: a
                 // conflicting frac= refuses like scrub's w= — using
@@ -885,9 +888,12 @@ object Main {
                 // the drift signal: a delta whose realized keep rate
                 // diverges from the seed calibration is flagged — the
                 // one number that separates healthy supply noise from
-                // an off-domain delta the frozen model mis-scores
-                checkDrift("select_keep", selState, "seedkeepmicro",
-                  docs.get.toDouble / nBefore)
+                // an off-domain delta the frozen model mis-scores. An
+                // EMPTY delta (every doc deduped upstream — a normal
+                // CDC event) has no rate: 0/0 must not cry wolf
+                if (nIn > 0)
+                  checkDrift("select_keep", selState, "seedkeepmicro",
+                    docs.get.toDouble / nBefore)
               } else {
                 val frac = opts.getOrElse("frac", "0.2").toDouble
                 val targets = spark.read.parquet(opts("targets"))
@@ -896,12 +902,15 @@ object Main {
                 // kept set rather than re-scanning the seed text
                 val (l, t, keptSeed) = P.dsirFitModel(
                   cur.select("doc_id", "text"), targets, frac)
+                // the advance's count IS the kept count (keptSeed ids
+                // are distinct and ⊆ cur's) — no second count job
+                docs = Some(advance(cur.join(keptSeed, Seq("doc_id"))))
+                val seedRate = docs.get.toDouble / nBefore
                 // sidecars FIRST: the lambda parquet's _SUCCESS is
                 // the fitted-model commit point, so a crash before
                 // it leaves a re-fittable state, never a half-model.
                 // seedkeepmicro is the REALIZED seed keep rate — the
                 // baseline every later batch's drift check compares to
-                val seedRate = keptSeed.count().toDouble / nBefore
                 writeLongSidecar(spark, selState, "threshold", t)
                 writeLongSidecar(spark, selState, "fracmicro",
                   math.round(frac * 1e6))
@@ -911,7 +920,6 @@ object Main {
                   .coalesce(1).write.mode("overwrite").parquet(lamPath)
                 System.err.println("[graft] corpus-pipeline select: frozen model " +
                   f"fit on seed batch (threshold $t, keep rate $seedRate%.4f)")
-                docs = Some(advance(cur.join(keptSeed, Seq("doc_id"))))
                 rates += "select_keep" -> seedRate
               }
             }
@@ -946,7 +954,8 @@ object Main {
             // count, and replay overwrites its own dir (idempotent).
             val freqDir = s"$scrState/freq"
             val batchFreqPath = s"$freqDir/batch=${batchId.get}"
-            val nBefore = math.max(1L, lastDocs)
+            val nIn = lastDocs
+            val nBefore = math.max(1L, nIn)
             val (w, md, hot) =
               if (fitted) {
                 val frozenW = readLongSidecar(spark, scrState, "chunkwords").toInt
@@ -1000,7 +1009,19 @@ object Main {
               System.err.println("[graft] corpus-pipeline scrub: frozen " +
                 f"${hot.length}-span table fit on seed batch (w=$w, hit rate $hitRate%.4f)")
               rates += "scrub_hit" -> hitRate
-            } else checkDrift("scrub_hit", scrState, "seedhitmicro", hitRate)
+            } else if (nIn > 0) {
+              // an empty delta has no hit rate: 0/0 must not cry wolf.
+              // A missing baseline means a scrub-refit retired it with
+              // the old model — the first post-refit batch's realized
+              // rate becomes the new one (self-healing, logged)
+              if (readLongSidecarIfExists(spark, scrState, "seedhitmicro").isEmpty) {
+                writeLongSidecar(spark, scrState, "seedhitmicro",
+                  math.round(hitRate * 1e6))
+                System.err.println("[graft] corpus-pipeline scrub: drift baseline " +
+                  f"re-established at $hitRate%.4f (first batch under a re-fit model)")
+              }
+              checkDrift("scrub_hit", scrState, "seedhitmicro", hitRate)
+            }
             docs = Some(advance(cur.select("doc_id", "lang").join(
               scrubbed.select(col("doc_id"), col("text_scrubbed").as("text")),
               Seq("doc_id"))))
@@ -1073,9 +1094,7 @@ object Main {
             val shardsN =
               if (!incremental) opts.getOrElse("shards", "16").toInt
               else {
-                val p = new org.apache.hadoop.fs.Path(s"${stateDir.get}/shards.txt")
-                val fsSh = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                if (fsSh.exists(p)) {
+                if (pExists(s"${stateDir.get}/shards.txt")) {
                   val frozen = readLongSidecar(spark, stateDir.get, "shards").toInt
                   opts.get("shards").foreach(v => require(v.toInt == frozen,
                     s"incremental shard: shards=$v conflicts with the frozen shard " +
@@ -1135,23 +1154,41 @@ object Main {
             val tiDir = s"${stateDir.get}/text_index"
             val viDir = s"${stateDir.get}/index"
             val survPath = s"${stateDir.get}/survivors"
+            // completion markers: stats.txt is TextIndex.build's LAST
+            // write, so its presence marks a committed build. The
+            // vector side needs isBuilt (models on disk AND a committed
+            // codes manifest): PqIndex.build writes models.txt BEFORE
+            // the much longer full encode, and adopting a crashed seed
+            // as "built" would CDC-add onto a store that never saw the
+            // seed corpus — batches silently missing from serving.
             val tiBuilt = pExists(s"$tiDir/stats.txt")
-            val viBuilt = pExists(s"$viDir/models.txt")
+            val viBuilt = dagPqIndex(viDir).isBuilt
             // the seed corpus: accumulated survivors EXCLUDING this
             // batch's own rows (a replay has already appended them —
             // the anti-join keeps the union duplicate-free), plus cur
+            val survExists = pExists(survPath)
             def fullCorpus(): DataFrame =
-              if (pExists(survPath))
+              if (survExists)
                 spark.read.parquet(survPath).select("doc_id", "lang", "text")
                   .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
                   .unionByName(cur.select("doc_id", "lang", "text"))
               else cur.select("doc_id", "lang", "text")
             val needFull = !tiBuilt || (opts.contains("vectors") && !viBuilt)
-            val full = if (needFull)
+            // only persist (and thus only unpersist) a frame that is
+            // NOT plan-identical to cur: with no prior survivors,
+            // fullCorpus IS cur modulo a no-op projection, and Spark's
+            // cache identity is the CANONICALIZED plan — persisting it
+            // re-registers cur's own cache entry and the unpersist in
+            // the finally would evict it, forcing the survivors write
+            // after this stage to recompute the entire lineage from
+            // raw input (observed at sf100: a 4.5M-doc seed re-ran
+            // clean's near-dup shingling inside the survivors write)
+            val full = if (needFull && survExists)
               Some(fullCorpus().persist(StorageLevel.MEMORY_AND_DISK)) else None
+            def fullOrCur: DataFrame = full.getOrElse(fullCorpus())
             try {
               if (!tiBuilt) {
-                textIndex(tiDir).build(full.get.select("doc_id", "text"))
+                textIndex(tiDir).build(fullOrCur.select("doc_id", "text"))
                 System.err.println("[graft] corpus-pipeline index -> text index " +
                   s"SEEDED over the accumulated survivors ($tiDir)")
               } else {
@@ -1160,16 +1197,36 @@ object Main {
               }
               opts.get("vectors") match {
                 case Some(vp) =>
+                  val scope = if (viBuilt) cur else fullOrCur
+                  val ids = scope.select(col("doc_id").as("id"))
+                  val vecs = vectors(vp).join(ids, Seq("id"), "left_semi")
+                  // a survivor the supplied embeddings don't cover is
+                  // silently absent from vector serving — the same gap
+                  // the vectors=-absent case below warns about, so a
+                  // PARTIAL vectors= must warn too (one anti-join
+                  // count next to the build/add it gates on)
+                  val uncovered = ids.join(vectors(vp), Seq("id"), "left_anti").count()
+                  if (uncovered > 0)
+                    System.err.println("[graft] corpus-pipeline WARNING index: " +
+                      s"$uncovered survivor(s) have no embedding in vectors=$vp — " +
+                      "they are MISSING from the vector side until an index-add " +
+                      "supplies them")
                   if (!viBuilt) {
-                    val vecs = vectors(vp).join(
-                      full.get.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-                    dagPqIndex(viDir).build(vecs,
+                    try dagPqIndex(viDir).build(vecs,
                       minRecall = opts.getOrElse("minrecall", "0").toDouble)
+                    catch { case e: Throwable =>
+                      // un-mark the failed seed: build leaves its
+                      // artifacts for diagnosis (the standalone
+                      // contract), but a replayed batch must RE-SEED,
+                      // not adopt a build that failed its recall floor
+                      // (or died mid-encode) and silently add onto it
+                      val mp = new org.apache.hadoop.fs.Path(s"$viDir/models.txt")
+                      mp.getFileSystem(hadoopConf).delete(mp, false)
+                      throw e
+                    }
                     System.err.println("[graft] corpus-pipeline index -> vector index " +
                       s"SEEDED over the accumulated survivors ($viDir)")
                   } else {
-                    val vecs = vectors(vp).join(
-                      cur.select(col("doc_id").as("id")), Seq("id"), "left_semi")
                     dagPqIndex(viDir).add(vecs)
                     System.err.println(s"[graft] corpus-pipeline index -> vector index add ($viDir)")
                   }
@@ -1214,7 +1271,9 @@ object Main {
             else touch(s"$dir.done")
           }
           }
-          docs.foreach(n =>
+          // adopted stages already logged "-> resumed (N docs)" above;
+          // a second "-> N docs" line would read as a recompute
+          if (!resumed) docs.foreach(n =>
             System.err.println(s"[graft] corpus-pipeline $step -> $n docs"))
           recs += StageRec(step, docs, (System.nanoTime() - tStage) / 1e9, resumed)
         }
@@ -1296,6 +1355,64 @@ object Main {
           .localCheckpoint()
         scrubbed.write.mode("overwrite").parquet(req("out"))
         done(docs.count(), scrubbed.filter(col("n_scrubbed") > 0).count())
+      // the EXPLICIT re-fit the incremental scrub's emergent-span
+      // report keeps pointing at, made cheap: rebuild the frozen
+      // hot-span table from the ACCUMULATED per-batch span
+      // frequencies under state/scrub/freq (summing df across
+      // doc-disjoint batches IS the union corpus's distinct-doc
+      // count), so a re-fit costs one groupBy over ~16 B/span rows —
+      // the corpus text is never re-read. Deliberately a separate
+      // operator command, never a DAG side effect: the frozen-model
+      // discipline is that models change only by operator decision.
+      // The re-fit governs FUTURE batches; history stays scrubbed
+      // under the table it was scrubbed with (the CDC contract).
+      // mindocs= here CHANGES the frozen threshold (it is the point
+      // of a refit); w= cannot change (the evidence was chunked at
+      // the frozen width) and refuses on conflict. The stale drift
+      // baseline is retired with the old model: the next incremental
+      // scrub batch re-establishes it from its own realized rate.
+      case "scrub-refit" =>
+        val scrState = s"${req("state")}/scrub"
+        val spansPath = s"$scrState/spans"
+        def pEx(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        require(pEx(s"$spansPath/_SUCCESS"),
+          s"scrub-refit: no frozen scrub model under $scrState — seed one with " +
+            "corpus-pipeline incremental=true steps=...,scrub first")
+        require(pEx(s"$scrState/freq"),
+          s"scrub-refit: no accumulated span frequencies under $scrState/freq " +
+            "(written by every incremental scrub batch) — nothing to re-fit from")
+        val frozenW = readLongSidecar(spark, scrState, "chunkwords")
+        opts.get("w").foreach(v => require(v.toLong == frozenW,
+          s"scrub-refit: w=$v conflicts with the frozen chunk width $frozenW — " +
+            "the accumulated evidence was chunked at that width; re-seed to change it"))
+        val md = opts.get("mindocs").map(_.toLong)
+          .getOrElse(readLongSidecar(spark, scrState, "mindocs"))
+        val oldN = spark.read.parquet(spansPath).count()
+        val hot = graft.queries.PipelineQueries.hotSpansFromFreq(
+          spark.read.parquet(s"$scrState/freq")
+            .groupBy("h").agg(sum("df").as("df")), md.toInt)
+        // same publish discipline as the seed fit: sidecars first,
+        // the spans parquet's _SUCCESS is the commit point
+        writeLongSidecar(spark, scrState, "mindocs", md)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def rm(p: String): Unit = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).delete(hp, true)
+        }
+        rm(s"$scrState/seedhitmicro.txt")
+        locally {
+          import spark.implicits._
+          hot.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(spansPath)
+        }
+        // the emergent evidence is now incorporated — a stale report
+        // would read as still-unscrubbed templates
+        rm(s"$scrState/emergent")
+        System.err.println(s"[graft] scrub-refit: ${oldN} -> ${hot.length} spans " +
+          s"(mindocs=$md) from the accumulated batch frequencies")
+        done(oldN, hot.length.toLong)
       // model-based quality filter: weights=<parquet with (bucket,
       // weight_milli)> is the trained-model input; absent ⇒ the
       // deterministic stand-in table (the gate configuration)
@@ -1351,18 +1468,8 @@ object Main {
     * mid-fit leaves `fitted` false and the next seed run re-fits —
     * self-healing, never a stuck half-model. */
   private def writeLongSidecar(spark: org.apache.spark.sql.SparkSession,
-                               dir: String, name: String, value: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.txt")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tmp-$name-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, true)
-    try out.write(s"$value\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                               dir: String, name: String, value: Long): Unit =
+    writeTextFileAtomic(spark, s"$dir/$name.txt", s"$value\n")
 
   /** [[readLongSidecar]] that tolerates absence — for sidecars ADDED
     * to the frozen-model set after states already existed in the wild
@@ -1375,8 +1482,9 @@ object Main {
     if (fs.exists(p)) Some(readLongSidecar(spark, dir, name)) else None
   }
 
-  /** Atomic small-text publish (the [[writeLongSidecar]] rename
-    * discipline for arbitrary content — the resume plan record). */
+  /** Atomic small-text publish — the ONE implementation of the
+    * sidecar rename discipline ([[writeLongSidecar]] delegates here;
+    * the resume plan record uses it directly). */
   private def writeTextFileAtomic(spark: org.apache.spark.sql.SparkSession,
                                   pathStr: String, content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathStr)

@@ -631,6 +631,21 @@ class MainSpec extends SparkSpec {
       Main.runPipeline(spark, args.filterNot(_ == "mindocs=3") :+ "mindocs=4"))
     assert(ePlan.getMessage.contains("plan differs"), ePlan.getMessage)
 
+    // an ADOPTED budgeted mix stage must still record its budget: the
+    // run record's mix_budget_tokens null means keep-all by contract,
+    // and the adopted frame ran under THIS plan's budget= (plan
+    // conflicts refuse above)
+    val mixArgs = Seq("corpus-pipeline", s"in=$base/docs.parquet",
+      s"out=$base/outmix", "steps=clean,mix", "budget=200", "resume=true")
+    def mixStats(): String =
+      Files.readString(java.nio.file.Paths.get(s"$base/outmix", "stats.json"))
+    Main.runPipeline(spark, mixArgs)
+    assert(mixStats().contains(""""mix_budget_tokens":200"""), mixStats())
+    Main.runPipeline(spark, mixArgs)
+    assert(mixStats().contains(""""mix_budget_tokens":200"""),
+      s"the adopted mix stage must keep the budget in the run record: ${mixStats()}")
+    assert(mixStats().contains(""""resumed":true"""), mixStats())
+
     // incremental batches already have a replay unit (the batch):
     // resume= refuses there rather than meaning something ambiguous
     val eIncr = intercept[IllegalArgumentException](Main.runPipeline(spark,
@@ -912,6 +927,16 @@ class MainSpec extends SparkSpec {
     assert(stats().contains(""""select_keep":0.0"""), stats())
     assert(stats().contains(""""drift_warnings":["select_keep rate drift"""), stats())
     assert(stats().contains("seed calibration 0.5"), stats())
+
+    // an EMPTY delta (all docs deduped upstream — a normal CDC event)
+    // has no keep rate: it must neither record one nor cry drift
+    val emptyP = write("empty", Seq.empty[(Long, String, String)])
+    val rEmpty = run(emptyP, 4L)
+    assert(rEmpty.rowsIn == 0 && rEmpty.rowsOut == 0, s"$rEmpty")
+    assert(!stats().contains("drift_warnings"),
+      s"an empty delta must not trip the drift band: ${stats()}")
+    assert(!stats().contains("select_keep"),
+      s"an empty delta has no rate to record: ${stats()}")
   }
 
   test("corpus-pipeline incremental scrub: cross-batch span accumulation reports emergent templates; hit-rate drift warns") {
@@ -974,6 +999,31 @@ class MainSpec extends SparkSpec {
     run(thirdP, 3L)
     assert(stats().contains(""""scrub_emergent_spans":1"""),
       s"accumulated evidence must persist across batches: ${stats()}")
+
+    // the report's suggested action, made cheap: scrub-refit rebuilds
+    // the frozen table FROM the accumulated evidence — one groupBy
+    // over the freq tables, the corpus text is never re-read
+    val rFit = Main.runPipeline(spark, Seq("scrub-refit", s"state=$base/state"))
+    assert(rFit.rowsIn == 1 && rFit.rowsOut == 2,
+      s"1 frozen span -> 2 (footer + the emergent template): $rFit")
+    // future batches scrub the formerly-emergent template; history
+    // stays as scrubbed (the refit governs forward, the CDC contract)
+    val fourthP = write("fourth", Seq(doc(300L, tplY)))
+    run(fourthP, 4L)
+    val t4 = texts()
+    assert(!t4(300L).contains("brand"), "the re-fit model scrubs the emergent template")
+    assert((100L until 102L).forall(i => t4(i).contains("brand")),
+      "already-written batches stay under the table they were scrubbed with")
+    assert(stats().contains(""""scrub_emergent_spans":0"""),
+      s"incorporated evidence is no longer emergent: ${stats()}")
+    // the drift baseline was retired with the old model and
+    // re-established from this batch's realized rate — a stale
+    // baseline comparing against a dead model must not cry wolf
+    assert(!stats().contains("drift_warnings"), stats())
+    // the evidence is width-bound: w= cannot change at refit
+    val eW = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("scrub-refit", s"state=$base/state", "w=5")))
+    assert(eW.getMessage.contains("frozen chunk width"), eW.getMessage)
   }
 
   test("corpus-pipeline incremental decontaminate: eval state frozen on seed; deltas run evals-free; conflicts refuse") {
@@ -1116,6 +1166,12 @@ class MainSpec extends SparkSpec {
       Seq("corpus-pipeline", s"in=$in", s"out=$base/out", "steps=clean,index",
         "incremental=true", s"state=$state", s"batch=$batch",
         s"vectors=$base/vecs.parquet"))
+    // a CRASHED prior seed left models.txt without a committed codes
+    // manifest: the step must re-seed (models.txt alone is not
+    // "built"), never CDC-add onto a store that never saw the corpus
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/state/index"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/state/index", "models.txt"), "crashed\n")
     run(s"$base/a.parquet", s"$base/state", 1L)
     run(s"$base/b.parquet", s"$base/state", 2L)
 
@@ -1171,6 +1227,22 @@ class MainSpec extends SparkSpec {
       .groupBy("neighbor_id").count().filter(col("count") > 1).count()
     assert(perId == 0L, "replay must not duplicate any code row")
     assert(hits(s"$base/state") == twoBatch, "replay leaves the text serve unchanged")
+
+    // a batch whose survivors lack embeddings warns LOUDLY about the
+    // serving gap (the silent-partial-coverage failure mode) but still
+    // indexes what it can
+    val batchC = Seq((950L, "en", s"${cword(5)} ${body(5000L)}"))
+    batchC.toDF("doc_id", "lang", "text").write.parquet(s"$base/c.parquet")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      run(s"$base/c.parquet", s"$base/state", 3L)
+    } finally System.setErr(realErr)
+    assert(errBuf.toString.contains("no embedding in vectors="),
+      s"partial vector coverage must warn: ${errBuf.toString.takeRight(400)}")
+    assert(!codeIds(s"$base/state").contains(950L),
+      "an uncovered survivor stays out of the vector side")
 
     // takedown rides the standalone maintenance commands against the
     // SAME state dirs the DAG maintains
