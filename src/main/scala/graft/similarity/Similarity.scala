@@ -122,17 +122,32 @@ object Similarity {
     corpus.select(col("vec"), xxhash64(col("id")).as("__h"))
       .orderBy("__h").limit(sampleN).select("vec")
 
-  /** Cell-count guideline for IVF-family indexes: ~4√n cells (the
-    * FAISS rule of thumb), bounded by what the bounded fit sample can
-    * actually train (≥ ~40 points per centroid). The sf10 scaling run
-    * (PLANS.md) is why this exists: a FIXED nCells makes probe-bounded
-    * search quadratic as the corpus grows — per-query candidates are
-    * nProbe·n/nCells, so nCells must grow with n (and nProbe with the
-    * recall target). Since r6 this IS the default: PqIndex.build with
-    * nCells = 0 resolves through it (raise `sampleN` via fitSampleN at
-    * extreme scale — the sample bound is what freezes cells at 500
-    * under the 20k default). Changing the cell count remains a
-    * rebuild decision: it is part of the frozen model set. */
+  /** Cell-count guideline for IVF-family indexes — a TWO-REGIME rule,
+    * and deliberately so:
+    *
+    *  - growth regime (n ≲ 16k): ~4√n cells (the FAISS rule of
+    *    thumb). The sf10 scaling run (PLANS.md) is why: a FIXED
+    *    nCells makes probe-bounded search degrade as the corpus
+    *    grows past it.
+    *  - bounded-cell-size regime (beyond): the fit-sample bound
+    *    (≥ ~40 points per trainable centroid) freezes cells at
+    *    sampleN/40 — 500 under the 20k default — so cell SIZE grows
+    *    with n. The r10 sf100 experiment (PLANS.md, 2M vectors)
+    *    VINDICATES this: explicit 1k/2k/4k-cell layouts at the same
+    *    probe fraction left recall flat (0.023-0.040, the noise band)
+    *    while build cost grew ~20× (Spark ML KMeans' k-means|| init
+    *    has a driver-local refinement quadratic-ish in k) and serve
+    *    walls ~2.7× (probe fan-out overhead at constant candidate
+    *    volume). More cells at a fixed probe FRACTION buy nothing:
+    *    per-query candidates are nProbe·n/nCells = n/32 either way.
+    *
+    * At frontier scale the operator bounds cell size explicitly —
+    * fitsample= (cells ≈ n/4096 wants sampleN ≈ n/100) and probe= to
+    * pin a constant candidate budget against a recall target — both
+    * plumbed through index-build and the DAG's index step. Since r6
+    * this IS the default: PqIndex.build with nCells = 0 resolves
+    * through it. Changing the cell count remains a rebuild decision:
+    * it is part of the frozen model set. */
   def suggestNCells(n: Long, sampleN: Int = 20000): Int =
     math.max(1, math.min(4.0 * math.sqrt(n.toDouble), sampleN / 40.0).toInt)
 
