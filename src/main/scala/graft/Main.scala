@@ -51,11 +51,15 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
   *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
-  *                                    [steps=clean,decontaminate,scrub,select,shard ...]   # CDC form: delta cleaned vs
+  *                                    [steps=clean,decontaminate,scrub,select,shard ... compactevery=N maxfiles=]
+  *                                    # CDC form: delta cleaned vs
   *                                    # state/sig, survivors/shards appended under state/.../batch=<id>; batch= is the
   *                                    # replay key; scrub and select fit FROZEN models on the first batch (hot-span
   *                                    # table under state/scrub; DSIR λ + calibrated threshold under state/select,
-  *                                    # given targets=) and apply them per-doc to every later delta
+  *                                    # given targets=) and apply them per-doc to every later delta. Each batch's
+  *                                    # run record also lands at out/runs/batch=<id>.json (stats.json = latest run
+  *                                    # only), and compactevery=N compacts the accumulated stores (state/sig +
+  *                                    # both index stores) on batches where batch % N == 0
   *     (opt-in step `index` builds out/text_index over the survivors, plus out/index
   *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time
   *      floor; PQ knobs: dim= m= pqk= cells= probe= opq= fitsample= — pqk, because
@@ -600,6 +604,13 @@ object Main {
         require(!(incremental && resume),
           "resume= applies to full runs only — an incremental batch's replay " +
             "unit is the batch itself (re-run with the same batch=)")
+        // validated up front (not at the maintenance site at the end of
+        // the run): a misdirected knob must refuse before hours of
+        // stages run, not after
+        val compactEvery = opts.getOrElse("compactevery", "0").toLong
+        require(compactEvery == 0 || incremental,
+          "compactevery= applies to incremental runs — a full run rebuilds its " +
+            "outputs; there is no accumulated store to maintain")
         val hadoopConf = spark.sparkContext.hadoopConfiguration
         def pExists(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -1289,6 +1300,35 @@ object Main {
           .write.mode("overwrite").parquet(survivorsOut)
         val rowsOut = cur.count()
         recs += StageRec("survivors", Some(rowsOut), (System.nanoTime() - tSurv) / 1e9)
+        // compactevery=N (incremental only, 0 = off): the DAG's own
+        // maintenance pass — every batch whose batch % N == 0 compacts
+        // the stores the pipeline has been appending to (the SigIndex's
+        // per-batch signature appends, the index step's CDC adds),
+        // bounding live-file growth the way the streaming sinks'
+        // compactEvery hook does. Keyed on the REPLAY KEY, not a
+        // since-last counter, so a replayed batch makes the same
+        // decision it made the first time (and compaction is
+        // contents-neutral either way — the store specs pin read
+        // parity across compact). Vacuum stays with the standalone
+        // *-vacuum commands: reclaiming superseded generations is an
+        // age-based retention decision, not per-batch hygiene.
+        if (compactEvery > 0 && batchId.get % compactEvery == 0) {
+          val tM = System.nanoTime()
+          val maxF = opts.getOrElse("maxfiles", "1").toInt
+          val parts = scala.collection.mutable.ArrayBuffer[String]()
+          val sigDir = s"${stateDir.get}/sig"
+          if (pExists(sigDir))
+            parts += s"sig=${new graft.streaming.SigIndex(spark, sigDir, idCol = "doc_id").compact(maxF)}"
+          val tiDir = s"${stateDir.get}/text_index"
+          if (pExists(s"$tiDir/stats.txt"))
+            parts += s"text=${textIndex(tiDir).compact(maxF)}"
+          val viDir = s"${stateDir.get}/index"
+          if (dagPqIndex(viDir).isBuilt)
+            parts += s"vec=${dagPqIndex(viDir).compact(maxF)}"
+          System.err.println("[graft] corpus-pipeline maintain -> compacted " +
+            s"buckets ${parts.mkString(" ")} (compactevery=$compactEvery)")
+          recs += StageRec("maintain", None, (System.nanoTime() - tM) / 1e9)
+        }
         // incremental runs also record their replay key: a scheduler
         // auditing state/.../batch=* dirs can tie each run record to
         // its batch without parsing stderr
@@ -1320,6 +1360,18 @@ object Main {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(base, "stats.json"), statsJson + "\n")
+        // incremental: the SAME record also lands under out/runs/
+        // batch=<id>.json — stats.json only ever holds the LATEST run,
+        // so without this the drift trajectory (the whole point of the
+        // rates) vanishes one batch later. One file per batch,
+        // overwritten on replay: the journal records batches, not
+        // executions, keeping the replay-idempotency contract.
+        if (incremental) {
+          val runsDir = java.nio.file.Paths.get(base, "runs")
+          java.nio.file.Files.createDirectories(runsDir)
+          java.nio.file.Files.writeString(
+            runsDir.resolve(s"batch=${batchId.get}.json"), statsJson + "\n")
+        }
         if (cur ne raw) cur.unpersist()
         raw.unpersist()
         done(rowsIn, rowsOut)

@@ -1256,6 +1256,97 @@ class MainSpec extends SparkSpec {
     assert(!hits(s"$base/state").map(_._3).contains(205L), "text takedown")
   }
 
+  test("corpus-pipeline incremental maintenance: compactevery compacts the DAG's stores in-band; runs/ keeps the per-batch trajectory") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_maint").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    def docRow(id: Long) = (id, "en", s"doc${('a' + id % 26).toChar} ${body(id)}")
+    (0L until 20L).map(docRow).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/a.parquet")
+    (20L until 40L).map(docRow).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/b.parquet")
+    (0L until 40L).map(id => (id, graft.VecFixtures.unit(64, 9000L + id)))
+      .toDF("id", "vec").write.parquet(s"$base/vecs.parquet")
+    def run(state: String, in: String, batch: Long, extra: Seq[String] = Nil) =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/$in",
+        s"out=$base/out_${state.split('/').last}", "steps=clean,index",
+        "incremental=true", s"state=$state", s"batch=$batch",
+        s"vectors=$base/vecs.parquet") ++ extra)
+    val maint = Seq("compactevery=2")
+
+    // batch 1 (odd): no maintenance; its run record lands under runs/
+    run(s"$base/state", "a.parquet", 1L, maint)
+    def outDir = s"$base/out_state"
+    def stats(): String =
+      Files.readString(java.nio.file.Paths.get(outDir, "stats.json"))
+    def runRec(b: Long): String =
+      Files.readString(java.nio.file.Paths.get(outDir, "runs", s"batch=$b.json"))
+    assert(!stats().contains(""""stage":"maintain""""),
+      s"batch 1 % 2 != 0 must not compact: ${stats()}")
+    assert(runRec(1L).contains(""""batch":1,"""), runRec(1L))
+
+    // batch 2 (even): the maintain pass compacts all three stores the
+    // DAG has been appending to, visibly (stderr + a maintain stage
+    // wall in the record)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      run(s"$base/state", "b.parquet", 2L, maint)
+    } finally System.setErr(realErr)
+    assert(errBuf.toString.contains("maintain -> compacted buckets"),
+      s"even batch must compact: ${errBuf.toString.takeRight(400)}")
+    assert(stats().contains(""""stage":"maintain""""), stats())
+    // effectiveness: a follow-up standalone compact finds NOTHING left
+    // above the file bound, while an identical no-maintenance state
+    // still has multi-file buckets to fold
+    run(s"$base/state2", "a.parquet", 1L)
+    run(s"$base/state2", "b.parquet", 2L)
+    assert(Main.runPipeline(spark,
+      Seq("sig-compact", s"index=$base/state/sig")).rowsOut == 0L,
+      "the DAG's compact left the sig store already-compact")
+    assert(Main.runPipeline(spark,
+      Seq("sig-compact", s"index=$base/state2/sig")).rowsOut > 0L,
+      "the no-maintenance twin still had appends to fold (else the assertion above is vacuous)")
+    // contents-neutrality end-to-end: both states serve identically
+    def codeIds(state: String): Set[Long] =
+      new graft.sources.SnapshotStore(spark, s"$state/index/codes", key = "neighbor_id")
+        .read().get.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    def hits(state: String): Seq[(Int, Int, Long)] =
+      new graft.similarity.TextIndex(spark, s"$state/text_index")
+        .search(Seq(1 -> "docb", 2 -> "docc"), topK = 10)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(codeIds(s"$base/state") == codeIds(s"$base/state2"),
+      "compaction must not change the vector store contents")
+    assert(hits(s"$base/state") == hits(s"$base/state2"),
+      "compaction must not change the text serve")
+
+    // the trajectory survives: one record per batch, stats.json is the
+    // latest, and a replay overwrites its own record (batches, not
+    // executions)
+    assert(runRec(2L).contains(""""batch":2,"""), runRec(2L))
+    assert(stats() == runRec(2L), "stats.json is the latest batch's record")
+    run(s"$base/state", "b.parquet", 2L, maint)
+    assert(new java.io.File(s"$outDir/runs").list().sorted.toSeq ==
+      Seq("batch=1.json", "batch=2.json"), "replay overwrites, never appends")
+    assert(hits(s"$base/state") == hits(s"$base/state2"), "replay + re-compact is idempotent")
+
+    // full runs have no accumulated store to maintain — refuse
+    val eFull = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/a.parquet", s"out=$base/outfull",
+        "steps=clean", "compactevery=2")))
+    assert(eFull.getMessage.contains("compactevery= applies to incremental"),
+      eFull.getMessage)
+    assert(!new java.io.File(s"$base/outfull").exists(),
+      "the refusal must fire up front, before any stage runs")
+  }
+
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
     val s = spark
     import s.implicits._
