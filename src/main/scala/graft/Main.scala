@@ -64,6 +64,7 @@ import org.apache.spark.sql.functions._
   *      when vectors=<(id,vec) parquet> is given — minrecall= applies the build-time
   *      floor; PQ knobs: dim= m= pqk= cells= probe= opq= fitsample= — pqk, because
   *      k= is the decontaminate shingle size in this namespace)
+  *   runMain graft.Main runs-report   out=<pipeline out dir>   # render out/runs/batch=*.json as the per-batch trajectory table
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -110,7 +111,7 @@ object Main {
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
     "corpus-scrub", "scrub-refit", "quality-score", "quality-train", "langid",
     "bpe-train", "bpe-encode", "corpus-pack",
-    "corpus-pipeline", "query", "sql")
+    "corpus-pipeline", "runs-report", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -1375,6 +1376,56 @@ object Main {
         if (cur ne raw) cur.unpersist()
         raw.unpersist()
         done(rowsIn, rowsOut)
+      // the journal reader: out/runs/batch=*.json (one record per
+      // incremental batch) rendered as the per-batch trajectory table
+      // an operator reads before trusting a nightly pipeline — walls,
+      // frozen-stage rates vs the seed, drift warnings. spark.read.json
+      // keeps this free of any JSON library and tolerant of record
+      // evolution (a seed written before a field existed reads null);
+      // the collect is bounded by construction — one row per batch.
+      case "runs-report" =>
+        val runsDir = s"${req("out")}/runs"
+        val rp = new org.apache.hadoop.fs.Path(runsDir)
+        require(rp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rp),
+          s"no run journal at $runsDir — only incremental corpus-pipeline " +
+            "runs write one (full runs rebuild out/ wholesale; see stats.json)")
+        val df = spark.read.json(runsDir)
+        def opt[T](r: org.apache.spark.sql.Row, field: String): Option[T] =
+          if (!r.schema.fieldNames.contains(field) || r.isNullAt(r.fieldIndex(field))) None
+          else Some(r.getAs[T](field))
+        val rateKeys = df.schema.fields.find(_.name == "rates")
+          .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq.sorted).getOrElse(Nil)
+        val recs = df.collect().sortBy(r => opt[Long](r, "batch").getOrElse(Long.MaxValue))
+        val warnings = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val header = Seq(f"${"batch"}%8s", f"${"in"}%12s", f"${"out"}%12s",
+          f"${"wall_s"}%9s") ++ rateKeys.map(k => f"$k%14s") ++ Seq(f"${"drift"}%6s")
+        println(header.mkString(" "))
+        recs.foreach { r =>
+          val batch = opt[Long](r, "batch").getOrElse(-1L)
+          // collection.Seq, not the 2.13 immutable default: Spark
+          // hands array columns back as mutable.ArraySeq
+          val stages =
+            opt[scala.collection.Seq[org.apache.spark.sql.Row]](r, "stages").getOrElse(Nil)
+          def stageDocs(name: String): Option[Long] =
+            stages.find(s => opt[String](s, "stage").contains(name))
+              .flatMap(s => opt[Long](s, "docs"))
+          val wall = stages.flatMap(s => opt[Double](s, "sec")).sum
+          val rates = opt[org.apache.spark.sql.Row](r, "rates")
+          val drift = opt[scala.collection.Seq[String]](r, "drift_warnings").getOrElse(Nil)
+          drift.foreach(w => warnings += batch -> w)
+          val cells = Seq(f"$batch%8d",
+            f"${stageDocs("input").map(_.toString).getOrElse("-")}%12s",
+            f"${stageDocs("survivors").map(_.toString).getOrElse("-")}%12s",
+            f"$wall%9.1f") ++
+            rateKeys.map { k =>
+              f"${rates.flatMap(rr => opt[Double](rr, k)).fold("-")(v => f"$v%.6f")}%14s"
+            } ++
+            Seq(f"${if (drift.isEmpty) "-" else s"DRIFT(${drift.size})"}%6s")
+          println(cells.mkString(" "))
+        }
+        warnings.foreach { case (b, w) => println(s"  [batch $b] $w") }
+        done(recs.length.toLong, warnings.length.toLong)
       // write=true materializes the sharded corpus itself (one file
       // per shard=N dir, rows in shard_pos order — the layout a
       // training job streams); default emits the assignment table

@@ -1256,6 +1256,64 @@ class MainSpec extends SparkSpec {
     assert(!hits(s"$base/state").map(_._3).contains(205L), "text takedown")
   }
 
+  test("runs-report renders the per-batch journal: walls, rates, drift flags; refuses without a journal") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_runsrep").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    def docRow(id: Long) = (id, "en", s"doc${('a' + id % 26).toChar} ${body(id)}")
+    (0L until 15L).map(docRow).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/a.parquet")
+    (15L until 30L).map(docRow).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/b.parquet")
+    def run(in: String, batch: Long) =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/$in",
+        s"out=$base/out", "steps=clean", "incremental=true",
+        s"state=$base/state", s"batch=$batch"))
+    run("a.parquet", 1L)
+    run("b.parquet", 2L)
+    // a third record written by hand: the journal is data, and the
+    // reader must render whatever a (possibly newer or older) writer
+    // left — including rates and drift warnings this cheap fixture
+    // can't produce by running the frozen stages
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/out/runs", "batch=3.json"),
+      """{"batch":3,"mix_budget_tokens":null,"rates":{"select_keep":0.030001},""" +
+        """"drift_warnings":["select keep rate 0.03 diverges from seed 0.30"],""" +
+        """"stages":[{"stage":"input","docs":100,"sec":1.5},""" +
+        """{"stage":"select","docs":3,"sec":2.0},""" +
+        """{"stage":"survivors","docs":3,"sec":0.5}]}""" + "\n")
+    val buf = new java.io.ByteArrayOutputStream()
+    val st = Console.withOut(new java.io.PrintStream(buf, true)) {
+      Main.runPipeline(spark, Seq("runs-report", s"out=$base/out"))
+    }
+    val out = buf.toString
+    val lines = out.linesIterator.toSeq
+    // one row per batch, batch-sorted, with in/out doc counts
+    val b1 = lines.indexWhere(_.trim.startsWith("1 "))
+    val b2 = lines.indexWhere(_.trim.startsWith("2 "))
+    val b3 = lines.indexWhere(_.trim.startsWith("3 "))
+    assert(b1 > 0 && b2 > b1 && b3 > b2, s"batch-sorted rows expected:\n$out")
+    assert(lines(b1).contains("15"), s"batch 1 input count:\n$out")
+    // the hand-written record's fields all render: rate at 6 decimals,
+    // the drift flag on its row, the warning text below the table
+    assert(lines(b3).contains("0.030001") && lines(b3).contains("DRIFT(1)"), out)
+    assert(out.contains("[batch 3] select keep rate 0.03 diverges"), out)
+    // real records (no rates column values) render '-' not a crash
+    assert(lines(b1).contains("-"), out)
+    assert(st.rowsIn == 3L, s"3 journal records, got ${st.rowsIn}")
+    assert(st.rowsOut == 1L, s"1 drift warning, got ${st.rowsOut}")
+    // no journal -> loud refusal naming the cause
+    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("runs-report", s"out=$base/nowhere")))
+    assert(e.getMessage.contains("no run journal"), e.getMessage)
+  }
+
   test("corpus-pipeline incremental maintenance: compactevery compacts the DAG's stores in-band; runs/ keeps the per-batch trajectory") {
     val s = spark
     import s.implicits._
