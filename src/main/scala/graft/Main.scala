@@ -609,9 +609,19 @@ object Main {
         // the run): a misdirected knob must refuse before hours of
         // stages run, not after
         val compactEvery = opts.getOrElse("compactevery", "0").toLong
+        require(compactEvery >= 0,
+          s"compactevery=$compactEvery — negative disables nothing loudly; " +
+            "use 0 (or omit) to turn maintenance off")
         require(compactEvery == 0 || incremental,
           "compactevery= applies to incremental runs — a full run rebuilds its " +
             "outputs; there is no accumulated store to maintain")
+        // maxfiles= is consumed at the maintenance site but must obey
+        // the same rule as compactevery: a malformed or absurd value
+        // refuses HERE, not after hours of stages (maxfiles=0 would
+        // make every bucket "fat" and rewrite the whole store each
+        // maintenance batch)
+        val maintMaxFiles = opts.getOrElse("maxfiles", "1").toInt
+        require(maintMaxFiles >= 1, s"maxfiles=$maintMaxFiles must be >= 1")
         val hadoopConf = spark.sparkContext.hadoopConfiguration
         def pExists(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -1315,7 +1325,7 @@ object Main {
         // age-based retention decision, not per-batch hygiene.
         if (compactEvery > 0 && batchId.get % compactEvery == 0) {
           val tM = System.nanoTime()
-          val maxF = opts.getOrElse("maxfiles", "1").toInt
+          val maxF = maintMaxFiles
           val parts = scala.collection.mutable.ArrayBuffer[String]()
           val sigDir = s"${stateDir.get}/sig"
           if (pExists(sigDir))
@@ -1393,25 +1403,35 @@ object Main {
         def opt[T](r: org.apache.spark.sql.Row, field: String): Option[T] =
           if (!r.schema.fieldNames.contains(field) || r.isNullAt(r.fieldIndex(field))) None
           else Some(r.getAs[T](field))
-        val rateKeys = df.schema.fields.find(_.name == "rates")
-          .map(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-            .fieldNames.toSeq.sorted).getOrElse(Nil)
-        val recs = df.collect().sortBy(r => opt[Long](r, "batch").getOrElse(Long.MaxValue))
+        // numeric reads tolerate whatever type inference picked: a
+        // foreign writer emitting "sec":2 (no decimal point anywhere
+        // in the column) infers LongType and a bare getAs[Double]
+        // would throw on the unbox
+        def num(r: org.apache.spark.sql.Row, field: String): Option[Double] =
+          opt[Any](r, field).collect { case n: java.lang.Number => n.doubleValue() }
+        // guarded, not cast: a journal whose every record carries
+        // "rates":null infers the column as StringType
+        val rateKeys = df.schema.fields.find(_.name == "rates").map(_.dataType).collect {
+          case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq.sorted
+        }.getOrElse(Nil)
+        val recs = df.collect()
+          .sortBy(r => num(r, "batch").map(_.toLong).getOrElse(Long.MaxValue))
         val warnings = scala.collection.mutable.ArrayBuffer[(Long, String)]()
         val header = Seq(f"${"batch"}%8s", f"${"in"}%12s", f"${"out"}%12s",
           f"${"wall_s"}%9s") ++ rateKeys.map(k => f"$k%14s") ++ Seq(f"${"drift"}%6s")
         println(header.mkString(" "))
         recs.foreach { r =>
-          val batch = opt[Long](r, "batch").getOrElse(-1L)
+          val batch = num(r, "batch").map(_.toLong).getOrElse(-1L)
           // collection.Seq, not the 2.13 immutable default: Spark
           // hands array columns back as mutable.ArraySeq
           val stages =
             opt[scala.collection.Seq[org.apache.spark.sql.Row]](r, "stages").getOrElse(Nil)
           def stageDocs(name: String): Option[Long] =
             stages.find(s => opt[String](s, "stage").contains(name))
-              .flatMap(s => opt[Long](s, "docs"))
-          val wall = stages.flatMap(s => opt[Double](s, "sec")).sum
-          val rates = opt[org.apache.spark.sql.Row](r, "rates")
+              .flatMap(s => num(s, "docs").map(_.toLong))
+          val wall = stages.flatMap(s => num(s, "sec")).sum
+          val rates =
+            if (rateKeys.isEmpty) None else opt[org.apache.spark.sql.Row](r, "rates")
           val drift = opt[scala.collection.Seq[String]](r, "drift_warnings").getOrElse(Nil)
           drift.foreach(w => warnings += batch -> w)
           val cells = Seq(f"$batch%8d",
@@ -1419,7 +1439,7 @@ object Main {
             f"${stageDocs("survivors").map(_.toString).getOrElse("-")}%12s",
             f"$wall%9.1f") ++
             rateKeys.map { k =>
-              f"${rates.flatMap(rr => opt[Double](rr, k)).fold("-")(v => f"$v%.6f")}%14s"
+              f"${rates.flatMap(rr => num(rr, k)).fold("-")(v => f"$v%.6f")}%14s"
             } ++
             Seq(f"${if (drift.isEmpty) "-" else s"DRIFT(${drift.size})"}%6s")
           println(cells.mkString(" "))

@@ -1308,6 +1308,20 @@ class MainSpec extends SparkSpec {
     assert(lines(b1).contains("-"), out)
     assert(st.rowsIn == 3L, s"3 journal records, got ${st.rowsIn}")
     assert(st.rowsOut == 1L, s"1 drift warning, got ${st.rowsOut}")
+    // foreign-writer tolerance: a journal whose numbers are all
+    // INTEGRAL (inferred long, not double) and whose rates are all
+    // null (inferred string, not struct) must render, not cast-crash
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/foreign/runs"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/foreign/runs", "batch=1.json"),
+      """{"batch":1,"rates":null,"stages":[{"stage":"input","docs":7,"sec":2},""" +
+        """{"stage":"survivors","docs":7,"sec":1}]}""" + "\n")
+    val fbuf = new java.io.ByteArrayOutputStream()
+    val fst = Console.withOut(new java.io.PrintStream(fbuf, true)) {
+      Main.runPipeline(spark, Seq("runs-report", s"out=$base/foreign"))
+    }
+    assert(fst.rowsIn == 1L && fbuf.toString.contains("3.0"),
+      s"integral secs + null rates must render (wall 3.0):\n${fbuf.toString}")
     // no journal -> loud refusal naming the cause
     val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
       Seq("runs-report", s"out=$base/nowhere")))
@@ -1403,6 +1417,25 @@ class MainSpec extends SparkSpec {
       eFull.getMessage)
     assert(!new java.io.File(s"$base/outfull").exists(),
       "the refusal must fire up front, before any stage runs")
+    // misdirected maintenance knobs refuse UP FRONT too: a negative
+    // compactevery silently disables nothing, and maxfiles=0 would
+    // make every bucket fat (whole-store rewrite per maintenance
+    // batch) — both must fail before any stage output exists
+    val eNeg = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/a.parquet", s"out=$base/outneg",
+        "steps=clean", "incremental=true", s"state=$base/stateneg",
+        "batch=3", "compactevery=-2")))
+    assert(eNeg.getMessage.contains("compactevery=-2"), eNeg.getMessage)
+    val eMax = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/a.parquet", s"out=$base/outmax",
+        "steps=clean", "incremental=true", s"state=$base/statemax",
+        "batch=3", "compactevery=2", "maxfiles=0")))
+    assert(eMax.getMessage.contains("maxfiles=0"), eMax.getMessage)
+    assert(!new java.io.File(s"$base/outneg").exists() &&
+      !new java.io.File(s"$base/outmax").exists() &&
+      !new java.io.File(s"$base/stateneg").exists() &&
+      !new java.io.File(s"$base/statemax").exists(),
+      "knob refusals fire before any stage or state output")
   }
 
   test("pipeline subcommands: bpe-train vocabout= then corpus-pack materializes budget-packed token ids") {
