@@ -36,6 +36,39 @@ object TextQueries {
       size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
         .as("n_tokens"))
 
+  /** Per-language tokenizer FERTILITY under the frozen builtin BPE
+    * model: subword tokens per pre-token. The tokenizer-fairness
+    * table a multilingual curation pass reads before committing a
+    * tokenizer — a language whose fertility runs high pays more
+    * sequence budget per word (more tokens to say the same thing),
+    * so its token-denominated mixing budget buys fewer documents;
+    * fertility imbalance is a published failure mode of shared
+    * multilingual vocabularies. One scan: the codegen'd encode runs
+    * scan-locally, the only exchange is the per-language aggregation
+    * (bounded by #languages, partial-agg friendly). Sums are exact
+    * longs; fertility = exact-int / exact-int in IEEE double, so it
+    * is bit-identical cross-engine (null where a language has no
+    * pre-tokens, in both engines). */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeFertilityDocs(docs(spark, dir))
+
+  /** [[bpeFertility]] over an arbitrary (lang, text) frame under a
+    * caller-supplied model — the spec / trained-model form. */
+  def bpeFertilityDocs(in: DataFrame,
+                       model: Array[(String, String)] =
+                         graft.functions.Bpe.builtin): DataFrame =
+    in.select(
+        col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("pre"),
+        size(graft.functions.Bpe.bpeEncode(col("text"), model)).cast("long").as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pre")).as("n_pretokens"),
+        sum(col("tok")).as("n_tokens"))
+      .withColumn("fertility",
+        when(col("n_pretokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_tokens").cast("double") / col("n_pretokens").cast("double")))
+
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val nWords = size(words(col("text"))).cast("double")
@@ -536,6 +569,7 @@ object TextQueries {
     "text_boilerplate" -> (textBoilerplate _),
     "text_tokens" -> (textTokens _),
     "text_bpe_tokens" -> (textBpeTokens _),
+    "bpe_fertility" -> (bpeFertility _),
     "text_quality" -> (textQuality _),
     "text_quality_model" -> (textQualityModel _),
     "text_langid" -> (textLangid _),
@@ -563,6 +597,40 @@ object TextQueries {
       def q(s: String) = "'" + s.replace("'", "''") + "'"
       s"(${i + 1}, ${q(l)}, ${q(r)})"
     }.mkString(", ")
+
+  /** The shared BPE-replay CTE prefix (merge table → pre-tokens →
+    * per-distinct-word merge loop → per-doc (n_pre, n_tok)) — single-
+    * sourced so the per-doc and per-language oracles cannot drift.
+    * See the merge-loop equivalence argument at its use site. */
+  private def bpeCntCte: String =
+    s"""WITH RECURSIVE m(rank, l, r) AS (VALUES $bpeMergeValues),
+       |pt AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(text,
+       |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word
+       |  FROM documents),
+       |w AS (SELECT DISTINCT word FROM pt),
+       |enc(word, s, it) AS (
+       |  SELECT word,
+       |         ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' ',
+       |         0
+       |  FROM w
+       |  UNION ALL
+       |  SELECT e.word,
+       |         substr(e.s, 1, strpos(e.s, ' ' || m.l || ' ' || m.r || ' '))
+       |           || m.l || m.r || ' '
+       |           || substr(e.s, strpos(e.s, ' ' || m.l || ' ' || m.r || ' ')
+       |                            + len(m.l) + len(m.r) + 3),
+       |         e.it + 1
+       |  FROM enc e JOIN m ON m.rank = (
+       |    SELECT min(m2.rank) FROM m m2
+       |    WHERE strpos(e.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)),
+       |toks AS (
+       |  SELECT word, len(string_split(trim(arg_max(s, it)), ' ')) AS nt
+       |  FROM enc GROUP BY word),
+       |cnt AS (
+       |  SELECT doc_id, count(*) AS n_pre, CAST(sum(nt) AS BIGINT) AS n_tok
+       |  FROM pt JOIN toks USING (word) GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // mirrors searchBm25: same Lucene-idf BM25, same k1/b, same
@@ -692,39 +760,29 @@ object TextQueries {
     // separated sentinel string ' a b c '; a merge is substring
     // surgery at strpos, which sidesteps replace()'s shared-boundary
     // miss on overlapping occurrences.
+    // concatenated, NOT interpolated under stripMargin: the CTE body
+    // contains SQL '||' operators at line starts, which a second
+    // stripMargin pass would eat down to '|'
     "text_bpe_tokens" ->
-      s"""WITH RECURSIVE m(rank, l, r) AS (VALUES $bpeMergeValues),
-         |pt AS (
-         |  SELECT doc_id,
-         |         unnest(regexp_extract_all(text,
-         |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS word
-         |  FROM documents),
-         |w AS (SELECT DISTINCT word FROM pt),
-         |enc(word, s, it) AS (
-         |  SELECT word,
-         |         ' ' || array_to_string(string_split_regex(word, ''), ' ') || ' ',
-         |         0
-         |  FROM w
-         |  UNION ALL
-         |  SELECT e.word,
-         |         substr(e.s, 1, strpos(e.s, ' ' || m.l || ' ' || m.r || ' '))
-         |           || m.l || m.r || ' '
-         |           || substr(e.s, strpos(e.s, ' ' || m.l || ' ' || m.r || ' ')
-         |                            + len(m.l) + len(m.r) + 3),
-         |         e.it + 1
-         |  FROM enc e JOIN m ON m.rank = (
-         |    SELECT min(m2.rank) FROM m m2
-         |    WHERE strpos(e.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)),
-         |toks AS (
-         |  SELECT word, len(string_split(trim(arg_max(s, it)), ' ')) AS nt
-         |  FROM enc GROUP BY word),
-         |cnt AS (
-         |  SELECT doc_id, count(*) AS n_pre, CAST(sum(nt) AS BIGINT) AS n_tok
-         |  FROM pt JOIN toks USING (word) GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |       coalesce(cnt.n_pre, 0) AS n_pretokens,
-         |       coalesce(cnt.n_tok, 0) AS n_tokens
-         |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin,
+      (bpeCntCte + "\n" +
+        """SELECT d.doc_id,
+          |       coalesce(cnt.n_pre, 0) AS n_pretokens,
+          |       coalesce(cnt.n_tok, 0) AS n_tokens
+          |FROM documents d LEFT JOIN cnt USING (doc_id)""".stripMargin),
+    // same CTE, aggregated per language; fertility is an exact-int /
+    // exact-int double division (bit-identical cross-engine), NULL
+    // where a language has no pre-tokens in both engines
+    "bpe_fertility" ->
+      (bpeCntCte + "\n" +
+        """SELECT d.lang,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(coalesce(sum(cnt.n_pre), 0) AS BIGINT) AS n_pretokens,
+          |       CAST(coalesce(sum(cnt.n_tok), 0) AS BIGINT) AS n_tokens,
+          |       CASE WHEN coalesce(sum(cnt.n_pre), 0) = 0 THEN NULL
+          |            ELSE CAST(coalesce(sum(cnt.n_tok), 0) AS DOUBLE) /
+          |                 CAST(sum(cnt.n_pre) AS DOUBLE) END AS fertility
+          |FROM documents d LEFT JOIN cnt USING (doc_id)
+          |GROUP BY d.lang""".stripMargin),
     // mirrors qualityModelScore: same DSIR gram/bucket arithmetic
     // (seed-7 Horner fold, affine remix, 4096 buckets) and the same
     // stand-in weight formula — all exact BIGINT, summed per doc

@@ -248,4 +248,28 @@ class BpeSpec extends SparkSpec {
       Bpe.vocab(merges, alpha.map(_.toString)) // must not throw
     }
   }
+
+  test("bpeFertility: a language the model learned pays fewer tokens per pre-token; token-less languages read null") {
+    val s = spark
+    import s.implicits._
+    // rank-valid model that fully merges 'the': en text costs 1 token
+    // per word, the gibberish language falls back to characters
+    val m = Array("t" -> "h", "th" -> "e")
+    val docs = Seq(
+      (1L, "en", "the the the"),   // 3 pre / 3 tok
+      (2L, "en", "the"),           // 1 pre / 1 tok
+      (3L, "xx", "zqv zqv"),       // 2 pre / 6 tok
+      (4L, "yy", " ")              // no pre-tokens at all
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.queries.TextQueries.bpeFertilityDocs(docs, m)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    assert(out("en") == ((2L, 4L, 4L, 1.0)), s"en: ${out("en")}")
+    assert(out("xx") == ((1L, 2L, 6L, 3.0)), s"xx: ${out("xx")}")
+    assert(out("yy")._1 == 1L && out("yy")._2 == 0L && out("yy")._4.isNaN,
+      s"a pre-token-less language must read null, not divide by zero: ${out("yy")}")
+    assert(out("xx")._4 > out("en")._4,
+      "the unlearned language must pay higher fertility — the imbalance the table exists to surface")
+  }
 }
