@@ -50,6 +50,11 @@ import org.apache.spark.sql.functions._
   *     (buckets defaults to corpus-sized: one pack-window bucket per ~1M pre-tokens)
   *   runMain graft.Main corpus-pipeline in=<docs.parquet> out=<dir> [steps=clean,decontaminate,scrub,select,mix,shard,pack
   *                                    evals= targets= k= minjaccard= frac= w= mindocs= budget= alpha= shards= merges= nmerges= packbudget= buckets=]
+  *     (opt-in step `langid` ASSIGNS lang from the text — the entry stage for raw
+  *      corpora without a lang column (tolerated exactly when the plan contains
+  *      langid); profiles= supplies a (lang, text) slice, else the builtin table.
+  *      Incremental: the profile table freezes under state/langid on the seed
+  *      batch; a conflicting profiles= refuses)
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
   *                                    [steps=clean,decontaminate,scrub,select,shard ... compactevery=N maxfiles=]
   *                                    # CDC form: delta cleaned vs
@@ -646,17 +651,15 @@ object Main {
           nProbe = opts.getOrElse("probe", "0").toInt,
           opq = opts.getOrElse("opq", "false").toBoolean,
           fitSampleN = opts.getOrElse("fitsample", "0").toInt)
-        val tIn = System.nanoTime()
-        val raw = spark.read.parquet(req("in")).select("doc_id", "lang", "text")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val rowsIn = raw.count()
-        // `index` is opt-in (never in the default step list): building
-        // retrieval artifacts over the survivors is a deliberate
-        // output, not a side effect of every curation run
-        val known = Seq("clean", "decontaminate", "scrub", "select", "mix", "shard",
-          "pack", "index")
-        val incrementalSteps = Set("clean", "decontaminate", "scrub", "select",
-          "shard", "index")
+        // `index` and `langid` are opt-in (never in a default step
+        // list): building retrieval artifacts is a deliberate output,
+        // and a trusted upstream lang column must never be silently
+        // overwritten by the classifier
+        val known = Seq("clean", "decontaminate", "langid", "scrub", "select",
+          "mix", "shard", "pack", "index")
+        val optInSteps = Set("index", "langid")
+        val incrementalSteps = Set("clean", "decontaminate", "langid", "scrub",
+          "select", "shard", "index")
         // the frozen-model stages (scrub/select) are OPT-IN in
         // incremental mode: whichever delta runs them first becomes
         // the model's SEED, and that must be a deliberate operator
@@ -666,13 +669,31 @@ object Main {
         val incrementalDefault = Seq("clean", "decontaminate", "shard")
         val steps = opts.getOrElse("steps",
             (if (incremental) incrementalDefault
-             else known.filterNot(_ == "index")).mkString(","))
+             else known.filterNot(optInSteps)).mkString(","))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         steps.foreach(s => require(known.contains(s),
           s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
         if (incremental) steps.foreach(s => require(incrementalSteps.contains(s),
           s"incremental corpus-pipeline supports steps ${incrementalSteps.toSeq.sorted.mkString(",")} " +
             s"— '$s' is corpus-global/supply-dependent and needs a full (non-incremental) run"))
+        val tIn = System.nanoTime()
+        // raw web corpora arrive without a lang column; the langid
+        // step exists to assign one, so its absence is tolerated
+        // EXACTLY when the plan contains that step — otherwise every
+        // lang-keyed stage downstream (select targets, mix shares,
+        // stats) would silently group a null
+        val in0 = spark.read.parquet(req("in"))
+        val raw = (if (in0.columns.contains("lang"))
+            in0.select("doc_id", "lang", "text")
+          else {
+            require(steps.contains("langid"),
+              s"input ${req("in")} has no lang column — add the langid step " +
+                "(steps=...,langid,...) to assign one, placed before any " +
+                "lang-keyed stage")
+            in0.select(col("doc_id"), lit(null).cast("string").as("lang"),
+              col("text"))
+          }).persist(StorageLevel.MEMORY_AND_DISK)
+        val rowsIn = raw.count()
         var cur = raw
         // per-stage run record, accumulated into out/stats.json — the
         // record a scheduler checks without scraping stderr: docs
@@ -725,6 +746,26 @@ object Main {
             }
           }
         }
+        // order-independent content fingerprint of a two-string-column
+        // frame: xor of per-row hashes mixed with the row count — the
+        // frozen-model input-identity check (decontaminate's evals,
+        // langid's profile slice)
+        def contentFingerprint(df: org.apache.spark.sql.DataFrame): Long = {
+          val cols = df.columns
+          val r = df.agg(count(lit(1)),
+            coalesce(expr(s"bit_xor(xxhash64(${cols(0)}, ${cols(1)}))"), lit(0L))).head()
+          java.lang.Long.rotateLeft(r.getLong(0), 32) ^ r.getLong(1)
+        }
+        // langid application, shared by both modes: score under the
+        // profile set, swap the lang column, keep (doc_id, lang, text).
+        // The rejoin is doc-grain on doc_id — the scrub-stage shape
+        def applyLangid(prof: graft.functions.LangProfiles.ProfileSet): Long = {
+          val pred = graft.queries.TextQueries.langIdNgram(
+            cur.select("doc_id", "lang", "text"), prof)
+            .select(col("doc_id"), col("predicted_lang"))
+          advance(cur.select("doc_id", "text").join(pred, Seq("doc_id"))
+            .select(col("doc_id"), col("predicted_lang").as("lang"), col("text")))
+        }
         // resume bookkeeping: the plan record refuses a resume whose
         // steps/knobs differ from the crashed run's (silently composing
         // half-old half-new stage outputs would be worse than starting
@@ -732,7 +773,8 @@ object Main {
         // output parquet (_SUCCESS) or .done marker committed
         val stagesDir = s"$base/stages"
         def stagePath(i: Int, s: String) = s"$stagesDir/${i}_$s"
-        val transformStages = Set("clean", "decontaminate", "scrub", "select", "mix")
+        val transformStages = Set("clean", "decontaminate", "langid", "scrub",
+          "select", "mix")
         val completedPrefix: Int =
           if (!resume) 0
           else {
@@ -805,13 +847,8 @@ object Main {
             val gramsPath = s"$decState/grams"
             val evalsCopy = s"$decState/evals"
             val fitted = pExists(s"$gramsPath/_SUCCESS")
-            // order-independent content fingerprint: xor of per-row
-            // hashes mixed with the row count
-            def fingerprint(evals: DataFrame): Long = {
-              val r = evals.agg(count(lit(1)),
-                coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))).head()
-              java.lang.Long.rotateLeft(r.getLong(0), 32) ^ r.getLong(1)
-            }
+            def fingerprint(evals: DataFrame): Long =
+              contentFingerprint(evals.select("doc_id", "text"))
             if (!fitted && opts.get("evals").isEmpty)
               System.err.println("[graft] corpus-pipeline decontaminate SKIPPED " +
                 "(no frozen eval state under state/decontaminate and no evals= to seed it)")
@@ -871,6 +908,81 @@ object Main {
             case None =>
               System.err.println("[graft] corpus-pipeline decontaminate SKIPPED (no evals=)")
           }
+          // langid (opt-in): ASSIGN lang from the text via the
+          // character-trigram classifier — the entry stage for raw
+          // web corpora that arrive without a lang column (every
+          // lang-keyed stage downstream depends on it; place it
+          // before them). Per-doc pure function of (text, profiles),
+          // so it is delta-sound; in incremental mode the profile
+          // TABLE is the frozen model (the select/scrub discipline):
+          // the seed batch derives it (profiles= corpus slice, or the
+          // builtin passages) and persists it under state/langid with
+          // the slice's content fingerprint; later batches score
+          // under the frozen table and a conflicting profiles=
+          // refuses — batches must never be labeled under silently
+          // different classifiers.
+          case "langid" if incremental =>
+            val lgState = s"${stateDir.get}/langid"
+            val rowsPath = s"$lgState/profile_rows"
+            val langsPath = s"$lgState/profile_langs"
+            val fitted = pExists(s"$rowsPath/_SUCCESS")
+            val prof =
+              if (fitted) {
+                opts.get("profiles") match {
+                  case Some(p) =>
+                    readLongSidecarIfExists(spark, lgState, "fingerprint") match {
+                      case Some(fp) =>
+                        val have = contentFingerprint(
+                          spark.read.parquet(p).select("lang", "text"))
+                        require(have == fp,
+                          s"incremental langid: profiles=$p is NOT the frozen profile " +
+                            s"slice under $lgState (fingerprint mismatch) — the " +
+                            "classifier is seed-frozen; re-seed to change it")
+                      case None =>
+                        sys.error(s"incremental langid: the seed batch froze the BUILTIN " +
+                          s"profiles under $lgState; profiles=$p would label later " +
+                          "batches under a different classifier — re-seed to change it")
+                    }
+                  case None => ()
+                }
+                // langs sidecar carries the priority order; rows are
+                // the (plang, tg, w) table — both tiny by construction
+                val langs = spark.read.parquet(langsPath).orderBy("prio")
+                  .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+                val rows = spark.read.parquet(rowsPath)
+                  .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+                graft.functions.LangProfiles.ProfileSet(langs, rows)
+              } else {
+                val p0 = opts.get("profiles")
+                val prof0 = p0 match {
+                  case Some(p) => graft.queries.TextQueries.deriveLangProfiles(
+                    spark.read.parquet(p).select("lang", "text"))
+                  case None => graft.functions.LangProfiles.builtin
+                }
+                // sidecars + langs FIRST; rows/_SUCCESS is the commit
+                // point (the frozen-stage publish discipline): a crash
+                // mid-seed leaves fitted=false and re-seeds
+                p0.foreach(p => writeLongSidecar(spark, lgState, "fingerprint",
+                  contentFingerprint(spark.read.parquet(p).select("lang", "text"))))
+                val s2 = spark
+                import s2.implicits._
+                prof0.languages.toDF("plang", "prio")
+                  .coalesce(1).write.mode("overwrite").parquet(langsPath)
+                prof0.rows.toDF("plang", "tg", "w")
+                  .coalesce(1).write.mode("overwrite").parquet(rowsPath)
+                System.err.println("[graft] corpus-pipeline langid: profile table " +
+                  s"frozen on seed batch (${p0.fold("builtin")(p => s"profiles=$p")}, " +
+                  s"${prof0.languages.size} languages)")
+                prof0
+              }
+            docs = Some(applyLangid(prof))
+          case "langid" =>
+            val prof = opts.get("profiles") match {
+              case Some(p) => graft.queries.TextQueries.deriveLangProfiles(
+                spark.read.parquet(p).select("lang", "text"))
+              case None => graft.functions.LangProfiles.builtin
+            }
+            docs = Some(applyLangid(prof))
           // frozen-model CDC select: the FIRST batch is the seed —
           // λ + threshold are fit on it (targets= required at seed
           // time) and frozen under state/select; later batches score

@@ -1256,6 +1256,81 @@ class MainSpec extends SparkSpec {
     assert(!hits(s"$base/state").map(_._3).contains(205L), "text takedown")
   }
 
+  test("corpus-pipeline langid step: assigns lang to raw lang-less corpora; incremental freezes the profile table") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_langid").toString
+    // raw corpora: doc_id + text ONLY — the shape a crawl delivers
+    Seq(
+      (1L, "the cat and the dog it is with that"),
+      (2L, "der hund und die katze ist nicht ein problem mit"),
+      (3L, "le chat et la maison est dans une rue"),
+      (4L, "el gato es una casa con los perros por que"))
+      .toDF("doc_id", "text").write.parquet(s"$base/raw.parquet")
+    Seq((5L, "good morning everyone we will go shopping"),
+      (6L, "guten morgen alle zusammen wir fahren zum markt"))
+      .toDF("doc_id", "text").write.parquet(s"$base/raw2.parquet")
+    // a (lang, text) profile slice for the derived-profile path
+    Seq(("en", "tomorrow we will go shopping because we need fresh vegetables the cat and dog"),
+      ("de", "wir fahren morgen zum markt weil wir frisches gemüse brauchen der hund und die katze"))
+      .toDF("lang", "text").write.parquet(s"$base/slice.parquet")
+    Seq(("en", "completely different profile corpus here"),
+      ("de", "ganz anderes profil korpus hier"))
+      .toDF("lang", "text").write.parquet(s"$base/slice2.parquet")
+
+    // full run: langid assigns the easy set correctly under builtin
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/raw.parquet",
+      s"out=$base/out1", "steps=langid"))
+    val got = spark.read.parquet(s"$base/out1/survivors")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"),
+      s"builtin profiles must label the easy set: $got")
+
+    // lang-less input WITHOUT the langid step refuses up front
+    val eNoLang = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/raw.parquet", s"out=$base/out_nolang",
+        "steps=clean")))
+    assert(eNoLang.getMessage.contains("no lang column"), eNoLang.getMessage)
+
+    // incremental: seed batch freezes the BUILTIN table; a later
+    // profiles= must refuse (it would relabel under a different
+    // classifier), and a plain delta labels under the frozen table
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/raw.parquet",
+      s"out=$base/outi", "steps=langid", "incremental=true",
+      s"state=$base/state1", "batch=1"))
+    val eProf = intercept[RuntimeException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/raw2.parquet", s"out=$base/outi",
+        "steps=langid", "incremental=true", s"state=$base/state1", "batch=2",
+        s"profiles=$base/slice.parquet")))
+    assert(eProf.getMessage.contains("froze the BUILTIN"), eProf.getMessage)
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/raw2.parquet",
+      s"out=$base/outi", "steps=langid", "incremental=true",
+      s"state=$base/state1", "batch=2"))
+    val inc = spark.read.parquet(s"$base/state1/survivors")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inc(5L) == "en" && inc(6L) == "de" && inc.size == 6,
+      s"delta labeled under the frozen builtin table: $inc")
+
+    // derived-profile freeze: same slice passes the fingerprint, a
+    // different slice refuses
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/raw.parquet",
+      s"out=$base/outd", "steps=langid", "incremental=true",
+      s"state=$base/state2", "batch=1", s"profiles=$base/slice.parquet"))
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/raw2.parquet",
+      s"out=$base/outd", "steps=langid", "incremental=true",
+      s"state=$base/state2", "batch=2", s"profiles=$base/slice.parquet"))
+    val derived = spark.read.parquet(s"$base/state2/survivors")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(derived.subsetOf(Set("en", "de")),
+      s"derived 2-language profile can only emit its own languages: $derived")
+    val eFp = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/raw2.parquet", s"out=$base/outd",
+        "steps=langid", "incremental=true", s"state=$base/state2", "batch=3",
+        s"profiles=$base/slice2.parquet")))
+    assert(eFp.getMessage.contains("fingerprint mismatch"), eFp.getMessage)
+  }
+
   test("runs-report renders the per-batch journal: walls, rates, drift flags; refuses without a journal") {
     val s = spark
     import s.implicits._
