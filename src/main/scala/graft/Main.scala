@@ -690,6 +690,17 @@ object Main {
               s"input ${req("in")} has no lang column — add the langid step " +
                 "(steps=...,langid,...) to assign one, placed before any " +
                 "lang-keyed stage")
+            // presence is not enough: a lang-keyed stage running BEFORE
+            // langid would group/join on the null lang — mix's
+            // threshold join matches nothing on a null key and would
+            // silently empty the corpus
+            val langKeyed = Seq("mix")
+            langKeyed.filter(steps.contains).foreach(k =>
+              require(steps.indexOf("langid") < steps.indexOf(k),
+                s"input ${req("in")} has no lang column and the plan runs '$k' " +
+                  s"BEFORE langid — '$k' keys on lang and a null key would " +
+                  "silently drop every document; reorder steps so langid " +
+                  s"precedes $k"))
             in0.select(col("doc_id"), lit(null).cast("string").as("lang"),
               col("text"))
           }).persist(StorageLevel.MEMORY_AND_DISK)
@@ -962,8 +973,20 @@ object Main {
                 // sidecars + langs FIRST; rows/_SUCCESS is the commit
                 // point (the frozen-stage publish discipline): a crash
                 // mid-seed leaves fitted=false and re-seeds
-                p0.foreach(p => writeLongSidecar(spark, lgState, "fingerprint",
-                  contentFingerprint(spark.read.parquet(p).select("lang", "text"))))
+                p0 match {
+                  case Some(p) => writeLongSidecar(spark, lgState, "fingerprint",
+                    contentFingerprint(spark.read.parquet(p).select("lang", "text")))
+                  case None =>
+                    // a CRASHED profiles= seed may have left its
+                    // fingerprint sidecar (sidecars publish before the
+                    // commit point); a builtin re-seed must remove it,
+                    // or a later profiles= would fingerprint-match and
+                    // pass while labeling actually ran under the
+                    // builtin — the silent-different-classifier case
+                    // the refusal below exists to prevent
+                    val fpp = new org.apache.hadoop.fs.Path(s"$lgState/fingerprint.txt")
+                    fpp.getFileSystem(hadoopConf).delete(fpp, false)
+                }
                 val s2 = spark
                 import s2.implicits._
                 prof0.languages.toDF("plang", "prio")

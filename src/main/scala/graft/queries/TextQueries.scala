@@ -56,11 +56,16 @@ object TextQueries {
     * caller-supplied model — the spec / trained-model form. */
   def bpeFertilityDocs(in: DataFrame,
                        model: Array[(String, String)] =
-                         graft.functions.Bpe.builtin): DataFrame =
+                         graft.functions.Bpe.builtin): DataFrame = {
+    // NULL text contributes zero tokens, like the oracle (where a
+    // NULL row produces no pre-token rows at all) — an unguarded
+    // size() would return -1 per NULL row and silently corrupt the
+    // language's sums
+    val t = coalesce(col("text"), lit(""))
     in.select(
         col("lang"),
-        size(bpeTokens(col("text"))).cast("long").as("pre"),
-        size(graft.functions.Bpe.bpeEncode(col("text"), model)).cast("long").as("tok"))
+        size(bpeTokens(t)).cast("long").as("pre"),
+        size(graft.functions.Bpe.bpeEncode(t, model)).cast("long").as("tok"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("pre")).as("n_pretokens"),
@@ -68,6 +73,7 @@ object TextQueries {
       .withColumn("fertility",
         when(col("n_pretokens") === 0L, lit(null).cast("double"))
           .otherwise(col("n_tokens").cast("double") / col("n_pretokens").cast("double")))
+  }
 
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val nChars = length(col("text")).cast("double")

@@ -1291,6 +1291,12 @@ class MainSpec extends SparkSpec {
       Seq("corpus-pipeline", s"in=$base/raw.parquet", s"out=$base/out_nolang",
         "steps=clean")))
     assert(eNoLang.getMessage.contains("no lang column"), eNoLang.getMessage)
+    // ...and presence is not enough: a lang-keyed stage BEFORE langid
+    // would join on the null lang and silently empty the corpus
+    val eOrder = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/raw.parquet", s"out=$base/out_order",
+        "steps=mix,langid", "budget=1000")))
+    assert(eOrder.getMessage.contains("BEFORE langid"), eOrder.getMessage)
 
     // incremental: seed batch freezes the BUILTIN table; a later
     // profiles= must refuse (it would relabel under a different
@@ -1329,6 +1335,26 @@ class MainSpec extends SparkSpec {
         "steps=langid", "incremental=true", s"state=$base/state2", "batch=3",
         s"profiles=$base/slice2.parquet")))
     assert(eFp.getMessage.contains("fingerprint mismatch"), eFp.getMessage)
+
+    // crash-window hygiene: a profiles= seed that died after its
+    // fingerprint sidecar published but before the rows committed
+    // must not leave the sidecar behind when a BUILTIN re-seed runs —
+    // a later profiles= would fingerprint-match and pass while
+    // labeling actually ran under the builtin table
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/state3/langid"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/state3/langid", "fingerprint.txt"), "12345\n")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/raw.parquet",
+      s"out=$base/outc", "steps=langid", "incremental=true",
+      s"state=$base/state3", "batch=1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/state3/langid", "fingerprint.txt")),
+      "a builtin re-seed must remove a crashed profiles= seed's fingerprint sidecar")
+    val eStale = intercept[RuntimeException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/raw2.parquet", s"out=$base/outc",
+        "steps=langid", "incremental=true", s"state=$base/state3", "batch=2",
+        s"profiles=$base/slice.parquet")))
+    assert(eStale.getMessage.contains("froze the BUILTIN"), eStale.getMessage)
   }
 
   test("runs-report renders the per-batch journal: walls, rates, drift flags; refuses without a journal") {

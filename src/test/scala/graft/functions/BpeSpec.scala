@@ -259,14 +259,16 @@ class BpeSpec extends SparkSpec {
       (1L, "en", "the the the"),   // 3 pre / 3 tok
       (2L, "en", "the"),           // 1 pre / 1 tok
       (3L, "xx", "zqv zqv"),       // 2 pre / 6 tok
-      (4L, "yy", " ")              // no pre-tokens at all
+      (4L, "yy", " "),             // no pre-tokens at all
+      (5L, "xx", null)             // NULL text: zero tokens, never -1
     ).toDF("doc_id", "lang", "text")
     val out = graft.queries.TextQueries.bpeFertilityDocs(docs, m)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3),
           if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
     assert(out("en") == ((2L, 4L, 4L, 1.0)), s"en: ${out("en")}")
-    assert(out("xx") == ((1L, 2L, 6L, 3.0)), s"xx: ${out("xx")}")
+    assert(out("xx") == ((2L, 2L, 6L, 3.0)),
+      s"a NULL-text row adds a doc but zero tokens (size() would say -1): ${out("xx")}")
     assert(out("yy")._1 == 1L && out("yy")._2 == 0L && out("yy")._4.isNaN,
       s"a pre-token-less language must read null, not divide by zero: ${out("yy")}")
     assert(out("xx")._4 > out("en")._4,
