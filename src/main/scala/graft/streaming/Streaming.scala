@@ -139,6 +139,46 @@ object Streaming {
     else src.dropDuplicates(Seq(keyCol))
   }
 
+  /** Streaming decontamination: every micro-batch of a document
+    * stream is checked against a FIXED eval corpus and contaminated
+    * docs dropped before the sink — the live-ingest twin of
+    * `corpus_decontaminate` (the incremental DAG's frozen-eval stage
+    * applied per micro-batch instead of per nightly delta). The
+    * distinct eval-gram table is derived and MATERIALIZED once at
+    * stream start (the frozen-model discipline: a stream must not
+    * re-shingle the eval corpus per batch, and the contract must not
+    * drift mid-stream; eval suites are bounded so the checkpoint is
+    * small) and broadcast into each batch's equi-join — the batch is
+    * scanned once and never shuffled (corpusDecontaminateDocs's scale
+    * plan, per batch). Stateless across batches — no index, no
+    * watermark — so an at-least-once foreachBatch replay trivially
+    * reproduces the same survivors. Exact-gram recall only: the
+    * near-dup form (`corpusDecontaminateNearDocs`) stays a batch /
+    * nightly tool, where re-deriving the eval-side MinHash structures
+    * is paid once per run, not once per micro-batch. */
+  def decontaminateStream(docs: DataFrame, evals: DataFrame,
+                          sink: DataFrame => Unit, checkpoint: String,
+                          k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    val evalGrams = graft.queries.PipelineQueries
+      .decontaminateGrams(evals, k).select("sh").distinct().localCheckpoint()
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors = decontaminateBatch(batch.toDF(), evalGrams, k)
+        if (!survivors.isEmpty) sink(survivors)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[decontaminateStream]] (also the testable
+    * unit): the batch minus every doc sharing any word k-gram with
+    * the frozen eval grams. */
+  def decontaminateBatch(batch: DataFrame, evalGrams: DataFrame, k: Int): DataFrame =
+    batch.join(graft.queries.PipelineQueries
+        .corpusDecontaminateDocsFromGrams(batch, evalGrams, k).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Streaming near-duplicate dedup against all history: each
     * micro-batch MinHash-signs its documents, drops intra-batch
     * near-dups (exact Jaccard verification — texts are in hand), then

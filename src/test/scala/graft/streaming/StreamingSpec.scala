@@ -97,6 +97,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((20L, 10L)), s"expected only the in-window same-user view, got $got")
   }
 
+  test("streaming decontamination: eval-gram hits dropped per micro-batch; survivors match the batch form") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_streamdecon").toString
+    val evalText = "the quick brown fox jumps over the lazy dog tonight"
+    val evals = Seq((100L, evalText)).toDF("doc_id", "text")
+    // 1: shares a verbatim 5-gram with the eval item; 2/4: clean;
+    // 3 (second batch): a different shared 5-gram window — the fixed
+    // gram table must keep catching across batches with no state
+    val d1 = "intro words then the quick brown fox jumps and more trailing text here"
+    val d2 = "entirely separate content about completely other subjects and unrelated things"
+    val d3 = "prefix chatter fox jumps over the lazy dog suffix chatter closing words"
+    val d4 = "fresh prose with plenty of novel vocabulary nothing resembling the held out suite"
+    val survived = scala.collection.mutable.SortedSet.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), evals,
+      df => survived ++= df.select("doc_id").collect().map(_.getLong(0)),
+      s"$base/ckpt")
+    input.addData((1L, d1), (2L, d2))
+    q.processAllAvailable()
+    assert(survived.toSet == Set(2L), s"batch 1: contaminated doc 1 must drop, got $survived")
+    input.addData((3L, d3), (4L, d4))
+    q.processAllAvailable()
+    q.stop()
+    assert(survived.toSet == Set(2L, 4L),
+      s"batch 2: the stateless gram table keeps catching (doc 3), got $survived")
+    // parity: streamed survivors == the nightly batch form over the union
+    val union = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4)).toDF("doc_id", "text")
+    val batchSurvivors = union.join(
+      graft.queries.PipelineQueries.corpusDecontaminateDocs(union, evals)
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(survived.toSet == batchSurvivors,
+      s"stream == batch contract: $survived vs $batchSurvivors")
+  }
+
   test("streaming near-dup dedup: history and intra-batch dups dropped across micro-batches") {
     val s = spark
     import s.implicits._
