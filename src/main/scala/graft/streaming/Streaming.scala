@@ -159,13 +159,22 @@ object Streaming {
   def decontaminateStream(docs: DataFrame, evals: DataFrame,
                           sink: DataFrame => Unit, checkpoint: String,
                           k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
+    // persist, NOT localCheckpoint: this frame must outlive executor
+    // churn for the stream's whole lifetime, and localCheckpoint
+    // truncates the lineage a lost block would need to recompute —
+    // persist keeps derive-once semantics (materialized on first use)
+    // with a recomputable fallback
     val evalGrams = graft.queries.PipelineQueries
-      .decontaminateGrams(evals, k).select("sh").distinct().localCheckpoint()
+      .decontaminateGrams(evals, k).select("sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val survivors = decontaminateBatch(batch.toDF(), evalGrams, k)
+        // pin the survivors before the isEmpty probe + sink pair
+        // (the dedupNearBatch pattern) — otherwise each consumes the
+        // whole shingle/join/anti-join plan from scratch
+        val survivors = decontaminateBatch(batch.toDF(), evalGrams, k).localCheckpoint()
         if (!survivors.isEmpty) sink(survivors)
       }
       .start()
