@@ -36,7 +36,7 @@ class PipelineE2ESpec extends SparkSpec {
 
   private def mkVec(seed: Long): Array[Float] = graft.VecFixtures.unit(Dim, seed)
 
-  test("clean -> embedding dedup -> index maintenance -> serve: one flowing pipeline") {
+  test("clean -> decontaminate -> embedding dedup -> index maintenance -> serve: one flowing pipeline") {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
@@ -54,7 +54,7 @@ class PipelineE2ESpec extends SparkSpec {
     val vecOf = Map[Long, Array[Float]](
       1L -> mkVec(1), 2L -> mkVec(2),
       3L -> mkVec(1).map(x => x + 1e-4f), 4L -> mkVec(4), 5L -> mkVec(5),
-      7L -> nearDup(mkVec(2), 77L))
+      7L -> nearDup(mkVec(2), 77L), 8L -> mkVec(8))
     val vecsDf = vecOf.toSeq.map { case (id, v) => (id, v) }.toDF("doc_id", "vec")
 
     // the serving index: quantizers bootstrapped on a pre-existing
@@ -69,14 +69,26 @@ class PipelineE2ESpec extends SparkSpec {
 
     val sigIndex = new SigIndex(spark, s"$base/sig", idCol = "doc_id")
 
-    // stage 1 — raw docs stream through the incremental clean; each
-    // micro-batch's survivors land (id, vec) in the survivor feed
+    // the fixed eval suite for the decontamination stage: derived once
+    // and persisted — Streaming.decontaminateStream's frozen-gram
+    // contract, applied per batch inside the clean stage's sink
+    val evalGrams = PipelineQueries.decontaminateGrams(
+      Seq((9999L, "benchmark answer key held out secret evaluation item"))
+        .toDF("doc_id", "text"), 5)
+      .select("sh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 1 — raw docs stream through the incremental clean, then
+    // eval decontamination; each micro-batch's survivors land
+    // (id, vec) in the survivor feed
     val docsIn = MemoryStream[(Long, String, String)]
     val cleanQ = docsIn.toDF().toDF("doc_id", "lang", "text").writeStream
       .option("checkpointLocation", s"$base/ckpt_clean")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         if (!batch.isEmpty)
-          PipelineQueries.corpusCleanIncremental(batch.toDF(), sigIndex, bid)
+          Streaming.decontaminateBatch(
+              PipelineQueries.corpusCleanIncremental(batch.toDF(), sigIndex, bid,
+                keepText = true), evalGrams, 5)
             .join(vecsDf, Seq("doc_id"))
             .select(col("doc_id").as("id"), col("vec"))
             .write.mode("append").parquet(survivorsDir)
@@ -110,24 +122,28 @@ class PipelineE2ESpec extends SparkSpec {
     docsIn.addData((1L, "en", prose("heron")), (2L, "en", prose("otter")))
     drain()
     // batch 1: a near-dup of historical doc 1 (text stage drops it), a
-    // genuinely new doc, a junk doc below the quality floor, and the
+    // genuinely new doc, a junk doc below the quality floor, the
     // paraphrase (7: unique text, embedding ≈ doc 2 — only the
-    // embedding stage drops it)
+    // embedding stage drops it), and an eval-contaminated doc (8:
+    // quality-passing unique text + unique embedding, but it quotes a
+    // verbatim 5-gram of the held-out suite — only the decontamination
+    // stage drops it)
     docsIn.addData(
       (3L, "en", prose("heron") + " extra"),
       (4L, "en", prose("falcon")),
       (5L, "en", "ZZZZ!!! @@@@ 9999 ####"),
-      (7L, "en", prose("osprey")))
+      (7L, "en", prose("osprey")),
+      (8L, "en", prose("kestrel") + " benchmark answer key held out secret"))
     drain()
     cleanQ.stop(); embQ.stop(); maintainQ.stop()
 
     // composition invariant: the index holds bootstrap + what survived
-    // BOTH dedup stages — not 3 (text dup), not 5 (junk), not 7
-    // (embedding paraphrase)
+    // ALL THREE hygiene stages — not 3 (text dup), not 5 (junk), not 7
+    // (embedding paraphrase), not 8 (eval contamination)
     val indexed = new graft.sources.SnapshotStore(spark, s"$base/idx/codes", key = "neighbor_id")
       .read().get.select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(indexed.filter(_ < 9000L) == Set(1L, 2L, 4L),
-      s"index must hold exactly the two-stage survivors, got ${indexed.filter(_ < 9000L)}")
+      s"index must hold exactly the three-stage survivors, got ${indexed.filter(_ < 9000L)}")
 
     // stage 3 — a query stream served against the maintained index:
     // the dup's vector resolves to its SURVIVOR, the new doc to itself
