@@ -38,6 +38,7 @@ import org.apache.spark.sql.functions._
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 allowed=<doc_ids.parquet>]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
+  *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares>]
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
   *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
@@ -108,10 +109,10 @@ object Main {
       durationSec: Double)
 
   private[graft] val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
-    "index-delete", "index-search", "index-compact", "index-vacuum",
-    "sig-compact", "sig-vacuum",
+    "index-delete", "index-search", "index-compact", "index-vacuum", "index-stats",
+    "sig-compact", "sig-vacuum", "sig-stats",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
-    "text-index-compact", "text-index-vacuum",
+    "text-index-compact", "text-index-vacuum", "text-index-stats",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
     "corpus-scrub", "scrub-refit", "quality-score", "quality-train", "langid",
@@ -360,6 +361,22 @@ object Main {
         done(0, new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
           .vacuum(opts.getOrElse("keep", "1").toInt,
             opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
+      // observability for the three persistent stores: one k=v line
+      // per field on stdout — the input to a compact/vacuum/re-seed
+      // decision, without writing a probe program (rowsOut = fields)
+      case "index-stats" =>
+        val kv = pqIndex(req("index")).describe()
+        kv.foreach { case (k0, v) => println(s"$k0=$v") }
+        done(0, kv.size.toLong)
+      case "text-index-stats" =>
+        val kv = textIndex(req("index")).describe()
+        kv.foreach { case (k0, v) => println(s"$k0=$v") }
+        done(0, kv.size.toLong)
+      case "sig-stats" =>
+        val kv = new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
+          .describe()
+        kv.foreach { case (k0, v) => println(s"$k0=$v") }
+        done(0, kv.size.toLong)
       // the mixing/selection family, operable like the reference's
       // scheduler jobs: each reads a (doc_id, lang, text) parquet and
       // writes the decision frame (ids + assignment, not text — the

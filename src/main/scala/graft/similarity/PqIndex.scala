@@ -461,6 +461,27 @@ class PqIndex(spark: SparkSession, dir: String,
   /** The frozen OPQ rotation, when the index was built with one. */
   def rotation(): Option[Array[Float]] = loadModels()._3
 
+  /** Operator-facing store report — the numbers a compact / vacuum /
+    * re-seed decision reads (`Main index-stats`). One bounded model
+    * parse + manifest metadata; the only distributed job is the codes
+    * row count. Ordered so the report prints stably. */
+  def describe(): Seq[(String, String)] =
+    if (!isBuilt) Seq("built" -> "false")
+    else {
+      val (model, coarse, rot) = loadModels()
+      Seq(
+        "built" -> "true",
+        "vectors" -> store.read().map(_.count()).getOrElse(0L).toString,
+        "dim" -> (model.m * model.subDim).toString,
+        "m" -> model.m.toString,
+        "k" -> model.k.toString,
+        "cells" -> coarse.centroids.length.toString,
+        "probe_resolved" -> resolvedNProbe.toString,
+        "opq" -> rot.isDefined.toString,
+        "live_files" -> store.liveFileCount.toString,
+        "versions" -> store.versions().size.toString)
+    }
+
   // models.txt: line-oriented, Float.toString round-trips exactly
   private def saveModels(model: Pq.Model, coarse: Similarity.IvfModel,
                          rotation: Option[Array[Float]]): Unit = {

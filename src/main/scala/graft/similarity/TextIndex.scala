@@ -289,6 +289,25 @@ class TextIndex(spark: SparkSession, dir: String,
   private[graft] def scanFootprint(parts: Seq[Long]): (Int, Int) =
     (store.filesForPartitions(parts).size, store.liveFileCount)
 
+  /** Operator-facing store report — the numbers a compact / vacuum /
+    * re-build decision reads (`Main text-index-stats`). Everything is
+    * sidecar + manifest metadata except the postings row count (one
+    * column-pruned job). */
+  def describe(): Seq[(String, String)] =
+    if (!fs.exists(statsPath)) Seq("built" -> "false")
+    else {
+      val (n, sumDl, parts) = loadStats()
+      Seq(
+        "built" -> "true",
+        "docs" -> n.toString,
+        "total_tokens" -> sumDl.toString,
+        "avg_doc_len" -> (if (n == 0) "0" else (sumDl.toDouble / n).toString),
+        "term_parts" -> parts.toString,
+        "postings_rows" -> store.read().map(_.count()).getOrElse(0L).toString,
+        "live_files" -> store.liveFileCount.toString,
+        "versions" -> store.versions().size.toString)
+    }
+
   /** The frozen term-partition count (stats.txt is the layout truth). */
   private[graft] def frozenTermParts: Int = loadStats()._3
 

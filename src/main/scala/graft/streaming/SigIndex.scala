@@ -172,6 +172,20 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
   /** Reclaim superseded files in both stores. */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
     sigs.vacuum(keepVersions, minAgeMs) + bands.vacuum(keepVersions, minAgeMs)
+
+  /** Operator-facing store report — the numbers a compact / vacuum
+    * decision reads (`Main sig-stats`). Manifest metadata plus one
+    * row-count job on the (smaller) sig store. */
+  def describe(): Seq[(String, String)] =
+    if (!exists) Seq("built" -> "false")
+    else Seq(
+      "built" -> "true",
+      "docs" -> sigs.read().map(_.count()).getOrElse(0L).toString,
+      "band_parts" -> resolvedBandParts.toString,
+      "sig_live_files" -> sigs.liveFileCount.toString,
+      "band_live_files" -> bands.liveFileCount.toString,
+      "sig_versions" -> sigs.versions().size.toString,
+      "band_versions" -> bands.versions().size.toString)
 }
 
 object SigIndex {

@@ -1256,6 +1256,53 @@ class MainSpec extends SparkSpec {
     assert(!hits(s"$base/state").map(_._3).contains(205L), "text takedown")
   }
 
+  test("store stats commands: k=v reports for the three persistent stores; unbuilt reads built=false") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_stats").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(5)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    (0L until 12L).map(id => (id, "en", s"doc${('a' + id).toChar} ${body(id)}"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/docs.parquet")
+    // 80 vectors: the PQ fit needs more samples than its 16 centroids
+    (0L until 80L).map(id => (id, graft.VecFixtures.unit(64, 500L + id)))
+      .toDF("id", "vec").write.parquet(s"$base/vecs.parquet")
+    Main.runPipeline(spark, Seq("text-index-build", s"in=$base/docs.parquet",
+      s"index=$base/ti"))
+    Main.runPipeline(spark, Seq("index-build", s"in=$base/vecs.parquet",
+      s"index=$base/vi"))
+    Main.runPipeline(spark, Seq("corpus-clean", s"in=$base/docs.parquet",
+      s"index=$base/sig", s"out=$base/cleaned", "batch=1"))
+    def report(cmd: String, dir: String): (Map[String, String], Main.PipelineStats) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val st = Console.withOut(new java.io.PrintStream(buf, true)) {
+        Main.runPipeline(spark, Seq(cmd, s"index=$dir"))
+      }
+      (buf.toString.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap, st)
+    }
+    val (ti, tiSt) = report("text-index-stats", s"$base/ti")
+    assert(ti("built") == "true" && ti("docs") == "12" &&
+      ti("total_tokens").toLong > 0 && ti("term_parts").toInt >= 1 &&
+      ti("postings_rows").toLong > 0 && ti("live_files").toInt >= 1, ti.toString)
+    assert(tiSt.rowsOut == ti.size.toLong)
+    val (vi, _) = report("index-stats", s"$base/vi")
+    assert(vi("built") == "true" && vi("vectors") == "80" &&
+      vi("dim") == "64" && vi("cells").toInt >= 1 &&
+      vi("probe_resolved").toInt >= 1 && vi("live_files").toInt >= 1, vi.toString)
+    val (si, _) = report("sig-stats", s"$base/sig")
+    assert(si("built") == "true" && si("docs") == "12" &&
+      si("band_parts").toInt >= 1 && si("sig_live_files").toInt >= 1 &&
+      si("band_live_files").toInt >= 1, si.toString)
+    // a dir with no committed store reports built=false, not a crash
+    val (empty, emptySt) = report("index-stats", s"$base/nowhere")
+    assert(empty == Map("built" -> "false") && emptySt.rowsOut == 1L, empty.toString)
+  }
+
   test("corpus-pipeline langid step: assigns lang to raw lang-less corpora; incremental freezes the profile table") {
     val s = spark
     import s.implicits._
