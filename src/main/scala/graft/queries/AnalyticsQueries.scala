@@ -407,6 +407,38 @@ object AnalyticsQueries {
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
   }
 
+  /** Per-type ROBUST outliers (modified z-score, Iglewicz–Hoaglin
+    * 1993): median/MAD instead of mean/stddev, so a heavy-tailed
+    * value distribution — the usual telemetry shape — cannot mask its
+    * own outliers by inflating the estimator (one huge glitch raises
+    * σ enough to hide every other glitch from [[eventsOutliers]]'s
+    * z-score; the median and MAD move by at most one rank).
+    * Flags |0.6745·(x − med) / MAD| > 3.5. Two bounded per-type
+    * aggregates (exact interpolated percentile — the value_quantiles
+    * machinery, bit-identical to DuckDB's quantile_cont), each
+    * broadcast back; the scale path swaps in approx_percentile with
+    * the same call shape, exactly like valueQuantilesApprox.
+    * MAD = 0 groups emit nothing (every value sits at the median —
+    * no outliers in both engines, rather than a div-by-zero ±inf). */
+  def eventsOutliersRobust(spark: SparkSession, dir: String): DataFrame =
+    outliersRobustOn(t(spark, dir, "events"))
+
+  /** [[eventsOutliersRobust]] over any (event_id, event_type, value)
+    * frame — the spec form. */
+  private[graft] def outliersRobustOn(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .withColumn("rz", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+      .filter(abs(col("rz")) > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("rz"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes — the overlapping-window
     * counterpart of eventsWindowed (each event lands in 4 windows);
     * identical call shape on a stream. */
@@ -523,6 +555,7 @@ object AnalyticsQueries {
     "value_quantiles_approx" -> (valueQuantilesApprox _),
     "user_rfm_approx" -> (userRfmApprox _),
     "events_outliers" -> (eventsOutliers _),
+    "events_outliers_robust" -> (eventsOutliersRobust _),
     "events_sliding" -> (eventsSliding _),
     "user_rfm" -> (userRfm _),
     "events_cohorts" -> (eventsCohorts _),
@@ -695,6 +728,21 @@ object AnalyticsQueries {
         |       (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3""".stripMargin,
+    // same interpolated-percentile machinery as value_quantiles
+    // (Spark percentile == DuckDB quantile_cont, bit-identical);
+    // the rz expression mirrors the Column tree's operation order
+    "events_outliers_robust" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       0.6745 * (e.value - m.med) / d.mad AS rz
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |WHERE d.mad > 0
+        |  AND abs(0.6745 * (e.value - m.med) / d.mad) > 3.5""".stripMargin,
     "events_sliding" ->
       """SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
         |         - k * 900)::TIMESTAMP AS window_start,

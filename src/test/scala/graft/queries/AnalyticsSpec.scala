@@ -130,4 +130,33 @@ class AnalyticsSpec extends SparkSpec {
     val p = plan(AnalyticsQueries.userRfmApprox(spark, dir)).toString
     assert(!p.contains("Window") && !p.contains("Sort "), s"approx RFM must not sort a total order:\n$p")
   }
+
+  test("robust outliers: a masking mega-spike hides the z-score's catch but not the MAD's; MAD=0 emits nothing") {
+    val s = spark
+    import s.implicits._
+    // group t: 100 small values (cycle -3..3, median 0, MAD 2), one
+    // 50-spike, one 1e6 mega-spike. The mega-spike inflates the
+    // classic stddev to ~1e5, burying the 50-spike at |z| ≈ 0.1 —
+    // the exact masking failure the robust form exists for
+    val vals = (1L to 100L).map(i => (i, "t", (i % 7 - 3).toDouble)) ++
+      Seq((101L, "t", 50.0), (102L, "t", 1e6)) ++
+      // group u: >50% of mass at one value -> MAD = 0 -> the group is
+      // excluded entirely (documented: no div-by-zero infinities)
+      (200L to 210L).map(i => (i, "u", 5.0)) :+ ((211L, "u", 100.0))
+    val ev = vals.toDF("event_id", "event_type", "value")
+    val robust = AnalyticsQueries.outliersRobustOn(ev)
+      .collect().map(_.getLong(0)).toSet
+    assert(robust.contains(101L) && robust.contains(102L),
+      s"both spikes flagged by the modified z-score: $robust")
+    assert(robust.forall(_ <= 102L), s"MAD=0 group must emit nothing: $robust")
+    assert(!robust.exists(id => id >= 1L && id <= 100L),
+      s"the small cycle is not outlying (|rz| ≈ 1): $robust")
+    // and the masking claim itself: the classic z of the 50-spike on
+    // this data really is far under the 3σ bar
+    val xs = vals.filter(_._2 == "t").map(_._3)
+    val mean = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
+    assert(math.abs((50.0 - mean) / sd) < 0.2,
+      f"precondition: the z-score must hide the 50-spike, z=${(50.0 - mean) / sd}%.3f")
+  }
 }
