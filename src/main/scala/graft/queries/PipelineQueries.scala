@@ -124,6 +124,36 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Exact k-docs-per-language sample — the curator's "pull k docs
+    * per language to eyeball" before committing a pipeline change.
+    * Deterministic: the sampling order is an affine residue of the
+    * row key mod 2^31−1 (the [[shardDocs]] decorrelation machinery —
+    * exact BIGINT both engines, independent multiplier so sample
+    * order ≠ shard order), so the pull is reproducible across runs
+    * and cluster sizes, free of source-order bias, and MONOTONE under
+    * corpus growth: a new doc can displace at most the current rank-k
+    * tail, never reshuffle the sample — rand() is none of those
+    * things. The per-language window is the exact form; at 100 TB the
+    * scale path is the select_budget_pruned shape (prefilter `ord`
+    * under a histogram edge so each window sorts ≈k rows, not the
+    * language). */
+  def corpusSampleK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    sampleKDocs(Tables.load(spark, dir, "documents"), k)
+
+  /** [[corpusSampleK]] over any frame with (doc_id, lang) — the spec
+    * form. */
+  private[graft] def sampleKDocs(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val ord = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L) + lit(11L),
+      lit(2147483647L))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), ord.as("ord"))
+      .withColumn("sample_rank", row_number().over(win).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any word
     * 5-gram with a held-out eval set (here: the deterministic
     * `doc_id % 23 == 0` slice stands in for the benchmark). The
@@ -1289,7 +1319,8 @@ object PipelineQueries {
     // pack-id literals stay exact regardless of testdata token mass
     // (the API default is 0 = corpus-sized)
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d, buckets = 16)),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "corpus_sample_k" -> ((s: SparkSession, d: String) => corpusSampleK(s, d)))
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
@@ -1559,6 +1590,19 @@ object PipelineQueries {
     "sample_stratified" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % (CASE WHEN lang = 'en' THEN 5 ELSE 2 END) = 0""".stripMargin,
+    // mirrors sampleKDocs: same affine residue (exact BIGINT — doc_id
+    // is non-negative so % == pmod), same (ord, doc_id) tiebreak
+    "corpus_sample_k" ->
+      """WITH o AS (
+        |  SELECT doc_id, lang,
+        |         ((doc_id % 2147483647) * 48271 + 11) % 2147483647 AS ord
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY ord, doc_id)
+        |           AS sample_rank
+        |  FROM o)
+        |WHERE sample_rank <= 3""".stripMargin,
     "corpus_clean" ->
       cleanOracleSql("allpairs AS (SELECT doc_a, doc_b FROM jpairs)"),
     "corpus_clean_multimodal" ->

@@ -206,4 +206,41 @@ class PipelineMixSpec extends SparkSpec {
     assert(fracs.head._2 > fracs.last._2 + 0.2,
       s"smallest language must keep a much higher fraction than the biggest: $fracs")
   }
+
+  test("corpus_sample_k: deterministic per-language pull; growth only displaces the tail") {
+    val s = spark
+    import s.implicits._
+    def ordOf(id: Long) = ((id % 2147483647L) * 48271L + 11L) % 2147483647L
+    val docs = (1L to 40L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val k = 3
+    def sample(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      PipelineQueries.sampleKDocs(df, k).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(0))).toSet
+    val s1 = sample(docs)
+    assert(s1 == sample(docs), "re-runs must produce the identical sample")
+    assert(s1.count(_._1 == "en") == k && s1.count(_._1 == "de") == k,
+      s"exactly k rows per language: $s1")
+    // the sample is the residue-order prefix — verify against a pure
+    // Scala replay of the order
+    val curEn = (2L to 40L by 2).sortBy(id => (ordOf(id), id)).take(k)
+    assert(s1.filter(_._1 == "en") ==
+      curEn.zipWithIndex.map { case (id, i) => ("en", (i + 1).toLong, id) }.toSet, s1)
+    // monotone growth: a doc ordering past rank k changes nothing; a
+    // doc ordering first enters at rank 1, shifts ranks 1..k-1 down,
+    // and drops exactly the former rank-k doc
+    // the affine map only wraps past id ≈ 2^31/48271 ≈ 44.5k, so a
+    // low-ord candidate needs a wide search range
+    val hi = (42L to 500000L by 2).find(id => ordOf(id) > ordOf(curEn.last)).get
+    val lo = (42L to 500000L by 2).find(id => ordOf(id) < ordOf(curEn.head)).get
+    assert(sample(docs.union(Seq((hi, "en")).toDF("doc_id", "lang"))) == s1,
+      "a new doc past rank k must not change the sample")
+    val withLo = sample(docs.union(Seq((lo, "en")).toDF("doc_id", "lang")))
+    val expectedEn = Set(("en", 1L, lo)) ++
+      curEn.take(k - 1).zipWithIndex.map { case (id, i) => ("en", (i + 2).toLong, id) }
+    assert(withLo.filter(_._1 == "en") == expectedEn,
+      s"displacement must be exactly one doc at the tail: $withLo")
+    assert(withLo.filter(_._1 == "de") == s1.filter(_._1 == "de"),
+      "the other language's sample is untouched")
+  }
 }
