@@ -363,18 +363,15 @@ object Main {
             opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
       // observability for the three persistent stores: one k=v line
       // per field on stdout — the input to a compact/vacuum/re-seed
-      // decision, without writing a probe program (rowsOut = fields)
-      case "index-stats" =>
-        val kv = pqIndex(req("index")).describe()
-        kv.foreach { case (k0, v) => println(s"$k0=$v") }
-        done(0, kv.size.toLong)
-      case "text-index-stats" =>
-        val kv = textIndex(req("index")).describe()
-        kv.foreach { case (k0, v) => println(s"$k0=$v") }
-        done(0, kv.size.toLong)
-      case "sig-stats" =>
-        val kv = new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
-          .describe()
+      // decision, without writing a probe program (rowsOut = fields).
+      // One printer so the report format cannot fork across stores
+      case "index-stats" | "text-index-stats" | "sig-stats" =>
+        val kv = command match {
+          case "index-stats" => pqIndex(req("index")).describe()
+          case "text-index-stats" => textIndex(req("index")).describe()
+          case _ =>
+            new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id").describe()
+        }
         kv.foreach { case (k0, v) => println(s"$k0=$v") }
         done(0, kv.size.toLong)
       // the mixing/selection family, operable like the reference's

@@ -476,7 +476,9 @@ class PqIndex(spark: SparkSession, dir: String,
         "m" -> model.m.toString,
         "k" -> model.k.toString,
         "cells" -> coarse.centroids.length.toString,
-        "probe_resolved" -> resolvedNProbe.toString,
+        // probeFor on the already-loaded model, not resolvedNProbe —
+        // which would re-read and re-parse the whole sidecar
+        "probe_resolved" -> probeFor(coarse).toString,
         "opq" -> rot.isDefined.toString,
         "live_files" -> store.liveFileCount.toString,
         "versions" -> store.versions().size.toString)

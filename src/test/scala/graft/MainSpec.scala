@@ -446,7 +446,8 @@ class MainSpec extends SparkSpec {
       "select-budget", "corpus-shard", "corpus-stats", "decontaminate",
       "contamination-score", "dsir-select", "corpus-scrub", "quality-score",
       "quality-train", "langid", "bpe-train", "bpe-encode", "corpus-pack",
-      "corpus-pipeline", "query", "sql").foreach { c =>
+      "corpus-pipeline", "runs-report", "query", "sql",
+      "index-stats", "text-index-stats", "sig-stats").foreach { c =>
       assert(Main.PipelineCommands(c), s"'$c' must be routed to runPipeline")
     }
     // and the handler map fails by name for anything the router passes
