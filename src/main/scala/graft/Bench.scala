@@ -124,6 +124,11 @@ object Bench {
     val loadAtStart =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val spark = Sessions.local(cpus)
+    // ERROR, not the session default WARN: the exact global-window
+    // twins emit a WindowExec WARN per execution, and that wall is
+    // what buried the summary line in the driver's bounded output
+    // capture three rounds running (BENCH_r08..r10 `parsed: null`)
+    spark.sparkContext.setLogLevel("ERROR")
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run — scaling
     // experiments above sf1 exclude the documented-quadratic exact
     // baselines, which would otherwise dominate the run by design

@@ -43,6 +43,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
+    // keep the driver's bounded output capture free of the per-query
+    // WindowExec WARN wall (see Bench.main)
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       dumpOne(spark, name, fn, sfDir, outDir) match {
