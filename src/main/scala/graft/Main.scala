@@ -646,12 +646,6 @@ object Main {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(hadoopConf).exists(hp)
         }
-        def touch(p: String): Unit = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          val hfs = hp.getFileSystem(hadoopConf)
-          hfs.mkdirs(hp.getParent)
-          hfs.create(hp, true).close()
-        }
         // pqk=, not k=: the DAG's flat option namespace already gives
         // k= to the decontaminate shingle size, and a silent collision
         // would either degrade the codebook or (worse) turn
@@ -690,6 +684,20 @@ object Main {
         if (incremental) steps.foreach(s => require(incrementalSteps.contains(s),
           s"incremental corpus-pipeline supports steps ${incrementalSteps.toSeq.sorted.mkString(",")} " +
             s"— '$s' is corpus-global/supply-dependent and needs a full (non-incremental) run"))
+        // index serves whatever the batch appended to state/survivors;
+        // placed before a frame-mutating stage it would index docs a
+        // later stage drops or rewrites, silently breaking the
+        // stores==survivors invariant (same hazard class as the
+        // langid-before-mix guard below)
+        if (steps.contains("index")) {
+          val frameMutating = Seq("clean", "decontaminate", "langid", "scrub",
+            "select", "mix")
+          frameMutating.filter(steps.contains).foreach(s =>
+            require(steps.indexOf("index") > steps.indexOf(s),
+              s"plan runs 'index' BEFORE '$s' — the serving stores would " +
+                "index documents that stage later drops or rewrites; " +
+                s"reorder steps so index follows $s"))
+        }
         val tIn = System.nanoTime()
         // raw web corpora arrive without a lang column; the langid
         // step exists to assign one, so its absence is tolerated
@@ -837,6 +845,12 @@ object Main {
             // flows through unchanged
             if (pExists(s"$dir/_SUCCESS"))
               docs = Some(advance(spark.read.parquet(dir)))
+            // a KEEP-ALL mix / skipped transform left only .done; the
+            // marker body carries the count the original run recorded
+            // (empty for side-effect stages and pre-existing markers)
+            else if (pExists(s"$dir.done"))
+              docs = scala.util.Try(
+                readTextFile(spark, s"$dir.done").trim.toLong).toOption
             // an adopted mix stage ran under THIS plan's budget= (plan
             // conflicts refuse above), so the run record must carry it
             // — a null here would misread as keep-all
@@ -1439,7 +1453,13 @@ object Main {
             if (transformStages(step) && docs.isDefined &&
                 !(step == "mix" && mixBudget.isEmpty))
               cur.select("doc_id", "lang", "text").write.mode("overwrite").parquet(dir)
-            else touch(s"$dir.done")
+            // the marker carries the stage's doc count (empty for
+            // side-effect stages, which record none) so a resumed run
+            // re-records what the original run recorded — a scheduler
+            // diffing consecutive stats.json records must not see a
+            // KEEP-ALL mix's count disappear on replay
+            else writeTextFileAtomic(spark, s"$dir.done",
+              docs.map(_.toString + "\n").getOrElse(""))
           }
           }
           // adopted stages already logged "-> resumed (N docs)" above;
@@ -1666,21 +1686,41 @@ object Main {
         val hot = graft.queries.PipelineQueries.hotSpansFromFreq(
           spark.read.parquet(s"$scrState/freq")
             .groupBy("h").agg(sum("df").as("df")), md.toInt)
-        // same publish discipline as the seed fit: sidecars first,
-        // the spans parquet's _SUCCESS is the commit point
-        writeLongSidecar(spark, scrState, "mindocs", md)
+        // NOT the seed's sidecar-first discipline: a refit REPLACES a
+        // live committed model, so the hazard is inverted — a
+        // mode(overwrite) straight onto spansPath deletes the old
+        // spans before the new data commits, and a crash mid-write
+        // leaves no spans/_SUCCESS: the next incremental scrub batch
+        // would see fitted=false and silently RE-SEED the "frozen"
+        // model from its single delta (with opts-default w/mindocs,
+        // not the retired model's), after which the old-width freq
+        // dirs would be summed against new-width hashes. Stage the new
+        // table to a temp dir and commit by rename; the drift baseline
+        // and emergent evidence are retired only AFTER the swap.
         val hconf = spark.sparkContext.hadoopConfiguration
         def rm(p: String): Unit = {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(hconf).delete(hp, true)
         }
-        rm(s"$scrState/seedhitmicro.txt")
+        val tmpSpans = s"$spansPath.refit.tmp"
+        rm(tmpSpans)
         locally {
           import spark.implicits._
-          hot.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(spansPath)
+          hot.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(tmpSpans)
         }
-        // the emergent evidence is now incorporated — a stale report
+        locally { // swap: the only fitted=false window is delete→rename
+          val fs = new org.apache.hadoop.fs.Path(spansPath)
+            .getFileSystem(hconf)
+          fs.delete(new org.apache.hadoop.fs.Path(spansPath), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmpSpans),
+            new org.apache.hadoop.fs.Path(spansPath)),
+            s"scrub-refit: rename $tmpSpans -> $spansPath failed")
+        }
+        writeLongSidecar(spark, scrState, "mindocs", md)
+        // the stale drift baseline retires with the old model; the
+        // emergent evidence is now incorporated — a stale report
         // would read as still-unscrubbed templates
+        rm(s"$scrState/seedhitmicro.txt")
         rm(s"$scrState/emergent")
         System.err.println(s"[graft] scrub-refit: ${oldN} -> ${hot.length} spans " +
           s"(mindocs=$md) from the accumulated batch frequencies")

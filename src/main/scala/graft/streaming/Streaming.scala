@@ -167,7 +167,7 @@ object Streaming {
     val evalGrams = graft.queries.PipelineQueries
       .decontaminateGrams(evals, k).select("sh").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -178,6 +178,20 @@ object Streaming {
         if (!survivors.isEmpty) sink(survivors)
       }
       .start()
+    // the cached eval grams live exactly as long as this query: a
+    // long-lived application starting/stopping many streams must not
+    // accumulate dead cached blocks. Self-removing listener, keyed on
+    // the query id (runId changes across restarts from the same
+    // checkpoint; a restart derives fresh grams and its own listener).
+    val mgr = docs.sparkSession.streams
+    mgr.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) { evalGrams.unpersist(); mgr.removeListener(this) }
+    })
+    query
   }
 
   /** One micro-batch of [[decontaminateStream]] (also the testable

@@ -647,6 +647,23 @@ class MainSpec extends SparkSpec {
       s"the adopted mix stage must keep the budget in the run record: ${mixStats()}")
     assert(mixStats().contains(""""resumed":true"""), mixStats())
 
+    // a KEEP-ALL mix leaves only a .done marker; the marker carries
+    // the doc count so a resumed run re-records what the original run
+    // recorded — a scheduler diffing consecutive stats.json records
+    // must not see the count disappear on replay
+    val kaArgs = Seq("corpus-pipeline", s"in=$base/docs.parquet",
+      s"out=$base/outka", "steps=clean,mix", "resume=true")
+    def kaStats(): String =
+      Files.readString(java.nio.file.Paths.get(s"$base/outka", "stats.json"))
+    Main.runPipeline(spark, kaArgs)
+    val mixDocs = """"stage":"mix","docs":(\d+)""".r
+    val kaFresh = mixDocs.findFirstMatchIn(kaStats()).map(_.group(1))
+    assert(kaFresh.isDefined, s"fresh KEEP-ALL mix records its count: ${kaStats()}")
+    Main.runPipeline(spark, kaArgs)
+    assert(mixDocs.findFirstMatchIn(kaStats()).map(_.group(1)) == kaFresh,
+      s"adopted KEEP-ALL mix must re-record the original count: ${kaStats()}")
+    assert(kaStats().contains(""""resumed":true"""), kaStats())
+
     // incremental batches already have a replay unit (the batch):
     // resume= refuses there rather than meaning something ambiguous
     val eIncr = intercept[IllegalArgumentException](Main.runPipeline(spark,
@@ -1007,6 +1024,12 @@ class MainSpec extends SparkSpec {
     val rFit = Main.runPipeline(spark, Seq("scrub-refit", s"state=$base/state"))
     assert(rFit.rowsIn == 1 && rFit.rowsOut == 2,
       s"1 frozen span -> 2 (footer + the emergent template): $rFit")
+    // commit-by-rename: the staged table swapped in (committed) and
+    // the staging dir is gone — a mid-refit crash must never leave
+    // fitted=false (which would silently RE-SEED from the next delta)
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/state/scrub/spans/_SUCCESS")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/state/scrub/spans.refit.tmp")),
+      "refit staging dir must be renamed away")
     // future batches scrub the formerly-emergent template; history
     // stays as scrubbed (the refit governs forward, the CDC contract)
     val fourthP = write("fourth", Seq(doc(300L, tplY)))
@@ -1125,6 +1148,13 @@ class MainSpec extends SparkSpec {
       s"in=$base/docs.parquet", s"out=$base/out2", "steps=index",
       s"vectors=$base/vecs.parquet", "cells=500", "probe=1", "minrecall=0.6")))
     assert(err.getMessage.contains("recall validation"), err.getMessage)
+    // ordering guard: index before a frame-mutating stage would serve
+    // docs that stage later drops — refuse up front, like the
+    // langid-before-mix guard
+    val eOrd = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/docs.parquet", s"out=$base/out3",
+        "steps=index,clean", s"vectors=$base/vecs.parquet")))
+    assert(eOrd.getMessage.contains("BEFORE"), eOrd.getMessage)
   }
 
   test("corpus-pipeline incremental index: seed builds over survivors, deltas CDC-add, replay idempotent, takedown composes") {

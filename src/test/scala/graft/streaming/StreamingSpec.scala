@@ -121,7 +121,21 @@ class StreamingSpec extends SparkSpec {
     assert(survived.toSet == Set(2L), s"batch 1: contaminated doc 1 must drop, got $survived")
     input.addData((3L, d3), (4L, d4))
     q.processAllAvailable()
+    // cache identity is the canonicalized plan: this probe frame is
+    // plan-identical to the stream's frozen evalGrams, so its
+    // storageLevel reads the stream's cache entry
+    def evalGramsProbe = graft.queries.PipelineQueries
+      .decontaminateGrams(evals, 5).select("sh").distinct()
+    assert(evalGramsProbe.storageLevel.useMemory,
+      "probe must see the live stream's cached eval grams (guards the leak assert below)")
     q.stop()
+    // the eval-gram cache dies with the query (self-removing
+    // listener; the bus is async — poll briefly)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (evalGramsProbe.storageLevel.useMemory && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(!evalGramsProbe.storageLevel.useMemory,
+      "evalGrams must unpersist when the query terminates — leaked cache")
     assert(survived.toSet == Set(2L, 4L),
       s"batch 2: the stateless gram table keeps catching (doc 3), got $survived")
     // parity: streamed survivors == the nightly batch form over the union
