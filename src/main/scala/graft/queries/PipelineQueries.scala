@@ -133,10 +133,10 @@ object PipelineQueries {
     * and cluster sizes, free of source-order bias, and MONOTONE under
     * corpus growth: a new doc can displace at most the current rank-k
     * tail, never reshuffle the sample — rand() is none of those
-    * things. The per-language window is the exact form; at 100 TB the
-    * scale path is the select_budget_pruned shape (prefilter `ord`
-    * under a histogram edge so each window sorts ≈k rows, not the
-    * language). */
+    * things. The per-language window is the exact form; the 100 TB
+    * path is [[corpusSampleKPruned]] (histogram-edge prefilter on
+    * `ord` so each window sorts ≈k rows, not the language), which
+    * shares this form's oracle bit-for-bit. */
   def corpusSampleK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     sampleKDocs(Tables.load(spark, dir, "documents"), k)
 
@@ -144,14 +144,86 @@ object PipelineQueries {
     * form. */
   private[graft] def sampleKDocs(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
-    val ord = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L) + lit(11L),
-      lit(2147483647L))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), ord.as("ord"))
+    docs.select(col("doc_id"), col("lang"), sampleOrd.as("ord"))
       .withColumn("sample_rank", row_number().over(win).cast("long"))
       .filter(col("sample_rank") <= k)
       .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+
+  /** The sampling-order residue both sample-k forms rank by — one
+    * definition so the exact/pruned twins cannot drift. */
+  private def sampleOrd: Column =
+    pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(48271L) + lit(11L),
+      lit(2147483647L))
+
+  /** Bin count for [[corpusSampleKPruned]]'s ord histogram. The ord
+    * residue is an integer in [0, 2^31−2] and the bin edge arithmetic
+    * is integer, so no FP rounding can move a doc across the edge. */
+  val SampleKBins = 4096
+
+  /** The 100 TB form of [[corpusSampleK]] — IDENTICAL output, pruned
+    * sort (the [[corpusSelectBudgetPruned]] pattern applied to the
+    * sample window). The exact form's per-language `row_number` sorts
+    * EVERY language partition in full to keep k≈3 rows — on a corpus
+    * whose language mix is heavily skewed, that is a total sort of
+    * the dominant language. Pass 1 here is a |langs|×[[SampleKBins]]
+    * count histogram over the ord residue (the only thing collected);
+    * walking bins from the BOTTOM, the per-language edge is the upper
+    * boundary of the bin at which cumulative count first reaches k —
+    * every doc at or above the edge has ≥ k docs with strictly
+    * smaller ord and is provably dropped by the exact rule, so
+    * `ord < edge` keeps an ord-prefix superset of the winners, and a
+    * row_number over a prefix-superset assigns the surviving rows the
+    * same ranks as over the full partition. Expected window input per
+    * language ≈ max(k, n_lang/[[SampleKBins]]) — with 10^11 docs in
+    * the dominant language, a ~4000× smaller sort; a language whose
+    * supply never reaches k keeps everything (edge = the residue
+    * modulus).
+    *
+    * Shares [[corpusSampleK]]'s oracle verbatim — the gate pins
+    * bit-identical output, not "roughly the same sample". */
+  def corpusSampleKPruned(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    sampleKDocsPruned(Tables.load(spark, dir, "documents"), k)
+
+  /** [[corpusSampleKPruned]] over any (doc_id, lang) frame — the spec
+    * form. */
+  private[graft] def sampleKDocsPruned(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val scored = docs.select(col("doc_id"), col("lang"), sampleOrd.as("ord"))
+    val edges = sampleKEdges(docs.sparkSession, scored, k)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
+    scored.join(broadcast(edges), Seq("lang"))
+      .filter(col("ord") < col("ordmax"))
+      .withColumn("sample_rank", row_number().over(win).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+
+  /** Pass 1 of the pruned sample: the per-language ord edge from a
+    * bounded (|langs| × [[SampleKBins]]-row) count histogram. Exposed
+    * for the spec, which pins that `ord < ordmax` admits ≈k docs of a
+    * dominant language instead of all of them. */
+  private[graft] def sampleKEdges(spark: SparkSession, scored: DataFrame,
+                                  k: Int): DataFrame = {
+    import spark.implicits._
+    val width = 2147483647L / SampleKBins + 1L // ceil ⇒ bin < SampleKBins
+    scored
+      .groupBy(col("lang"), (col("ord") / width).cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getString(0)).toSeq.map { case (lang, rows) =>
+        val fromBottom = rows.map(r => r.getInt(1) -> r.getLong(2)).sortBy(_._1)
+        var cum = 0L
+        var edge = 2147483647L // supply < k ⇒ keep the whole language
+        val it = fromBottom.iterator
+        while (cum < k && it.hasNext) {
+          val (bin, cnt) = it.next(); cum += cnt; edge = (bin + 1L) * width
+        }
+        (lang, if (cum < k) 2147483647L else edge)
+      }.toDF("lang", "ordmax")
   }
 
   /** Benchmark decontamination: flag corpus docs sharing any word
@@ -1320,7 +1392,9 @@ object PipelineQueries {
     // (the API default is 0 = corpus-sized)
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d, buckets = 16)),
     "sample_stratified" -> (sampleStratified _),
-    "corpus_sample_k" -> ((s: SparkSession, d: String) => corpusSampleK(s, d)))
+    "corpus_sample_k" -> ((s: SparkSession, d: String) => corpusSampleK(s, d)),
+    "corpus_sample_k_pruned" ->
+      ((s: SparkSession, d: String) => corpusSampleKPruned(s, d)))
 
   /** The whole pipeline in one DuckDB query: recursive-CTE cluster
     * resolution + the quality formula (shared with text_quality). */
@@ -1620,6 +1694,7 @@ object PipelineQueries {
   val oracles: Map[String, String] =
     oraclesBase +
       ("corpus_select_budget_pruned" -> oraclesBase("corpus_select_budget")) +
+      ("corpus_sample_k_pruned" -> oraclesBase("corpus_sample_k")) +
       // the bloom prefilter is exact-verified, so it answers to the
       // SAME oracle as the exact form — identical output is checked
       ("corpus_decontaminate_bloom" -> oraclesBase("corpus_decontaminate"))

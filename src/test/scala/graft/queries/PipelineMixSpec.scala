@@ -243,4 +243,35 @@ class PipelineMixSpec extends SparkSpec {
     assert(withLo.filter(_._1 == "de") == s1.filter(_._1 == "de"),
       "the other language's sample is untouched")
   }
+
+  test("corpus_sample_k_pruned: bit-identical to the exact form; the edge prunes the dominant language's window input") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed mix — the 100 TB shape the pruned form exists
+    // for: one dominant language, one modest, one below k
+    val docs = ((1L to 5000L).map(i => (i, "en")) ++
+      (5001L to 5040L).map(i => (i, "de")) ++
+      Seq((9001L, "fr"), (9002L, "fr")))
+      .toDF("doc_id", "lang")
+    val k = 3
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val exact = rows(PipelineQueries.sampleKDocs(docs, k))
+    val pruned = rows(PipelineQueries.sampleKDocsPruned(docs, k))
+    assert(pruned == exact, s"pruned must be bit-identical to exact:\n$pruned\n$exact")
+    // below-k language keeps everything (edge = keep-all)
+    assert(exact.count(_._2 == "fr") == 2, exact)
+    // the proof obligation the gate can't see: the prefilter actually
+    // prunes — the dominant language's window input is ≈k, not 5000
+    val scored = docs.select(col("doc_id"), col("lang"),
+      expr("pmod(pmod(doc_id, 2147483647) * 48271 + 11, 2147483647)").as("ord"))
+    val edges = PipelineQueries.sampleKEdges(spark, scored, k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enSurvivors = scored.filter(col("lang") === "en")
+      .filter(col("ord") < edges("en")).count()
+    assert(enSurvivors >= k && enSurvivors < 100,
+      s"edge must shrink the en window input from 5000 to ≈k: $enSurvivors")
+    assert(edges("fr") == 2147483647L,
+      s"below-k supply keeps the whole language: ${edges("fr")}")
+  }
 }
