@@ -39,9 +39,9 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 allowed=<doc_ids.parquet>]
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
-  *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares>]
+  *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares> tokens=pre|bpe]
   *   runMain graft.Main corpus-split  in=<docs.parquet> out=<dir> [valpct=2 testpct=2]
-  *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true]
+  *   runMain graft.Main select-budget in=<docs.parquet> out=<dir> [budget=4000 pruned=true tokens=pre|bpe]
   *   runMain graft.Main corpus-stats  in=<docs.parquet> out=<dir>
   *   runMain graft.Main decontaminate in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5 bloom=false near=false minjaccard=0.8]
   *   runMain graft.Main contamination-score in=<docs.parquet> evals=<eval.parquet> out=<dir> [k=5]
@@ -232,6 +232,17 @@ object Main {
     }.toMap
     def req(k: String): String =
       opts.getOrElse(k, sys.error(s"$command requires $k=<...>"))
+    // tokens=pre (default) prices budgets in pre-tokens; tokens=bpe
+    // in trained-BPE tokens under the frozen builtin model — the
+    // budget a training run actually spends (bpe_fertility's table is
+    // the evidence for when the two diverge). Validated HERE so a
+    // misdirected knob refuses before any stage runs.
+    val tokenizeFor: DataFrame => DataFrame =
+      opts.getOrElse("tokens", "pre") match {
+        case "bpe" => graft.queries.PipelineQueries.tokenizeDocsBpe _
+        case "pre" => graft.queries.PipelineQueries.tokenizeDocs _
+        case other => sys.error(s"$command: unknown tokens=$other (pre|bpe)")
+      }
     def vectors(path: String): DataFrame =
       spark.read.parquet(path).select(
         col(opts.getOrElse("idcol", "id")).as("id"),
@@ -384,7 +395,7 @@ object Main {
         // persist the ~24 B/doc projection instead of tokenizing the
         // corpus twice (spillable — at 100 TB this is ~2.4 GB/executor
         // of counts vs a second full-text scan)
-        val toked = graft.queries.PipelineQueries.tokenizeDocs(docs)
+        val toked = tokenizeFor(docs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val budget = opts.getOrElse("budget", "20000").toLong
         // alpha present => temperature-weighted shares (t^alpha);
@@ -415,8 +426,12 @@ object Main {
         // histogram is a separate action from its final window, so an
         // unmaterialized frame would tokenize + score the corpus twice
         // (sf10: 77 s → 44 s, see PLANS.md)
-        val scored = graft.queries.PipelineQueries.scoreDocs(docs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val scored = (opts.getOrElse("tokens", "pre") match {
+          case "bpe" => graft.queries.PipelineQueries.scoreDocsBpe(docs)
+          case "pre" => graft.queries.PipelineQueries.scoreDocs(docs)
+          case other => sys.error(
+            s"select-budget: unknown tokens=$other (pre|bpe)")
+        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // pruned (histogram-edge) form by default — bit-identical to
         // the exact window, sort ∝ budget instead of corpus
         val picked = try (if (opts.getOrElse("pruned", "true").toBoolean)
@@ -1255,7 +1270,7 @@ object Main {
               docs = Some(cur.count())
             case Some(b) =>
               mixBudget = Some(b.toLong)
-              val toked = P.tokenizeDocs(cur)
+              val toked = tokenizeFor(cur)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               val kept = try P.corpusMixTemperatureFromToked(toked, b.toLong,
                   opts.getOrElse("alpha", "0.5").toDouble)

@@ -850,6 +850,40 @@ object PipelineQueries {
     docs.select(col("doc_id"), col("lang"),
       size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
 
+  /** Trained-BPE pricing for the mixing/budget machinery — identical
+    * projection to [[tokenizeDocs]] but `n_tokens` counts tokens
+    * under the frozen builtin BPE model (the `text_bpe_tokens`
+    * codegen scan), not pre-tokens. The fertility table's own
+    * rationale ([[TextQueries.bpeFertility]]): what a training run
+    * budgets is MODEL-VISIBLE tokens, and a high-fertility language
+    * burns more of them per pre-token — pre-token pricing
+    * systematically over-buys exactly those languages. Same
+    * supply/threshold machinery downstream; the choice of pricing is
+    * the `tokens=` knob on the CLI (`corpus-mix`/`select-budget`/the
+    * DAG mix stage). */
+  private[graft] def tokenizeDocsBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
+        .cast("long").as("n_tokens"))
+
+  /** [[scoreDocs]] priced in trained-BPE tokens — the `tokens=bpe`
+    * select-budget form (quality unchanged; only the budget
+    * denomination moves). */
+  private[graft] def scoreDocsBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
+        .cast("long").as("n_tokens"),
+      qualityScore(col("text")).as("quality"))
+
+  /** [[corpusMix]] denominated in trained-BPE tokens — the gate form
+    * of `tokens=bpe` (same equal-share budget, same residue filter;
+    * only the per-doc price changes). Oracle: the corpus_mix SQL with
+    * its pre-token count replaced by the bpe merge-loop replay CTE
+    * (single-sourced with text_bpe_tokens, so the two cannot drift). */
+  def corpusMixBpe(spark: SparkSession, dir: String): DataFrame =
+    corpusMixFromToked(tokenizeDocsBpe(Tables.load(spark, dir, "documents")),
+      MixBudgetTokens)
+
   private[graft] def corpusMixFromToked(toked: DataFrame,
                                         budgetTokens: Long): DataFrame = {
     val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
@@ -1373,6 +1407,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
+    "corpus_mix_bpe" -> (corpusMixBpe _),
     "corpus_mix_temperature" -> (corpusMixTemperature _),
     "corpus_split" -> (corpusSplit _),
     "corpus_select_budget" -> (corpusSelectBudget _),
@@ -1413,6 +1448,22 @@ object PipelineQueries {
          |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
          |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
          |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin,
+    // the corpus_mix plan priced by the BPE merge-loop replay CTE
+    // (single-sourced with text_bpe_tokens via TextQueries.bpeCntCte);
+    // concatenated, NOT nested under this stripMargin — the CTE body
+    // has SQL '||' operators at line starts
+    "corpus_mix_bpe" ->
+      (TextQueries.bpeCntCte + ",\n" +
+        s"""t AS (
+           |  SELECT d.doc_id, d.lang, coalesce(cnt.n_tok, 0) AS n_tokens
+           |  FROM documents d LEFT JOIN cnt USING (doc_id)),
+           |supply AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM t GROUP BY lang),
+           |nl AS (SELECT count(*) AS n_langs FROM supply)
+           |SELECT doc_id, lang, n_tokens
+           |FROM t JOIN supply USING (lang) CROSS JOIN nl
+           |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
+           |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
+           |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin),
     // mirrors corpusMixTemperature at the gate's alpha = 0.5: sqrt
     // weights (correctly rounded both engines), sum_w as an ORDERED
     // left fold over lang-sorted sqrt values (the driver fold's

@@ -608,7 +608,7 @@ object TextQueries {
     * per-distinct-word merge loop → per-doc (n_pre, n_tok)) — single-
     * sourced so the per-doc and per-language oracles cannot drift.
     * See the merge-loop equivalence argument at its use site. */
-  private def bpeCntCte: String =
+  private[queries] def bpeCntCte: String =
     s"""WITH RECURSIVE m(rank, l, r) AS (VALUES $bpeMergeValues),
        |pt AS (
        |  SELECT doc_id,

@@ -244,6 +244,50 @@ class PipelineMixSpec extends SparkSpec {
       "the other language's sample is untouched")
   }
 
+  test("tokens=bpe pricing: a high-fertility language buys fewer documents than under pre-token pricing") {
+    val s = spark
+    import s.implicits._
+    // lang "lo": single-letter words — fertility 1 by construction
+    // (a 1-char pre-token IS one BPE token under any model). lang
+    // "hi": rare consonant runs the builtin English-ish model has no
+    // merges for — each pre-token shatters into many tokens. Equal
+    // PRE-token supply (100 docs × 20 words each), so pre-token
+    // pricing sees two identical languages.
+    val docs = ((1L to 100L).map(i => (i, "lo", Seq.fill(20)("a").mkString(" "))) ++
+      (101L to 200L).map(i => (i, "hi", Seq.fill(20)("zqxvwkjq").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    // sanity: the fixture really is high-fertility (else the test
+    // passes vacuously when the builtin model changes)
+    val fert = PipelineQueries.tokenizeDocsBpe(docs).groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fert("hi") >= 4 * fert("lo"),
+      s"fixture must diverge in fertility: $fert")
+    val budget = 4000L // = the two languages' exact pre-token supply
+    def keptPerLang(toked: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      PipelineQueries.corpusMixFromToked(toked, budget)
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pre = keptPerLang(PipelineQueries.tokenizeDocs(docs))
+    val bpe = keptPerLang(PipelineQueries.tokenizeDocsBpe(docs))
+    assert(pre("hi") == 100L && pre("lo") == 100L,
+      s"pre-token pricing sees identical supplies and keeps both whole: $pre")
+    assert(bpe("lo") == 100L, s"fertility-1 language is unaffected: $bpe")
+    assert(bpe.getOrElse("hi", 0L) < 50L,
+      s"BPE pricing must shrink the high-fertility language's doc count: $bpe")
+    // the CLI knob drives the same path; a misdirected value refuses
+    val base = java.nio.file.Files.createTempDirectory("graft_mixbpe").toString
+    docs.write.parquet(s"$base/docs.parquet")
+    graft.Main.runPipeline(spark, Seq("corpus-mix", s"in=$base/docs.parquet",
+      s"out=$base/out", s"budget=$budget", "tokens=bpe"))
+    val cliHi = spark.read.parquet(s"$base/out")
+      .filter(col("lang") === "hi").count()
+    assert(cliHi == bpe.getOrElse("hi", 0L), s"CLI tokens=bpe == library form: $cliHi")
+    val eTok = intercept[RuntimeException](graft.Main.runPipeline(spark,
+      Seq("corpus-mix", s"in=$base/docs.parquet", s"out=$base/out2", "tokens=words")))
+    assert(eTok.getMessage.contains("tokens="), eTok.getMessage)
+  }
+
   test("corpus_sample_k_pruned: bit-identical to the exact form; the edge prunes the dominant language's window input") {
     val s = spark
     import s.implicits._
