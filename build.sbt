@@ -10,19 +10,18 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
-run / fork := true
 // The driver invokes `sbt "runMain graft.Bench"` and tail-parses the
 // combined output for the final bare-JSON summary line. Two traps,
 // both hit in rounds 8-10 (`parsed: null`):
-//   1. `runMain` does NOT delegate to `run / fork` (different task
-//      axis), so the bench ran IN-PROCESS and sbt's logger decorated
-//      every line (`[info] {...}` / `[error] WARN ...`).
-//   2. The default forked outputStrategy is LoggedOutput — same
+//   1. the bare `run / fork` key is NOT what the run/runMain runner
+//      consults — it reads `Compile / run / fork` (runMain shares
+//      run's runner, per sbt's lintUnused), so the bench ran
+//      IN-PROCESS and sbt's logger decorated every line
+//      (`[info] {...}` / `[error] WARN ...`);
+//   2. the default forked outputStrategy is LoggedOutput — same
 //      decoration. StdoutOutput passes the child's streams through raw.
 Compile / run / fork := true
-Compile / runMain / fork := true
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

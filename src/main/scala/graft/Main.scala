@@ -57,7 +57,14 @@ import org.apache.spark.sql.functions._
   *      Incremental: the profile table freezes under state/langid on the seed
   *      batch; a conflicting profiles= refuses)
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
-  *                                    [steps=clean,decontaminate,scrub,select,shard ... compactevery=N maxfiles=]
+  *                                    [steps=clean,decontaminate,scrub,select,mix,shard,pack ... compactevery=N maxfiles= journalkeep=N]
+  *                                    # frozen-share mix: the seed batch calibrates per-language keep thresholds
+  *                                    # from its supply (budget= alpha= tokens=) and freezes them under state/mix;
+  *                                    # deltas filter per-doc under the frozen table, unseen languages kept whole
+  *                                    # (loud); per-batch supply evidence accrues for `mix-refit`
+  *                                    # per-batch pack: the seed batch freezes the BPE model + layout under
+  *                                    # state/pack; each batch's packs land at state/packs/batch=<id> —
+  *                                    # (batch, pack_id) is the composite key; journalkeep=N prunes out/runs
   *                                    # CDC form: delta cleaned vs
   *                                    # state/sig, survivors/shards appended under state/.../batch=<id>; batch= is the
   *                                    # replay key; scrub and select fit FROZEN models on the first batch (hot-span
@@ -74,6 +81,8 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
+  *   runMain graft.Main scrub-refit   state=<dir> [mindocs=]   # rebuild the frozen span table from accumulated evidence
+  *   runMain graft.Main mix-refit     state=<dir> [budget= alpha=]  # re-calibrate the frozen mix thresholds from accumulated supply
   *   runMain graft.Main quality-score in=<docs.parquet> out=<dir> [weights=<bucket,weight_milli parquet>]
   *   runMain graft.Main quality-train good=<docs.parquet> bad=<docs.parquet> out=<weights dir>
   *   runMain graft.Main langid        in=<docs.parquet> out=<dir> [profiles=<lang,text parquet>]
@@ -115,7 +124,7 @@ object Main {
     "text-index-compact", "text-index-vacuum", "text-index-stats",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
-    "corpus-scrub", "scrub-refit", "quality-score", "quality-train", "langid",
+    "corpus-scrub", "scrub-refit", "mix-refit", "quality-score", "quality-train", "langid",
     "bpe-train", "bpe-encode", "corpus-pack",
     "corpus-pipeline", "runs-report", "query", "sql")
 
@@ -612,11 +621,13 @@ object Main {
         // deltas scrub under it — a cross-batch-only template waits
         // for an explicit re-fit, exactly like a quantizer refresh),
         // shard (assignment is a pure function of doc_id, so
-        // per-batch sharding composes). mix/pack are supply-dependent
-        // with no frozen-model form that preserves their semantics
-        // (mix's keep rate IS the global supply; pack's model should
-        // not drift per batch) — so they refuse loudly; run them as
-        // full passes over the accumulated survivors when needed.
+        // per-batch sharding composes), mix (the seed batch calibrates
+        // per-language keep thresholds from its supply and freezes
+        // them — the keep decision becomes a pure per-doc residue
+        // check, supply drift an explicit mix-refit), and pack (packs
+        // are bucket-local and never span batches, so per-batch packs
+        // under the frozen BPE model + layout land in namespaced
+        // batch dirs).
         val incremental = opts.get("incremental").exists(_.toBoolean)
         val stateDir = opts.get("state")
         val batchId = opts.get("batch").map(_.toLong)
@@ -656,6 +667,16 @@ object Main {
         // maintenance batch)
         val maintMaxFiles = opts.getOrElse("maxfiles", "1").toInt
         require(maintMaxFiles >= 1, s"maxfiles=$maintMaxFiles must be >= 1")
+        // journal retention (incremental only, 0 = keep forever): the
+        // vacuum retention pattern applied to out/runs — one file per
+        // batch grows without bound on a long-lived nightly pipeline.
+        // Same up-front rules as compactevery.
+        val journalKeep = opts.getOrElse("journalkeep", "0").toInt
+        require(journalKeep >= 0,
+          s"journalkeep=$journalKeep — negative keeps nothing loudly; " +
+            "use 0 (or omit) to keep every record")
+        require(journalKeep == 0 || incremental,
+          "journalkeep= applies to incremental runs — only they write a journal")
         val hadoopConf = spark.sparkContext.hadoopConfiguration
         def pExists(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -681,9 +702,9 @@ object Main {
         val known = Seq("clean", "decontaminate", "langid", "scrub", "select",
           "mix", "shard", "pack", "index")
         val optInSteps = Set("index", "langid")
-        val incrementalSteps = Set("clean", "decontaminate", "langid", "scrub",
-          "select", "shard", "index")
-        // the frozen-model stages (scrub/select) are OPT-IN in
+        // Every step now has an incremental (frozen-model CDC) form —
+        // mix and pack, the last two, joined in round 11. The
+        // frozen-model stages (scrub/select/mix/pack) are OPT-IN in
         // incremental mode: whichever delta runs them first becomes
         // the model's SEED, and that must be a deliberate operator
         // decision — a step-less invocation against existing state
@@ -696,9 +717,6 @@ object Main {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         steps.foreach(s => require(known.contains(s),
           s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
-        if (incremental) steps.foreach(s => require(incrementalSteps.contains(s),
-          s"incremental corpus-pipeline supports steps ${incrementalSteps.toSeq.sorted.mkString(",")} " +
-            s"— '$s' is corpus-global/supply-dependent and needs a full (non-incremental) run"))
         // index serves whatever the batch appended to state/survivors;
         // placed before a frame-mutating stage it would index docs a
         // later stage drops or rewrites, silently breaking the
@@ -1253,6 +1271,127 @@ object Main {
             docs = Some(advance(cur.select("doc_id", "lang").join(
               scrubbed.select(col("doc_id"), col("text_scrubbed").as("text")),
               Seq("doc_id"))))
+          // frozen-share CDC mix — the last curation stage to get a
+          // delta form. The naive per-batch mix is WRONG by
+          // construction (each batch's supply recalibrates the
+          // thresholds, so the accumulated survivors equal no
+          // one-shot run), hence the old refusal; the frozen-model
+          // discipline that already works for select/scrub/
+          // decontaminate/langid fixes it: the seed batch calibrates
+          // per-language keep thresholds from ITS supply (the
+          // temperature driver fold, mixKeepPoints) and freezes them
+          // under state/mix; deltas apply the frozen residue filter
+          // per-doc — order-free, batch-composable, replay-idempotent.
+          // Supply drift across batches is exactly what the keep-rate
+          // drift signal watches; re-calibration is the explicit
+          // `mix-refit` (fed by the per-batch supply evidence every
+          // mixing batch appends under state/mix/supply), never a DAG
+          // side effect. A language the seed never saw has no frozen
+          // threshold: it keeps everything, LOUDLY — silently
+          // destroying a new language's whole supply is the DAG's
+          // cardinal sin (the r8 lesson below).
+          case "mix" if incremental => opts.get("budget") match {
+            case None =>
+              System.err.println("[graft] corpus-pipeline mix KEEP-ALL " +
+                "(no budget= — pass budget=<tokens> to downsample to a token budget)")
+              docs = Some(cur.count())
+            case Some(b) =>
+              val mixState = s"${stateDir.get}/mix"
+              val thrPath = s"$mixState/thresholds"
+              val fitted = pExists(s"$thrPath/_SUCCESS")
+              mixBudget = Some(b.toLong)
+              val nIn = lastDocs
+              val bpeMode = if (opts.getOrElse("tokens", "pre") == "bpe") 1L else 0L
+              val toked = tokenizeFor(cur)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              try {
+                val supply = toked.groupBy("lang")
+                  .agg(sum("n_tokens").as("lang_tokens"))
+                  .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+                // supply evidence for mix-refit: this batch's
+                // per-language token mass, replay-overwritten under
+                // its own dir (the scrub freq-evidence pattern)
+                locally {
+                  import spark.implicits._
+                  supply.toDF("lang", "lang_tokens").coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(s"$mixState/supply/batch=${batchId.get}")
+                }
+                if (fitted) {
+                  // fit knobs are part of the frozen model: conflicts
+                  // refuse like scrub's w= — a silently different
+                  // budget/alpha/denomination would mean batches were
+                  // mixed under different contracts
+                  locally {
+                    val frozenB = readLongSidecar(spark, mixState, "budget")
+                    require(b.toLong == frozenB,
+                      s"incremental mix: budget=$b conflicts with the frozen " +
+                        s"calibration (budget $frozenB) under $mixState — " +
+                        "mix-refit budget= to re-calibrate, or re-seed")
+                  }
+                  opts.get("alpha").foreach { v =>
+                    val frozenA = readLongSidecar(spark, mixState, "alphamicro")
+                    require(math.round(v.toDouble * 1e6) == frozenA,
+                      s"incremental mix: alpha=$v conflicts with the frozen " +
+                        s"calibration (alpha ${frozenA / 1e6}) under $mixState — " +
+                        "mix-refit alpha= to re-calibrate, or re-seed")
+                  }
+                  require(bpeMode == readLongSidecar(spark, mixState, "bpemode"),
+                    s"incremental mix: tokens=${opts.getOrElse("tokens", "pre")} " +
+                      s"conflicts with the frozen denomination under $mixState — " +
+                      "the accumulated supply evidence was counted in it; " +
+                      "re-seed to change denominations")
+                  val thr = spark.read.parquet(thrPath)
+                    .select("lang", "keep_points")
+                  val unseen = supply.map(_._1).toSet --
+                    thr.select("lang").collect().map(_.getString(0)).toSet
+                  if (unseen.nonEmpty)
+                    System.err.println("[graft] corpus-pipeline WARNING mix: " +
+                      s"language(s) ${unseen.toSeq.sorted.mkString(",")} have no " +
+                      "frozen threshold (not in the seed supply) — kept WHOLE; " +
+                      "mix-refit to fold the accumulated supply into the model")
+                  val kept = P.mixApplyKeepPoints(toked, thr)
+                    .select("doc_id").localCheckpoint()
+                  docs = Some(advance(cur.join(kept, Seq("doc_id"))))
+                  if (nIn > 0) {
+                    val rate = docs.get.toDouble / math.max(1L, nIn)
+                    // a retired baseline (mix-refit) re-establishes
+                    // from the first post-refit batch, like scrub
+                    if (readLongSidecarIfExists(spark, mixState, "seedkeepmicro").isEmpty) {
+                      writeLongSidecar(spark, mixState, "seedkeepmicro",
+                        math.round(rate * 1e6))
+                      System.err.println("[graft] corpus-pipeline mix: drift " +
+                        f"baseline re-established at $rate%.4f (first batch " +
+                        "under a re-fit model)")
+                    }
+                    checkDrift("mix_keep", mixState, "seedkeepmicro", rate)
+                  }
+                } else {
+                  val alpha = opts.getOrElse("alpha", "0.5").toDouble
+                  import spark.implicits._
+                  val thr = P.mixKeepPoints(supply, b.toLong, alpha)
+                    .toDF("lang", "keep_points")
+                  val kept = P.mixApplyKeepPoints(toked, thr)
+                    .select("doc_id").localCheckpoint()
+                  docs = Some(advance(cur.join(kept, Seq("doc_id"))))
+                  val seedRate = docs.get.toDouble / math.max(1L, nIn)
+                  // sidecars (fit knobs + drift baseline) FIRST: the
+                  // thresholds parquet's _SUCCESS is the fitted-model
+                  // commit point
+                  writeLongSidecar(spark, mixState, "budget", b.toLong)
+                  writeLongSidecar(spark, mixState, "alphamicro",
+                    math.round(alpha * 1e6))
+                  writeLongSidecar(spark, mixState, "bpemode", bpeMode)
+                  writeLongSidecar(spark, mixState, "seedkeepmicro",
+                    math.round(seedRate * 1e6))
+                  thr.coalesce(1).write.mode("overwrite").parquet(thrPath)
+                  System.err.println("[graft] corpus-pipeline mix: frozen " +
+                    f"per-language thresholds fit on seed batch (budget $b, " +
+                    f"alpha $alpha, keep rate $seedRate%.4f)")
+                  rates += "mix_keep" -> seedRate
+                }
+              } finally toked.unpersist()
+          }
           // mix is SAFE BY DEFAULT: without budget= the stage keeps
           // the full supply and says so — the gate-scale 20k-token
           // literal as a silent default collapsed a 235k-doc sf10 run
@@ -1311,6 +1450,95 @@ object Main {
               else s"$base/shards"
             P.writeShards(cur, shardsN, shardOut)
             System.err.println(s"[graft] corpus-pipeline shard -> written ($shardOut)")
+          // per-batch CDC pack: sound because packs never span batches
+          // by construction (the pack window is bucket-local and this
+          // stage packs only the flowing batch), so each batch's packs
+          // land under state/packs/batch=<id> — replay overwrites its
+          // own dir, and the (batch, pack_id) pair is the composite
+          // key (pack_id alone repeats across batches by design). The
+          // BPE model and the layout knobs are FROZEN on the seed pack
+          // batch (merges+vocab under state/pack, vocab/_SUCCESS the
+          // commit point; budget/bucket-count/nmerges sidecars) so
+          // every batch's token ids and pack shapes come from one
+          // contract — a silently different model would hand the
+          // training job incompatible ids; conflicts refuse like
+          // scrub's w=. The bucket COUNT is resolved at seed (auto ⇒
+          // corpus-sized from the seed) and frozen: a per-batch
+          // re-suggestion would scatter the same doc_id across
+          // layouts.
+          case "pack" if incremental =>
+            val pkState = s"${stateDir.get}/pack"
+            val pkMerges = s"$pkState/merges"
+            val pkVocab = s"$pkState/vocab"
+            val pkFitted = pExists(s"$pkVocab/_SUCCESS")
+            def mergesFp(m: Array[(String, String)]): Long =
+              m.foldLeft(17L) { case (a, (l, r)) =>
+                val h = l.foldLeft(a * 31 + 1)((x, c) => x * 31 + c)
+                r.foldLeft(h * 31 + 7)((x, c) => x * 31 + c)
+              }
+            val (merges, v, pb, bk) =
+              if (pkFitted) {
+                opts.get("packbudget").foreach { x =>
+                  val f = readLongSidecar(spark, pkState, "packbudget")
+                  require(x.toLong == f,
+                    s"incremental pack: packbudget=$x conflicts with the frozen " +
+                      s"budget $f under $pkState — re-seed to change it")
+                }
+                opts.get("buckets").foreach { x =>
+                  val f = readLongSidecar(spark, pkState, "packbuckets")
+                  require(x.toLong == f,
+                    s"incremental pack: buckets=$x conflicts with the frozen " +
+                      s"bucket count $f under $pkState — re-seed to change it")
+                }
+                opts.get("nmerges").foreach { x =>
+                  val f = readLongSidecar(spark, pkState, "nmerges")
+                  require(x.toLong == f,
+                    s"incremental pack: nmerges=$x conflicts with the frozen " +
+                      s"model's $f under $pkState — re-seed to change it")
+                }
+                val fm = graft.functions.Bpe.readMerges(spark, pkMerges)
+                opts.get("merges").foreach { p =>
+                  val ext = graft.functions.Bpe.readMerges(spark, p)
+                  require(mergesFp(ext) == mergesFp(fm),
+                    s"incremental pack: merges=$p is not the frozen BPE model " +
+                      s"under $pkState — batches must pack under ONE model; " +
+                      "re-seed to change it")
+                }
+                (fm, graft.functions.Bpe.readVocab(spark, pkVocab),
+                  readLongSidecar(spark, pkState, "packbudget").toInt,
+                  readLongSidecar(spark, pkState, "packbuckets").toInt)
+              } else {
+                val fm = opts.get("merges") match {
+                  case Some(p) => graft.functions.Bpe.readMerges(spark, p)
+                  case None => graft.functions.Bpe.train(cur,
+                    opts.getOrElse("nmerges", "1000").toInt)
+                }
+                val fv = graft.functions.Bpe.vocab(fm,
+                  graft.functions.Bpe.alphabet(cur))
+                val budget0 = opts.getOrElse("packbudget", "512").toInt
+                val buckets0 = graft.queries.PipelineQueries
+                  .resolvePackBuckets(cur, opts.getOrElse("buckets", "0").toInt)
+                // sidecars FIRST; the vocab parquet's _SUCCESS is the
+                // fitted-model commit point (written after merges so a
+                // crash can never leave vocab without merges)
+                writeLongSidecar(spark, pkState, "packbudget", budget0.toLong)
+                writeLongSidecar(spark, pkState, "packbuckets", buckets0.toLong)
+                writeLongSidecar(spark, pkState, "nmerges",
+                  opts.getOrElse("nmerges", "1000").toLong)
+                graft.functions.Bpe.mergesTable(spark, fm).coalesce(1)
+                  .write.mode("overwrite").parquet(pkMerges)
+                graft.functions.Bpe.vocabTable(spark, fv).coalesce(1)
+                  .write.mode("overwrite").parquet(pkVocab)
+                System.err.println("[graft] corpus-pipeline pack: frozen BPE " +
+                  s"model (${fm.length} merges) + layout (budget=$budget0, " +
+                  s"buckets=$buckets0) fit on seed batch")
+                (fm, fv, budget0, buckets0)
+              }
+            P.packTokens(cur, merges, v, pb, bk)
+              .write.mode("overwrite")
+              .parquet(s"${stateDir.get}/packs/batch=${batchId.get}")
+            System.err.println("[graft] corpus-pipeline pack -> written " +
+              s"(${stateDir.get}/packs/batch=${batchId.get})")
           case "pack" =>
             val merges = opts.get("merges") match {
               case Some(p) => graft.functions.Bpe.readMerges(spark, p)
@@ -1566,6 +1794,26 @@ object Main {
           java.nio.file.Files.createDirectories(runsDir)
           java.nio.file.Files.writeString(
             runsDir.resolve(s"batch=${batchId.get}.json"), statsJson + "\n")
+          // retention: keep the journalkeep NEWEST batch ids (by id,
+          // not mtime — a replayed old batch must not evict a newer
+          // record). Foreign files that don't parse as batch=<n>.json
+          // are left alone.
+          if (journalKeep > 0) {
+            import scala.jdk.CollectionConverters._
+            val evict = java.nio.file.Files.list(runsDir).iterator().asScala
+              .flatMap { p =>
+                val n = p.getFileName.toString
+                if (n.startsWith("batch=") && n.endsWith(".json"))
+                  scala.util.Try(
+                    n.stripPrefix("batch=").stripSuffix(".json").toLong)
+                    .toOption.map(_ -> p)
+                else None
+              }.toSeq.sortBy(-_._1).drop(journalKeep)
+            evict.foreach { case (_, p) => java.nio.file.Files.deleteIfExists(p) }
+            if (evict.nonEmpty)
+              System.err.println(s"[graft] corpus-pipeline journal: pruned " +
+                s"${evict.size} record(s) (journalkeep=$journalKeep)")
+          }
         }
         if (cur ne raw) cur.unpersist()
         raw.unpersist()
@@ -1580,9 +1828,18 @@ object Main {
       case "runs-report" =>
         val runsDir = s"${req("out")}/runs"
         val rp = new org.apache.hadoop.fs.Path(runsDir)
-        require(rp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rp),
+        val rfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(rfs.exists(rp),
           s"no run journal at $runsDir — only incremental corpus-pipeline " +
             "runs write one (full runs rebuild out/ wholesale; see stats.json)")
+        // bounded read: the report collects one row per journal file,
+        // so an unbounded journal (no journalkeep= retention) must not
+        // turn the reader into a driver OOM years later — refuse with
+        // the retention knob named rather than half-render
+        val nJournal = rfs.listStatus(rp).length
+        require(nJournal <= 100000,
+          s"runs-report: $nJournal journal files under $runsDir — prune with " +
+            "corpus-pipeline journalkeep=N (retention) before reporting")
         val df = spark.read.json(runsDir)
         def opt[T](r: org.apache.spark.sql.Row, field: String): Option[T] =
           if (!r.schema.fieldNames.contains(field) || r.isNullAt(r.fieldIndex(field))) None
@@ -1740,6 +1997,75 @@ object Main {
         System.err.println(s"[graft] scrub-refit: ${oldN} -> ${hot.length} spans " +
           s"(mindocs=$md) from the accumulated batch frequencies")
         done(oldN, hot.length.toLong)
+      // the mix model's explicit re-calibration, scrub-refit's shape:
+      // rebuild the frozen per-language thresholds from the
+      // ACCUMULATED per-batch supply evidence under state/mix/supply
+      // (summing token mass across doc-disjoint batches IS the union
+      // corpus's supply), so a re-fit costs one groupBy over
+      // ~24 B/(lang·batch) rows — no corpus text re-read. budget= and
+      // alpha= may change (they are threshold knobs — changing them
+      // is the point of a refit); the token DENOMINATION cannot (the
+      // evidence was counted in it) and refuses like scrub's w=. The
+      // refit governs FUTURE batches; history stays mixed under the
+      // thresholds it was mixed with (the CDC contract).
+      case "mix-refit" =>
+        val mixState = s"${req("state")}/mix"
+        val thrPath = s"$mixState/thresholds"
+        def pEx(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        require(pEx(s"$thrPath/_SUCCESS"),
+          s"mix-refit: no frozen mix model under $mixState — seed one with " +
+            "corpus-pipeline incremental=true steps=...,mix budget=... first")
+        require(pEx(s"$mixState/supply"),
+          s"mix-refit: no accumulated supply under $mixState/supply " +
+            "(written by every incremental mix batch) — nothing to re-fit from")
+        val frozenBpe = readLongSidecar(spark, mixState, "bpemode")
+        opts.get("tokens").foreach { v =>
+          require((if (v == "bpe") 1L else 0L) == frozenBpe,
+            s"mix-refit: tokens=$v conflicts with the frozen denomination — " +
+              "the accumulated supply was counted in it; re-seed to change it")
+        }
+        val budget = opts.get("budget").map(_.toLong)
+          .getOrElse(readLongSidecar(spark, mixState, "budget"))
+        val alpha = opts.get("alpha").map(_.toDouble)
+          .getOrElse(readLongSidecar(spark, mixState, "alphamicro") / 1e6)
+        val supply = spark.read.parquet(s"$mixState/supply")
+          .groupBy("lang").agg(sum("lang_tokens").as("lang_tokens"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val oldN = spark.read.parquet(thrPath).count()
+        val thr = graft.queries.PipelineQueries.mixKeepPoints(supply, budget, alpha)
+        // commit by rename (the scrub-refit discipline): a mid-refit
+        // crash must never leave fitted=false
+        val hconf2 = spark.sparkContext.hadoopConfiguration
+        def rm2(p: String): Unit = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf2).delete(hp, true)
+        }
+        val tmpThr = s"$thrPath.refit.tmp"
+        rm2(tmpThr)
+        locally {
+          import spark.implicits._
+          thr.toDF("lang", "keep_points").coalesce(1)
+            .write.mode("overwrite").parquet(tmpThr)
+        }
+        locally {
+          val fs = new org.apache.hadoop.fs.Path(thrPath).getFileSystem(hconf2)
+          fs.delete(new org.apache.hadoop.fs.Path(thrPath), true)
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmpThr),
+            new org.apache.hadoop.fs.Path(thrPath)),
+            s"mix-refit: rename $tmpThr -> $thrPath failed")
+        }
+        writeLongSidecar(spark, mixState, "budget", budget)
+        writeLongSidecar(spark, mixState, "alphamicro", math.round(alpha * 1e6))
+        // the stale drift baseline retires with the old model; the
+        // next mixing batch re-establishes it from its realized rate
+        rm2(s"$mixState/seedkeepmicro.txt")
+        System.err.println(s"[graft] mix-refit: $oldN -> ${thr.size} language " +
+          s"thresholds (budget=$budget alpha=$alpha) from the accumulated " +
+          "batch supplies")
+        done(oldN, thr.size.toLong)
       // model-based quality filter: weights=<parquet with (bucket,
       // weight_milli)> is the trained-model input; absent ⇒ the
       // deterministic stand-in table (the gate configuration)

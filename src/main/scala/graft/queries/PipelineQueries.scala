@@ -950,11 +950,23 @@ object PipelineQueries {
     val spark = toked.sparkSession
     import spark.implicits._
     val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    mixApplyKeepPoints(toked,
+      mixKeepPoints(supply, budgetTokens, alpha).toDF("lang", "keep_points"))
+  }
+
+  /** Per-language keep thresholds (residue points of [[MixHashMod]])
+    * from a `(lang, lang_tokens)` supply — the lang-ORDERED driver
+    * fold [[corpusMixTemperatureDocs]] documents, factored out so the
+    * one-shot mix and the frozen-share incremental mix (which FREEZES
+    * exactly this table under state/mix) cannot drift. */
+  private[graft] def mixKeepPoints(supply: Seq[(String, Long)],
+                                   budgetTokens: Long, alpha: Double): Seq[(String, Long)] = {
+    val sorted = supply.sortBy(_._1)
     def w(t: Long): Double =
       if (alpha == 0.5) math.sqrt(t.toDouble) else math.pow(t.toDouble, alpha)
-    val sumW = supply.foldLeft(0.0) { case (a, (_, t)) => a + w(t) }
-    val thr = supply.toSeq.map { case (l, t) =>
+    val sumW = sorted.foldLeft(0.0) { case (a, (_, t)) => a + w(t) }
+    sorted.map { case (l, t) =>
       // t == 0 ⇒ keep-all, explicitly: w(0)/sumW/0 is NaN for α > 0 and
       // floor(NaN·mod) = 0 would silently DROP the language's docs —
       // the opposite of corpusMix, whose Inf rate clamps to keep-all.
@@ -962,14 +974,25 @@ object PipelineQueries {
       // (also covers the all-languages-empty corpus, where sumW = 0).
       val rate = if (t == 0L) 1.0
         else math.min(1.0, budgetTokens.toDouble * w(t) / sumW / t)
-      (l, t, math.floor(rate * MixHashMod.toDouble).toLong)
-    }.toDF("lang", "lang_tokens", "keep_points")
-    toked.join(broadcast(thr.select("lang", "keep_points")), Seq("lang"))
+      (l, math.floor(rate * MixHashMod.toDouble).toLong)
+    }
+  }
+
+  /** The scan-level residue keep filter both mix forms apply: join
+    * the (broadcast) `(lang, keep_points)` table, keep docs whose
+    * multiply-shift residue falls under the language's threshold. A
+    * language ABSENT from the table keeps everything (threshold =
+    * [[MixHashMod]]): for the frozen-share incremental mix that is
+    * the unseen-language policy — a language the seed never saw must
+    * not be silently destroyed; the keep-rate drift signal is what
+    * surfaces it. */
+  private[graft] def mixApplyKeepPoints(toked: DataFrame,
+                                        keepPoints: DataFrame): DataFrame =
+    toked.join(broadcast(keepPoints), Seq("lang"), "left")
       .filter(
         pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod)) <
-          col("keep_points"))
+          coalesce(col("keep_points"), lit(MixHashMod)))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-  }
 
   /** Held-out fractions for [[corpusSplit]], in residue points of
     * [[MixHashMod]]: val gets 2%, test gets 2%, train the rest. */

@@ -23,10 +23,18 @@ object ScaleGen {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "bench_scratch/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val flags = args.drop(3).toSet
     // "corpus-only": documents + embeddings only — the sf10 scaling
     // runs exercise the corpus/ANN paths and skip ~2 GB of relational
     // amplification they never read
-    val corpusOnly = args.length > 3 && args(3) == "corpus-only"
+    // "embeddings-only": just the vector table (the r11 clustered
+    // re-measure shares sf100's documents — re-synthesizing 1.9 GB of
+    // identical text to change 0.5 GB of vectors would be waste)
+    // "clustered": embeddings drawn from a 1024-mode gaussian mixture
+    // instead of one isotropic gaussian — see the embeddings section
+    val embeddingsOnly = flags("embeddings-only")
+    val corpusOnly = flags("corpus-only") || embeddingsOnly
+    val clustered = flags("clustered")
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
 
@@ -82,6 +90,10 @@ object ScaleGen {
     }
     val langs = Vector("en", "en", "en", "de", "fr", "es")
     val nDocs = 5000L * copies
+    if (embeddingsOnly) {
+      writeEmbeddings(spark, out, copies, clustered)
+      spark.stop(); return
+    }
     // distributed synthesis (per-row seeds make it embarrassingly
     // parallel): at copies=100 the old driver-side Seq was ~GBs of
     // String heap for no reason
@@ -97,10 +109,42 @@ object ScaleGen {
     docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scalegen] documents $nDocs")
 
-    // ---- embeddings: seeded gaussians, ~2% planted near-dups ----
+    writeEmbeddings(spark, out, copies, clustered)
+    spark.stop()
+  }
+
+  /** Embeddings table, ~2% planted near-dups either way.
+    *
+    * Default (isotropic): one seeded 64-dim gaussian per id. Pairwise
+    * cosines concentrate at 0 ± 1/√64, so every query's true top-10
+    * sit at the noise ceiling — recall numbers measure the DATA's
+    * ceiling, not the index (the r10 sf100 tables: recall@10 ≈ 0.03
+    * flat across 8× cells, BY CONSTRUCTION unbeatable).
+    *
+    * `clustered`: a 1024-mode gaussian mixture — the SemdedupSpec
+    * planted-structure fixture scaled up. Mode centers are seeded unit
+    * gaussians (‖c‖² ≈ 64); a member adds 0.5/coord noise (‖n‖² ≈ 16),
+    * so intra-mode cosine ≈ 64/(64+16) = 0.8 vs inter-mode 0 ± 0.125 —
+    * a query's true neighbors are its ~n/1024 mode-mates, exploitable
+    * structure a coarse quantizer CAN concentrate (and the only data
+    * on which the cells/probe/rerank suggest rules are falsifiable).
+    * Mode assignment is a multiplicative hash of id, so the planted
+    * near-dup pairs (which share the BASE vector) stay intact. */
+  private def writeEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                              out: String, copies: Int, clustered: Boolean): Unit = {
+    import spark.implicits._
+    val nModes = 1024
+    def center(m: Int): Array[Float] = {
+      val rnd = new scala.util.Random(m * 2862933555777941757L + 3037000499L)
+      Array.fill(64)(rnd.nextGaussian().toFloat)
+    }
     def vec(id: Long): Array[Float] = {
       val rnd = new scala.util.Random(id * 1099511628211L + 7)
-      Array.fill(64)(rnd.nextGaussian().toFloat)
+      if (!clustered) Array.fill(64)(rnd.nextGaussian().toFloat)
+      else {
+        val c = center((((id * 0x9E3779B97F4A7C15L) >>> 40) % nModes).toInt)
+        c.map(x => x + 0.5f * rnd.nextGaussian().toFloat)
+      }
     }
     val nVecs = 2000L * copies
     val embs = spark.range(0L, nVecs, 1L, 32).as[Long].map { id =>
@@ -110,7 +154,6 @@ object ScaleGen {
       (id, v, (id % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
     embs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[scalegen] embeddings $nVecs")
-    spark.stop()
+    println(s"[scalegen] embeddings $nVecs" + (if (clustered) " (clustered)" else ""))
   }
 }

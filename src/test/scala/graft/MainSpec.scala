@@ -672,7 +672,7 @@ class MainSpec extends SparkSpec {
     assert(eIncr.getMessage.contains("full runs only"), eIncr.getMessage)
   }
 
-  test("corpus-pipeline incremental: two batches == one batch on the union; replay-idempotent; non-delta steps refuse") {
+  test("corpus-pipeline incremental: two batches == one batch on the union; replay-idempotent; budget-less mix keeps all") {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_main_incr").toString
@@ -758,11 +758,12 @@ class MainSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/out", "stats.json"))
     assert(incrStats.contains(""""batch":2"""), incrStats)
 
-    // supply-dependent steps refuse loudly in incremental mode
-    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+    // every step has an incremental form since r11 — a budget-less
+    // mix in the plan is KEEP-ALL, never a refusal
+    val rMix = Main.runPipeline(spark,
       Seq("corpus-pipeline", s"in=$base/b.parquet", s"out=$base/out2",
-        "incremental=true", s"state=$base/state", "batch=3", "steps=clean,mix")))
-    assert(e.getMessage.contains("supply-dependent"), e.getMessage)
+        "incremental=true", s"state=$base/state2", "batch=3", "steps=clean,mix"))
+    assert(rMix.rowsOut > 0)
     // and the replay key is required
     val e2 = intercept[IllegalArgumentException](Main.runPipeline(spark,
       Seq("corpus-pipeline", s"in=$base/b.parquet", s"out=$base/out2",
@@ -890,6 +891,214 @@ class MainSpec extends SparkSpec {
       s"in=$base/delta.parquet", s"out=$base/out", "steps=scrub",
       "incremental=true", s"state=$base/state", "batch=2"))
     assert(texts() == t)
+  }
+
+  test("corpus-pipeline incremental mix: frozen per-language thresholds; deltas filter under them; conflicts refuse; mix-refit re-calibrates") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_fmix").toString
+    // letters-only (a digit is its OWN pre-token): 60 pre-tokens/doc
+    val words = (1 to 60)
+      .map(j => s"tok${('a' + j / 26).toChar}${('a' + j % 26).toChar}").mkString(" ")
+    def write(name: String, docs: Seq[(Long, String)]): String = {
+      val p = s"$base/$name.parquet"
+      docs.map { case (i, l) => (i, l, words) }
+        .toDF("doc_id", "lang", "text").write.parquet(p)
+      p
+    }
+    def run(in: String, batch: Long, extra: String*): Unit =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$in",
+        s"out=$base/out", "steps=mix", "incremental=true",
+        s"state=$base/state", s"batch=$batch", "budget=1000") ++ extra)
+    def survivors(): Set[Long] = spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def stats(): String =
+      Files.readString(java.nio.file.Paths.get(s"$base/out", "stats.json"))
+    // seed: en oversupplied (20 docs × 60 = 1200 tokens), de fits
+    // (4 × 60 = 240) under budget=1000 at alpha=0.5
+    val seedDocs = (0L until 20L).map((_, "en")) ++ (100L until 104L).map((_, "de"))
+    run(write("seedm", seedDocs), 1L)
+    // the seed-calibrated expectation, recomputed independently: the
+    // frozen thresholds applied per-doc via the residue filter
+    val kp = graft.queries.PipelineQueries
+      .mixKeepPoints(Seq("en" -> 1200L, "de" -> 240L), 1000L, 0.5).toMap
+    def residue(id: Long): Long = ((id % 1048576L) * 2654435761L) % 1048576L
+    def expectKept(docs: Seq[(Long, String)]): Set[Long] =
+      docs.filter { case (i, l) => residue(i) < kp.getOrElse(l, 1048576L) }.map(_._1).toSet
+    assert(kp("de") == 1048576L, s"under-supplied language keeps whole: $kp")
+    assert(kp("en") < 1048576L, s"over-supplied language downsamples: $kp")
+    assert(survivors() == expectKept(seedDocs),
+      s"seed survivors == frozen-threshold expectation")
+    // delta mixes under the FROZEN thresholds — its own supply does
+    // not recalibrate, so accumulated survivors == per-doc filter of
+    // the union (what no naive per-batch mix can produce)
+    val deltaDocs = (200L until 220L).map((_, "en"))
+    run(write("deltam", deltaDocs), 2L)
+    assert(survivors() == expectKept(seedDocs ++ deltaDocs),
+      "two-batch survivors == seed-calibrated per-doc expectation over the union")
+    // replay idempotent (same survivors, supply evidence overwritten)
+    run(write("deltam2", deltaDocs), 2L)
+    assert(survivors() == expectKept(seedDocs ++ deltaDocs), "replay idempotent")
+    assert(spark.read.parquet(s"$base/state/mix/supply")
+      .filter(col("batch") === 2).count() == 1L,
+      "replayed batch overwrites its own supply evidence, never doubles it")
+    // an all-de delta keeps everything (rate 1.0) vs seed rate ≈0.6 —
+    // the drift signal trips
+    run(write("deltad", (300L until 310L).map((_, "de"))), 3L)
+    assert(stats().contains(""""drift_warnings":["mix_keep rate drift"""), stats())
+    // an unseen language has no frozen threshold: kept WHOLE, never
+    // silently destroyed
+    val frDocs = (400L until 410L).map((_, "fr"))
+    run(write("deltafr", frDocs), 4L)
+    assert(frDocs.map(_._1).toSet.subsetOf(survivors()),
+      "unseen language must be kept whole")
+    // fit knobs are frozen: conflicting budget= / alpha= / tokens=
+    // refuse (a later duplicate k=v wins in the opts map, so the
+    // extra budget= overrides run()'s fixed one)
+    val eBudget = intercept[IllegalArgumentException](run(s"$base/deltam.parquet", 5L,
+      "budget=2000"))
+    assert(eBudget.getMessage.contains("frozen calibration"), eBudget.getMessage)
+    val eAlpha = intercept[IllegalArgumentException](run(s"$base/deltam.parquet", 5L,
+      "alpha=0.9"))
+    assert(eAlpha.getMessage.contains("frozen calibration"), eAlpha.getMessage)
+    val eTok = intercept[IllegalArgumentException](run(s"$base/deltam.parquet", 5L,
+      "tokens=bpe"))
+    assert(eTok.getMessage.contains("frozen denomination"), eTok.getMessage)
+    // mix-refit: thresholds rebuilt from the ACCUMULATED supply under
+    // a new budget; the denomination cannot change; staging dir gone
+    val rFit = Main.runPipeline(spark,
+      Seq("mix-refit", s"state=$base/state", "budget=500"))
+    assert(rFit.rowsIn == 2L && rFit.rowsOut == 3L,
+      s"refit covers every language the batches supplied: $rFit")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$base/state/mix/thresholds.refit.tmp")), "staging dir renamed away")
+    val eFitTok = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("mix-refit", s"state=$base/state", "tokens=bpe")))
+    assert(eFitTok.getMessage.contains("frozen denomination"), eFitTok.getMessage)
+    // future batches mix under the re-fit model (budget now frozen at
+    // 500; the old 1000 refuses) and the drift baseline re-establishes
+    val eOld = intercept[IllegalArgumentException](run(s"$base/deltam.parquet", 6L))
+    assert(eOld.getMessage.contains("frozen calibration"), eOld.getMessage)
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/deltam.parquet",
+      s"out=$base/out", "steps=mix", "incremental=true", s"state=$base/state",
+      "batch=6", "budget=500"))
+    assert(!stats().contains("drift_warnings"),
+      s"first post-refit batch re-establishes the baseline, no cry-wolf: ${stats()}")
+  }
+
+  test("corpus-pipeline incremental pack: frozen BPE model + layout; per-batch packs == standalone packs; replay overwrites; conflicts refuse") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_fpack").toString
+    val vocab = Seq("model", "training", "corpus", "token", "gradient",
+      "layer", "attention", "embedding", "loss", "batch", "epoch", "weight")
+    def body(seed: Long): String = {
+      val rnd = new scala.util.Random(seed)
+      Seq.fill(3)(rnd.shuffle(vocab)).flatten.mkString(" ")
+    }
+    def write(name: String, ids: Seq[Long]): String = {
+      val p = s"$base/$name.parquet"
+      ids.map(i => (i, "en", body(i))).toDF("doc_id", "lang", "text").write.parquet(p)
+      p
+    }
+    def run(in: String, batch: Long, extra: String*): Unit =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$in",
+        s"out=$base/out", "steps=pack", "incremental=true",
+        s"state=$base/state", s"batch=$batch", "packbudget=64", "buckets=2",
+        "nmerges=50") ++ extra)
+    def packsOf(dir: String): Set[(Long, Seq[Long], Seq[Int])] =
+      spark.read.parquet(dir).select("pack_id", "doc_ids", "token_ids")
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Long](1).toSeq, r.getSeq[Int](2).toSeq)).toSet
+    val seedIds = 0L until 8L
+    run(write("seedp", seedIds), 1L)
+    // the frozen model committed: vocab/_SUCCESS is the marker
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/state/pack/vocab/_SUCCESS")))
+    val frozenMerges = graft.functions.Bpe.readMerges(spark, s"$base/state/pack/merges")
+    val frozenVocab = graft.functions.Bpe.readVocab(spark, s"$base/state/pack/vocab")
+    assert(frozenMerges.nonEmpty)
+    // byte-identity: the batch dir equals packing the batch standalone
+    // under the frozen model + frozen layout
+    def standalone(ids: Seq[Long]): Set[(Long, Seq[Long], Seq[Int])] =
+      graft.queries.PipelineQueries.packTokens(
+        ids.map(i => (i, body(i))).toDF("doc_id", "text"),
+        frozenMerges, frozenVocab, 64, 2)
+        .select("pack_id", "doc_ids", "token_ids")
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Long](1).toSeq, r.getSeq[Int](2).toSeq)).toSet
+    assert(packsOf(s"$base/state/packs/batch=1") == standalone(seedIds),
+      "seed packs == standalone packs under the frozen model")
+    // delta packs under the FROZEN model (no retrain: the merges table
+    // is byte-stable across batches)
+    val deltaIds = 100L until 106L
+    run(write("deltap", deltaIds), 2L)
+    assert(graft.functions.Bpe.readMerges(spark, s"$base/state/pack/merges")
+      .sameElements(frozenMerges), "the frozen model must not retrain on a delta")
+    val d2 = packsOf(s"$base/state/packs/batch=2")
+    assert(d2 == standalone(deltaIds),
+      "delta packs == standalone packs under the frozen model")
+    // replay overwrites its own batch dir — nothing duplicates
+    run(write("deltap2", deltaIds), 2L)
+    assert(packsOf(s"$base/state/packs/batch=2") == d2, "replay idempotent")
+    assert(spark.read.parquet(s"$base/state/packs")
+      .filter(col("batch") === 2).count() == d2.size.toLong,
+      "the partitioned read sees each batch exactly once")
+    // frozen knobs refuse on conflict (a later duplicate k=v wins)
+    val eBud = intercept[IllegalArgumentException](run(s"$base/deltap.parquet", 3L,
+      "packbudget=128"))
+    assert(eBud.getMessage.contains("frozen budget"), eBud.getMessage)
+    val eBk = intercept[IllegalArgumentException](run(s"$base/deltap.parquet", 3L,
+      "buckets=4"))
+    assert(eBk.getMessage.contains("frozen bucket count"), eBk.getMessage)
+    val eNm = intercept[IllegalArgumentException](run(s"$base/deltap.parquet", 3L,
+      "nmerges=10"))
+    assert(eNm.getMessage.contains("frozen model"), eNm.getMessage)
+    // a merges= that is NOT the frozen table refuses (one model per
+    // pipeline — incompatible token ids are the failure it prevents)
+    graft.functions.Bpe.mergesTable(spark,
+      graft.functions.Bpe.train(Seq((1L, "zz zz zz zz")).toDF("doc_id", "text"), 5))
+      .write.parquet(s"$base/othermerges")
+    val eM = intercept[IllegalArgumentException](run(s"$base/deltap.parquet", 3L,
+      s"merges=$base/othermerges"))
+    assert(eM.getMessage.contains("frozen BPE model"), eM.getMessage)
+  }
+
+  test("corpus-pipeline journal retention: journalkeep=N prunes old batch records; misdirected knobs refuse") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_jret").toString
+    def write(name: String, ids: Seq[Long]): String = {
+      val p = s"$base/$name.parquet"
+      ids.map(i => (i, "en", s"alpha beta gamma delta body $i"))
+        .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(p)
+      p
+    }
+    def run(batch: Long): Unit =
+      Main.runPipeline(spark, Seq("corpus-pipeline",
+        s"in=${write(s"b$batch", batch * 10 until batch * 10 + 3)}",
+        s"out=$base/out", "steps=clean", "incremental=true",
+        s"state=$base/state", s"batch=$batch", "journalkeep=2"))
+    (1L to 4L).foreach(run)
+    val files = new java.io.File(s"$base/out/runs").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(files == Seq("batch=3.json", "batch=4.json"),
+      s"only the 2 newest batch records survive: $files")
+    // a replayed OLD batch re-records itself but cannot evict newer ones
+    run(2L)
+    val files2 = new java.io.File(s"$base/out/runs").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(files2 == Seq("batch=3.json", "batch=4.json"),
+      s"retention is by batch id, not recency of write: $files2")
+    // misdirected knobs refuse up front
+    val eNeg = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/b1.parquet", s"out=$base/out",
+        "steps=clean", "incremental=true", s"state=$base/state", "batch=9",
+        "journalkeep=-1")))
+    assert(eNeg.getMessage.contains("journalkeep"), eNeg.getMessage)
+    val eFull = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/b1.parquet", s"out=$base/outf",
+        "steps=clean", "journalkeep=2")))
+    assert(eFull.getMessage.contains("incremental"), eFull.getMessage)
   }
 
   test("corpus-pipeline incremental select: a delta whose keep rate drifts from the seed calibration warns; healthy deltas stay quiet") {

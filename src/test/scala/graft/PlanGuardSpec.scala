@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     "search_bm25",              // 1-row (N, avgdl) corpus-stats broadcast
     "search_hybrid_rrf",        // fuses search_bm25 + the bounded bruteforce query batch
     "text_lm_score",            // 1-row vocabulary-size broadcast
-    "corpus_mix")               // 1-row language-count broadcast
+    "corpus_mix",               // 1-row language-count broadcast
+    "corpus_mix_bpe")           // same plan, BPE-priced n_tokens
 
   /** Analysis-only sweep: every gate query must RESOLVE against the
     * current testdata, with a per-query message on failure. Catches
