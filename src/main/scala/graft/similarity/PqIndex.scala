@@ -298,7 +298,18 @@ class PqIndex(spark: SparkSession, dir: String,
     * distortion actually costs is ORDER within the shortlist, and
     * exact re-scoring repairs exactly that). Vectors absent from
     * `vectors` (deleted between index and corpus snapshots) drop out
-    * — the id join is the consistency boundary. */
+    * — the id join is the consistency boundary.
+    *
+    * `candMult` is THE recall dial on clustered corpora — measured,
+    * not asserted (PLANS.md r11, 2M clustered vectors): the 8 B code
+    * separates modes well but barely orders WITHIN a mode, so recall
+    * saturates only once the shortlist covers the query's mode
+    * population — candMult ≈ modeSize/topK (recall@10 0.121 at
+    * candMult=8 → 0.995 at 256 ≈ the 2000-vector mode size / 10).
+    * Cost stays shortlist-sized: that sweep's wall moved 2→6 s while
+    * an 8× finer CELL layout (925 s build) bought +0.01 recall —
+    * tune candMult against [[recallAt]] before touching the layout.
+    * RerankSpec pins the saturation shape on a planted-mode fixture. */
   def topKRerank(queries: DataFrame, vectors: DataFrame, topKn: Int,
                  candMult: Int = 4, allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** topKRerank's candMult rule, pinned at spec scale on the same
+  * planted-mode shape the r11 sf100 measurement used (PLANS.md): the
+  * 8 B/vec PQ code separates gaussian modes well but barely orders
+  * WITHIN a mode, so rerank recall saturates exactly when the
+  * shortlist covers the query's mode population — candMult ≈
+  * modeSize/topK — and below that it is shortlist-starved. A
+  * regression that broke stage-1 widening (shortlist not growing
+  * with candMult) or stage-2 exactness (re-scoring not repairing
+  * within-shortlist order) fails here at 1600 vectors, not at 2M. */
+class RerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+  private val nModes = 16
+  private val perMode = 100
+
+  /** 16 gaussian modes × 100 members: center coords N(0,1) so
+    * ‖c‖² ≈ dim, member noise 0.5/coord so intra-mode cosine ≈
+    * 1/(1+0.25) = 0.8 vs inter-mode 0 ± 1/√dim — ScaleGen's
+    * `clustered` construction at spec scale. */
+  private lazy val corpus = {
+    def center(m: Int): Array[Float] = {
+      val rnd = new scala.util.Random(m * 2862933555777941757L + 3037000499L)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
+    }
+    val rows = for (m <- 0 until nModes; i <- 0 until perMode) yield {
+      val rnd = new scala.util.Random(m * 100000L + i * 7L + 1)
+      ((m * perMode + i).toLong, center(m).map(x => x + 0.5f * rnd.nextGaussian().toFloat))
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("rerank recall saturates at candMult ~ modeSize/topK; starved below; monotone in candMult") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank").toString
+    val idx = new PqIndex(spark, dir, nCells = nModes)
+    idx.build(corpus)
+    val queries = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(20).drop("h").cache()
+    queries.count()
+    val bf = Similarity.bruteForceTopK(queries, corpus, 10).cache()
+    bf.count()
+    def r(candMult: Int): Double =
+      Similarity.recall(idx.topKRerank(queries, corpus, 10, candMult = candMult), bf)
+    val starved = r(1)
+    val covering = r(perMode / 10) // shortlist = 100 = the mode population
+    assert(covering >= 0.9,
+      f"a mode-covering shortlist must saturate recall: $covering%.3f")
+    assert(covering - starved >= 0.2,
+      f"the dial must matter: starved $starved%.3f vs covering $covering%.3f " +
+        "— if these match, stage-1 widening no longer widens")
+    // recall can only improve as the shortlist grows (stage 2 is an
+    // exact re-score of a superset)
+    assert(r(4) >= starved - 1e-9 && covering >= r(4) - 1e-9,
+      "recall must be monotone in candMult")
+  }
+}
