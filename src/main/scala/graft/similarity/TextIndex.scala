@@ -180,7 +180,14 @@ class TextIndex(spark: SparkSession, dir: String,
     *    [[graft.queries.TextQueries.bm25Rank]] — terms matching more
     *    than that corpus fraction are excluded from scores. This one
     *    still reads the term's postings (df is only known after the
-    *    read); use the stoplist when the goal is I/O. */
+    *    read), but the read is the cheap part: the cap references
+    *    only posting-side columns plus the 1-row stats frame, so
+    *    Catalyst pushes it BELOW the query join and the hot term
+    *    never row-multiplies against the query batch (measured at 5M
+    *    docs, PLANS.md r11: an uncapped stopword-bearing batch walls
+    *    at 420 s — ~430M scored rows — vs 5.1 s capped, within noise
+    *    of the 3.8 s stoplist). Use the stoplist when the goal is
+    *    strictly I/O; either knob defuses the blowup. */
   /** `allowed` (an optional `doc_id` frame) is the FILTERED-search
     * form — the policy/tenant restriction, symmetric with
     * [[PqIndex.topK]]'s allow-list. Semantics follow Lucene's

@@ -317,5 +317,24 @@ class TextIndexSpec extends SparkSpec {
     val gone = index.search(Seq(7 -> "the the").toDF("query_id", "qtext"),
       10, stoplist = Set("the"))
     assert(gone.count() == 0)
+
+    // PLAN pin (the property behind the 5M-doc wall collapse,
+    // PLANS.md r11): the df cap references only posting-side columns
+    // + the 1-row stats frame, so Catalyst pushes it BELOW the join
+    // with the query terms — the hot term is dropped BEFORE it can
+    // row-multiply against every query carrying it (measured 420 s →
+    // 5 s at scale). A bm25Rank refactor that makes the cap depend on
+    // a query-side column would silently reintroduce the blowup; this
+    // catches it at 400 docs.
+    val lp = index.search(stopQs, 10, maxDfFrac = 0.5)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val pushed = lp.collect { case j: Join =>
+      Seq(j.left, j.right).exists(_.collectFirst {
+        case f: Filter if f.condition.references.exists(_.name == "df") => f
+      }.nonEmpty)
+    }
+    assert(pushed.exists(identity),
+      s"the df cap must sit below a join in the optimized plan:\n$lp")
   }
 }
