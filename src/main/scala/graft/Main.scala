@@ -244,14 +244,20 @@ object Main {
     // tokens=pre (default) prices budgets in pre-tokens; tokens=bpe
     // in trained-BPE tokens under the frozen builtin model — the
     // budget a training run actually spends (bpe_fertility's table is
-    // the evidence for when the two diverge). Validated HERE so a
-    // misdirected knob refuses before any stage runs.
+    // the evidence for when the two diverge). Validated HERE, once,
+    // so a misdirected knob refuses before any stage runs and every
+    // consumer (tokenize, score, the frozen-mix denomination sidecar)
+    // reads ONE dispatch that cannot drift.
+    val tokensMode: String = opts.getOrElse("tokens", "pre") match {
+      case m @ ("pre" | "bpe") => m
+      case other => sys.error(s"$command: unknown tokens=$other (pre|bpe)")
+    }
     val tokenizeFor: DataFrame => DataFrame =
-      opts.getOrElse("tokens", "pre") match {
-        case "bpe" => graft.queries.PipelineQueries.tokenizeDocsBpe _
-        case "pre" => graft.queries.PipelineQueries.tokenizeDocs _
-        case other => sys.error(s"$command: unknown tokens=$other (pre|bpe)")
-      }
+      if (tokensMode == "bpe") graft.queries.PipelineQueries.tokenizeDocsBpe _
+      else graft.queries.PipelineQueries.tokenizeDocs _
+    val scoreFor: DataFrame => DataFrame =
+      if (tokensMode == "bpe") graft.queries.PipelineQueries.scoreDocsBpe _
+      else graft.queries.PipelineQueries.scoreDocs _
     def vectors(path: String): DataFrame =
       spark.read.parquet(path).select(
         col(opts.getOrElse("idcol", "id")).as("id"),
@@ -435,12 +441,8 @@ object Main {
         // histogram is a separate action from its final window, so an
         // unmaterialized frame would tokenize + score the corpus twice
         // (sf10: 77 s → 44 s, see PLANS.md)
-        val scored = (opts.getOrElse("tokens", "pre") match {
-          case "bpe" => graft.queries.PipelineQueries.scoreDocsBpe(docs)
-          case "pre" => graft.queries.PipelineQueries.scoreDocs(docs)
-          case other => sys.error(
-            s"select-budget: unknown tokens=$other (pre|bpe)")
-        }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val scored = scoreFor(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // pruned (histogram-edge) form by default — bit-identical to
         // the exact window, sort ∝ budget instead of corpus
         val picked = try (if (opts.getOrElse("pruned", "true").toBoolean)
@@ -746,16 +748,18 @@ object Main {
                 "(steps=...,langid,...) to assign one, placed before any " +
                 "lang-keyed stage")
             // presence is not enough: a lang-keyed stage running BEFORE
-            // langid would group/join on the null lang — mix's
-            // threshold join matches nothing on a null key and would
-            // silently empty the corpus
+            // langid would group/join on the null lang — the one-shot
+            // mix's inner threshold join matches nothing on a null key
+            // (silently emptying the corpus) and the frozen-share
+            // incremental mix would keep-all an entirely unlabeled
+            // batch; both mean the stage never did its job
             val langKeyed = Seq("mix")
             langKeyed.filter(steps.contains).foreach(k =>
               require(steps.indexOf("langid") < steps.indexOf(k),
                 s"input ${req("in")} has no lang column and the plan runs '$k' " +
                   s"BEFORE langid — '$k' keys on lang and a null key would " +
-                  "silently drop every document; reorder steps so langid " +
-                  s"precedes $k"))
+                  "silently drop (one-shot) or keep-all (incremental) every " +
+                  s"document; reorder steps so langid precedes $k"))
             in0.select(col("doc_id"), lit(null).cast("string").as("lang"),
               col("text"))
           }).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1290,21 +1294,60 @@ object Main {
           // threshold: it keeps everything, LOUDLY — silently
           // destroying a new language's whole supply is the DAG's
           // cardinal sin (the r8 lesson below).
-          case "mix" if incremental => opts.get("budget") match {
+          case "mix" if incremental =>
+            val mixState = s"${stateDir.get}/mix"
+            val thrPath = s"$mixState/thresholds"
+            // the knobs file doubles as the fitted-model marker: it is
+            // the LAST artifact a seed writes (after the parquet), so
+            // a crashed seed is simply not fitted and re-seeds
+            val fitted = pExists(s"$thrPath/$KnobsFile")
+            opts.get("budget") match {
             case None =>
+              // a fitted pipeline must not silently pass a batch
+              // through unmixed because one cron entry lost its
+              // budget= — KEEP-ALL is only safe when no calibration
+              // exists to bypass (r11 review finding)
+              require(!fitted,
+                s"incremental mix: a frozen calibration exists under $mixState " +
+                  "but this batch has no budget= — omitting it would append the " +
+                  "batch UNMIXED to the accumulated survivors; pass the frozen " +
+                  "budget= (or mix-refit / re-seed to change the contract)")
               System.err.println("[graft] corpus-pipeline mix KEEP-ALL " +
                 "(no budget= — pass budget=<tokens> to downsample to a token budget)")
               docs = Some(cur.count())
             case Some(b) =>
-              val mixState = s"${stateDir.get}/mix"
-              val thrPath = s"$mixState/thresholds"
-              val fitted = pExists(s"$thrPath/_SUCCESS")
               mixBudget = Some(b.toLong)
               val nIn = lastDocs
-              val bpeMode = if (opts.getOrElse("tokens", "pre") == "bpe") 1L else 0L
+              val bpeMode = if (tokensMode == "bpe") 1L else 0L
               val toked = tokenizeFor(cur)
                 .persist(StorageLevel.MEMORY_AND_DISK)
               try {
+                // fit knobs are part of the frozen model: conflicts
+                // refuse like scrub's w= — a silently different
+                // budget/alpha/denomination would mean batches were
+                // mixed under different contracts. Validated BEFORE
+                // the supply evidence persists: a refused batch must
+                // leave no evidence counted under the wrong
+                // denomination for a later mix-refit to sum (r11
+                // review finding).
+                if (fitted) {
+                  val k = readKnobsFile(spark, thrPath)
+                  require(b.toLong == k("budget"),
+                    s"incremental mix: budget=$b conflicts with the frozen " +
+                      s"calibration (budget ${k("budget")}) under $mixState — " +
+                      "mix-refit budget= to re-calibrate, or re-seed")
+                  opts.get("alpha").foreach { v =>
+                    require(math.round(v.toDouble * 1e6) == k("alphamicro"),
+                      s"incremental mix: alpha=$v conflicts with the frozen " +
+                        s"calibration (alpha ${k("alphamicro") / 1e6}) under $mixState — " +
+                        "mix-refit alpha= to re-calibrate, or re-seed")
+                  }
+                  require(bpeMode == k("bpemode"),
+                    s"incremental mix: tokens=$tokensMode " +
+                      s"conflicts with the frozen denomination under $mixState — " +
+                      "the accumulated supply evidence was counted in it; " +
+                      "re-seed to change denominations")
+                }
                 val supply = toked.groupBy("lang")
                   .agg(sum("n_tokens").as("lang_tokens"))
                   .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
@@ -1318,29 +1361,6 @@ object Main {
                     .parquet(s"$mixState/supply/batch=${batchId.get}")
                 }
                 if (fitted) {
-                  // fit knobs are part of the frozen model: conflicts
-                  // refuse like scrub's w= — a silently different
-                  // budget/alpha/denomination would mean batches were
-                  // mixed under different contracts
-                  locally {
-                    val frozenB = readLongSidecar(spark, mixState, "budget")
-                    require(b.toLong == frozenB,
-                      s"incremental mix: budget=$b conflicts with the frozen " +
-                        s"calibration (budget $frozenB) under $mixState — " +
-                        "mix-refit budget= to re-calibrate, or re-seed")
-                  }
-                  opts.get("alpha").foreach { v =>
-                    val frozenA = readLongSidecar(spark, mixState, "alphamicro")
-                    require(math.round(v.toDouble * 1e6) == frozenA,
-                      s"incremental mix: alpha=$v conflicts with the frozen " +
-                        s"calibration (alpha ${frozenA / 1e6}) under $mixState — " +
-                        "mix-refit alpha= to re-calibrate, or re-seed")
-                  }
-                  require(bpeMode == readLongSidecar(spark, mixState, "bpemode"),
-                    s"incremental mix: tokens=${opts.getOrElse("tokens", "pre")} " +
-                      s"conflicts with the frozen denomination under $mixState — " +
-                      "the accumulated supply evidence was counted in it; " +
-                      "re-seed to change denominations")
                   val thr = spark.read.parquet(thrPath)
                     .select("lang", "keep_points")
                   val unseen = supply.map(_._1).toSet --
@@ -1350,7 +1370,7 @@ object Main {
                       s"language(s) ${unseen.toSeq.sorted.mkString(",")} have no " +
                       "frozen threshold (not in the seed supply) — kept WHOLE; " +
                       "mix-refit to fold the accumulated supply into the model")
-                  val kept = P.mixApplyKeepPoints(toked, thr)
+                  val kept = P.mixApplyKeepPoints(toked, thr, keepUnlisted = true)
                     .select("doc_id").localCheckpoint()
                   docs = Some(advance(cur.join(kept, Seq("doc_id"))))
                   if (nIn > 0) {
@@ -1371,20 +1391,20 @@ object Main {
                   import spark.implicits._
                   val thr = P.mixKeepPoints(supply, b.toLong, alpha)
                     .toDF("lang", "keep_points")
-                  val kept = P.mixApplyKeepPoints(toked, thr)
+                  val kept = P.mixApplyKeepPoints(toked, thr, keepUnlisted = true)
                     .select("doc_id").localCheckpoint()
                   docs = Some(advance(cur.join(kept, Seq("doc_id"))))
                   val seedRate = docs.get.toDouble / math.max(1L, nIn)
-                  // sidecars (fit knobs + drift baseline) FIRST: the
-                  // thresholds parquet's _SUCCESS is the fitted-model
-                  // commit point
-                  writeLongSidecar(spark, mixState, "budget", b.toLong)
-                  writeLongSidecar(spark, mixState, "alphamicro",
-                    math.round(alpha * 1e6))
-                  writeLongSidecar(spark, mixState, "bpemode", bpeMode)
+                  // drift baseline first (advisory), then the parquet,
+                  // then the knobs file — the completion marker is the
+                  // LAST artifact written
                   writeLongSidecar(spark, mixState, "seedkeepmicro",
                     math.round(seedRate * 1e6))
                   thr.coalesce(1).write.mode("overwrite").parquet(thrPath)
+                  writeKnobsFile(spark, thrPath, Seq(
+                    "budget" -> b.toLong,
+                    "alphamicro" -> math.round(alpha * 1e6),
+                    "bpemode" -> bpeMode))
                   System.err.println("[graft] corpus-pipeline mix: frozen " +
                     f"per-language thresholds fit on seed batch (budget $b, " +
                     f"alpha $alpha, keep rate $seedRate%.4f)")
@@ -1491,10 +1511,15 @@ object Main {
                       s"bucket count $f under $pkState — re-seed to change it")
                 }
                 opts.get("nmerges").foreach { x =>
-                  val f = readLongSidecar(spark, pkState, "nmerges")
-                  require(x.toLong == f,
-                    s"incremental pack: nmerges=$x conflicts with the frozen " +
-                      s"model's $f under $pkState — re-seed to change it")
+                  readLongSidecarIfExists(spark, pkState, "nmerges") match {
+                    case Some(f) => require(x.toLong == f,
+                      s"incremental pack: nmerges=$x conflicts with the frozen " +
+                        s"model's $f under $pkState — re-seed to change it")
+                    case None => sys.error(
+                      s"incremental pack: the frozen model under $pkState came " +
+                        "from merges= (external) — nmerges= does not apply; " +
+                        "re-seed to train a model instead")
+                  }
                 }
                 val fm = graft.functions.Bpe.readMerges(spark, pkMerges)
                 opts.get("merges").foreach { p =>
@@ -1523,8 +1548,15 @@ object Main {
                 // crash can never leave vocab without merges)
                 writeLongSidecar(spark, pkState, "packbudget", budget0.toLong)
                 writeLongSidecar(spark, pkState, "packbuckets", buckets0.toLong)
-                writeLongSidecar(spark, pkState, "nmerges",
-                  opts.getOrElse("nmerges", "1000").toLong)
+                // nmerges is frozen ONLY when training ran — it is the
+                // reproducible training request. With merges= the
+                // model is external and the CLI default (1000) never
+                // described it, so freezing it would refuse a later
+                // accurate nmerges= with a number from nowhere; the
+                // sidecar's absence marks the model external instead
+                if (opts.get("merges").isEmpty)
+                  writeLongSidecar(spark, pkState, "nmerges",
+                    opts.getOrElse("nmerges", "1000").toLong)
                 graft.functions.Bpe.mergesTable(spark, fm).coalesce(1)
                   .write.mode("overwrite").parquet(pkMerges)
                 graft.functions.Bpe.vocabTable(spark, fv).coalesce(1)
@@ -1534,6 +1566,22 @@ object Main {
                   s"buckets=$buckets0) fit on seed batch")
                 (fm, fv, budget0, buckets0)
               }
+            // a delta whose text contains characters the SEED never
+            // saw encodes them as -1 (UNK) under the frozen vocab —
+            // silent -1s in a training artifact are the pack analog
+            // of mix silently destroying a new language, so they warn
+            // LOUDLY (one tiny distinct-chars aggregate; the alphabet
+            // is bounded by the charset, not the corpus)
+            locally {
+              val vset = v.toSet
+              val novel = graft.functions.Bpe.alphabet(cur).filterNot(vset)
+              if (novel.nonEmpty)
+                System.err.println("[graft] corpus-pipeline WARNING pack: " +
+                  s"${novel.size} character(s) absent from the frozen seed " +
+                  s"vocab (${novel.take(10).mkString("", "", if (novel.size > 10) "…" else "")}) " +
+                  "— their tokens encode as -1 (UNK) in this batch's packs; " +
+                  "re-seed the pack model if the corpus charset has drifted")
+            }
             P.packTokens(cur, merges, v, pb, bk)
               .write.mode("overwrite")
               .parquet(s"${stateDir.get}/packs/batch=${batchId.get}")
@@ -1800,7 +1848,10 @@ object Main {
           // are left alone.
           if (journalKeep > 0) {
             import scala.jdk.CollectionConverters._
-            val evict = java.nio.file.Files.list(runsDir).iterator().asScala
+            val listing = java.nio.file.Files.list(runsDir)
+            val names = try listing.iterator().asScala.toSeq
+              finally listing.close()
+            val evict = names
               .flatMap { p =>
                 val n = p.getFileName.toString
                 if (n.startsWith("batch=") && n.endsWith(".json"))
@@ -1808,7 +1859,7 @@ object Main {
                     n.stripPrefix("batch=").stripSuffix(".json").toLong)
                     .toOption.map(_ -> p)
                 else None
-              }.toSeq.sortBy(-_._1).drop(journalKeep)
+              }.sortBy(-_._1).drop(journalKeep)
             evict.foreach { case (_, p) => java.nio.file.Files.deleteIfExists(p) }
             if (evict.nonEmpty)
               System.err.println(s"[graft] corpus-pipeline journal: pruned " +
@@ -2015,29 +2066,31 @@ object Main {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
         }
-        require(pEx(s"$thrPath/_SUCCESS"),
+        require(pEx(s"$thrPath/$KnobsFile"),
           s"mix-refit: no frozen mix model under $mixState — seed one with " +
             "corpus-pipeline incremental=true steps=...,mix budget=... first")
         require(pEx(s"$mixState/supply"),
           s"mix-refit: no accumulated supply under $mixState/supply " +
             "(written by every incremental mix batch) — nothing to re-fit from")
-        val frozenBpe = readLongSidecar(spark, mixState, "bpemode")
+        val oldKnobs = readKnobsFile(spark, thrPath)
         opts.get("tokens").foreach { v =>
-          require((if (v == "bpe") 1L else 0L) == frozenBpe,
+          require((if (v == "bpe") 1L else 0L) == oldKnobs("bpemode"),
             s"mix-refit: tokens=$v conflicts with the frozen denomination — " +
               "the accumulated supply was counted in it; re-seed to change it")
         }
-        val budget = opts.get("budget").map(_.toLong)
-          .getOrElse(readLongSidecar(spark, mixState, "budget"))
+        val budget = opts.get("budget").map(_.toLong).getOrElse(oldKnobs("budget"))
         val alpha = opts.get("alpha").map(_.toDouble)
-          .getOrElse(readLongSidecar(spark, mixState, "alphamicro") / 1e6)
+          .getOrElse(oldKnobs("alphamicro") / 1e6)
         val supply = spark.read.parquet(s"$mixState/supply")
           .groupBy("lang").agg(sum("lang_tokens").as("lang_tokens"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
         val oldN = spark.read.parquet(thrPath).count()
         val thr = graft.queries.PipelineQueries.mixKeepPoints(supply, budget, alpha)
         // commit by rename (the scrub-refit discipline): a mid-refit
-        // crash must never leave fitted=false
+        // crash must never leave fitted=false. The knobs file rides
+        // INSIDE the staged dir, so the rename commits thresholds AND
+        // knobs in one metadata op — no window where new thresholds
+        // are live under the old budget/alpha (r11 review finding).
         val hconf2 = spark.sparkContext.hadoopConfiguration
         def rm2(p: String): Unit = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -2050,6 +2103,15 @@ object Main {
           thr.toDF("lang", "keep_points").coalesce(1)
             .write.mode("overwrite").parquet(tmpThr)
         }
+        writeKnobsFile(spark, tmpThr, Seq(
+          "budget" -> budget,
+          "alphamicro" -> math.round(alpha * 1e6),
+          "bpemode" -> oldKnobs("bpemode")))
+        // the stale drift baseline retires BEFORE the swap: a crash
+        // in the swap window leaves the OLD model baseline-less (the
+        // next batch re-establishes it — advisory only), never the
+        // NEW model judged against the retired baseline
+        rm2(s"$mixState/seedkeepmicro.txt")
         locally {
           val fs = new org.apache.hadoop.fs.Path(thrPath).getFileSystem(hconf2)
           fs.delete(new org.apache.hadoop.fs.Path(thrPath), true)
@@ -2057,11 +2119,6 @@ object Main {
             new org.apache.hadoop.fs.Path(thrPath)),
             s"mix-refit: rename $tmpThr -> $thrPath failed")
         }
-        writeLongSidecar(spark, mixState, "budget", budget)
-        writeLongSidecar(spark, mixState, "alphamicro", math.round(alpha * 1e6))
-        // the stale drift baseline retires with the old model; the
-        // next mixing batch re-establishes it from its realized rate
-        rm2(s"$mixState/seedkeepmicro.txt")
         System.err.println(s"[graft] mix-refit: $oldN -> ${thr.size} language " +
           s"thresholds (budget=$budget alpha=$alpha) from the accumulated " +
           "batch supplies")
@@ -2123,6 +2180,34 @@ object Main {
   private def writeLongSidecar(spark: org.apache.spark.sql.SparkSession,
                                dir: String, name: String, value: Long): Unit =
     writeTextFileAtomic(spark, s"$dir/$name.txt", s"$value\n")
+
+  /** Frozen-model fit knobs stored INSIDE the data artifact's
+    * directory (underscore-prefixed, so parquet discovery ignores it)
+    * rather than as per-knob sidecars NEXT to it: a refit that
+    * replaces the artifact by rename then commits thresholds AND
+    * knobs in the ONE atomic metadata op — no window where new
+    * thresholds are live under old knobs (the crash class the r11
+    * review found in mix-refit). The file is also the fitted-model
+    * completion marker: it is written LAST at seed (after the parquet
+    * commits), so a crashed seed is simply not fitted and re-seeds. */
+  private val KnobsFile = "_knobs.txt"
+  private def writeKnobsFile(spark: org.apache.spark.sql.SparkSession,
+                             artifactDir: String, kvs: Seq[(String, Long)]): Unit =
+    writeTextFileAtomic(spark, s"$artifactDir/$KnobsFile",
+      kvs.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
+  private def readKnobsFile(spark: org.apache.spark.sql.SparkSession,
+                            artifactDir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$artifactDir/$KnobsFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"frozen model incomplete: $p missing — " +
+      s"delete $artifactDir and re-run the seed fit")
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    text.linesIterator.filter(_.contains("=")).map { l =>
+      val Array(k, v) = l.split("=", 2); k -> v.trim.toLong
+    }.toMap
+  }
 
   /** [[readLongSidecar]] that tolerates absence — for sidecars ADDED
     * to the frozen-model set after states already existed in the wild

@@ -195,7 +195,12 @@ object PipelineQueries {
     val edges = sampleKEdges(docs.sparkSession, scored, k)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("ord"), col("doc_id"))
-    scored.join(broadcast(edges), Seq("lang"))
+    // NULL-SAFE join: the exact form's window treats a null lang as
+    // its own partition (and returns up to k of it), so the prefilter
+    // must too — a plain equi-join would drop every null-lang row and
+    // break the pinned bit-identity on lang-less corpora
+    val e = edges.withColumnRenamed("lang", "__elang")
+    scored.join(broadcast(e), col("lang") <=> col("__elang")).drop("__elang")
       .filter(col("ord") < col("ordmax"))
       .withColumn("sample_rank", row_number().over(win).cast("long"))
       .filter(col("sample_rank") <= k)
@@ -980,19 +985,31 @@ object PipelineQueries {
 
   /** The scan-level residue keep filter both mix forms apply: join
     * the (broadcast) `(lang, keep_points)` table, keep docs whose
-    * multiply-shift residue falls under the language's threshold. A
-    * language ABSENT from the table keeps everything (threshold =
-    * [[MixHashMod]]): for the frozen-share incremental mix that is
-    * the unseen-language policy — a language the seed never saw must
-    * not be silently destroyed; the keep-rate drift signal is what
-    * surfaces it. */
+    * multiply-shift residue falls under the language's threshold.
+    *
+    * `keepUnlisted = false` (the one-shot forms): INNER join — every
+    * language is in the table by construction (derived from the same
+    * frame), and the DuckDB oracles replay `JOIN supply USING (lang)`,
+    * so the join kinds must agree (a left join would diverge on
+    * null-lang rows: SQL's USING drops them, coalesce would keep
+    * them whole).
+    *
+    * `keepUnlisted = true` (the frozen-share incremental mix): LEFT
+    * join + keep-all threshold for absent languages — a language the
+    * seed never saw must not be silently destroyed; the caller warns
+    * loudly and the keep-rate drift signal surfaces it. */
   private[graft] def mixApplyKeepPoints(toked: DataFrame,
-                                        keepPoints: DataFrame): DataFrame =
-    toked.join(broadcast(keepPoints), Seq("lang"), "left")
+                                        keepPoints: DataFrame,
+                                        keepUnlisted: Boolean = false): DataFrame = {
+    val joined =
+      if (keepUnlisted) toked.join(broadcast(keepPoints), Seq("lang"), "left")
+      else toked.join(broadcast(keepPoints), Seq("lang"))
+    joined
       .filter(
         pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod)) <
           coalesce(col("keep_points"), lit(MixHashMod)))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
 
   /** Held-out fractions for [[corpusSplit]], in residue points of
     * [[MixHashMod]]: val gets 2%, test gets 2%, train the rest. */

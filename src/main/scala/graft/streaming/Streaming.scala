@@ -159,13 +159,27 @@ object Streaming {
   def decontaminateStream(docs: DataFrame, evals: DataFrame,
                           sink: DataFrame => Unit, checkpoint: String,
                           k: Int = 5): org.apache.spark.sql.streaming.StreamingQuery = {
-    // persist, NOT localCheckpoint: this frame must outlive executor
-    // churn for the stream's whole lifetime, and localCheckpoint
-    // truncates the lineage a lost block would need to recompute —
-    // persist keeps derive-once semantics (materialized on first use)
-    // with a recomputable fallback
-    val evalGrams = graft.queries.PipelineQueries
+    // derive once, materialize under the stream's OWN checkpoint dir,
+    // and cache the read-back. Two properties this buys over caching
+    // the derivation directly:
+    //  - cache identity is the canonicalized plan, so two live
+    //    streams started from plan-identical eval frames would SHARE
+    //    one cache entry — and the first to terminate would unpersist
+    //    it out from under the other (every later micro-batch of the
+    //    survivor silently re-deriving the gram table). The
+    //    checkpoint-scoped path makes each stream's plan unique: its
+    //    listener can only ever evict its own entry.
+    //  - the cached frame's recompute root is the parquet, not the
+    //    full shingle/distinct derivation — executor churn re-reads
+    //    instead of re-deriving (persist-over-derivation kept
+    //    derive-once semantics only while no block was lost).
+    // A restart from the same checkpoint re-derives and overwrites —
+    // same frozen-at-start semantics as before.
+    val gramsPath = s"$checkpoint/evalgrams.parquet"
+    graft.queries.PipelineQueries
       .decontaminateGrams(evals, k).select("sh").distinct()
+      .write.mode("overwrite").parquet(gramsPath)
+    val evalGrams = docs.sparkSession.read.parquet(gramsPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val query = docs.writeStream
       .option("checkpointLocation", checkpoint)

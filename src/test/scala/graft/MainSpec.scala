@@ -964,6 +964,18 @@ class MainSpec extends SparkSpec {
     val eTok = intercept[IllegalArgumentException](run(s"$base/deltam.parquet", 5L,
       "tokens=bpe"))
     assert(eTok.getMessage.contains("frozen denomination"), eTok.getMessage)
+    // a refused batch must leave NO supply evidence — the eTok batch
+    // counted in the WRONG denomination, and a later mix-refit sums
+    // every batch dir (r11 review: evidence was persisted before the
+    // knob validation)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/state/mix/supply/batch=5")),
+      "a refused batch must not contribute supply evidence")
+    // a fitted pipeline refuses a budget-LESS mix: omitting the knob
+    // must not silently bypass the frozen calibration (r11 review)
+    val eNoB = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/deltam.parquet", s"out=$base/out",
+        "steps=mix", "incremental=true", s"state=$base/state", "batch=5")))
+    assert(eNoB.getMessage.contains("UNMIXED"), eNoB.getMessage)
     // mix-refit: thresholds rebuilt from the ACCUMULATED supply under
     // a new budget; the denomination cannot change; staging dir gone
     val rFit = Main.runPipeline(spark,
@@ -1061,6 +1073,33 @@ class MainSpec extends SparkSpec {
     val eM = intercept[IllegalArgumentException](run(s"$base/deltap.parquet", 3L,
       s"merges=$base/othermerges"))
     assert(eM.getMessage.contains("frozen BPE model"), eM.getMessage)
+    // a delta with characters the seed never saw encodes -1 (UNK)
+    // under the frozen vocab — LOUD warning, packs still written
+    // (the new-language analog of mix's unseen-language policy)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    val cyr = s"$base/deltacyr.parquet"
+    Seq((300L, "en", "документ на кириллице совершенно новый алфавит"))
+      .toDF("doc_id", "lang", "text").write.parquet(cyr)
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      run(cyr, 4L)
+    } finally System.setErr(realErr)
+    assert(errBuf.toString.contains("WARNING pack"),
+      s"novel characters must warn loudly: ${errBuf.toString.takeRight(400)}")
+    assert(spark.read.parquet(s"$base/state/packs/batch=4")
+      .selectExpr("max(array_contains(token_ids, -1))").head().getBoolean(0),
+      "the warned batch really does carry -1 ids (the warning is not a false alarm)")
+    // a model seeded from merges= (external) has no nmerges to
+    // conflict with — the knob does not apply and says so
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/seedp.parquet",
+      s"out=$base/out3", "steps=pack", "incremental=true", s"state=$base/state3",
+      "batch=1", "packbudget=64", "buckets=2", s"merges=$base/othermerges"))
+    val eExt = intercept[RuntimeException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/deltap.parquet", s"out=$base/out3",
+        "steps=pack", "incremental=true", s"state=$base/state3", "batch=2",
+        "packbudget=64", "buckets=2", "nmerges=5")))
+    assert(eExt.getMessage.contains("does not apply"), eExt.getMessage)
   }
 
   test("corpus-pipeline journal retention: journalkeep=N prunes old batch records; misdirected knobs refuse") {

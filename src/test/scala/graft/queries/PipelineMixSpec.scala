@@ -317,5 +317,17 @@ class PipelineMixSpec extends SparkSpec {
       s"edge must shrink the en window input from 5000 to ≈k: $enSurvivors")
     assert(edges("fr") == 2147483647L,
       s"below-k supply keeps the whole language: ${edges("fr")}")
+    // null-lang bit-identity (r11 review): the exact form's window
+    // treats NULL as its own partition, so the pruned form's edge
+    // join must be null-safe — a plain equi-join silently returned
+    // zero null-lang rows where the exact form returns k
+    val withNulls = docs.unionByName(
+      (7001L to 7020L).map(i => (i, null: String)).toDF("doc_id", "lang"))
+    def rowsN(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val exactN = rowsN(PipelineQueries.sampleKDocs(withNulls, k))
+    assert(exactN.count(_._2 == null) == k, s"fixture: null lang is a partition: $exactN")
+    assert(rowsN(PipelineQueries.sampleKDocsPruned(withNulls, k)) == exactN,
+      "pruned must stay bit-identical on a lang-less (null) group")
   }
 }

@@ -121,13 +121,21 @@ class StreamingSpec extends SparkSpec {
     assert(survived.toSet == Set(2L), s"batch 1: contaminated doc 1 must drop, got $survived")
     input.addData((3L, d3), (4L, d4))
     q.processAllAvailable()
-    // cache identity is the canonicalized plan: this probe frame is
-    // plan-identical to the stream's frozen evalGrams, so its
-    // storageLevel reads the stream's cache entry
-    def evalGramsProbe = graft.queries.PipelineQueries
-      .decontaminateGrams(evals, 5).select("sh").distinct()
+    // cache identity is the canonicalized plan: the stream caches the
+    // read-back of ITS checkpoint-scoped gram parquet, so a probe on
+    // that path reads the stream's cache entry — and a SECOND stream
+    // on the same evals gets its own path, so neither's termination
+    // can evict the other's cache (the r11 review's shared-entry
+    // hazard, pinned below)
+    def evalGramsProbe = spark.read.parquet(s"$base/ckpt/evalgrams.parquet")
     assert(evalGramsProbe.storageLevel.useMemory,
       "probe must see the live stream's cached eval grams (guards the leak assert below)")
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.decontaminateStream(
+      input2.toDF().toDF("doc_id", "text"), evals, _ => (), s"$base/ckpt2")
+    input2.addData((9L, d4)); q2.processAllAvailable()
+    def evalGramsProbe2 = spark.read.parquet(s"$base/ckpt2/evalgrams.parquet")
+    assert(evalGramsProbe2.storageLevel.useMemory, "second stream caches its own entry")
     q.stop()
     // the eval-gram cache dies with the query (self-removing
     // listener; the bus is async — poll briefly)
@@ -136,6 +144,16 @@ class StreamingSpec extends SparkSpec {
       Thread.sleep(50)
     assert(!evalGramsProbe.storageLevel.useMemory,
       "evalGrams must unpersist when the query terminates — leaked cache")
+    // the first stream's termination must NOT evict the still-running
+    // second stream's cache; its own stop releases it
+    assert(evalGramsProbe2.storageLevel.useMemory,
+      "a terminating stream must not unpersist a sibling stream's eval grams")
+    q2.stop()
+    val deadline2 = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (evalGramsProbe2.storageLevel.useMemory && System.nanoTime() < deadline2)
+      Thread.sleep(50)
+    assert(!evalGramsProbe2.storageLevel.useMemory,
+      "the second stream's cache dies with its own query")
     assert(survived.toSet == Set(2L, 4L),
       s"batch 2: the stateless gram table keeps catching (doc 3), got $survived")
     // parity: streamed survivors == the nightly batch form over the union
