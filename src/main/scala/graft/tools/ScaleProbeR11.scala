@@ -96,6 +96,47 @@ object ScaleProbeR11 {
       if (only == "cells") { spark.stop(); return }
     }
 
+    // ---- 1b. the incremental DAG with the FULL r11 step set ----
+    // mix and pack joined the incremental step set this round; the
+    // r10 sf100 DAG measured clean..shard,index — this re-run proves
+    // the two new stages are delta-shaped a decade up (the seed pays
+    // the BPE train + threshold calibration once; a delta's mix is a
+    // per-doc residue filter and its pack a batch-local encode)
+    if (only == "dag") {
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang", "text")
+      val split = s"$out/split"
+      docs0.filter(col("doc_id") % 10 =!= 9).write.mode("overwrite")
+        .parquet(s"$split/seed.parquet")
+      docs0.filter(col("doc_id") % 10 === 9).write.mode("overwrite")
+        .parquet(s"$split/delta.parquet")
+      docs0.filter(col("doc_id") % 2500 === 13).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$split/evals.parquet")
+      docs0.filter(col("doc_id") % 2500 === 7).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$split/targets.parquet")
+      println("[r11probe] split fixtures written")
+      val dagArgs = Seq("steps=clean,decontaminate,scrub,select,mix,shard,pack",
+        "budget=100000000", // 100M of ~400M seed tokens: a real downsample
+        "nmerges=500", "packbudget=512", "shards=32", "journalkeep=8")
+      timed("DAG seed batch (4.5M docs; fits + freezes incl. mix thresholds + pack BPE)") {
+        graft.Main.runPipeline(spark, Seq("corpus-pipeline",
+          s"in=$split/seed.parquet", s"out=$out/dag_out", "incremental=true",
+          s"state=$out/state", "batch=1",
+          s"evals=$split/evals.parquet", s"targets=$split/targets.parquet",
+          "frac=0.3") ++ dagArgs)
+      }
+      println("[r11probe] seed stats.json: " + java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$out/dag_out", "stats.json")).trim)
+      timed("DAG delta batch (500k docs; frozen mix filter + per-batch pack)") {
+        graft.Main.runPipeline(spark, Seq("corpus-pipeline",
+          s"in=$split/delta.parquet", s"out=$out/dag_out", "incremental=true",
+          s"state=$out/state", "batch=2") ++ dagArgs)
+      }
+      println("[r11probe] delta stats.json: " + java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$out/dag_out", "stats.json")).trim)
+      spark.stop(); return
+    }
+
     // ---- 2. lexical serve at 5M docs ----
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").cache()
