@@ -33,6 +33,9 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main index-delete in=<ids.parquet> index=<dir>      # takedown path; vacuum after
   *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n> allowed=<ids.parquet> vectors=<corpus.parquet> rerank=4]
   *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count)
+  *   runMain graft.Main index-recall in=<queries.parquet> index=<dir> vectors=<corpus.parquet> [topk=10 rerank=0]
+  *     # measured recall vs brute force (rowsOut = recall in micro-units); rerank>0 measures the
+  *     # two-stage path — sweep it until the target clears (candMult ≈ modeSize/topK on clustered data)
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
@@ -118,7 +121,7 @@ object Main {
       durationSec: Double)
 
   private[graft] val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
-    "index-delete", "index-search", "index-compact", "index-vacuum", "index-stats",
+    "index-delete", "index-search", "index-recall", "index-compact", "index-vacuum", "index-stats",
     "sig-compact", "sig-vacuum", "sig-stats",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum", "text-index-stats",
@@ -333,6 +336,22 @@ object Main {
         }).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
+      // the candMult tuning loop (PLANS.md r11): measured recall vs
+      // brute force over the corpus for a BOUNDED query batch —
+      // rerank=0 measures the plain probed search, rerank>0 the
+      // two-stage path; sweep rerank= until the target clears, then
+      // serve index-search with that value. rowsOut = recall in
+      // micro-units (0..1000000), so a scheduler can gate on it.
+      case "index-recall" =>
+        val queries = vectors(req("in"))
+        val n = queries.count()
+        require(n <= 10000, s"index-recall: $n queries — the exact side is " +
+          "O(|queries| x |corpus|); bound the batch to <= 10000")
+        val cm = opts.getOrElse("rerank", "0").toInt
+        val k = opts.getOrElse("topk", "10").toInt
+        val r = pqIndex(req("index")).recallAt(queries, vectors(req("vectors")), k, cm)
+        System.err.println(f"[graft] index-recall: $r%.4f (topk=$k rerank=$cm, $n queries)")
+        done(n, math.round(r * 1e6))
       // maintenance, operable like everything else: compaction bounds
       // live files (rowsOut = buckets compacted), vacuum reclaims
       // superseded generations (rowsOut = files deleted) — run

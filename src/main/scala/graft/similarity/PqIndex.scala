@@ -348,9 +348,18 @@ class PqIndex(spark: SparkSession, dir: String,
     * auto layout needs: auto cells AND auto probes are guidelines, and
     * this is the number that says whether they hold on THIS corpus
     * (PLANS.md records it per scale run). O(|queries| × |corpus|)
-    * dot products — bound the query batch, not the corpus. */
-  def recallAt(queries: DataFrame, corpus: DataFrame, topKn: Int): Double =
-    Similarity.recall(topK(queries, topKn),
+    * dot products — bound the query batch, not the corpus.
+    *
+    * `candMult > 0` measures the TWO-STAGE path ([[topKRerank]] at
+    * that shortlist width) instead of the plain search — the tuning
+    * loop for the r11 rule (candMult ≈ modeSize/topK on clustered
+    * corpora): sweep candMult here until recall clears the target,
+    * then serve with that value. */
+  def recallAt(queries: DataFrame, corpus: DataFrame, topKn: Int,
+               candMult: Int = 0): Double =
+    Similarity.recall(
+      if (candMult > 0) topKRerank(queries, corpus, topKn, candMult)
+      else topK(queries, topKn),
       Similarity.bruteForceTopK(queries, corpus, topKn))
 
   /** Serve a streaming frame of `(id, vec)` queries: each micro-batch

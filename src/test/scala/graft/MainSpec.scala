@@ -140,6 +140,19 @@ class MainSpec extends SparkSpec {
     val built = Main.runPipeline(spark, Seq("index-build",
       s"in=$base/corpus.parquet", s"index=$base/idx", s"dim=$dim", "cells=4", "m=4"))
     assert(built.rowsIn == 30)
+    // measured recall from the CLI (the candMult tuning loop,
+    // PLANS.md r11): rowsOut = recall in micro-units; the exact
+    // re-rank path can only improve on the plain probed search
+    Seq((900L, vec(7))).toDF("id", "vec").write.parquet(s"$base/rq.parquet")
+    val rPlain = Main.runPipeline(spark, Seq("index-recall",
+      s"in=$base/rq.parquet", s"index=$base/idx",
+      s"vectors=$base/corpus.parquet", "topk=3"))
+    val rRerank = Main.runPipeline(spark, Seq("index-recall",
+      s"in=$base/rq.parquet", s"index=$base/idx",
+      s"vectors=$base/corpus.parquet", "topk=3", "rerank=8"))
+    assert(rPlain.rowsOut >= 0L && rPlain.rowsOut <= 1000000L, rPlain.toString)
+    assert(rRerank.rowsOut >= rPlain.rowsOut,
+      s"exact re-rank can only improve recall: ${rRerank.rowsOut} vs ${rPlain.rowsOut}")
     Seq((800L, vec(2))).toDF("id", "vec").write.parquet(s"$base/delta.parquet")
     Main.runPipeline(spark, Seq("index-add",
       s"in=$base/delta.parquet", s"index=$base/idx", s"dim=$dim", "cells=4", "m=4"))
