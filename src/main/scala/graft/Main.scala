@@ -261,6 +261,17 @@ object Main {
     val scoreFor: DataFrame => DataFrame =
       if (tokensMode == "bpe") graft.queries.PipelineQueries.scoreDocsBpe _
       else graft.queries.PipelineQueries.scoreDocs _
+    // the one-shot mix forms join on lang (the DuckDB-replayed
+    // semantics: SQL's JOIN USING drops null keys), so an unlabeled
+    // doc is silently not mixed — say so loudly instead of destroying
+    // a lang-less corpus with no trace (one pass over the persisted
+    // ~24 B/doc token projection, not the text)
+    def warnNullLang(toked: DataFrame, where: String): Unit = {
+      val n = toked.filter(col("lang").isNull).count()
+      if (n > 0) System.err.println(s"[graft] $where WARNING: $n document(s) " +
+        "have null lang — the mix joins on lang and DROPS them; " +
+        "run langid first if they should participate")
+    }
     def vectors(path: String): DataFrame =
       spark.read.parquet(path).select(
         col(opts.getOrElse("idcol", "id")).as("id"),
@@ -431,6 +442,7 @@ object Main {
         // of counts vs a second full-text scan)
         val toked = tokenizeFor(docs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        warnNullLang(toked, "corpus-mix")
         val budget = opts.getOrElse("budget", "20000").toLong
         // alpha present => temperature-weighted shares (t^alpha);
         // absent => equal shares (the alpha = 0 limit)
@@ -1320,6 +1332,20 @@ object Main {
             // the LAST artifact a seed writes (after the parquet), so
             // a crashed seed is simply not fitted and re-seeds
             val fitted = pExists(s"$thrPath/$KnobsFile")
+            // a refit that crashed between its two swap renames left
+            // the old generation at .old.tmp and no live thresholds —
+            // that is NOT a seed situation: re-seeding from this
+            // batch's supply would silently replace a calibration
+            // that still exists; the remedy is re-running mix-refit
+            // (which recovers from the aside dir)
+            require(fitted || !pExists(s"$thrPath.old.tmp/$KnobsFile"),
+              s"incremental mix: an interrupted mix-refit left the frozen " +
+                s"calibration at $thrPath.old.tmp — re-run mix-refit to " +
+                "complete the swap before mixing further batches")
+            if (!fitted && pExists(thrPath))
+              System.err.println("[graft] corpus-pipeline mix: thresholds " +
+                s"exist at $thrPath without a $KnobsFile marker (a crashed " +
+                "seed) — re-seeding over them from this batch's supply")
             opts.get("budget") match {
             case None =>
               // a fitted pipeline must not silently pass a batch
@@ -1450,6 +1476,7 @@ object Main {
               mixBudget = Some(b.toLong)
               val toked = tokenizeFor(cur)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              warnNullLang(toked, "corpus-pipeline mix")
               val kept = try P.corpusMixTemperatureFromToked(toked, b.toLong,
                   opts.getOrElse("alpha", "0.5").toDouble)
                 .select("doc_id").localCheckpoint()
@@ -1589,9 +1616,12 @@ object Main {
             // saw encodes them as -1 (UNK) under the frozen vocab —
             // silent -1s in a training artifact are the pack analog
             // of mix silently destroying a new language, so they warn
-            // LOUDLY (one tiny distinct-chars aggregate; the alphabet
-            // is bounded by the charset, not the corpus)
-            locally {
+            // LOUDLY (one distinct-chars aggregate, bounded by the
+            // charset). Fitted batches only: the seed's vocab contains
+            // its own alphabet by construction, so the scan would be a
+            // second full-text pass over the LARGEST batch for zero
+            // information.
+            if (pkFitted) {
               val vset = v.toSet
               val novel = graft.functions.Bpe.alphabet(cur).filterNot(vset)
               if (novel.nonEmpty)
@@ -2085,13 +2115,19 @@ object Main {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
         }
-        require(pEx(s"$thrPath/$KnobsFile"),
+        // an interrupted previous refit (crash between the two swap
+        // renames) leaves the old generation at .old.tmp — recover
+        // its knobs from there; this re-run completes the swap
+        val knobsDir =
+          if (pEx(s"$thrPath/$KnobsFile")) thrPath
+          else s"$thrPath.old.tmp"
+        require(pEx(s"$knobsDir/$KnobsFile"),
           s"mix-refit: no frozen mix model under $mixState — seed one with " +
             "corpus-pipeline incremental=true steps=...,mix budget=... first")
         require(pEx(s"$mixState/supply"),
           s"mix-refit: no accumulated supply under $mixState/supply " +
             "(written by every incremental mix batch) — nothing to re-fit from")
-        val oldKnobs = readKnobsFile(spark, thrPath)
+        val oldKnobs = readKnobsFile(spark, knobsDir)
         opts.get("tokens").foreach { v =>
           require((if (v == "bpe") 1L else 0L) == oldKnobs("bpemode"),
             s"mix-refit: tokens=$v conflicts with the frozen denomination — " +
@@ -2103,7 +2139,7 @@ object Main {
         val supply = spark.read.parquet(s"$mixState/supply")
           .groupBy("lang").agg(sum("lang_tokens").as("lang_tokens"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-        val oldN = spark.read.parquet(thrPath).count()
+        val oldN = spark.read.parquet(knobsDir).count()
         val thr = graft.queries.PipelineQueries.mixKeepPoints(supply, budget, alpha)
         // commit by rename (the scrub-refit discipline): a mid-refit
         // crash must never leave fitted=false. The knobs file rides
@@ -2131,12 +2167,23 @@ object Main {
         // next batch re-establishes it — advisory only), never the
         // NEW model judged against the retired baseline
         rm2(s"$mixState/seedkeepmicro.txt")
+        // swap by rename-ASIDE, not delete-then-rename: a crash
+        // between the two renames leaves thrPath absent but the old
+        // generation intact at .old.tmp — which the incremental mix
+        // detects and REFUSES on (never a silent re-seed), and a
+        // re-run mix-refit recovers from (it reads knobs from the
+        // aside dir and re-stages from the accumulated supply)
         locally {
           val fs = new org.apache.hadoop.fs.Path(thrPath).getFileSystem(hconf2)
-          fs.delete(new org.apache.hadoop.fs.Path(thrPath), true)
+          val aside = new org.apache.hadoop.fs.Path(s"$thrPath.old.tmp")
+          fs.delete(aside, true)
+          if (fs.exists(new org.apache.hadoop.fs.Path(thrPath)))
+            require(fs.rename(new org.apache.hadoop.fs.Path(thrPath), aside),
+              s"mix-refit: rename-aside $thrPath failed")
           require(fs.rename(new org.apache.hadoop.fs.Path(tmpThr),
             new org.apache.hadoop.fs.Path(thrPath)),
             s"mix-refit: rename $tmpThr -> $thrPath failed")
+          fs.delete(aside, true)
         }
         System.err.println(s"[graft] mix-refit: $oldN -> ${thr.size} language " +
           s"thresholds (budget=$budget alpha=$alpha) from the accumulated " +

@@ -173,15 +173,27 @@ object Streaming {
     //    full shingle/distinct derivation — executor churn re-reads
     //    instead of re-deriving (persist-over-derivation kept
     //    derive-once semantics only while no block was lost).
-    // A restart from the same checkpoint re-derives and overwrites —
-    // same frozen-at-start semantics as before.
-    val gramsPath = s"$checkpoint/evalgrams.parquet"
+    // Each CALL writes a generation-unique dir: a duplicate start on
+    // an ACTIVE checkpoint (supervisor retry) must fail on start()'s
+    // own already-active check without having overwritten the live
+    // stream's backing files first — mode(overwrite) on a shared
+    // path would clobber them before the rejection. A restart from
+    // the same checkpoint derives a fresh generation (same
+    // frozen-at-start semantics); stale generations are reclaimed
+    // below once start() has succeeded (the checkpoint lock then
+    // guarantees no sibling live stream reads them), and a FAILED
+    // start deletes its own orphan.
+    val spark = docs.sparkSession
+    val gramsPath =
+      s"$checkpoint/evalgrams-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
     graft.queries.PipelineQueries
       .decontaminateGrams(evals, k).select("sh").distinct()
       .write.mode("overwrite").parquet(gramsPath)
-    val evalGrams = docs.sparkSession.read.parquet(gramsPath)
+    val evalGrams = spark.read.parquet(gramsPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val query = docs.writeStream
+    val hfs = new org.apache.hadoop.fs.Path(checkpoint)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val query = try docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -192,6 +204,18 @@ object Streaming {
         if (!survivors.isEmpty) sink(survivors)
       }
       .start()
+    catch {
+      case e: Throwable =>
+        evalGrams.unpersist()
+        hfs.delete(new org.apache.hadoop.fs.Path(gramsPath), true)
+        throw e
+    }
+    // reclaim previous generations (crashed runs, prior restarts)
+    // name-compare, not path-compare: globStatus returns QUALIFIED
+    // paths (scheme-prefixed) while gramsPath is the caller's string
+    hfs.globStatus(new org.apache.hadoop.fs.Path(s"$checkpoint/evalgrams-*.parquet"))
+      .filter(_.getPath.getName != new org.apache.hadoop.fs.Path(gramsPath).getName)
+      .foreach(st => hfs.delete(st.getPath, true))
     // the cached eval grams live exactly as long as this query: a
     // long-lived application starting/stopping many streams must not
     // accumulate dead cached blocks. Self-removing listener, keyed on

@@ -102,7 +102,7 @@ object ScaleProbeR11 {
     // the two new stages are delta-shaped a decade up (the seed pays
     // the BPE train + threshold calibration once; a delta's mix is a
     // per-doc residue filter and its pack a batch-local encode)
-    if (only == "dag") {
+    if (only == "dag" || only == "all") {
       val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "lang", "text")
       val split = s"$out/split"
@@ -134,7 +134,7 @@ object ScaleProbeR11 {
       }
       println("[r11probe] delta stats.json: " + java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$out/dag_out", "stats.json")).trim)
-      spark.stop(); return
+      if (only == "dag") { spark.stop(); return }
     }
 
     // ---- 2. lexical serve at 5M docs ----

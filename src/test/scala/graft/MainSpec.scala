@@ -1009,6 +1009,27 @@ class MainSpec extends SparkSpec {
       "batch=6", "budget=500"))
     assert(!stats().contains("drift_warnings"),
       s"first post-refit batch re-establishes the baseline, no cry-wolf: ${stats()}")
+    // an interrupted refit (crash between the swap renames: old
+    // generation parked at .old.tmp, no live thresholds) REFUSES
+    // further batches — never a silent re-seed — and a re-run
+    // mix-refit recovers from the aside dir and completes the swap
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/state/mix/thresholds"),
+      java.nio.file.Paths.get(s"$base/state/mix/thresholds.old.tmp"))
+    val eInt = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/deltam.parquet", s"out=$base/out",
+        "steps=mix", "incremental=true", s"state=$base/state", "batch=7",
+        "budget=500")))
+    assert(eInt.getMessage.contains("interrupted mix-refit"), eInt.getMessage)
+    val rRec = Main.runPipeline(spark, Seq("mix-refit", s"state=$base/state"))
+    assert(rRec.rowsOut == 3L, s"recovered refit re-fits every language: $rRec")
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$base/state/mix/thresholds/_knobs.txt")), "swap completed")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$base/state/mix/thresholds.old.tmp")), "aside dir reclaimed")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/deltam.parquet",
+      s"out=$base/out", "steps=mix", "incremental=true", s"state=$base/state",
+      "batch=7", "budget=500"))
   }
 
   test("corpus-pipeline incremental pack: frozen BPE model + layout; per-batch packs == standalone packs; replay overwrites; conflicts refuse") {

@@ -127,14 +127,17 @@ class StreamingSpec extends SparkSpec {
     // on the same evals gets its own path, so neither's termination
     // can evict the other's cache (the r11 review's shared-entry
     // hazard, pinned below)
-    def evalGramsProbe = spark.read.parquet(s"$base/ckpt/evalgrams.parquet")
+    def gramsDir(ck: String): String =
+      new java.io.File(ck).listFiles()
+        .filter(_.getName.startsWith("evalgrams-")).head.getAbsolutePath
+    def evalGramsProbe = spark.read.parquet(gramsDir(s"$base/ckpt"))
     assert(evalGramsProbe.storageLevel.useMemory,
       "probe must see the live stream's cached eval grams (guards the leak assert below)")
     val input2 = MemoryStream[(Long, String)]
     val q2 = Streaming.decontaminateStream(
       input2.toDF().toDF("doc_id", "text"), evals, _ => (), s"$base/ckpt2")
     input2.addData((9L, d4)); q2.processAllAvailable()
-    def evalGramsProbe2 = spark.read.parquet(s"$base/ckpt2/evalgrams.parquet")
+    def evalGramsProbe2 = spark.read.parquet(gramsDir(s"$base/ckpt2"))
     assert(evalGramsProbe2.storageLevel.useMemory, "second stream caches its own entry")
     q.stop()
     // the eval-gram cache dies with the query (self-removing
