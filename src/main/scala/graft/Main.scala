@@ -261,16 +261,18 @@ object Main {
     val scoreFor: DataFrame => DataFrame =
       if (tokensMode == "bpe") graft.queries.PipelineQueries.scoreDocsBpe _
       else graft.queries.PipelineQueries.scoreDocs _
-    // the one-shot mix forms join on lang (the DuckDB-replayed
-    // semantics: SQL's JOIN USING drops null keys), so an unlabeled
-    // doc is silently not mixed — say so loudly instead of destroying
-    // a lang-less corpus with no trace (one pass over the persisted
-    // ~24 B/doc token projection, not the text)
+    // every mix form keeps null-lang docs WHOLE (no language
+    // threshold applies, and they take no budget share — the
+    // mixApplyKeepPoints left-join contract, unified across one-shot
+    // and incremental in r12): say so, because "kept whole" means the
+    // budget does not govern these docs — run langid first if they
+    // should be priced and downsampled like everything else (one
+    // pass over the persisted ~24 B/doc token projection, not the text)
     def warnNullLang(toked: DataFrame, where: String): Unit = {
       val n = toked.filter(col("lang").isNull).count()
-      if (n > 0) System.err.println(s"[graft] $where WARNING: $n document(s) " +
-        "have null lang — the mix joins on lang and DROPS them; " +
-        "run langid first if they should participate")
+      if (n > 0) System.err.println(s"[graft] $where NOTE: $n document(s) " +
+        "have null lang — kept WHOLE, outside the token budget; " +
+        "run langid first if they should be downsampled")
     }
     def vectors(path: String): DataFrame =
       spark.read.parquet(path).select(
@@ -750,19 +752,23 @@ object Main {
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         steps.foreach(s => require(known.contains(s),
           s"unknown pipeline step '$s' (known: ${known.mkString(",")})"))
-        // index serves whatever the batch appended to state/survivors;
-        // placed before a frame-mutating stage it would index docs a
-        // later stage drops or rewrites, silently breaking the
-        // stores==survivors invariant (same hazard class as the
-        // langid-before-mix guard below)
-        if (steps.contains("index")) {
+        // side-effect stages (index appends to the serving stores,
+        // pack writes training packs, shard writes the shard tree)
+        // emit whatever the frame holds WHEN THEY RUN; placed before
+        // a frame-mutating stage they would persist documents a later
+        // stage drops or rewrites, silently breaking the
+        // stores==survivors / artifacts==survivors invariant (same
+        // hazard class as the langid-before-mix guard below)
+        locally {
           val frameMutating = Seq("clean", "decontaminate", "langid", "scrub",
             "select", "mix")
-          frameMutating.filter(steps.contains).foreach(s =>
-            require(steps.indexOf("index") > steps.indexOf(s),
-              s"plan runs 'index' BEFORE '$s' — the serving stores would " +
-                "index documents that stage later drops or rewrites; " +
-                s"reorder steps so index follows $s"))
+          val sideEffect = Seq("index", "pack", "shard")
+          for (se <- sideEffect if steps.contains(se);
+               s <- frameMutating if steps.contains(s))
+            require(steps.indexOf(se) > steps.indexOf(s),
+              s"plan runs '$se' BEFORE '$s' — its output would include " +
+                "documents that stage later drops or rewrites; " +
+                s"reorder steps so $se follows $s")
         }
         val tIn = System.nanoTime()
         // raw web corpora arrive without a lang column; the langid
@@ -1198,6 +1204,15 @@ object Main {
             val scrState = s"${stateDir.get}/scrub"
             val spansPath = s"$scrState/spans"
             val fitted = pExists(s"$spansPath/_SUCCESS")
+            // a scrub-refit that crashed between its two swap renames
+            // left the old generation at .old.tmp and no live spans —
+            // NOT a seed situation: re-seeding from this batch would
+            // silently replace a calibration that still exists (the
+            // mix stage's rule); re-run scrub-refit to complete the swap
+            require(fitted || !pExists(s"$spansPath.old.tmp/_SUCCESS"),
+              s"incremental scrub: an interrupted scrub-refit left the frozen " +
+                s"spans at $spansPath.old.tmp — re-run scrub-refit to " +
+                "complete the swap before scrubbing further batches")
             val textOnly = cur.select("doc_id", "text")
             // every batch (seed included) persists its own span
             // frequencies under state/scrub/freq/batch=<id> — the
@@ -1393,7 +1408,13 @@ object Main {
                       "the accumulated supply evidence was counted in it; " +
                       "re-seed to change denominations")
                 }
-                val supply = toked.groupBy("lang")
+                warnNullLang(toked, "corpus-pipeline incremental mix")
+                // non-null langs only: null-lang docs are kept whole
+                // (the mixApplyKeepPoints left join), take no budget
+                // share, and must not reach the String sort (a null
+                // key NPEs it) or the persisted supply evidence a
+                // later mix-refit sums
+                val supply = toked.filter(col("lang").isNotNull).groupBy("lang")
                   .agg(sum("n_tokens").as("lang_tokens"))
                   .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
                 // supply evidence for mix-refit: this batch's
@@ -1415,7 +1436,7 @@ object Main {
                       s"language(s) ${unseen.toSeq.sorted.mkString(",")} have no " +
                       "frozen threshold (not in the seed supply) — kept WHOLE; " +
                       "mix-refit to fold the accumulated supply into the model")
-                  val kept = P.mixApplyKeepPoints(toked, thr, keepUnlisted = true)
+                  val kept = P.mixApplyKeepPoints(toked, thr)
                     .select("doc_id").localCheckpoint()
                   docs = Some(advance(cur.join(kept, Seq("doc_id"))))
                   if (nIn > 0) {
@@ -1436,7 +1457,7 @@ object Main {
                   import spark.implicits._
                   val thr = P.mixKeepPoints(supply, b.toLong, alpha)
                     .toDF("lang", "keep_points")
-                  val kept = P.mixApplyKeepPoints(toked, thr, keepUnlisted = true)
+                  val kept = P.mixApplyKeepPoints(toked, thr)
                     .select("doc_id").localCheckpoint()
                   docs = Some(advance(cur.join(kept, Seq("doc_id"))))
                   val seedRate = docs.get.toDouble / math.max(1L, nIn)
@@ -2042,7 +2063,15 @@ object Main {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
         }
-        require(pEx(s"$spansPath/_SUCCESS"),
+        // a refit that crashed between its two swap renames leaves
+        // the old generation at .old.tmp and no live spans — that
+        // still counts as "a model exists" (the fit knobs live in
+        // scrState sidecars, which survive); this re-run completes
+        // the swap from the accumulated evidence
+        val spansDataDir =
+          if (pEx(s"$spansPath/_SUCCESS")) spansPath
+          else s"$spansPath.old.tmp"
+        require(pEx(s"$spansDataDir/_SUCCESS"),
           s"scrub-refit: no frozen scrub model under $scrState — seed one with " +
             "corpus-pipeline incremental=true steps=...,scrub first")
         require(pEx(s"$scrState/freq"),
@@ -2054,7 +2083,7 @@ object Main {
             "the accumulated evidence was chunked at that width; re-seed to change it"))
         val md = opts.get("mindocs").map(_.toLong)
           .getOrElse(readLongSidecar(spark, scrState, "mindocs"))
-        val oldN = spark.read.parquet(spansPath).count()
+        val oldN = spark.read.parquet(spansDataDir).count()
         val hot = graft.queries.PipelineQueries.hotSpansFromFreq(
           spark.read.parquet(s"$scrState/freq")
             .groupBy("h").agg(sum("df").as("df")), md.toInt)
@@ -2067,8 +2096,13 @@ object Main {
         // model from its single delta (with opts-default w/mindocs,
         // not the retired model's), after which the old-width freq
         // dirs would be summed against new-width hashes. Stage the new
-        // table to a temp dir and commit by rename; the drift baseline
-        // and emergent evidence are retired only AFTER the swap.
+        // table to a temp dir and commit by rename-ASIDE (the
+        // mix-refit discipline): the old generation parks at .old.tmp
+        // while the staged table goes live, so no crash point leaves
+        // fitted=false WITHOUT a surviving generation — and the
+        // incremental scrub stage refuses on an orphaned aside instead
+        // of re-seeding. The drift baseline and emergent evidence are
+        // retired only AFTER the swap.
         val hconf = spark.sparkContext.hadoopConfiguration
         def rm(p: String): Unit = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -2080,13 +2114,23 @@ object Main {
           import spark.implicits._
           hot.toSeq.toDF("h").coalesce(1).write.mode("overwrite").parquet(tmpSpans)
         }
-        locally { // swap: the only fitted=false window is delete→rename
+        locally {
           val fs = new org.apache.hadoop.fs.Path(spansPath)
             .getFileSystem(hconf)
-          fs.delete(new org.apache.hadoop.fs.Path(spansPath), true)
-          require(fs.rename(new org.apache.hadoop.fs.Path(tmpSpans),
-            new org.apache.hadoop.fs.Path(spansPath)),
+          val aside = new org.apache.hadoop.fs.Path(s"$spansPath.old.tmp")
+          val live = new org.apache.hadoop.fs.Path(spansPath)
+          if (fs.exists(live)) {
+            fs.delete(aside, true)
+            require(fs.rename(live, aside),
+              s"scrub-refit: rename-aside $spansPath failed")
+          }
+          // recovery case (live absent, aside = the only surviving
+          // generation): commit the staged table FIRST, only then
+          // drop the aside — delete-first would re-open the no-model
+          // crash window
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmpSpans), live),
             s"scrub-refit: rename $tmpSpans -> $spansPath failed")
+          fs.delete(aside, true)
         }
         writeLongSidecar(spark, scrState, "mindocs", md)
         // the stale drift baseline retires with the old model; the
@@ -2136,7 +2180,11 @@ object Main {
         val budget = opts.get("budget").map(_.toLong).getOrElse(oldKnobs("budget"))
         val alpha = opts.get("alpha").map(_.toDouble)
           .getOrElse(oldKnobs("alphamicro") / 1e6)
+        // isNotNull: evidence written before r12's caller-side filter
+        // may carry a null-lang row — it has no share (kept-whole
+        // contract) and would NPE mixKeepPoints' String sort
         val supply = spark.read.parquet(s"$mixState/supply")
+          .filter(col("lang").isNotNull)
           .groupBy("lang").agg(sum("lang_tokens").as("lang_tokens"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
         val oldN = spark.read.parquet(knobsDir).count()
@@ -2176,12 +2224,21 @@ object Main {
         locally {
           val fs = new org.apache.hadoop.fs.Path(thrPath).getFileSystem(hconf2)
           val aside = new org.apache.hadoop.fs.Path(s"$thrPath.old.tmp")
-          fs.delete(aside, true)
-          if (fs.exists(new org.apache.hadoop.fs.Path(thrPath)))
-            require(fs.rename(new org.apache.hadoop.fs.Path(thrPath), aside),
+          val live = new org.apache.hadoop.fs.Path(thrPath)
+          if (fs.exists(live)) {
+            // normal swap: any aside present is a COMPLETED earlier
+            // generation's leftover — safe to clear before reusing
+            // the slot
+            fs.delete(aside, true)
+            require(fs.rename(live, aside),
               s"mix-refit: rename-aside $thrPath failed")
-          require(fs.rename(new org.apache.hadoop.fs.Path(tmpThr),
-            new org.apache.hadoop.fs.Path(thrPath)),
+          }
+          // in the recovery case (live absent, aside = the ONLY
+          // surviving calibration) the staged generation must go
+          // live BEFORE the aside is touched: deleting first would
+          // re-open the exact no-model crash window this rename
+          // discipline exists to close
+          require(fs.rename(new org.apache.hadoop.fs.Path(tmpThr), live),
             s"mix-refit: rename $tmpThr -> $thrPath failed")
           fs.delete(aside, true)
         }

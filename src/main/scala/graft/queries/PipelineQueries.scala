@@ -891,16 +891,24 @@ object PipelineQueries {
 
   private[graft] def corpusMixFromToked(toked: DataFrame,
                                         budgetTokens: Long): DataFrame = {
-    val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    // null-lang docs are KEPT WHOLE, not downsampled: no language
+    // share applies to them, so they neither take a slice (excluded
+    // from supply and the lang count) nor get destroyed (left join,
+    // absent threshold coalesces to keep-all) — the same contract as
+    // the frozen-share incremental mix's unlisted-language rule, so
+    // the one-shot and CDC forms agree on every input
+    val supply = toked.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
     val nLangs = supply.agg(count(lit(1)).as("n_langs"))
     val keepRate = least(lit(1.0),
       lit(budgetTokens.toDouble) / col("n_langs") / col("lang_tokens"))
     toked
-      .join(broadcast(supply), Seq("lang"))
+      .join(broadcast(supply), Seq("lang"), "left")
       .crossJoin(broadcast(nLangs))
       .filter(
         pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod)) <
-          floor(keepRate * lit(MixHashMod.toDouble)).cast("long"))
+          coalesce(floor(keepRate * lit(MixHashMod.toDouble)).cast("long"),
+            lit(MixHashMod)))
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
@@ -954,7 +962,11 @@ object PipelineQueries {
       budgetTokens: Long, alpha: Double): DataFrame = {
     val spark = toked.sparkSession
     import spark.implicits._
-    val supply = toked.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    // non-null langs only: the kept-whole rule for null-lang docs
+    // (see corpusMixFromToked) — also what keeps the driver fold's
+    // String sort total (a null key has no ordering)
+    val supply = toked.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     mixApplyKeepPoints(toked,
       mixKeepPoints(supply, budgetTokens, alpha).toDF("lang", "keep_points"))
@@ -967,7 +979,13 @@ object PipelineQueries {
     * exactly this table under state/mix) cannot drift. */
   private[graft] def mixKeepPoints(supply: Seq[(String, Long)],
                                    budgetTokens: Long, alpha: Double): Seq[(String, Long)] = {
-    val sorted = supply.sortBy(_._1)
+    // a null key has no String ordering (the sort below would NPE)
+    // and no budget share (null-lang docs are kept whole by the left
+    // join downstream, never thresholded) — drop it here so legacy
+    // supply evidence that predates the caller-side filter (mix-refit
+    // sums per-batch parquet that may carry a null row) cannot crash
+    // or dilute the labeled languages' shares
+    val sorted = supply.filter(_._1 != null).sortBy(_._1)
     def w(t: Long): Double =
       if (alpha == 0.5) math.sqrt(t.toDouble) else math.pow(t.toDouble, alpha)
     val sumW = sorted.foldLeft(0.0) { case (a, (_, t)) => a + w(t) }
@@ -987,24 +1005,17 @@ object PipelineQueries {
     * the (broadcast) `(lang, keep_points)` table, keep docs whose
     * multiply-shift residue falls under the language's threshold.
     *
-    * `keepUnlisted = false` (the one-shot forms): INNER join — every
-    * language is in the table by construction (derived from the same
-    * frame), and the DuckDB oracles replay `JOIN supply USING (lang)`,
-    * so the join kinds must agree (a left join would diverge on
-    * null-lang rows: SQL's USING drops them, coalesce would keep
-    * them whole).
-    *
-    * `keepUnlisted = true` (the frozen-share incremental mix): LEFT
-    * join + keep-all threshold for absent languages — a language the
-    * seed never saw must not be silently destroyed; the caller warns
-    * loudly and the keep-rate drift signal surfaces it. */
+    * LEFT join + keep-all for absent languages — ONE semantics for
+    * every mix form: a language the threshold table doesn't list
+    * (null lang anywhere; a language the frozen seed never saw on
+    * the incremental path) is never silently destroyed, it is kept
+    * whole and the caller warns / the keep-rate drift signal
+    * surfaces it. The DuckDB oracles replay the same plan
+    * (`LEFT JOIN ... USING (lang)` + `coalesce(keep_points, mod)`),
+    * so the join kinds cannot drift. */
   private[graft] def mixApplyKeepPoints(toked: DataFrame,
-                                        keepPoints: DataFrame,
-                                        keepUnlisted: Boolean = false): DataFrame = {
-    val joined =
-      if (keepUnlisted) toked.join(broadcast(keepPoints), Seq("lang"), "left")
-      else toked.join(broadcast(keepPoints), Seq("lang"))
-    joined
+                                        keepPoints: DataFrame): DataFrame = {
+    toked.join(broadcast(keepPoints), Seq("lang"), "left")
       .filter(
         pmod(pmod(col("doc_id"), lit(MixHashMod)) * lit(MixHashMul), lit(MixHashMod)) <
           coalesce(col("keep_points"), lit(MixHashMod)))
@@ -1475,19 +1486,23 @@ object PipelineQueries {
     * resolution + the quality formula (shared with text_quality). */
   private val oraclesBase: Map[String, String] = Map(
     // mirrors corpusMix: same BPE tokenizer regex, same division
-    // order in the keep rate, same multiply-shift residue
+    // order in the keep rate, same multiply-shift residue, same
+    // kept-whole rule for null-lang docs (LEFT join, keep_points
+    // coalesced to the full residue range, supply over labeled
+    // langs only)
     "corpus_mix" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
          |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
          |  FROM documents),
-         |supply AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM t GROUP BY lang),
+         |supply AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM t
+         |           WHERE lang IS NOT NULL GROUP BY lang),
          |nl AS (SELECT count(*) AS n_langs FROM supply)
          |SELECT doc_id, lang, n_tokens
-         |FROM t JOIN supply USING (lang) CROSS JOIN nl
+         |FROM t LEFT JOIN supply USING (lang) CROSS JOIN nl
          |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
-         |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
-         |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin,
+         |      coalesce(CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
+         |                 * ${MixHashMod.toDouble}) AS BIGINT), $MixHashMod)""".stripMargin,
     // the corpus_mix plan priced by the BPE merge-loop replay CTE
     // (single-sourced with text_bpe_tokens via TextQueries.bpeCntCte);
     // concatenated, NOT nested under this stripMargin — the CTE body
@@ -1497,13 +1512,14 @@ object PipelineQueries {
         s"""t AS (
            |  SELECT d.doc_id, d.lang, coalesce(cnt.n_tok, 0) AS n_tokens
            |  FROM documents d LEFT JOIN cnt USING (doc_id)),
-           |supply AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM t GROUP BY lang),
+           |supply AS (SELECT lang, sum(n_tokens) AS lang_tokens FROM t
+           |           WHERE lang IS NOT NULL GROUP BY lang),
            |nl AS (SELECT count(*) AS n_langs FROM supply)
            |SELECT doc_id, lang, n_tokens
-           |FROM t JOIN supply USING (lang) CROSS JOIN nl
+           |FROM t LEFT JOIN supply USING (lang) CROSS JOIN nl
            |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
-           |      CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
-           |                 * ${MixHashMod.toDouble}) AS BIGINT)""".stripMargin),
+           |      coalesce(CAST(floor(least(1.0, ${MixBudgetTokens.toDouble} / n_langs / lang_tokens)
+           |                 * ${MixHashMod.toDouble}) AS BIGINT), $MixHashMod)""".stripMargin),
     // mirrors corpusMixTemperature at the gate's alpha = 0.5: sqrt
     // weights (correctly rounded both engines), sum_w as an ORDERED
     // left fold over lang-sorted sqrt values (the driver fold's
@@ -1513,7 +1529,8 @@ object PipelineQueries {
          |  SELECT doc_id, lang,
          |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
          |  FROM documents),
-         |supply AS (SELECT lang, sum(n_tokens) AS lt FROM t GROUP BY lang),
+         |supply AS (SELECT lang, sum(n_tokens) AS lt FROM t
+         |           WHERE lang IS NOT NULL GROUP BY lang),
          |sw AS (SELECT list_reduce(list(sqrt(CAST(lt AS DOUBLE)) ORDER BY lang),
          |                          (a, b) -> a + b) AS sum_w FROM supply),
          |thr AS (
@@ -1523,8 +1540,9 @@ object PipelineQueries {
          |                    * ${MixHashMod.toDouble}) AS BIGINT) AS keep_points
          |  FROM supply CROSS JOIN sw)
          |SELECT doc_id, lang, n_tokens
-         |FROM t JOIN thr USING (lang)
-         |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod < keep_points""".stripMargin,
+         |FROM t LEFT JOIN thr USING (lang)
+         |WHERE ((doc_id % $MixHashMod) * $MixHashMul) % $MixHashMod <
+         |      coalesce(keep_points, $MixHashMod)""".stripMargin,
     // mirrors corpusSplit: same residue, same interval edges
     "corpus_split" ->
       s"""SELECT doc_id, lang,

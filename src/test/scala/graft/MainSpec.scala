@@ -1032,6 +1032,61 @@ class MainSpec extends SparkSpec {
       "batch=7", "budget=500"))
   }
 
+  test("corpus-pipeline incremental mix: a partially-labeled batch keeps null-lang docs whole; no null supply evidence") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_fmixnull").toString
+    val words = (1 to 60)
+      .map(j => s"tok${('a' + j / 26).toChar}${('a' + j % 26).toChar}").mkString(" ")
+    // seed mixes labeled and UNLABELED docs in one batch — the shape
+    // that NPE'd the supply sort before r12 (String ordering on a
+    // null lang); en oversupplies the budget so downsampling is real
+    val seedDocs = (0L until 20L).map(i => (i, "en", words)) ++
+      (100L until 105L).map(i => (i, null: String, words))
+    seedDocs.toDF("doc_id", "lang", "text").write.parquet(s"$base/seed.parquet")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/seed.parquet",
+      s"out=$base/out", "steps=mix", "incremental=true",
+      s"state=$base/state", "batch=1", "budget=600"))
+    val surv = spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((100L until 105L).forall(surv.contains),
+      s"null-lang docs must be kept whole: $surv")
+    assert(surv.count(_ < 20L) < 20, "the labeled language still downsamples")
+    // the frozen model and the supply evidence cover labeled langs only
+    assert(spark.read.parquet(s"$base/state/mix/thresholds")
+      .filter(col("lang").isNull).count() == 0L)
+    assert(spark.read.parquet(s"$base/state/mix/supply")
+      .filter(col("lang").isNull).count() == 0L,
+      "null lang must not reach the refit evidence")
+    // and mix-refit over that evidence works (no NPE in the sort)
+    val rFit = Main.runPipeline(spark, Seq("mix-refit", s"state=$base/state"))
+    assert(rFit.rowsOut == 1L, s"one labeled language re-fit: $rFit")
+    // an ALL-null delta mixes under the frozen model: everything kept
+    val allNull = (200L until 205L).map(i => (i, null: String, words))
+    allNull.toDF("doc_id", "lang", "text").write.parquet(s"$base/delta.parquet")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/delta.parquet",
+      s"out=$base/out", "steps=mix", "incremental=true",
+      s"state=$base/state", "batch=2", "budget=600"))
+    val surv2 = spark.read.parquet(s"$base/state/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((200L until 205L).forall(surv2.contains),
+      s"an all-null delta is kept whole: $surv2")
+  }
+
+  test("corpus-pipeline: side-effect stages (pack, shard) refuse to run before a frame-mutating stage") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_order").toString
+    Seq((1L, "en", "alpha beta gamma")).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/in.parquet")
+    for (bad <- Seq("pack,mix", "shard,select", "pack,clean")) {
+      val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+        Seq("corpus-pipeline", s"in=$base/in.parquet", s"out=$base/out",
+          s"steps=$bad", "budget=100")))
+      assert(e.getMessage.contains("BEFORE"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("corpus-pipeline incremental pack: frozen BPE model + layout; per-batch packs == standalone packs; replay overwrites; conflicts refuse") {
     val s = spark
     import s.implicits._
@@ -1330,6 +1385,26 @@ class MainSpec extends SparkSpec {
     val eW = intercept[IllegalArgumentException](Main.runPipeline(spark,
       Seq("scrub-refit", s"state=$base/state", "w=5")))
     assert(eW.getMessage.contains("frozen chunk width"), eW.getMessage)
+
+    // an interrupted refit (crash between the swap renames: old
+    // generation parked at .old.tmp, no live spans) REFUSES further
+    // batches — never a silent re-seed under opts-default knobs — and
+    // a re-run scrub-refit recovers from the aside dir and completes
+    // the swap (the mix-refit discipline)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/state/scrub/spans"),
+      java.nio.file.Paths.get(s"$base/state/scrub/spans.old.tmp"))
+    val eInt = intercept[IllegalArgumentException](run(fourthP, 5L))
+    assert(eInt.getMessage.contains("interrupted scrub-refit"), eInt.getMessage)
+    val rRec = Main.runPipeline(spark, Seq("scrub-refit", s"state=$base/state"))
+    assert(rRec.rowsOut == 2L, s"recovered refit re-fits from the evidence: $rRec")
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$base/state/scrub/spans/_SUCCESS")), "swap completed")
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$base/state/scrub/spans.old.tmp")), "aside dir reclaimed")
+    run(write("fifth", Seq(doc(400L, tplY))), 5L)
+    assert(!texts()(400L).contains("brand"),
+      "the recovered model scrubs like the committed one")
   }
 
   test("corpus-pipeline incremental decontaminate: eval state frozen on seed; deltas run evals-free; conflicts refuse") {

@@ -52,6 +52,35 @@ class PipelineMixSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("mix: null-lang docs kept whole outside the budget; labeled decisions unchanged (both forms)") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // strip the label from a deterministic third of the corpus — the
+    // lang-less-crawl shape every mix form must now survive: null-lang
+    // docs are KEPT WHOLE (no threshold applies) and the labeled
+    // languages decide exactly as if the unlabeled docs were absent
+    // (they take no budget share)
+    val partial = docs.withColumn("lang",
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    val nNull = partial.filter(col("lang").isNull).count()
+    assert(nNull > 0)
+    val forms: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
+      Seq(
+        d => PipelineQueries.corpusMixDocs(d, PipelineQueries.MixBudgetTokens),
+        d => PipelineQueries.corpusMixTemperatureDocs(d,
+          PipelineQueries.MixBudgetTokens, PipelineQueries.MixAlpha))
+    forms.foreach { mix =>
+      val kept = mix(partial)
+      assert(kept.filter(col("lang").isNull).count() == nNull,
+        "every null-lang doc must survive the mix")
+      val labeledAlone = mix(partial.filter(col("lang").isNotNull))
+      val keptLabeled = kept.filter(col("lang").isNotNull)
+      assert(keptLabeled.exceptAll(labeledAlone).isEmpty &&
+        labeledAlone.exceptAll(keptLabeled).isEmpty,
+        "labeled docs must decide as if the unlabeled docs were absent")
+    }
+  }
+
   test("select-budget: greedy quality prefix per language, straddler-bounded overflow") {
     val sel = PipelineQueries.corpusSelectBudget(spark, dir).cache()
     val budget = PipelineQueries.SelectBudgetTokens
