@@ -27,19 +27,24 @@ import org.apache.spark.sql.functions._
   * data-curation jobs this engine adds:
   * {{{
   *   runMain graft.Main corpus-clean in=<docs.parquet> index=<dir> out=<dir> batch=<id>
-  *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=<n> buckets=<n> opq=true]
-  *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets)
+  *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=<n> buckets=<n> opq=true sq8=true]
+  *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets;
+  *      sq8=true writes the in-index re-rank tier — ~dim bytes/vec next to the 8 B codes)
   *   runMain graft.Main index-add    in=<vectors.parquet> index=<dir>
   *   runMain graft.Main index-delete in=<ids.parquet> index=<dir>      # takedown path; vacuum after
   *   runMain graft.Main index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 probe=<n> allowed=<ids.parquet> vectors=<corpus.parquet> rerank=4]
-  *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count)
-  *   runMain graft.Main index-recall in=<queries.parquet> index=<dir> vectors=<corpus.parquet> [topk=10 rerank=0]
+  *     (probe defaults to layout-sized: max(4, cells/32) of the index's frozen cell count;
+  *      rerank= WITHOUT vectors= re-ranks against the index's own SQ8 tier)
+  *   runMain graft.Main index-recall in=<queries.parquet> index=<dir> vectors=<corpus.parquet> [topk=10 rerank=0 inindex=true]
   *     # measured recall vs brute force (rowsOut = recall in micro-units); rerank>0 measures the
-  *     # two-stage path — sweep it until the target clears (candMult ≈ modeSize/topK on clustered data)
+  *     # two-stage path — sweep it until the target clears (candMult ≈ modeSize/topK on clustered data);
+  *     # inindex=true measures the SQ8-tier re-rank (what a vectors-free deployment serves)
   *   runMain graft.Main index-compact|index-vacuum|sig-compact|sig-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 allowed=<doc_ids.parquet>]
+  *   runMain graft.Main hybrid-search in=<(query_id,qtext,vec).parquet> text-index=<dir> index=<dir> out=<dir> [topk=10 rerank=<candMult> allowed=<doc_ids.parquet>]
+  *     # TextIndex × PqIndex ranks fused by the gate-pinned RRF body; rerank= uses the SQ8 tier
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares> tokens=pre|bpe]
@@ -60,7 +65,12 @@ import org.apache.spark.sql.functions._
   *      Incremental: the profile table freezes under state/langid on the seed
   *      batch; a conflicting profiles= refuses)
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
-  *                                    [steps=clean,decontaminate,scrub,select,mix,shard,pack ... compactevery=N maxfiles= journalkeep=N]
+  *                                    [steps=clean,decontaminate,scrub,select,mix,shard,pack ... compactevery=N maxfiles= journalkeep=N
+  *                                     leasettl=<ms> driftband=<frac>]
+  *                                    # state/ is guarded by an exclusive-writer lease (.lease.txt): an
+  *                                    # overlapping batch/refit refuses naming the holder; a crashed holder's
+  *                                    # lease breaks after leasettl (default 24h, 0 = manual only).
+  *                                    # driftband= widens/narrows the ±25% advisory drift band
   *                                    # frozen-share mix: the seed batch calibrates per-language keep thresholds
   *                                    # from its supply (budget= alpha= tokens=) and freezes them under state/mix;
   *                                    # deltas filter per-doc under the frozen table, unseen languages kept whole
@@ -81,6 +91,8 @@ import org.apache.spark.sql.functions._
   *      floor; PQ knobs: dim= m= pqk= cells= probe= opq= fitsample= — pqk, because
   *      k= is the decontaminate shingle size in this namespace)
   *   runMain graft.Main runs-report   out=<pipeline out dir>   # render out/runs/batch=*.json as the per-batch trajectory table
+  *   runMain graft.Main pipeline-stats state=<dir>  # describe() for the DAG state: fitted stages + frozen knobs +
+  *                                                  # evidence batch counts + drift baselines + lease (metadata reads only)
   *   runMain graft.Main dsir-select   in=<docs.parquet> targets=<target.parquet> out=<dir> [frac=0.2]
   *   runMain graft.Main corpus-shard  in=<docs.parquet> out=<dir> [shards=16 write=false]
   *   runMain graft.Main corpus-scrub  in=<docs.parquet> out=<dir> [w=20 mindocs=3]
@@ -124,12 +136,12 @@ object Main {
     "index-delete", "index-search", "index-recall", "index-compact", "index-vacuum", "index-stats",
     "sig-compact", "sig-vacuum", "sig-stats",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
-    "text-index-compact", "text-index-vacuum", "text-index-stats",
+    "text-index-compact", "text-index-vacuum", "text-index-stats", "hybrid-search",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
     "corpus-stats", "decontaminate", "contamination-score", "dsir-select",
     "corpus-scrub", "scrub-refit", "mix-refit", "quality-score", "quality-train", "langid",
     "bpe-train", "bpe-encode", "corpus-pack",
-    "corpus-pipeline", "runs-report", "query", "sql")
+    "corpus-pipeline", "runs-report", "pipeline-stats", "query", "sql")
 
   def main(args: Array[String]): Unit = {
     val cfg = GraftConfig.fromEnv()
@@ -290,7 +302,8 @@ object Main {
       nProbe = opts.getOrElse("probe", "0").toInt,
       opq = opts.getOrElse("opq", "false").toBoolean,
       buckets = opts.getOrElse("buckets", "0").toInt,
-      fitSampleN = opts.getOrElse("fitsample", "0").toInt)
+      fitSampleN = opts.getOrElse("fitsample", "0").toInt,
+      sq8 = opts.getOrElse("sq8", "false").toBoolean)
     // tparts absent ⇒ 0 ⇒ TextIndex.build sizes the term layout from
     // the corpus token mass (same fixed-knob hazard as index-build)
     def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,
@@ -334,18 +347,22 @@ object Main {
       // allowed=<ids.parquet> restricts candidates to the id set (the
       // policy/tenant filter) — scored ranks stay within the filter.
       // vectors=<corpus.parquet> [rerank=4] switches to two-stage
-      // retrieval: PQ shortlist, exact cosine re-rank
+      // retrieval: PQ shortlist, exact cosine re-rank. rerank=N
+      // WITHOUT vectors= re-ranks against the index's own SQ8 tier
+      // (index-build sq8=true) — the recall dial with nothing but the
+      // index directory shipped
       case "index-search" =>
         val queries = vectors(req("in"))
         val idx = pqIndex(req("index"))
         val k = opts.getOrElse("topk", "10").toInt
         val allowedDf = opts.get("allowed").map(p =>
           spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
-        val hits = ((opts.get("vectors"), allowedDf) match {
-          case (Some(vp), a) => idx.topKRerank(queries, vectors(vp),
-            k, opts.getOrElse("rerank", "4").toInt, a)
-          case (None, Some(a)) => idx.topK(queries, k, a)
-          case (None, None) => idx.topK(queries, k)
+        val hits = ((opts.get("vectors"), opts.get("rerank"), allowedDf) match {
+          case (Some(vp), rm, a) => idx.topKRerank(queries, vectors(vp),
+            k, rm.map(_.toInt).getOrElse(4), a)
+          case (None, Some(rm), a) => idx.topKRerankIndexed(queries, k, rm.toInt, a)
+          case (None, None, Some(a)) => idx.topK(queries, k, a)
+          case (None, None, None) => idx.topK(queries, k)
         }).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
@@ -362,8 +379,15 @@ object Main {
           "O(|queries| x |corpus|); bound the batch to <= 10000")
         val cm = opts.getOrElse("rerank", "0").toInt
         val k = opts.getOrElse("topk", "10").toInt
-        val r = pqIndex(req("index")).recallAt(queries, vectors(req("vectors")), k, cm)
-        System.err.println(f"[graft] index-recall: $r%.4f (topk=$k rerank=$cm, $n queries)")
+        // inindex=true measures the SQ8-tier path (topKRerankIndexed)
+        // — tune the number the shipped index will actually serve;
+        // vectors= is then only the brute-force ground truth
+        val inIdx = opts.getOrElse("inindex", "false").toBoolean
+        require(!inIdx || cm > 0,
+          "index-recall: inindex=true needs rerank=N > 0 (the SQ8 tier is a re-rank stage)")
+        val r = pqIndex(req("index")).recallAt(queries, vectors(req("vectors")), k, cm, inIdx)
+        System.err.println(f"[graft] index-recall: $r%.4f (topk=$k rerank=$cm " +
+          s"inindex=$inIdx, $n queries)")
         done(n, math.round(r * 1e6))
       // maintenance, operable like everything else: compaction bounds
       // live files (rowsOut = buckets compacted), vacuum reclaims
@@ -402,6 +426,22 @@ object Main {
           .search(queries, opts.getOrElse("topk", "10").toInt,
             allowed = opts.get("allowed").map(p =>
               spark.read.parquet(p).select("doc_id")))
+          .localCheckpoint()
+        hits.write.mode("overwrite").parquet(req("out"))
+        done(queries.count(), hits.count())
+      // index-served hybrid retrieval: TextIndex ranks × PqIndex
+      // ranks, fused by the ONE RRF body the gate form pins
+      // (SimilarityQueries.fuseRrf). in= carries both modalities per
+      // query: (query_id, qtext, vec). rerank=N routes the vector
+      // side through the SQ8 tier; allowed= restricts BOTH sides
+      case "hybrid-search" =>
+        val queries = spark.read.parquet(req("in"))
+          .select("query_id", "qtext", "vec")
+        val hits = graft.queries.SimilarityQueries.hybridRrfServed(
+            textIndex(req("text-index")), pqIndex(req("index")), queries,
+            opts.getOrElse("topk", "10").toInt,
+            opts.getOrElse("rerank", "0").toInt,
+            opts.get("allowed").map(p => spark.read.parquet(p).select("doc_id")))
           .localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
@@ -695,6 +735,17 @@ object Main {
         require(compactEvery == 0 || incremental,
           "compactevery= applies to incremental runs — a full run rebuilds its " +
             "outputs; there is no accumulated store to maintain")
+        // the drift band is a RELATIVE fraction of the seed rate
+        // (0.25 = ±25%); nonsense refuses up front like every knob —
+        // 0 would warn on every batch (noise), and the band is only
+        // read by incremental stages (a full run has no seed baseline)
+        val driftBand = opts.getOrElse("driftband", "0.25").toDouble
+        require(driftBand > 0.0 && driftBand <= 10.0,
+          s"driftband=$driftBand — must be a relative fraction in (0, 10] " +
+            "(0.25 = warn when a batch rate leaves ±25% of the seed calibration)")
+        require(!opts.contains("driftband") || incremental,
+          "driftband= applies to incremental runs — drift is measured against " +
+            "a frozen seed calibration, which only incremental state has")
         // maxfiles= is consumed at the maintenance site but must obey
         // the same rule as compactevery: a malformed or absurd value
         // refuses HERE, not after hours of stages (maxfiles=0 would
@@ -770,6 +821,15 @@ object Main {
                 "documents that stage later drops or rewrites; " +
                 s"reorder steps so $se follows $s")
         }
+        // knob refusals above never touch the lease; everything below
+        // this point reads or mutates state/, so an incremental run
+        // holds the exclusive-writer lease for all of it (released on
+        // every exit path, refusals included — a refused batch did no
+        // work and must not wedge the next cron slot)
+        val stateLease = if (incremental) Some(acquireStateLease(spark,
+          stateDir.get, "corpus-pipeline",
+          opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong)) else None
+        try {
         val tIn = System.nanoTime()
         // raw web corpora arrive without a lang column; the langid
         // step exists to assign one, so its absence is tolerated
@@ -834,17 +894,19 @@ object Main {
           cur = next
           n
         }
-        // drift band: ±25% RELATIVE to the seed calibration — wide
-        // enough for ordinary supply noise, narrow enough that a
-        // collapsed stage cannot hide. Advisory only (loud warning +
-        // stats.json field), never a behavior change: that is the
-        // frozen-model discipline.
+        // drift band: ±driftband RELATIVE to the seed calibration
+        // (default ±25%) — wide enough for ordinary supply noise,
+        // narrow enough that a collapsed stage cannot hide. Advisory
+        // only (loud warning + stats.json field), never a behavior
+        // change: that is the frozen-model discipline. The 0/0
+        // exclusion (seed > 0) and re-baseline semantics are band-
+        // independent.
         def checkDrift(key: String, state: String, sidecar: String,
                        rate: Double): Unit = {
           rates += key -> rate
           readLongSidecarIfExists(spark, state, sidecar).foreach { micro =>
             val seed = micro / 1e6
-            if (seed > 0 && math.abs(rate - seed) / seed > 0.25) {
+            if (seed > 0 && math.abs(rate - seed) / seed > driftBand) {
               val msg = f"$key rate drift: batch $rate%.4f vs seed calibration $seed%.4f"
               driftWarnings += msg
               System.err.println(s"[graft] corpus-pipeline WARNING $msg — the frozen " +
@@ -1939,6 +2001,7 @@ object Main {
         if (cur ne raw) cur.unpersist()
         raw.unpersist()
         done(rowsIn, rowsOut)
+        } finally stateLease.foreach(releaseStateLease(spark, _))
       // the journal reader: out/runs/batch=*.json (one record per
       // incremental batch) rendered as the per-batch trajectory table
       // an operator reads before trusting a nightly pipeline — walls,
@@ -2056,9 +2119,97 @@ object Main {
       // the frozen width) and refuses on conflict. The stale drift
       // baseline is retired with the old model: the next incremental
       // scrub batch re-establishes it from its own realized rate.
+      // describe() for the incremental DAG's state dir — the stores
+      // have index-stats/text-index-stats/sig-stats; this is the same
+      // k=v report for the frozen-model stages: which are fitted,
+      // their frozen knobs, accumulated evidence batch counts, drift
+      // baselines, interrupted-refit flags, lease holder. ALL metadata
+      // reads (sidecar text files + directory listings) — no Spark
+      // job, so an operator can run it against a state dir another
+      // writer currently leases. Unfitted/absent stages report
+      // fitted=false; an empty or missing state dir never crashes.
+      case "pipeline-stats" =>
+        val state = req("state")
+        val hconf0 = spark.sparkContext.hadoopConfiguration
+        def hp(s0: String) = new org.apache.hadoop.fs.Path(s0)
+        val fs0 = hp(state).getFileSystem(hconf0)
+        def ex(s0: String): Boolean = fs0.exists(hp(s0))
+        def cntBatches(d: String): Long =
+          if (!ex(d)) 0L
+          else fs0.listStatus(hp(d)).count(_.getPath.getName.startsWith("batch=")).toLong
+        def sc(stage: String, name: String): Option[Long] =
+          readLongSidecarIfExists(spark, s"$state/$stage", name)
+        val kv = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        kv += "state" -> state
+        kv += "lease" -> (if (!ex(s"$state/$LeaseFile")) "free"
+          else {
+            val in = fs0.open(hp(s"$state/$LeaseFile"))
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            finally in.close()
+          })
+        kv += "clean_sig_index" -> ex(s"$state/sig").toString
+        val decFit = sc("decontaminate", "shinglek")
+        kv += "decontaminate_fitted" -> decFit.isDefined.toString
+        decFit.foreach(v => kv += "decontaminate_shinglek" -> v.toString)
+        sc("decontaminate", "minjmicro").foreach(v =>
+          kv += "decontaminate_minj" -> (v / 1e6).toString)
+        sc("decontaminate", "fingerprint").foreach(v =>
+          kv += "decontaminate_evals_fingerprint" -> v.toString)
+        kv += "langid_fitted" -> ex(s"$state/langid/profile_rows").toString
+        sc("langid", "fingerprint").foreach(v =>
+          kv += "langid_profiles_fingerprint" -> v.toString)
+        val selFit = sc("select", "threshold")
+        kv += "select_fitted" -> selFit.isDefined.toString
+        selFit.foreach(v => kv += "select_threshold_milli" -> v.toString)
+        sc("select", "fracmicro").foreach(v => kv += "select_frac" -> (v / 1e6).toString)
+        sc("select", "seedkeepmicro").foreach(v =>
+          kv += "select_seed_keep" -> (v / 1e6).toString)
+        kv += "scrub_fitted" -> ex(s"$state/scrub/spans/_SUCCESS").toString
+        if (ex(s"$state/scrub/spans.old.tmp/_SUCCESS"))
+          kv += "scrub_interrupted_refit" -> "true"
+        sc("scrub", "chunkwords").foreach(v => kv += "scrub_w" -> v.toString)
+        sc("scrub", "mindocs").foreach(v => kv += "scrub_mindocs" -> v.toString)
+        sc("scrub", "seedhitmicro").foreach(v =>
+          kv += "scrub_seed_hit" -> (v / 1e6).toString)
+        kv += "scrub_freq_batches" -> cntBatches(s"$state/scrub/freq").toString
+        kv += "scrub_emergent_evidence" -> ex(s"$state/scrub/emergent").toString
+        val thrDir = s"$state/mix/thresholds"
+        val mixFit = ex(s"$thrDir/$KnobsFile")
+        kv += "mix_fitted" -> mixFit.toString
+        if (mixFit) {
+          val mk = readKnobsFile(spark, thrDir)
+          kv += "mix_budget" -> mk("budget").toString
+          kv += "mix_alpha" -> (mk("alphamicro") / 1e6).toString
+          kv += "mix_tokens" -> (if (mk("bpemode") == 1L) "bpe" else "pre")
+        }
+        if (ex(s"$thrDir.old.tmp/$KnobsFile"))
+          kv += "mix_interrupted_refit" -> "true"
+        sc("mix", "seedkeepmicro").foreach(v =>
+          kv += "mix_seed_keep" -> (v / 1e6).toString)
+        kv += "mix_supply_batches" -> cntBatches(s"$state/mix/supply").toString
+        val packFit = sc("pack", "packbudget")
+        kv += "pack_fitted" -> packFit.isDefined.toString
+        packFit.foreach(v => kv += "pack_budget" -> v.toString)
+        sc("pack", "packbuckets").foreach(v => kv += "pack_buckets" -> v.toString)
+        sc("pack", "nmerges").foreach(v => kv += "pack_bpe_nmerges" -> v.toString)
+        kv += "pack_batches" -> cntBatches(s"$state/packs").toString
+        readLongSidecarIfExists(spark, state, "shards").foreach(v =>
+          kv += "shard_count" -> v.toString)
+        kv += "shard_batches" -> cntBatches(s"$state/shards").toString
+        kv += "survivors" -> ex(s"$state/survivors").toString
+        kv += "text_index" -> ex(s"$state/text_index").toString
+        kv += "vector_index" -> ex(s"$state/index").toString
+        kv.foreach { case (k0, v) => println(s"$k0=$v") }
+        done(0, kv.size.toLong)
       case "scrub-refit" =>
         val scrState = s"${req("state")}/scrub"
         val spansPath = s"$scrState/spans"
+        // refits mutate the same frozen-model state the incremental
+        // batches read AND write — same exclusive-writer lease
+        val refitLease = acquireStateLease(spark, req("state"), "scrub-refit",
+          opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong)
+        try {
         def pEx(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
@@ -2141,6 +2292,7 @@ object Main {
         System.err.println(s"[graft] scrub-refit: ${oldN} -> ${hot.length} spans " +
           s"(mindocs=$md) from the accumulated batch frequencies")
         done(oldN, hot.length.toLong)
+        } finally releaseStateLease(spark, refitLease)
       // the mix model's explicit re-calibration, scrub-refit's shape:
       // rebuild the frozen per-language thresholds from the
       // ACCUMULATED per-batch supply evidence under state/mix/supply
@@ -2155,6 +2307,9 @@ object Main {
       case "mix-refit" =>
         val mixState = s"${req("state")}/mix"
         val thrPath = s"$mixState/thresholds"
+        val refitLease = acquireStateLease(spark, req("state"), "mix-refit",
+          opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong)
+        try {
         def pEx(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
@@ -2246,6 +2401,7 @@ object Main {
           s"thresholds (budget=$budget alpha=$alpha) from the accumulated " +
           "batch supplies")
         done(oldN, thr.size.toLong)
+        } finally releaseStateLease(spark, refitLease)
       // model-based quality filter: weights=<parquet with (bucket,
       // weight_milli)> is the trained-model input; absent ⇒ the
       // deterministic stand-in table (the gate configuration)
@@ -2303,6 +2459,68 @@ object Main {
   private def writeLongSidecar(spark: org.apache.spark.sql.SparkSession,
                                dir: String, name: String, value: Long): Unit =
     writeTextFileAtomic(spark, s"$dir/$name.txt", s"$value\n")
+
+  /** Exclusive-writer lease on an incremental state dir. The frozen-
+    * model publishes under state/ are crash-safe but not RACE-safe:
+    * two cron-overlapping batches (or a batch racing a refit) can
+    * interleave seed fits, refit swaps, and supply evidence — each
+    * step individually atomic, the composition silently corrupt. The
+    * lease is an atomic create-exclusive file (`FileSystem.create
+    * (overwrite = false)` — exclusive on HDFS and local FS alike);
+    * the second writer REFUSES loudly, naming the holder, its age,
+    * and both remedies. A crashed holder leaves the file behind:
+    * after `ttlMs` (leasettl=, default 24 h; 0 = never auto-break) a
+    * new writer breaks the stale lease and proceeds — and below the
+    * TTL the refusal names the exact file for a manual override.
+    * Readers are unaffected (snapshot isolation is the stores' job);
+    * this guards WRITER-writer interleaving only. */
+  private val LeaseFile = ".lease.txt"
+  private val DefaultLeaseTtlMs: Long = 24L * 3600 * 1000
+  private[graft] def acquireStateLease(spark: org.apache.spark.sql.SparkSession,
+                                       state: String, command: String,
+                                       ttlMs: Long): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(s"$state/$LeaseFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tryCreate(): Boolean =
+      try {
+        // parent must exist for create(); mkdirs is idempotent
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false)
+        try out.write((s"holder=$command pid=${ProcessHandle.current().pid()} " +
+          s"acquired_ms=${System.currentTimeMillis()}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val (holder, ageMs) =
+        try {
+          val st = fs.getFileStatus(p)
+          val in = fs.open(p)
+          val txt = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+          (txt, System.currentTimeMillis() - st.getModificationTime)
+        } catch { case _: java.io.IOException => ("<holder vanished>", 0L) }
+      if (ttlMs > 0 && ageMs > ttlMs) {
+        System.err.println(s"[graft] $command: state lease at $p is STALE " +
+          s"(${ageMs / 1000} s old > leasettl ${ttlMs / 1000} s; $holder) — " +
+          "breaking it (the holder crashed without releasing)")
+        fs.delete(p, false)
+        require(tryCreate(),
+          s"$command: lost the race re-acquiring the state lease at $p — " +
+            "another writer took it; retry")
+      } else
+        throw new IllegalArgumentException(
+          s"$command: the state dir $state is LEASED by another writer " +
+            s"($holder, ${ageMs / 1000} s old) — two concurrent writers would " +
+            "interleave frozen-model fits. Wait for it to finish, or if it " +
+            s"crashed: delete $p (or pass leasettl=<ms> below its age)")
+    }
+    p
+  }
+  private[graft] def releaseStateLease(spark: org.apache.spark.sql.SparkSession,
+                                       lease: org.apache.hadoop.fs.Path): Unit =
+    lease.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lease, false)
 
   /** Frozen-model fit knobs stored INSIDE the data artifact's
     * directory (underscore-prefixed, so parquet discovery ignores it)

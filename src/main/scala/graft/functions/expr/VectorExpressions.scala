@@ -519,3 +519,142 @@ case class HammingBits(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HammingBits =
     copy(left = newLeft, right = newRight)
 }
+
+/** Scalar (SQ8) quantization of a float vector to one signed byte per
+  * coordinate: `round(xᵢ / s)` with the per-vector scale
+  * `s = max|xᵢ| / 127`, clamped to [-127, 127] (an all-zero vector
+  * encodes as all-zero bytes). 4× smaller than the raw floats and
+  * ~32× larger than an 8 B PQ code — the middle tier of a two-stage
+  * index: coarse candidates from PQ codes, re-rank against SQ8.
+  *
+  * The scale is NOT stored: cosine is scale-invariant
+  * (`cos(q, s·c) = cos(q, c)`), so the byte DIRECTION alone carries
+  * everything a cosine re-rank needs ([[Sq8Cosine]]); magnitudes,
+  * if ever needed, live in the codes table's exact `cn` norms. The
+  * per-vector max-abs scale bounds the per-coordinate error at
+  * `max|xᵢ|/254` — on unit-ish embedding vectors a ~0.4% relative
+  * grid, far below PQ distortion (measured in RerankSpec: SQ8
+  * re-rank recall tracks exact re-rank to within epsilon). */
+case class Sq8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0f) {
+      val inv = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        val q = math.round(x.getFloat(i).toDouble * inv)
+        out(i) = math.max(-127L, math.min(127L, q)).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs")
+      val v = ctx.freshName("v")
+      val inv = ctx.freshName("inv")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $x.numElements();
+         |float $maxAbs = 0.0f;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final float $v = Math.abs($x.getFloat($i));
+         |  if ($v > $maxAbs) $maxAbs = $v;
+         |}
+         |final byte[] $out = new byte[$n];
+         |if ($maxAbs > 0.0f) {
+         |  final double $inv = 127.0 / $maxAbs;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $q = Math.round(((double) $x.getFloat($i)) * $inv);
+         |    $out[$i] = (byte) Math.max(-127L, Math.min(127L, $q));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** Cosine between an exact float query vector and an [[Sq8Encode]]-
+  * quantized corpus vector, in one compiled pass (dot + both norms
+  * accumulated together — the asymmetric re-rank kernel: the query
+  * stays exact, only the corpus side is quantized). The dropped SQ8
+  * scale cancels out of the ratio, so this IS the cosine against the
+  * dequantized vector. 0.0 when either side has zero norm. */
+case class Sq8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = x.numElements()
+    require(y.length == n, s"vector length mismatch: $n vs ${y.length}")
+    var dot = 0.0
+    var q2 = 0.0
+    var c2 = 0.0
+    var i = 0
+    while (i < n) {
+      val qv = x.getFloat(i).toDouble
+      val cv = y(i).toDouble
+      dot += qv * cv
+      q2 += qv * qv
+      c2 += cv * cv
+      i += 1
+    }
+    val denom = math.sqrt(q2) * math.sqrt(c2)
+    if (denom > 0.0) dot / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val q2 = ctx.freshName("q2")
+      val c2 = ctx.freshName("c2")
+      val qv = ctx.freshName("qv")
+      val cv = ctx.freshName("cv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($y.length != $n) {
+         |  throw new IllegalArgumentException("vector length mismatch: " + $n +
+         |    " vs " + $y.length);
+         |}
+         |double $dot = 0.0; double $q2 = 0.0; double $c2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $qv = (double) $x.getFloat($i);
+         |  final double $cv = (double) $y[$i];
+         |  $dot += $qv * $cv;
+         |  $q2 += $qv * $qv;
+         |  $c2 += $cv * $cv;
+         |}
+         |final double $denom = java.lang.Math.sqrt($q2) * java.lang.Math.sqrt($c2);
+         |${ev.value} = $denom > 0.0 ? $dot / $denom : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Sq8Cosine =
+    copy(left = newLeft, right = newRight)
+}

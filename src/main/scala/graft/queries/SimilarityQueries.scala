@@ -142,6 +142,18 @@ object SimilarityQueries {
     val vec = Similarity.bruteForceTopK(qv, asIdVec(embs(spark, dir)), topK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vrank"))
+    fuseRrf(lex, vec, topK)
+  }
+
+  /** THE RRF fusion body — one function, two callers (the ad-hoc gate
+    * form above and the index-served [[hybridRrfServed]]), so the
+    * fusion arithmetic cannot drift between what the gate oracle pins
+    * and what production serves. Inputs are rank sets
+    * `(query_id, doc_id, lrank)` / `(query_id, doc_id, vrank)`;
+    * output is the gate contract `(query_id, doc_id, rrf_rank,
+    * in_lex, in_vec)` with the FIXED lexical+vector evaluation order
+    * that keeps the double sum bit-reproducible. */
+  private[graft] def fuseRrf(lex: DataFrame, vec: DataFrame, topK: Int): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(lit(1.0) / (lit(RrfK0) + col("lrank")), lit(0.0)) +
@@ -153,6 +165,42 @@ object SimilarityQueries {
       .filter(col("rrf_rank") <= topK)
       .select(col("query_id"), col("doc_id"), col("rrf_rank"),
         col("in_lex"), col("in_vec"))
+  }
+
+  /** INDEX-SERVED hybrid retrieval — the production twin of
+    * [[searchHybridRrf]]: lexical ranks from a persistent [[TextIndex]]
+    * (term-partition-pruned probe), vector ranks from a persistent
+    * [[graft.similarity.PqIndex]] (cell-pruned codes; `candMult > 0`
+    * routes through the SQ8 re-rank tier — the recall dial), fused by
+    * the SAME [[fuseRrf]] the gate form evaluates. Cost per query
+    * batch: two pruned index probes + an O(queries·k) fusion —
+    * corpus-size-independent past the index reads, which is the whole
+    * point at 100 TB (the r11 probe measured the composition at 5M
+    * docs / 9.4 s for 100 queries; this makes it an API instead of
+    * probe code). `queries` carries BOTH modalities per row:
+    * `(query_id, qtext, vec)` — hybrid fusion is only meaningful when
+    * the two sides answer the same information need. `allowed` (doc
+    * ids) applies to BOTH sides before ranking, so the fused ranks
+    * stay within the filter (the per-side filter contracts). */
+  def hybridRrfServed(textIndex: graft.similarity.TextIndex,
+                      pqIndex: graft.similarity.PqIndex,
+                      queries: DataFrame, topK: Int = K,
+                      candMult: Int = 0,
+                      allowed: Option[DataFrame] = None): DataFrame = {
+    val lex = textIndex.search(queries.select(col("query_id"), col("qtext")), topK,
+        allowed = allowed.map(_.select(col("doc_id"))))
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("rank").as("lrank"))
+    val vq = queries.select(col("query_id").as("id"), col("vec"))
+    val allowIds = allowed.map(_.select(col("doc_id").as("id")))
+    val vec0 = (candMult, allowIds) match {
+      case (cm, a) if cm > 0 => pqIndex.topKRerankIndexed(vq, topK, cm, a)
+      case (_, Some(a)) => pqIndex.topK(vq, topK, a)
+      case _ => pqIndex.topK(vq, topK)
+    }
+    val vec = vec0.select(col("query_id"), col("neighbor_id").as("doc_id"),
+      col("rank").as("vrank"))
+    fuseRrf(lex, vec, topK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

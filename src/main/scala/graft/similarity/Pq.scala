@@ -333,6 +333,28 @@ object Pq {
       .select(col("neighbor_id"), col("enc.cell").as("cell"),
         col("enc.codes").as("codes"), col("enc.cn").as("cn"))
 
+  /** [[encodeIvfPq]] plus the SQ8 re-rank tier in the SAME pass:
+    * `(neighbor_id, cell, codes, cn, sq)` — the cell comes from the
+    * one fused encode expression, so the codes row and its sidecar
+    * row can NEVER disagree on cell (the property that makes the
+    * re-rank's cell-pruned sidecar read sound: every shortlist
+    * candidate's SQ8 bytes live in a probed cell's files). `sq`
+    * quantizes the ORIGINAL vector, not the rotated one — cosine is
+    * rotation-invariant, so the re-rank needs no rotation at query
+    * time and the bytes stay meaningful if the index is ever rebuilt
+    * under a different rotation. Callers writing both stores should
+    * materialize this frame once (localCheckpoint) — the PQ encode is
+    * the expensive column and must not run per consumer. */
+  def encodeIvfPqSq8(corpus: DataFrame, model: Model, coarse: Similarity.IvfModel,
+                     rotation: Option[Array[Float]] = None): DataFrame =
+    corpus.select(col("id").as("neighbor_id"),
+        explode(array(ofExpr(graft.functions.expr.IvfPqEncode(
+          toExpr(col("vec")), rotation.getOrElse(Array.empty[Float]),
+          coarse.centroids, model.codebooks, model.m, model.k, model.subDim)))).as("enc"),
+        ofExpr(graft.functions.expr.Sq8Encode(toExpr(col("vec")))).as("sq"))
+      .select(col("neighbor_id"), col("enc.cell").as("cell"),
+        col("enc.codes").as("codes"), col("enc.cn").as("cn"), col("sq"))
+
   /** The distinct coarse cells a query batch will probe — the
     * partition-prune list for a cell-partitioned codes store
     * ([[PqIndex]]). One pass over the (small) query side through the

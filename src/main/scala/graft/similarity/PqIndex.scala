@@ -64,11 +64,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * frozen model set, so an operator can re-open the same index with an
   * explicit nProbe to trade recall for latency without a rebuild.
   * [[recallAt]] measures the realized recall against brute force. */
+/** `sq8` = true adds the RE-RANK TIER at [[build]] time: an SQ8
+  * sidecar store (`sq8/` — one signed byte per coordinate,
+  * [[graft.functions.expr.Sq8Encode]]) written next to the codes,
+  * cell-partitioned identically. It makes [[topKRerankIndexed]] —
+  * the candMult recall dial — SELF-CONTAINED: a deployment that
+  * ships only the index directory can re-rank its shortlists without
+  * the raw 4 B/coord vector table (the r11 caveat). ~dim bytes/vec:
+  * 4× smaller than raw, ~8× larger than the 8 B codes. The flag only
+  * governs build; after that, PRESENCE ON DISK is the truth — [[add]],
+  * [[maintainStream]], [[remove]], [[compact]] and [[vacuum]] keep an
+  * existing sidecar in lockstep with the codes regardless of how this
+  * handle was constructed (a handle opened without the flag must not
+  * silently let the tier go stale). */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
               nCells: Int = 0, nProbe: Int = 0, seed: Long = 42L,
               opq: Boolean = false, buckets: Int = 0,
-              fitSampleN: Int = 0) {
+              fitSampleN: Int = 0, sq8: Boolean = false) {
 
   private val coarseFitN = if (fitSampleN > 0) fitSampleN else 20000
 
@@ -87,6 +100,20 @@ class PqIndex(spark: SparkSession, dir: String,
     new graft.sources.SnapshotStore(spark, s"$dir/codes", key = "neighbor_id",
       buckets = bucketCount, partitionCol = Some("cell"))
   private val store = storeWith(if (buckets > 0) buckets else 32)
+  // the optional SQ8 re-rank sidecar: same key, same cell partitioning
+  // (guaranteed by the shared encode pass — Pq.encodeIvfPqSq8), same
+  // manifest-commit isolation. Post-build reads resolve the real
+  // bucket layout from ITS OWN manifest, like the codes store.
+  private def sqStoreWith(bucketCount: Int) =
+    new graft.sources.SnapshotStore(spark, s"$dir/sq8", key = "neighbor_id",
+      buckets = bucketCount, partitionCol = Some("cell"))
+  private val sqStore = sqStoreWith(if (buckets > 0) buckets else 32)
+
+  /** Whether the SQ8 re-rank tier exists on disk (a committed sidecar
+    * manifest — presence is the truth, the constructor flag only
+    * governs [[build]]). When true, [[topKRerankIndexed]] serves
+    * without a caller-side vector table. */
+  def hasRerankTier: Boolean = sqStore.exists
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -134,18 +161,37 @@ class PqIndex(spark: SparkSession, dir: String,
         (c, if (buckets > 0) buckets else PqIndex.suggestBuckets(n, c))
       }
     val buildStore = storeWith(bkts)
-    if (opq) {
-      val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, cells, seed = seed,
-        coarseSampleN = coarseFitN)
-      saveModels(composed.pq, composed.coarse, Some(composed.rotation))
-      buildStore.overwrite(Pq.encodeIvfPq(corpus, composed.pq, composed.coarse,
-        Some(composed.rotation)))
-    } else {
-      val coarse = Similarity.ivfFit(corpus, cells, seed, sampleN = coarseFitN)
-      val model = Pq.fitResidual(corpus, coarse, dim, m, k, seed = seed)
-      saveModels(model, coarse, None)
-      buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse))
+    // a rebuild WITHOUT the tier retires any stale sidecar BEFORE the
+    // codes overwrite: a crash in between leaves old codes with no
+    // sidecar (degraded — topKRerankIndexed refuses loudly), never new
+    // codes joined against old vectors (silently wrong re-ranks)
+    if (!sq8 && sqStore.exists) {
+      val sqPath = new Path(s"$dir/sq8")
+      fs.delete(sqPath, true)
     }
+    val (model, coarse, rot) =
+      if (opq) {
+        val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, cells, seed = seed,
+          coarseSampleN = coarseFitN)
+        (composed.pq, composed.coarse, Some(composed.rotation))
+      } else {
+        val c = Similarity.ivfFit(corpus, cells, seed, sampleN = coarseFitN)
+        (Pq.fitResidual(corpus, c, dim, m, k, seed = seed), c, None)
+      }
+    saveModels(model, coarse, rot)
+    if (sq8) {
+      // one encode pass feeds both stores (the PQ encode is the
+      // expensive column); the SIDECAR commits first, codes last —
+      // [[isBuilt]] keys on the codes manifest, so no crash point
+      // yields a searchable index whose shortlist candidates lack
+      // their SQ8 rows (the invariant every CDC path below preserves)
+      val enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot).localCheckpoint()
+      try {
+        sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
+        buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
+      } finally enc.unpersist()
+    } else
+      buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse, rot))
     if (minRecall > 0.0) {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val sample = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("__h"))
@@ -165,8 +211,26 @@ class PqIndex(spark: SparkSession, dir: String,
     * new ids append, re-sent ids replace (CDC semantics). */
   def add(vectors: DataFrame): Unit = {
     val (model, coarse, rot) = loadModels()
-    store.upsert(Pq.encodeIvfPq(vectors, model, coarse, rot))
+    addEncoded(vectors, model, coarse, rot)
   }
+
+  /** The one CDC-append body [[add]] and [[maintainStream]] share.
+    * When the re-rank tier exists, BOTH stores get the delta from one
+    * materialized encode pass, sidecar FIRST: a crash between the two
+    * upserts leaves sidecar rows the codes don't reference yet
+    * (unreachable, and the keyed replay overwrites them) — the
+    * opposite order would leave searchable codes whose candidates
+    * silently vanish from re-ranked results. */
+  private def addEncoded(vectors: DataFrame, model: Pq.Model,
+                         coarse: Similarity.IvfModel,
+                         rot: Option[Array[Float]]): Unit =
+    if (hasRerankTier) {
+      val enc = Pq.encodeIvfPqSq8(vectors, model, coarse, rot).localCheckpoint()
+      try {
+        sqStore.upsert(enc.select("neighbor_id", "cell", "sq"))
+        store.upsert(enc.select("neighbor_id", "cell", "codes", "cn"))
+      } finally enc.unpersist()
+    } else store.upsert(Pq.encodeIvfPq(vectors, model, coarse, rot))
 
   /** Keyed DELETE — the CDC completeness [[add]] alone lacks: a
     * takedown/opt-out must make a vector UNSERVABLE, and upsert can
@@ -180,7 +244,15 @@ class PqIndex(spark: SparkSession, dir: String,
     * (codes hold one row per id). */
   def remove(ids: DataFrame): Long = {
     val idCol = ids.columns.head
-    store.delete(ids.select(org.apache.spark.sql.functions.col(idCol).as("neighbor_id")))
+    val keys = ids.select(org.apache.spark.sql.functions.col(idCol).as("neighbor_id"))
+      .localCheckpoint() // two keyed deletes must see ONE key set
+    // codes first: after the codes delete the id is unsearchable, so a
+    // crash before the sidecar delete leaves only an unreachable SQ8
+    // row (harmless; a replayed remove clears it) — sidecar-first
+    // would leave a searchable id whose re-rank silently drops it
+    val n = store.delete(keys)
+    if (hasRerankTier) sqStore.delete(keys)
+    n
   }
 
   /** Top-k for a query batch against the stored codes. Reads ONLY the
@@ -191,9 +263,19 @@ class PqIndex(spark: SparkSession, dir: String,
     * discard. PqIndexSpec pins both properties. */
   def topK(queries: DataFrame, topKn: Int): DataFrame = {
     val (model, coarse, rot) = loadModels()
+    searchPlain(queries, topKn, model, coarse, rot)._1
+  }
+
+  /** The unfiltered search body, returning the probed-cell list next
+    * to the result frame — [[topKRerankIndexed]] reuses the list to
+    * cell-prune its sidecar read (every shortlist candidate's SQ8 row
+    * lives in a probed cell by the shared-encode construction). */
+  private def searchPlain(queries: DataFrame, topKn: Int,
+                          model: Pq.Model, coarse: Similarity.IvfModel,
+                          rot: Option[Array[Float]]): (DataFrame, Seq[Int]) = {
     val np = probeFor(coarse)
     val cells = Pq.probeCells(queries, model, coarse, np, rot)
-    Pq.searchCodes(queries, codesTable(cells), topKn, model, coarse, np, rot)
+    (Pq.searchCodes(queries, codesTable(cells), topKn, model, coarse, np, rot), cells)
   }
 
   /** FILTERED serve — the policy/tenant/date restriction every
@@ -232,7 +314,14 @@ class PqIndex(spark: SparkSession, dir: String,
   private def searchFiltered(queries: DataFrame, allowed: DataFrame, topKn: Int,
                              model: Pq.Model, coarse: Similarity.IvfModel,
                              rot: Option[Array[Float]],
-                             totalCount: => Long): DataFrame = {
+                             totalCount: => Long): DataFrame =
+    searchFilteredCells(queries, allowed, topKn, model, coarse, rot, totalCount)._1
+
+  /** [[searchFiltered]] body, cells exposed (the [[searchPlain]] twin). */
+  private def searchFilteredCells(queries: DataFrame, allowed: DataFrame, topKn: Int,
+                                  model: Pq.Model, coarse: Similarity.IvfModel,
+                                  rot: Option[Array[Float]],
+                                  totalCount: => Long): (DataFrame, Seq[Int]) = {
     import org.apache.spark.sql.functions.col
     val allow = allowed.select(col("id").as("neighbor_id")).distinct().localCheckpoint()
     // allow.count() is by-name too: an explicit-nProbe serve skips BOTH
@@ -242,7 +331,7 @@ class PqIndex(spark: SparkSession, dir: String,
     val np = probeForFiltered(coarse, allow.count(), totalCount)
     val cells = Pq.probeCells(queries, model, coarse, np, rot)
     val filtered = codesTable(cells).join(allow, Seq("neighbor_id"), "left_semi")
-    Pq.searchCodes(queries, filtered, topKn, model, coarse, np, rot)
+    (Pq.searchCodes(queries, filtered, topKn, model, coarse, np, rot), cells)
   }
 
   /** Live rows in the codes store — the denominator of the filter
@@ -332,6 +421,54 @@ class PqIndex(spark: SparkSession, dir: String,
     Similarity.topkAgg(rescored, topKn)
   }
 
+  /** [[topKRerank]] WITHOUT the caller-side vector table: stage 2
+    * re-scores the shortlist against the index's OWN SQ8 sidecar
+    * (built with `sq8 = true`) — the deployment shape where the raw
+    * 4 B/coord corpus never ships with the index, which is exactly
+    * when the candMult recall dial matters most. Same stage 1 (probed
+    * 8 B codes, allow-list composed before the shortlist); stage 2
+    * reads ONLY the sidecar files the candidates can live in (key-
+    * bucket prune × probed-cell prune — the shared encode pass
+    * guarantees a candidate's SQ8 row carries its codes row's cell)
+    * and re-scores through [[graft.functions.expr.Sq8Cosine]]: the
+    * exact query against the byte-quantized vector, whose per-coord
+    * grid error (~max|x|/254) sits far below the PQ distortion the
+    * re-rank repairs — RerankSpec pins the recall gap to exact
+    * re-rank at epsilon, and PLANS.md's sf100c table measures it at
+    * 2M clustered vectors. Cost: the stage-1 search + candidate-sized
+    * byte-vector cosines; bytes: ~dim/vec next to the caller table's
+    * 4·dim. */
+  def topKRerankIndexed(queries: DataFrame, topKn: Int,
+                        candMult: Int = 4,
+                        allowed: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+    require(candMult >= 1, s"candMult must be >= 1: $candMult")
+    require(hasRerankTier,
+      s"no SQ8 re-rank tier at $dir/sq8 — build(sq8 = true), or pass the raw " +
+        "vector table to topKRerank")
+    val (model, coarse, rot) = loadModels()
+    val (shortlist, cells) = allowed match {
+      case Some(a) => searchFilteredCells(queries, a, topKn * candMult,
+        model, coarse, rot, codesCountNow())
+      case None => searchPlain(queries, topKn * candMult, model, coarse, rot)
+    }
+    // checkpoint the candidate ids: they feed the sidecar's bucket
+    // probe AND the re-score join — without it stage 1 re-runs per
+    // consumer (the cache-identity rule)
+    val cand = shortlist.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val sq = sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells)
+      .getOrElse(sys.error(s"re-rank tier vanished mid-search at $dir/sq8"))
+      .select(col("neighbor_id"), col("sq"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val rescored = cand.join(sq, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", ofExpr(graft.functions.expr.Sq8Cosine(
+        toExpr(col("qv")), toExpr(col("sq")))))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    Similarity.topkAgg(rescored, topKn)
+  }
+
   /** The probe count a search will use: the explicit constructor value
     * if given, else [[Similarity.suggestNProbe]] of the FROZEN cell
     * count — the probe fraction tracks the corpus-sized layout. */
@@ -354,11 +491,15 @@ class PqIndex(spark: SparkSession, dir: String,
     * that shortlist width) instead of the plain search — the tuning
     * loop for the r11 rule (candMult ≈ modeSize/topK on clustered
     * corpora): sweep candMult here until recall clears the target,
-    * then serve with that value. */
+    * then serve with that value. `inIndex = true` measures
+    * [[topKRerankIndexed]] instead — the SQ8-tier serving path, so
+    * the number tuned is the number shipped; `corpus` is then only
+    * the ground truth. */
   def recallAt(queries: DataFrame, corpus: DataFrame, topKn: Int,
-               candMult: Int = 0): Double =
+               candMult: Int = 0, inIndex: Boolean = false): Double =
     Similarity.recall(
-      if (candMult > 0) topKRerank(queries, corpus, topKn, candMult)
+      if (candMult > 0 && inIndex) topKRerankIndexed(queries, topKn, candMult)
+      else if (candMult > 0) topKRerank(queries, corpus, topKn, candMult)
       else topK(queries, topKn),
       Similarity.bruteForceTopK(queries, corpus, topKn))
 
@@ -428,10 +569,13 @@ class PqIndex(spark: SparkSession, dir: String,
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          store.upsert(Pq.encodeIvfPq(batch.toDF(), model, coarse, rot))
+          // the shared CDC-append body: hasRerankTier re-checked per
+          // batch (same freshness rule as the codes re-read — a tier
+          // built mid-stream starts receiving deltas at the next batch)
+          addEncoded(batch.toDF(), model, coarse, rot)
           sinceCompact += 1
           if (compactEvery > 0 && sinceCompact >= compactEvery) {
-            store.compact()
+            compact()
             sinceCompact = 0
           }
         }
@@ -439,14 +583,18 @@ class PqIndex(spark: SparkSession, dir: String,
       .start()
   }
 
-  /** Rewrite over-split code buckets into one file each (see
-    * SnapshotStore.compact). Returns buckets compacted. */
-  def compact(maxFilesPerBucket: Int = 1): Int = store.compact(maxFilesPerBucket)
+  /** Rewrite over-split buckets into one file each (codes and, when
+    * present, the SQ8 sidecar — see SnapshotStore.compact). Returns
+    * buckets compacted. */
+  def compact(maxFilesPerBucket: Int = 1): Int =
+    store.compact(maxFilesPerBucket) +
+      (if (hasRerankTier) sqStore.compact(maxFilesPerBucket) else 0)
 
-  /** Reclaim superseded code files + old manifests (see
+  /** Reclaim superseded files + old manifests in both stores (see
     * SnapshotStore.vacuum). Run out-of-band of serving. */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 3600L * 1000L): Long =
-    store.vacuum(keepVersions, minAgeMs)
+    store.vacuum(keepVersions, minAgeMs) +
+      (if (hasRerankTier) sqStore.vacuum(keepVersions, minAgeMs) else 0L)
 
   /** The codes of `cells` only (partition-pruned). A built index whose
     * probed cells happen to hold no vectors reads as an empty frame,
@@ -501,7 +649,12 @@ class PqIndex(spark: SparkSession, dir: String,
         "probe_resolved" -> probeFor(coarse).toString,
         "opq" -> rot.isDefined.toString,
         "live_files" -> store.liveFileCount.toString,
-        "versions" -> store.versions().size.toString)
+        "versions" -> store.versions().size.toString,
+        "rerank_tier" -> hasRerankTier.toString) ++
+        (if (hasRerankTier)
+          Seq("rerank_vectors" -> sqStore.read().map(_.count()).getOrElse(0L).toString,
+            "rerank_live_files" -> sqStore.liveFileCount.toString)
+        else Nil)
     }
 
   // models.txt: line-oriented, Float.toString round-trips exactly

@@ -435,6 +435,21 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   def readForKeys(probe: DataFrame): Option[DataFrame] =
     latestRaw().flatMap(m => readFiles(filesForKeys(probe, m)))
 
+  /** Both prunes at once: only the files whose bucket one of `probe`'s
+    * keys hashes into AND whose partition value is in `values` — the
+    * shortlist-re-rank read shape (candidate ids × probed cells),
+    * where either prune alone still opens most of a big store. Sound
+    * for per-key lookups whose rows are KNOWN to lie in `values`
+    * partitions (the caller's contract — a key whose row lives in an
+    * unlisted partition is simply not returned). */
+  def readForKeysAndPartitions(probe: DataFrame, values: Seq[Any]): Option[DataFrame] =
+    latestRaw().flatMap { m =>
+      val wanted = values.map(v => s"$PartDir=$v").toSet
+      readFiles(filesForKeys(probe, m).filter { f =>
+        f.split('/').find(_.startsWith(s"$PartDir=")).forall(wanted.contains)
+      })
+    }
+
   private[graft] def filesForKeys(probe: DataFrame): Seq[String] =
     latestRaw().map(filesForKeys(probe, _)).getOrElse(Nil)
 

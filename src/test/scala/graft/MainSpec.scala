@@ -198,6 +198,45 @@ class MainSpec extends SparkSpec {
       s"removed ids must never serve again, got $post")
   }
 
+  test("index CLI: SQ8 tier — sq8=true build, rerank= serves without vectors=, inindex recall arm") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_sq8").toString
+    val dim = 16
+    def vec(seed: Long) = graft.VecFixtures.unit(dim, seed)
+    (1L to 30L).map(i => (i, vec(i))).toDF("id", "vec")
+      .write.parquet(s"$base/corpus.parquet")
+    Main.runPipeline(spark, Seq("index-build", s"in=$base/corpus.parquet",
+      s"index=$base/idx", s"dim=$dim", "cells=4", "m=4", "sq8=true"))
+    assert(new graft.similarity.PqIndex(spark, s"$base/idx").hasRerankTier,
+      "sq8=true must commit the sidecar")
+    // the deployment shape the tier exists for: re-rank with NOTHING
+    // but the index directory — rerank= given, vectors= absent
+    Seq((901L, vec(7))).toDF("id", "vec").write.parquet(s"$base/q.parquet")
+    val searched = Main.runPipeline(spark, Seq("index-search",
+      s"in=$base/q.parquet", s"index=$base/idx", s"out=$base/hits",
+      s"dim=$dim", "cells=4", "m=4", "topk=3", "rerank=8"))
+    assert(searched.rowsOut == 3)
+    assert(spark.read.parquet(s"$base/hits").filter(col("rank") === 1)
+      .select("neighbor_id").head().getLong(0) == 7L,
+      "the query's identical vector must rank first through the SQ8 re-rank")
+    // inindex=true measures the path just served; it can only improve
+    // on the plain probed search
+    val rPlain = Main.runPipeline(spark, Seq("index-recall",
+      s"in=$base/q.parquet", s"index=$base/idx",
+      s"vectors=$base/corpus.parquet", "topk=3"))
+    val rIn = Main.runPipeline(spark, Seq("index-recall",
+      s"in=$base/q.parquet", s"index=$base/idx",
+      s"vectors=$base/corpus.parquet", "topk=3", "rerank=8", "inindex=true"))
+    assert(rIn.rowsOut >= rPlain.rowsOut,
+      s"SQ8 re-rank can only improve recall: ${rIn.rowsOut} vs ${rPlain.rowsOut}")
+    // inindex without a rerank width is a contradiction: refuse up front
+    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("index-recall", s"in=$base/q.parquet", s"index=$base/idx",
+        s"vectors=$base/corpus.parquet", "inindex=true")))
+    assert(e.getMessage.contains("rerank=N"), e.getMessage)
+  }
+
   test("pipeline subcommands: text index build/add/search/maintain e2e") {
     val s = spark
     import s.implicits._
@@ -1073,6 +1112,49 @@ class MainSpec extends SparkSpec {
       s"an all-null delta is kept whole: $surv2")
   }
 
+  test("state-dir lease: a second writer refuses naming the holder; stale leases break; every exit releases") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_lease").toString
+    val words = (1 to 60)
+      .map(j => s"tok${('a' + j / 26).toChar}${('a' + j % 26).toChar}").mkString(" ")
+    (0L until 10L).map(i => (i, "en", words))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/in.parquet")
+    def runBatch(batch: Long, extra: String*) = Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/in.parquet", s"out=$base/out",
+        "steps=mix", "incremental=true", s"state=$base/state",
+        s"batch=$batch", "budget=600") ++ extra)
+    val leasePath = java.nio.file.Paths.get(s"$base/state/.lease.txt")
+
+    // a completed run leaves no lease behind
+    runBatch(1L)
+    assert(!Files.exists(leasePath), "a completed batch must release its lease")
+    // a held lease (another writer mid-run) refuses LOUDLY, naming the
+    // holder — the deterministic race: whoever creates the file first
+    // wins, the atomic create-exclusive primitive decides
+    Files.writeString(leasePath, "holder=corpus-pipeline pid=99999 acquired_ms=0\n")
+    val e = intercept[IllegalArgumentException](runBatch(2L))
+    assert(e.getMessage.contains("LEASED") && e.getMessage.contains("pid=99999"),
+      e.getMessage)
+    assert(Files.exists(leasePath), "a refused writer must not steal the lease")
+    // mix-refit takes the same lease
+    val eFit = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("mix-refit", s"state=$base/state")))
+    assert(eFit.getMessage.contains("LEASED"), eFit.getMessage)
+    // a stale lease (older than leasettl) is broken and the run
+    // proceeds — the crashed-holder recovery path
+    runBatch(2L, "leasettl=1")
+    assert(!Files.exists(leasePath), "the breaking run must release too")
+    // a refusal INSIDE the stage loop (frozen-knob conflict) releases
+    // the lease on the way out — a refused batch must not wedge cron
+    val eKnob = intercept[IllegalArgumentException](runBatch(3L, "budget=999"))
+    assert(eKnob.getMessage.contains("frozen calibration"), eKnob.getMessage)
+    assert(!Files.exists(leasePath), "a refused batch must release the lease")
+    // and the refit path releases after completing
+    Main.runPipeline(spark, Seq("mix-refit", s"state=$base/state", "budget=700"))
+    assert(!Files.exists(leasePath))
+  }
+
   test("corpus-pipeline: side-effect stages (pack, shard) refuse to run before a frame-mutating stage") {
     val s = spark
     import s.implicits._
@@ -1689,6 +1771,89 @@ class MainSpec extends SparkSpec {
     // a dir with no committed store reports built=false, not a crash
     val (empty, emptySt) = report("index-stats", s"$base/nowhere")
     assert(empty == Map("built" -> "false") && emptySt.rowsOut == 1L, empty.toString)
+  }
+
+  test("pipeline-stats: fitted and unfitted state dirs report without crashing; driftband knob validates up front") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_pstats").toString
+    def report(state: String): (Map[String, String], Main.PipelineStats) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val st = Console.withOut(new java.io.PrintStream(buf, true)) {
+        Main.runPipeline(spark, Seq("pipeline-stats", s"state=$state"))
+      }
+      (buf.toString.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap, st)
+    }
+    // an unbuilt state dir reports everything unfitted, never crashes
+    val (empty, emptySt) = report(s"$base/nowhere")
+    assert(empty("lease") == "free" && empty("mix_fitted") == "false" &&
+      empty("scrub_fitted") == "false" && empty("select_fitted") == "false" &&
+      empty("survivors") == "false" && empty("mix_supply_batches") == "0", empty.toString)
+    assert(emptySt.rowsOut == empty.size.toLong)
+    // seed scrub + mix in one incremental batch, then the report
+    // carries the frozen knobs, evidence counts, and drift baselines
+    val footer = "subscribe newsletter daily updates"
+    val docs = (0L until 5L)
+      .map(i => (i, "en", (1 to 8).map(j => s"w${i}x$j").mkString(" ") + " " + footer))
+    docs.toDF("doc_id", "lang", "text").write.parquet(s"$base/in.parquet")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/in.parquet",
+      s"out=$base/out", "steps=scrub,mix", "incremental=true",
+      s"state=$base/state", "batch=1", "w=4", "mindocs=3", "budget=30"))
+    val (kv, st) = report(s"$base/state")
+    assert(kv("lease") == "free", kv.toString)
+    assert(kv("scrub_fitted") == "true" && kv("scrub_w") == "4" &&
+      kv("scrub_mindocs") == "3" && kv("scrub_freq_batches") == "1", kv.toString)
+    assert(kv("mix_fitted") == "true" && kv("mix_budget") == "30" &&
+      kv("mix_alpha") == "0.5" && kv("mix_tokens") == "pre" &&
+      kv("mix_supply_batches") == "1", kv.toString)
+    assert(kv("mix_seed_keep").toDouble > 0 && kv("scrub_seed_hit").toDouble > 0,
+      kv.toString)
+    assert(kv("survivors") == "true" && kv("select_fitted") == "false", kv.toString)
+    assert(st.rowsOut == kv.size.toLong)
+    // an interrupted refit surfaces as a flag, mirroring the refusal
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$base/state/mix/thresholds"),
+      java.nio.file.Paths.get(s"$base/state/mix/thresholds.old.tmp"))
+    val (kv2, _) = report(s"$base/state")
+    assert(kv2("mix_fitted") == "false" && kv2("mix_interrupted_refit") == "true", kv2.toString)
+    Main.runPipeline(spark, Seq("mix-refit", s"state=$base/state"))
+    // driftband: nonsense refuses up front; misdirected (full run) refuses
+    for (bad <- Seq("0", "-1", "11")) {
+      val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+        Seq("corpus-pipeline", s"in=$base/in.parquet", s"out=$base/out2",
+          "steps=mix", "incremental=true", s"state=$base/state", "batch=2",
+          "budget=30", s"driftband=$bad")))
+      assert(e.getMessage.contains("driftband"), s"$bad: ${e.getMessage}")
+    }
+    val eFull = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/in.parquet", s"out=$base/out2",
+        "steps=mix", "budget=30", "driftband=0.5")))
+    assert(eFull.getMessage.contains("incremental"), eFull.getMessage)
+    // the knob is the band: batch 3 (first post-refit) re-establishes
+    // the baseline from the seed docs' keep rate; batch 4 brings a
+    // different id set whose residue mix lands a MODEST rate move —
+    // a hairline band must trip on it, the default ±25% absorbs it
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/in.parquet",
+      s"out=$base/out3", "steps=mix", "incremental=true",
+      s"state=$base/state", "batch=3", "budget=30"))
+    // ids 20..32: exactly 3 of 13 residues fall under the frozen keep
+    // threshold → batch rate 0.231 vs the 0.2 baseline — a +15% move,
+    // inside the default ±25% band, outside any hairline band
+    (20L until 33L).map(i => (i, "en", (1 to 12).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/in4.parquet")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/in4.parquet",
+      s"out=$base/out4", "steps=mix", "incremental=true",
+      s"state=$base/state", "batch=4", "budget=30", "driftband=0.0001"))
+    val stats4 = Files.readString(java.nio.file.Paths.get(s"$base/out4", "stats.json"))
+    assert(stats4.contains("drift_warnings"),
+      s"a hairline band must trip on a nonzero rate move: $stats4")
+    Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$base/in4.parquet",
+      s"out=$base/out5", "steps=mix", "incremental=true",
+      s"state=$base/state", "batch=4", "budget=30"))
+    val stats5 = Files.readString(java.nio.file.Paths.get(s"$base/out5", "stats.json"))
+    assert(!stats5.contains("drift_warnings"),
+      s"the default band must absorb the same move: $stats5")
   }
 
   test("corpus-pipeline langid step: assigns lang to raw lang-less corpora; incremental freezes the profile table") {

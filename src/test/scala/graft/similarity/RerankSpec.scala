@@ -58,4 +58,58 @@ class RerankSpec extends SparkSpec {
     assert(r(4) >= starved - 1e-9 && covering >= r(4) - 1e-9,
       "recall must be monotone in candMult")
   }
+
+  test("SQ8 tier: in-index rerank tracks exact rerank within epsilon and beats the plain search; CDC keeps the sidecar in lockstep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank_sq8").toString
+    val idx = new PqIndex(spark, dir, nCells = nModes, sq8 = true)
+    idx.build(corpus)
+    assert(idx.hasRerankTier, "sq8=true build must commit the sidecar")
+    val queries = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(20).drop("h").cache()
+    queries.count()
+    val bf = Similarity.bruteForceTopK(queries, corpus, 10).cache()
+    bf.count()
+    val cover = perMode / 10
+    val exact = Similarity.recall(idx.topKRerank(queries, corpus, 10, cover), bf)
+    val viaSq8 = Similarity.recall(idx.topKRerankIndexed(queries, 10, cover), bf)
+    val plain = Similarity.recall(idx.topK(queries, 10), bf)
+    // the byte grid's per-coord error (~max|x|/254) sits far below the
+    // PQ distortion the re-rank repairs: epsilon-close to exact rerank
+    assert(math.abs(viaSq8 - exact) <= 0.02,
+      f"SQ8 rerank $viaSq8%.3f must track exact rerank $exact%.3f within epsilon")
+    // and strictly an upgrade over serving codes alone
+    assert(viaSq8 >= plain + 0.2,
+      f"the in-index dial must matter: plain $plain%.3f vs SQ8 rerank $viaSq8%.3f")
+    // recallAt(inIndex = true) measures this exact path
+    assert(idx.recallAt(queries, corpus, 10, cover, inIndex = true) >= plain + 0.2)
+
+    // CDC lockstep: an added duplicate of a corpus vector must surface
+    // through the SQ8-re-ranked search at cosine ~1 (its sidecar row
+    // exists), and a takedown must remove it from re-ranked results
+    val probe = corpus.filter(col("id") === 0L).cache()
+    val dupId = 999999L
+    idx.add(probe.select(lit(dupId).as("id"), col("vec")))
+    def hitIds(): Set[Long] = idx.topKRerankIndexed(probe, 10, cover)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds().contains(dupId),
+      "a CDC-added vector must be re-rankable (sidecar row written with its codes)")
+    assert(idx.remove(probe.select(lit(dupId).as("id"))) == 1L)
+    assert(!hitIds().contains(dupId), "a removed vector must leave both tiers")
+
+    // observability + the refusal contract
+    val d = idx.describe().toMap
+    assert(d("rerank_tier") == "true" && d("rerank_vectors") == corpus.count().toString)
+    val bare = new PqIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_rerank_bare").toString,
+      nCells = nModes)
+    bare.build(corpus)
+    assert(!bare.hasRerankTier)
+    val e = intercept[RuntimeException](bare.topKRerankIndexed(queries, 10, 4).count())
+    assert(e.getMessage.contains("no SQ8 re-rank tier"), e.getMessage)
+    // a rebuild WITHOUT the flag retires a stale tier (never serves
+    // old vectors against new codes)
+    val idx2 = new PqIndex(spark, dir, nCells = nModes)
+    idx2.build(corpus)
+    assert(!idx2.hasRerankTier, "a tier-less rebuild must retire the sidecar")
+  }
 }
