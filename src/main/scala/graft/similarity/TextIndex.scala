@@ -198,10 +198,22 @@ class TextIndex(spark: SparkSession, dir: String,
     * applies after the probe prune and before ranking; an allowed doc
     * absent from the probed partitions simply cannot match (it shares
     * no query term). */
+  /** `warnDfFrac` is the search-time DF GUARD (default 0.5; 0 = off):
+    * when neither remedy knob is set, query terms whose document
+    * frequency exceeds that corpus fraction get a loud per-term
+    * warning NAMING BOTH KNOBS before the scoring join runs — the
+    * r11 sf100 probe measured one unremarkable stopword-bearing query
+    * walling at 420 s (~430M scored rows) with both remedies off, and
+    * neither defaults on because dropping terms changes ranks. The
+    * guard never changes results; it costs one word-count aggregate
+    * over the ALREADY-PRUNED postings partitions (trivial next to the
+    * join it predicts, and skipped entirely when a remedy knob is
+    * already driving). */
   def search(queries: DataFrame, topK: Int = 10,
              stoplist: Set[String] = Set.empty,
              maxDfFrac: Double = 0.0,
-             allowed: Option[DataFrame] = None): DataFrame = {
+             allowed: Option[DataFrame] = None,
+             warnDfFrac: Double = 0.5): DataFrame = {
     val (n, sumDl, parts) = loadStats()
     val qterms0 = queries.select(col("query_id"),
       explode(split(col("qtext"), " ")).as("word"))
@@ -217,8 +229,23 @@ class TextIndex(spark: SparkSession, dir: String,
     // an error — the full read supplies the schema (plan only, never
     // executed), exactly as in PqIndex.codesTable
     val full = store.read().getOrElse(sys.error(s"no index built at $dir"))
-    val pruned = store.readPartitions(probe).getOrElse(full.limit(0))
+    val matched = store.readPartitions(probe).getOrElse(full.limit(0))
       .filter(col("word").isInCollection(qwords.map(_.getString(0)).toSeq))
+    if (stoplist.isEmpty && maxDfFrac == 0.0 && warnDfFrac > 0.0 && n > 0) {
+      val floor = math.max(1L, (warnDfFrac * n).toLong)
+      matched.groupBy("word").agg(count(lit(1)).as("qdf"))
+        .filter(col("qdf") > lit(floor))
+        .collect().foreach { r =>
+          System.err.println(f"[graft] TextIndex.search WARNING: query term " +
+            f"'${r.getString(0)}' matches ${r.getLong(1)} of $n docs " +
+            f"(${r.getLong(1).toDouble / n}%.2f > warnDfFrac $warnDfFrac%.2f) — " +
+            "scoring it joins that whole postings list against the query batch " +
+            "(r11 measured 420 s at 5M docs); pass stoplist= to skip its " +
+            "partition at scan level, or maxDfFrac= to cap scored terms " +
+            "(warnDfFrac=0 silences this guard)")
+        }
+    }
+    val pruned = matched
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("word"))))
     // df computed BEFORE the allow-list: corpus-level statistics by

@@ -337,4 +337,42 @@ class TextIndexSpec extends SparkSpec {
     assert(pushed.exists(identity),
       s"the df cap must sit below a join in the optimized plan:\n$lp")
   }
+
+  test("df guard: a hot query term warns naming both knobs; rare terms stay silent; results unchanged") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_guard").toString
+    def rareWord(d: Long): String =
+      s"w${('a' + d / 26).toChar}${('a' + d % 26).toChar}"
+    val docs = (0L until 400L).map(d =>
+      (d, ("the " * 20) + rareWord(d))).toDF("doc_id", "text")
+    val index = new TextIndex(spark, s"$base/idx", termParts = 16)
+    index.build(docs)
+    def stderrOf(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      try body finally System.setErr(old)
+      buf.toString
+    }
+    val hotQ = Seq(1 -> s"the ${rareWord(5)}").toDF("query_id", "qtext")
+    val rareQ = Seq(1 -> rareWord(5), 2 -> rareWord(9)).toDF("query_id", "qtext")
+    // the hot term (df = 400/400 > 0.5) warns, naming BOTH remedies
+    // and the silence knob — the operator-facing escape hatch r11's
+    // 420 s wall showed a caller one unremarkable query away from
+    val warned = stderrOf(index.search(hotQ, 10).count())
+    assert(warned.contains("'the'") && warned.contains("stoplist=") &&
+      warned.contains("maxDfFrac=") && warned.contains("warnDfFrac=0"), warned)
+    // rare terms never trip it
+    assert(!stderrOf(index.search(rareQ, 10).count()).contains("WARNING"))
+    // the guard NEVER changes results — warn-only by contract
+    assert(rows(index.search(hotQ, 10)) ==
+      rows(index.search(hotQ, 10, warnDfFrac = 0.0)),
+      "the guard must be advisory: identical rows with it on and off")
+    // and it stands down when a remedy knob is already driving
+    assert(!stderrOf(index.search(hotQ, 10, stoplist = Set("the")).count())
+      .contains("WARNING"))
+    assert(!stderrOf(index.search(hotQ, 10, maxDfFrac = 0.5).count())
+      .contains("WARNING"))
+  }
 }
