@@ -457,7 +457,11 @@ class PqIndex(spark: SparkSession, dir: String,
     // probe AND the re-score join — without it stage 1 re-runs per
     // consumer (the cache-identity rule)
     val cand = shortlist.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    // an empty shortlist (or a key×cell prune that touches no files)
+    // is an EMPTY RESULT, not an error — the codesTable rule; the
+    // full read only supplies the schema (plan-only, never executed)
     val sq = sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells)
+      .orElse(sqStore.read().map(_.limit(0)))
       .getOrElse(sys.error(s"re-rank tier vanished mid-search at $dir/sq8"))
       .select(col("neighbor_id"), col("sq"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))

@@ -96,6 +96,12 @@ class RerankSpec extends SparkSpec {
     assert(idx.remove(probe.select(lit(dupId).as("id"))) == 1L)
     assert(!hitIds().contains(dupId), "a removed vector must leave both tiers")
 
+    // empty-shortlist contract: an allow-list that excludes everything
+    // is an empty RESULT, never a crash (the key×cell prune touches no
+    // files — the codesTable rule applies to the sidecar read too)
+    val noneAllowed = corpus.filter(col("id") < 0L).select("id")
+    assert(idx.topKRerankIndexed(queries, 10, 4, Some(noneAllowed)).count() == 0L)
+
     // observability + the refusal contract
     val d = idx.describe().toMap
     assert(d("rerank_tier") == "true" && d("rerank_vectors") == corpus.count().toString)
