@@ -357,12 +357,16 @@ object Main {
         val k = opts.getOrElse("topk", "10").toInt
         val allowedDf = opts.get("allowed").map(p =>
           spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
-        val hits = ((opts.get("vectors"), opts.get("rerank"), allowedDf) match {
-          case (Some(vp), rm, a) => idx.topKRerank(queries, vectors(vp),
-            k, rm.map(_.toInt).getOrElse(4), a)
-          case (None, Some(rm), a) => idx.topKRerankIndexed(queries, k, rm.toInt, a)
-          case (None, None, Some(a)) => idx.topK(queries, k, a)
-          case (None, None, None) => idx.topK(queries, k)
+        // rerank=0 means OFF everywhere (the index-recall convention):
+        // it serves the plain probed search, never a zero-width rerank
+        val rerankW = opts.get("rerank").map(_.toInt)
+        val hits = ((opts.get("vectors"), rerankW, allowedDf) match {
+          case (Some(vp), rm, a) if rm.forall(_ > 0) =>
+            idx.topKRerank(queries, vectors(vp), k, rm.getOrElse(4), a)
+          case (None, Some(rm), a) if rm > 0 =>
+            idx.topKRerankIndexed(queries, k, rm, a)
+          case (_, _, Some(a)) => idx.topK(queries, k, a)
+          case _ => idx.topK(queries, k)
         }).localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
@@ -2141,13 +2145,15 @@ object Main {
           readLongSidecarIfExists(spark, s"$state/$stage", name)
         val kv = scala.collection.mutable.ArrayBuffer[(String, String)]()
         kv += "state" -> state
-        kv += "lease" -> (if (!ex(s"$state/$LeaseFile")) "free"
-          else {
+        // open-then-catch, not exists-then-open: a writer releasing
+        // between the two calls must read as free, not crash the
+        // report that documents itself safe to run against a leased dir
+        kv += "lease" -> (try {
             val in = fs0.open(hp(s"$state/$LeaseFile"))
             try new String(in.readAllBytes(),
               java.nio.charset.StandardCharsets.UTF_8).trim
             finally in.close()
-          })
+          } catch { case _: java.io.IOException => "free" })
         kv += "clean_sig_index" -> ex(s"$state/sig").toString
         val decFit = sc("decontaminate", "shinglek")
         kv += "decontaminate_fitted" -> decFit.isDefined.toString
@@ -2156,17 +2162,28 @@ object Main {
           kv += "decontaminate_minj" -> (v / 1e6).toString)
         sc("decontaminate", "fingerprint").foreach(v =>
           kv += "decontaminate_evals_fingerprint" -> v.toString)
-        kv += "langid_fitted" -> ex(s"$state/langid/profile_rows").toString
+        // fitted flags key on the SAME commit markers the pipeline's
+        // own stages check (langid: profile_rows/_SUCCESS; select: the
+        // lambda parquet's _SUCCESS — the threshold sidecar is written
+        // first and must not read as fitted alone), so the report can
+        // never contradict what the next batch will do
+        kv += "langid_fitted" -> ex(s"$state/langid/profile_rows/_SUCCESS").toString
         sc("langid", "fingerprint").foreach(v =>
           kv += "langid_profiles_fingerprint" -> v.toString)
-        val selFit = sc("select", "threshold")
-        kv += "select_fitted" -> selFit.isDefined.toString
-        selFit.foreach(v => kv += "select_threshold_milli" -> v.toString)
+        kv += "select_fitted" -> ex(s"$state/select/lambda/_SUCCESS").toString
+        sc("select", "threshold").foreach(v =>
+          kv += "select_threshold_milli" -> v.toString)
         sc("select", "fracmicro").foreach(v => kv += "select_frac" -> (v / 1e6).toString)
         sc("select", "seedkeepmicro").foreach(v =>
           kv += "select_seed_keep" -> (v / 1e6).toString)
-        kv += "scrub_fitted" -> ex(s"$state/scrub/spans/_SUCCESS").toString
-        if (ex(s"$state/scrub/spans.old.tmp/_SUCCESS"))
+        val scrubFit = ex(s"$state/scrub/spans/_SUCCESS")
+        kv += "scrub_fitted" -> scrubFit.toString
+        // interrupted = the state the refusal guard keys on: an aside
+        // generation WITHOUT a live one. A completed swap that crashed
+        // only in its post-commit aside cleanup is healthy, not
+        // interrupted — flagging it would tell the operator to re-run
+        // a refit the model doesn't need
+        if (!scrubFit && ex(s"$state/scrub/spans.old.tmp/_SUCCESS"))
           kv += "scrub_interrupted_refit" -> "true"
         sc("scrub", "chunkwords").foreach(v => kv += "scrub_w" -> v.toString)
         sc("scrub", "mindocs").foreach(v => kv += "scrub_mindocs" -> v.toString)
@@ -2183,7 +2200,7 @@ object Main {
           kv += "mix_alpha" -> (mk("alphamicro") / 1e6).toString
           kv += "mix_tokens" -> (if (mk("bpemode") == 1L) "bpe" else "pre")
         }
-        if (ex(s"$thrDir.old.tmp/$KnobsFile"))
+        if (!mixFit && ex(s"$thrDir.old.tmp/$KnobsFile"))
           kv += "mix_interrupted_refit" -> "true"
         sc("mix", "seedkeepmicro").foreach(v =>
           kv += "mix_seed_keep" -> (v / 1e6).toString)
@@ -2476,21 +2493,41 @@ object Main {
     * this guards WRITER-writer interleaving only. */
   private val LeaseFile = ".lease.txt"
   private val DefaultLeaseTtlMs: Long = 24L * 3600 * 1000
+  /** The acquire returns (path, nonce); release deletes ONLY if the
+    * file still carries this holder's nonce — an over-TTL holder whose
+    * lease was legitimately broken by a newer writer must not, in its
+    * finally block, delete THAT writer's lease and re-open the door. */
   private[graft] def acquireStateLease(spark: org.apache.spark.sql.SparkSession,
                                        state: String, command: String,
-                                       ttlMs: Long): org.apache.hadoop.fs.Path = {
+                                       ttlMs: Long): (org.apache.hadoop.fs.Path, String) = {
     val p = new org.apache.hadoop.fs.Path(s"$state/$LeaseFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nonce = java.util.UUID.randomUUID().toString
+    val content = s"holder=$command pid=${ProcessHandle.current().pid()} " +
+      s"acquired_ms=${System.currentTimeMillis()} nonce=$nonce\n"
     def tryCreate(): Boolean =
       try {
         // parent must exist for create(); mkdirs is idempotent
         fs.mkdirs(p.getParent)
-        val out = fs.create(p, false)
-        try out.write((s"holder=$command pid=${ProcessHandle.current().pid()} " +
-          s"acquired_ms=${System.currentTimeMillis()}\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
+        if ("file" == fs.getUri.getScheme) {
+          // Hadoop's local FS implements create(overwrite=false) as a
+          // non-atomic exists-then-create; java.io.File.createNewFile
+          // is O_CREAT|O_EXCL — the atomic primitive two same-machine
+          // writers actually race on
+          val f = new java.io.File(p.toUri.getPath)
+          if (!f.createNewFile()) false
+          else {
+            val os = new java.io.FileOutputStream(f)
+            try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+            true
+          }
+        } else {
+          val out = fs.create(p, false)
+          try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        }
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
       val (holder, ageMs) =
@@ -2516,11 +2553,22 @@ object Main {
             "interleave frozen-model fits. Wait for it to finish, or if it " +
             s"crashed: delete $p (or pass leasettl=<ms> below its age)")
     }
-    p
+    (p, nonce)
   }
   private[graft] def releaseStateLease(spark: org.apache.spark.sql.SparkSession,
-                                       lease: org.apache.hadoop.fs.Path): Unit =
-    lease.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lease, false)
+                                       lease: (org.apache.hadoop.fs.Path, String)): Unit = {
+    val (p, nonce) = lease
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      if (txt.contains(s"nonce=$nonce")) fs.delete(p, false)
+      else System.err.println(s"[graft] state lease at $p is no longer ours " +
+        "(a newer writer broke a stale lease and holds its own) — leaving it; " +
+        "this run overstayed its leasettl and may have interleaved with that writer")
+    } catch { case _: java.io.IOException => () } // already gone — nothing to release
+  }
 
   /** Frozen-model fit knobs stored INSIDE the data artifact's
     * directory (underscore-prefixed, so parquet discovery ignores it)

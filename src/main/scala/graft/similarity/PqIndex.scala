@@ -181,14 +181,17 @@ class PqIndex(spark: SparkSession, dir: String,
     saveModels(model, coarse, rot)
     if (sq8) {
       // one encode pass feeds both stores (the PQ encode is the
-      // expensive column); the SIDECAR commits first, codes last —
-      // [[isBuilt]] keys on the codes manifest, so no crash point
-      // yields a searchable index whose shortlist candidates lack
-      // their SQ8 rows (the invariant every CDC path below preserves)
+      // expensive column). Ordering on a REBUILD over a live index:
+      // any existing sidecar retires FIRST, then codes, then the new
+      // sidecar — every crash point leaves some codes generation with
+      // either its own tier or NO tier (topKRerankIndexed refuses
+      // loudly), never the OLD searchable codes joined against the
+      // NEW corpus's vectors, which would re-rank silently wrong.
+      if (sqStore.exists) fs.delete(new Path(s"$dir/sq8"), true)
       val enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot).localCheckpoint()
       try {
-        sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
         buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
+        sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
       } finally enc.unpersist()
     } else
       buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse, rot))
@@ -216,11 +219,17 @@ class PqIndex(spark: SparkSession, dir: String,
 
   /** The one CDC-append body [[add]] and [[maintainStream]] share.
     * When the re-rank tier exists, BOTH stores get the delta from one
-    * materialized encode pass, sidecar FIRST: a crash between the two
-    * upserts leaves sidecar rows the codes don't reference yet
-    * (unreachable, and the keyed replay overwrites them) — the
-    * opposite order would leave searchable codes whose candidates
-    * silently vanish from re-ranked results. */
+    * materialized encode pass, sidecar FIRST. Crash between the two
+    * upserts: a BRAND-NEW id leaves an unreachable sidecar row (the
+    * codes never reference it; the keyed replay overwrites it); a
+    * RE-SENT id can briefly hold its new sidecar row against its old
+    * codes row — [[topKRerankIndexed]]'s left-join + stage-1 fallback
+    * keeps such a candidate in results (scored by its PQ cosine when
+    * the sidecar row is cell-displaced), and the at-least-once CDC
+    * contract heals the pair: replaying the interrupted add restores
+    * lockstep. The opposite order would instead leave brand-new
+    * SEARCHABLE codes without any re-rank row — the common case made
+    * worse to soften the rare one. */
   private def addEncoded(vectors: DataFrame, model: Pq.Model,
                          coarse: Similarity.IvfModel,
                          rot: Option[Array[Float]]): Unit =
@@ -456,7 +465,9 @@ class PqIndex(spark: SparkSession, dir: String,
     // checkpoint the candidate ids: they feed the sidecar's bucket
     // probe AND the re-score join — without it stage 1 re-runs per
     // consumer (the cache-identity rule)
-    val cand = shortlist.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val cand = shortlist
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("pq_cosine"))
+      .localCheckpoint()
     // an empty shortlist (or a key×cell prune that touches no files)
     // is an EMPTY RESULT, not an error — the codesTable rule; the
     // full read only supplies the schema (plan-only, never executed)
@@ -465,10 +476,16 @@ class PqIndex(spark: SparkSession, dir: String,
       .getOrElse(sys.error(s"re-rank tier vanished mid-search at $dir/sq8"))
       .select(col("neighbor_id"), col("sq"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val rescored = cand.join(sq, Seq("neighbor_id"))
+    // LEFT join + stage-1 fallback: a candidate whose sidecar row is
+    // missing or cell-displaced (the crash window between a CDC add's
+    // two keyed upserts, healed by replaying the add) keeps its PQ
+    // cosine instead of silently vanishing from results — the tier
+    // can only refine a candidate's score, never lose the candidate
+    val rescored = cand.join(sq, Seq("neighbor_id"), "left")
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", ofExpr(graft.functions.expr.Sq8Cosine(
-        toExpr(col("qv")), toExpr(col("sq")))))
+      .withColumn("cosine", when(col("sq").isNotNull,
+          ofExpr(graft.functions.expr.Sq8Cosine(toExpr(col("qv")), toExpr(col("sq")))))
+        .otherwise(col("pq_cosine")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     Similarity.topkAgg(rescored, topKn)
   }

@@ -106,25 +106,28 @@ object ScaleProbeR12 {
       // filesystem; the caller deletes the source corpus between prep
       // and run to reclaim its bytes), `dag` runs the two batches.
       case "dagprep" =>
-        rm(s"$out/dag")
-        val cap = sys.env.getOrElse("SPARK_GRAFT_DAG_DOCS", "30000000").toLong
-        val docs = spark.read.parquet(s"$dataDir/documents.parquet")
-          .filter(col("doc_id") < cap)
+        val tag = sys.env.getOrElse("SPARK_GRAFT_DAG_OUT", "dag")
+        rm(s"$out/$tag")
+        val cap = sys.env.getOrElse("SPARK_GRAFT_DAG_DOCS", "10000000").toLong
+        val srcD = if (dataDir.endsWith(".parquet")) dataDir
+          else s"$dataDir/documents.parquet"
+        val docs = spark.read.parquet(srcD).filter(col("doc_id") < cap)
         // hold out every 10th block of 1000 ids as the delta —
         // id-disjoint by construction (the CDC contract)
         val isDelta = (col("doc_id") % 10000L) >= 9000L
         timed(s"split seed/delta (cap $cap docs)") {
           docs.filter(!isDelta).write.mode("overwrite")
-            .parquet(s"$out/dag/seed.parquet")
+            .parquet(s"$out/$tag/seed.parquet")
           docs.filter(isDelta).write.mode("overwrite")
-            .parquet(s"$out/dag/delta.parquet")
+            .parquet(s"$out/$tag/delta.parquet")
         }
       case "dag" =>
-        val seedP = s"$out/dag/seed.parquet"
-        val deltaP = s"$out/dag/delta.parquet"
+        val tag = sys.env.getOrElse("SPARK_GRAFT_DAG_OUT", "dag")
+        val seedP = s"$out/$tag/seed.parquet"
+        val deltaP = s"$out/$tag/delta.parquet"
         val steps = "clean,scrub,mix"
-        val common = Seq(s"out=$out/dag/out", s"steps=$steps", "incremental=true",
-          s"state=$out/dag/state", "w=20", "mindocs=100", "budget=200000000")
+        val common = Seq(s"out=$out/$tag/out", s"steps=$steps", "incremental=true",
+          s"state=$out/$tag/state", "w=20", "mindocs=100", "budget=200000000")
         val rSeed = timed(s"DAG seed batch ($steps)")(
           graft.Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$seedP",
             "batch=1") ++ common))
@@ -133,9 +136,9 @@ object ScaleProbeR12 {
           graft.Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$deltaP",
             "batch=2") ++ common))
         println(s"[r12probe] delta: in=${rDelta.rowsIn} out=${rDelta.rowsOut}")
-        println(s"[r12probe] state bytes: sig=${bytesOf(s"$out/dag/state/sig")} " +
-          s"survivors=${bytesOf(s"$out/dag/state/survivors")} " +
-          s"scrub_freq=${bytesOf(s"$out/dag/state/scrub/freq")}")
+        println(s"[r12probe] state bytes: sig=${bytesOf(s"$out/$tag/state/sig")} " +
+          s"survivors=${bytesOf(s"$out/$tag/state/survivors")} " +
+          s"scrub_freq=${bytesOf(s"$out/$tag/state/scrub/freq")}")
 
       // ---- decade probe: trained-BPE pricing scan ----
       // (bpe/lex accept either a ScaleGen dir or a bare docs parquet —
