@@ -358,8 +358,13 @@ object Main {
         val allowedDf = opts.get("allowed").map(p =>
           spark.read.parquet(p).select(col(opts.getOrElse("idcol", "id")).as("id")))
         // rerank=0 means OFF everywhere (the index-recall convention):
-        // it serves the plain probed search, never a zero-width rerank
+        // it serves the plain probed search, never a zero-width rerank.
+        // Negative widths are MEANINGLESS, not off — refuse up front
+        // (the misdirected-knob rule), never silently serve plain
         val rerankW = opts.get("rerank").map(_.toInt)
+        rerankW.foreach(w => require(w >= 0,
+          s"index-search: rerank=$w — a shortlist width cannot be negative " +
+            "(0 = off, N = re-rank N*topk candidates)"))
         val hits = ((opts.get("vectors"), rerankW, allowedDf) match {
           case (Some(vp), rm, a) if rm.forall(_ > 0) =>
             idx.topKRerank(queries, vectors(vp), k, rm.getOrElse(4), a)
@@ -2148,12 +2153,7 @@ object Main {
         // open-then-catch, not exists-then-open: a writer releasing
         // between the two calls must read as free, not crash the
         // report that documents itself safe to run against a leased dir
-        kv += "lease" -> (try {
-            val in = fs0.open(hp(s"$state/$LeaseFile"))
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim
-            finally in.close()
-          } catch { case _: java.io.IOException => "free" })
+        kv += "lease" -> readLeaseText(fs0, hp(s"$state/$LeaseFile")).getOrElse("free")
         kv += "clean_sig_index" -> ex(s"$state/sig").toString
         val decFit = sc("decontaminate", "shinglek")
         kv += "decontaminate_fitted" -> decFit.isDefined.toString
@@ -2533,19 +2533,29 @@ object Main {
       val (holder, ageMs) =
         try {
           val st = fs.getFileStatus(p)
-          val in = fs.open(p)
-          val txt = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
-          (txt, System.currentTimeMillis() - st.getModificationTime)
+          (readLeaseText(fs, p).getOrElse("<holder vanished>"),
+            System.currentTimeMillis() - st.getModificationTime)
         } catch { case _: java.io.IOException => ("<holder vanished>", 0L) }
       if (ttlMs > 0 && ageMs > ttlMs) {
-        System.err.println(s"[graft] $command: state lease at $p is STALE " +
-          s"(${ageMs / 1000} s old > leasettl ${ttlMs / 1000} s; $holder) — " +
-          "breaking it (the holder crashed without releasing)")
-        fs.delete(p, false)
-        require(tryCreate(),
-          s"$command: lost the race re-acquiring the state lease at $p — " +
-            "another writer took it; retry")
+        // break-by-RENAME, not delete: rename(src, dst) fails when src
+        // is already gone, so of two writers that both observed the
+        // stale lease, exactly ONE wins the break — the loser's rename
+        // fails and it refuses, instead of deleting the winner's
+        // freshly created lease (the check-then-act hole a bare
+        // delete leaves open)
+        val tomb = new org.apache.hadoop.fs.Path(s"$state/.lease.broken.$nonce")
+        if (fs.rename(p, tomb)) {
+          System.err.println(s"[graft] $command: state lease at $p was STALE " +
+            s"(${ageMs / 1000} s old > leasettl ${ttlMs / 1000} s; $holder) — " +
+            "broke it (the holder crashed without releasing)")
+          fs.delete(tomb, false)
+          require(tryCreate(),
+            s"$command: lost the race re-acquiring the state lease at $p — " +
+              "another writer took it; retry")
+        } else
+          throw new IllegalArgumentException(
+            s"$command: the stale state lease at $p was broken by another " +
+              "writer first — it now holds the dir; retry later")
       } else
         throw new IllegalArgumentException(
           s"$command: the state dir $state is LEASED by another writer " +
@@ -2555,19 +2565,51 @@ object Main {
     }
     (p, nonce)
   }
+  /** One lease-file reader for the three consumers (acquire's holder
+    * line, release's ownership check, pipeline-stats' report) — None
+    * when the file is gone; other IO errors propagate to the caller's
+    * policy. */
+  private def readLeaseText(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   private[graft] def releaseStateLease(spark: org.apache.spark.sql.SparkSession,
                                        lease: (org.apache.hadoop.fs.Path, String)): Unit = {
     val (p, nonce) = lease
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // release-by-RENAME: take the file aside first (atomic — fails if
+    // a successor already broke and replaced it), verify ownership on
+    // the aside copy, and restore it if it turned out to be someone
+    // else's. A bare read-then-delete leaves a window where a
+    // successor's break lands between the two calls and the delete
+    // removes THEIR lease.
     try {
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      if (txt.contains(s"nonce=$nonce")) fs.delete(p, false)
-      else System.err.println(s"[graft] state lease at $p is no longer ours " +
-        "(a newer writer broke a stale lease and holds its own) — leaving it; " +
-        "this run overstayed its leasettl and may have interleaved with that writer")
-    } catch { case _: java.io.IOException => () } // already gone — nothing to release
+      val aside = new org.apache.hadoop.fs.Path(s"${p}.release.$nonce")
+      if (fs.rename(p, aside)) {
+        if (readLeaseText(fs, aside).exists(_.contains(s"nonce=$nonce")))
+          fs.delete(aside, false) // ours — released
+        else {
+          // not ours: a successor broke our stale lease; give theirs
+          // back (if they re-created meanwhile, leave their new one
+          // and just drop the aside copy)
+          if (!fs.rename(aside, p)) fs.delete(aside, false)
+          System.err.println(s"[graft] state lease at $p was no longer ours " +
+            "(a newer writer broke a stale lease) — restored; this run " +
+            "overstayed its leasettl and may have interleaved with that writer")
+        }
+      } // else: already gone — nothing to release
+    } catch {
+      case e: java.io.IOException =>
+        // a transient release failure must be LOUD: the lease left
+        // behind blocks every later batch until the TTL
+        System.err.println(s"[graft] WARNING: releasing the state lease at $p " +
+          s"failed (${e.getMessage}) — later batches will refuse until it is " +
+          "removed or leasettl expires")
+    }
   }
 
   /** Frozen-model fit knobs stored INSIDE the data artifact's

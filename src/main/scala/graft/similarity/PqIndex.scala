@@ -118,11 +118,12 @@ class PqIndex(spark: SparkSession, dir: String,
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** True iff a COMPLETE build committed: frozen models on disk AND a
-    * committed codes manifest. `models.txt` alone is NOT it — [[build]]
-    * writes the models before the (much longer) full-corpus encode, so
-    * a crash in between leaves models without codes; a caller adopting
-    * that as "built" would CDC-[[add]] onto a store that never saw the
-    * seed corpus and silently lose it. */
+    * committed codes manifest. `models.txt` is [[build]]'s LAST
+    * artifact (staged during the encode, renamed live only after the
+    * codes — and tier — commit), so a crashed build or rebuild is
+    * simply not built: no crash point leaves models paired with a
+    * different generation's codes, and a caller can never CDC-[[add]]
+    * onto a store that never saw its seed corpus. */
   def isBuilt: Boolean = fs.exists(modelPath) && store.exists
 
   /** Fit quantizers on `corpus` (`(id, vec)`), persist them, and
@@ -161,14 +162,6 @@ class PqIndex(spark: SparkSession, dir: String,
         (c, if (buckets > 0) buckets else PqIndex.suggestBuckets(n, c))
       }
     val buildStore = storeWith(bkts)
-    // a rebuild WITHOUT the tier retires any stale sidecar BEFORE the
-    // codes overwrite: a crash in between leaves old codes with no
-    // sidecar (degraded — topKRerankIndexed refuses loudly), never new
-    // codes joined against old vectors (silently wrong re-ranks)
-    if (!sq8 && sqStore.exists) {
-      val sqPath = new Path(s"$dir/sq8")
-      fs.delete(sqPath, true)
-    }
     val (model, coarse, rot) =
       if (opq) {
         val composed = Pq.fitOpqIvfPq(corpus, dim, m, k, cells, seed = seed,
@@ -178,16 +171,27 @@ class PqIndex(spark: SparkSession, dir: String,
         val c = Similarity.ivfFit(corpus, cells, seed, sampleN = coarseFitN)
         (Pq.fitResidual(corpus, c, dim, m, k, seed = seed), c, None)
       }
-    saveModels(model, coarse, rot)
+    // TWO-PHASE rebuild commit. A build writes up to three artifacts
+    // (models, codes, SQ8 tier); no multi-artifact sequence is atomic,
+    // so on a REBUILD over a live index the ordering makes every crash
+    // point land on a LOUDLY-unbuilt index, never a silently
+    // mismatched generation pair (new models × old codes decode to
+    // meaningless cosines with no error anywhere):
+    //   stage models (tmp) → DELETE live models.txt (isBuilt flips
+    //   false — the index is down for the swap; a fresh build was
+    //   never up) → retire a stale tier-less sidecar inside the down
+    //   window → overwrite codes (+ tier) → rename models live (the
+    //   commit; one atomic metadata op).
+    // Rebuild is an operator-scoped stop-the-world for THIS index:
+    // CDC add/remove/serve compose concurrently, a model refresh does
+    // not (the codes store is snapshot-isolated, but models.txt and
+    // the sidecar directory are not versioned with it).
+    val stagedModels = stageModels(model, coarse, rot)
+    if (fs.exists(modelPath)) fs.delete(modelPath, false)
+    if (!sq8 && sqStore.exists) fs.delete(new Path(s"$dir/sq8"), true)
     if (sq8) {
       // one encode pass feeds both stores (the PQ encode is the
-      // expensive column). Ordering on a REBUILD over a live index:
-      // any existing sidecar retires FIRST, then codes, then the new
-      // sidecar — every crash point leaves some codes generation with
-      // either its own tier or NO tier (topKRerankIndexed refuses
-      // loudly), never the OLD searchable codes joined against the
-      // NEW corpus's vectors, which would re-rank silently wrong.
-      if (sqStore.exists) fs.delete(new Path(s"$dir/sq8"), true)
+      // expensive column); both land before the models commit
       val enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot).localCheckpoint()
       try {
         buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
@@ -195,6 +199,7 @@ class PqIndex(spark: SparkSession, dir: String,
       } finally enc.unpersist()
     } else
       buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse, rot))
+    commitModels(stagedModels)
     if (minRecall > 0.0) {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val sample = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("__h"))
@@ -468,12 +473,17 @@ class PqIndex(spark: SparkSession, dir: String,
     val cand = shortlist
       .select(col("query_id"), col("neighbor_id"), col("cosine").as("pq_cosine"))
       .localCheckpoint()
-    // an empty shortlist (or a key×cell prune that touches no files)
-    // is an EMPTY RESULT, not an error — the codesTable rule; the
-    // full read only supplies the schema (plan-only, never executed)
+    // an empty shortlist (or a key×cell prune that touches no files —
+    // including a sidecar whose every row was deleted) is an EMPTY
+    // sidecar side, not an error: the explicit-schema empty frame
+    // keeps the left join (and its stage-1 fallback) well-formed
     val sq = sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells)
-      .orElse(sqStore.read().map(_.limit(0)))
-      .getOrElse(sys.error(s"re-rank tier vanished mid-search at $dir/sq8"))
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("neighbor_id", LongType),
+            StructField("sq", BinaryType))))
+      }
       .select(col("neighbor_id"), col("sq"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     // LEFT join + stage-1 fallback: a candidate whose sidecar row is
@@ -679,8 +689,10 @@ class PqIndex(spark: SparkSession, dir: String,
     }
 
   // models.txt: line-oriented, Float.toString round-trips exactly
-  private def saveModels(model: Pq.Model, coarse: Similarity.IvfModel,
-                         rotation: Option[Array[Float]]): Unit = {
+  /** Stage the frozen models to a temp file (the cheap half of the
+    * two-phase build commit — see [[build]]'s ordering note). */
+  private def stageModels(model: Pq.Model, coarse: Similarity.IvfModel,
+                          rotation: Option[Array[Float]]): Path = {
     val sb = new StringBuilder
     sb.append(s"dim=$dim m=${model.m} k=${model.k} subDim=${model.subDim}\n")
     sb.append("codebooks=").append(model.codebooks.mkString(",")).append('\n')
@@ -689,10 +701,14 @@ class PqIndex(spark: SparkSession, dir: String,
     val tmp = new Path(s"$dir/.tmp-models-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(sb.result().getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(modelPath)) fs.delete(modelPath, false)
+    tmp
+  }
+
+  /** Publish staged models — the build's COMMIT (one atomic rename;
+    * [[isBuilt]] flips true here, after the data artifacts exist). */
+  private def commitModels(tmp: Path): Unit =
     if (!fs.rename(tmp, modelPath))
       throw new java.io.IOException(s"model publish failed for $modelPath")
-  }
 
   private def loadModels(): (Pq.Model, Similarity.IvfModel, Option[Array[Float]]) = {
     require(fs.exists(modelPath), s"no models at $modelPath — build() first")

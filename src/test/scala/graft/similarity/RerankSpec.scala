@@ -118,4 +118,31 @@ class RerankSpec extends SparkSpec {
     idx2.build(corpus)
     assert(!idx2.hasRerankTier, "a tier-less rebuild must retire the sidecar")
   }
+
+  test("SQ8 fallback: a candidate whose sidecar row is a crash artifact keeps its stage-1 PQ score, never vanishes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank_fb").toString
+    val idx = new PqIndex(spark, dir, nCells = nModes, sq8 = true)
+    idx.build(corpus)
+    val queries = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(10).drop("h").cache()
+    queries.count()
+    val plain = idx.topK(queries, 10).cache()
+    plain.count()
+    // simulate the worst crash artifact: EVERY sidecar row missing
+    // (delete through the store's own keyed path — manifest survives,
+    // hasRerankTier stays true). The left-join fallback must degrade
+    // the re-rank to EXACTLY the plain probed search: every candidate
+    // keeps its stage-1 PQ cosine, so the top-10 of the widened
+    // shortlist IS the plain top-10 — an inner join would instead
+    // return zero rows
+    val sqDirect = new graft.sources.SnapshotStore(spark, s"$dir/sq8",
+      key = "neighbor_id", buckets = 32, partitionCol = Some("cell"))
+    sqDirect.delete(corpus.select(col("id").as("neighbor_id")))
+    assert(idx.hasRerankTier, "the emptied sidecar still exists on disk")
+    val degraded = idx.topKRerankIndexed(queries, 10, candMult = 4)
+    assert(degraded.count() == plain.count() && degraded.count() > 0,
+      "the fallback must not lose candidates")
+    assert(degraded.exceptAll(plain).isEmpty && plain.exceptAll(degraded).isEmpty,
+      "with no sidecar rows the re-rank must equal the plain search row for row")
+  }
 }
