@@ -1153,6 +1153,21 @@ class MainSpec extends SparkSpec {
     // and the refit path releases after completing
     Main.runPipeline(spark, Seq("mix-refit", s"state=$base/state", "budget=700"))
     assert(!Files.exists(leasePath))
+    // ownership at release: an overstaying holder whose stale lease a
+    // successor broke and replaced must NOT delete the successor's
+    // lease in its finally — release verifies the nonce and restores
+    val mine = Main.acquireStateLease(spark, s"$base/state", "test-holder", 1000L)
+    java.nio.file.Files.writeString(leasePath,
+      "holder=successor pid=1 acquired_ms=0 nonce=theirs\n")
+    Main.releaseStateLease(spark, mine)
+    assert(Files.exists(leasePath) &&
+      Files.readString(leasePath).contains("nonce=theirs"),
+      "release must leave (restore) a successor's lease untouched")
+    java.nio.file.Files.delete(leasePath)
+    // and releasing one's own lease removes it
+    val own = Main.acquireStateLease(spark, s"$base/state", "test-holder", 1000L)
+    Main.releaseStateLease(spark, own)
+    assert(!Files.exists(leasePath))
   }
 
   test("corpus-pipeline: side-effect stages (pack, shard) refuse to run before a frame-mutating stage") {
