@@ -173,8 +173,15 @@ object Bench {
     // Double.toString, not f"%.2f": the interpolator is locale-aware
     // and a comma-decimal default locale would emit invalid JSON
     def r2(x: Double): Double = math.rint(x * 100) / 100
+    // quiet_host self-annotation: the repo's committed-record protocol
+    // is load_avg_start < 1.5 (PLANS.md) — a record taken on a loaded
+    // host carries its own disqualification instead of relying on a
+    // reader to notice the loadavg fields (the r12 driver record ran
+    // at 2.11 and could be mistaken for canonical)
+    val quiet = loadAtStart >= 0 && loadAtStart < 1.5
     val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
-      s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)}"""
+      s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)},""" +
+      s""""quiet_host":$quiet"""
     // the FULL record (per-query walls + cpu_sec + failures) goes to
     // the file; stdout gets only the summary line — see renderSummaryJson
     Files.writeString(Paths.get("bench_out.json"),

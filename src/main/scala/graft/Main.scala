@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * scheduler surface the reference gives its tag jobs, extended to the
   * data-curation jobs this engine adds:
   * {{{
-  *   runMain graft.Main corpus-clean in=<docs.parquet> index=<dir> out=<dir> batch=<id>
+  *   runMain graft.Main corpus-clean in=<docs.parquet> index=<dir> out=<dir> batch=<id> [scratchcheck=refuse|warn|off]
+  *     # pre-flight disk check: predicted MinHash scratch (2x batch text bytes, the
+  *     # measured PLANS constant) vs local-dir free space — refuse (local mode default)
+  *     # or warn (cluster default) BEFORE the batch dies on ENOSPC hours in
   *   runMain graft.Main index-build  in=<vectors.parquet> index=<dir> [dim=64 m=8 k=16 cells=<n> buckets=<n> opq=true sq8=true]
   *     (cells/buckets default to corpus-sized: ~4·sqrt(n) cells, codes-bytes/64MB-file buckets;
   *      sq8=true writes the in-index re-rank tier — ~dim bytes/vec next to the 8 B codes)
@@ -43,8 +46,11 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main text-index-build|text-index-add|text-index-delete in=<...> index=<dir> [tparts=<n>]
   *     (tparts defaults to corpus-sized: one term partition per ~1M tokens)
   *   runMain graft.Main text-index-search in=<queries.parquet> index=<dir> out=<dir> [topk=10 allowed=<doc_ids.parquet>]
-  *   runMain graft.Main hybrid-search in=<(query_id,qtext,vec).parquet> text-index=<dir> index=<dir> out=<dir> [topk=10 rerank=<candMult> allowed=<doc_ids.parquet>]
-  *     # TextIndex × PqIndex ranks fused by the gate-pinned RRF body; rerank= uses the SQ8 tier
+  *   runMain graft.Main hybrid-search in=<(query_id,qtext,vec).parquet> text-index=<dir> index=<dir> out=<dir> [topk=10 rerank=<candMult> allowed=<doc_ids.parquet> wlex=1.0 wvec=1.0]
+  *     # TextIndex × PqIndex ranks fused by the gate-pinned RRF body; rerank= uses the SQ8 tier.
+  *     # Query VALUES may be null per row (text-only / vector-only rows rank by their present
+  *     # side); wlex=/wvec= are weighted-RRF per-side weights (exactly 0 disables a side and
+  *     # skips its index probe); warm=true caches the SQ8 sidecar across calls in-process
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares> tokens=pre|bpe]
@@ -67,9 +73,12 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main corpus-pipeline in=<delta.parquet> out=<dir> incremental=true state=<dir> batch=<id>
   *                                    [steps=clean,decontaminate,scrub,select,mix,shard,pack ... compactevery=N maxfiles= journalkeep=N
   *                                     leasettl=<ms> driftband=<frac>]
-  *                                    # state/ is guarded by an exclusive-writer lease (.lease.txt): an
-  *                                    # overlapping batch/refit refuses naming the holder; a crashed holder's
-  *                                    # lease breaks after leasettl (default 24h, 0 = manual only).
+  *                                    # state/ (incremental) or out= (full runs) is guarded by an
+  *                                    # exclusive-writer lease (.lease.txt): an overlapping batch/refit/full
+  *                                    # run refuses naming the holder; a crashed holder's lease breaks after
+  *                                    # leasettl (default 24h, 0 = manual only). The holder HEARTBEATS the
+  *                                    # lease at every stage boundary, so the TTL measures inactivity, not
+  *                                    # runtime — an active long batch is never broken mid-run.
   *                                    # driftband= widens/narrows the ±25% advisory drift band
   *                                    # frozen-share mix: the seed batch calibrates per-language keep thresholds
   *                                    # from its supply (budget= alpha= tokens=) and freezes them under state/mix;
@@ -303,7 +312,11 @@ object Main {
       opq = opts.getOrElse("opq", "false").toBoolean,
       buckets = opts.getOrElse("buckets", "0").toInt,
       fitSampleN = opts.getOrElse("fitsample", "0").toInt,
-      sq8 = opts.getOrElse("sq8", "false").toBoolean)
+      sq8 = opts.getOrElse("sq8", "false").toBoolean,
+      // warm=true caches the SQ8 sidecar across re-rank calls WITHIN
+      // this process (manifest-version invalidated) — for the serving
+      // loops; a one-shot CLI call gains nothing
+      warmRerank = opts.getOrElse("warm", "false").toBoolean)
     // tparts absent ⇒ 0 ⇒ TextIndex.build sizes the term layout from
     // the corpus token mass (same fixed-knob hazard as index-build)
     def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,
@@ -314,6 +327,8 @@ object Main {
     command match {
       case "corpus-clean" =>
         val docs = spark.read.parquet(req("in"))
+        cleanScratchPreflight(spark, docs, opts.getOrElse("scratchcheck",
+          if (spark.sparkContext.isLocal) "refuse" else "warn"), "corpus-clean")
         // bandparts: size the GROWING index for its target corpus at
         // creation (SigIndex.suggestBandParts); 0 adopts an existing
         // index's frozen layout — the common reopen case
@@ -440,17 +455,29 @@ object Main {
         done(queries.count(), hits.count())
       // index-served hybrid retrieval: TextIndex ranks × PqIndex
       // ranks, fused by the ONE RRF body the gate form pins
-      // (SimilarityQueries.fuseRrf). in= carries both modalities per
-      // query: (query_id, qtext, vec). rerank=N routes the vector
-      // side through the SQ8 tier; allowed= restricts BOTH sides
+      // (SimilarityQueries.fuseRrf). in= carries both modality COLUMNS
+      // per query — (query_id, qtext, vec) — with null values allowed
+      // (a text-only / vector-only row ranks by its present side
+      // alone). rerank=N routes the vector side through the SQ8 tier;
+      // allowed= restricts BOTH sides; wlex=/wvec= are the
+      // weighted-RRF per-side weights (default 1.0 = the gate
+      // arithmetic; exactly 0 disables a side and skips its probe)
       case "hybrid-search" =>
         val queries = spark.read.parquet(req("in"))
           .select("query_id", "qtext", "vec")
+        val cm = opts.getOrElse("rerank", "0").toInt
+        // same misdirected-knob refusal as index-search: a negative
+        // rerank= would silently serve the plain un-reranked search
+        // (the candMult<=0 path) — the caller typed a knob that can
+        // only mean the two-stage path, so refuse instead of ignoring
+        require(cm >= 0, s"rerank=$cm — pass rerank=N>0 for the SQ8 two-stage " +
+          "path, or omit it (0) for the plain probed search")
         val hits = graft.queries.SimilarityQueries.hybridRrfServed(
             textIndex(req("text-index")), pqIndex(req("index")), queries,
-            opts.getOrElse("topk", "10").toInt,
-            opts.getOrElse("rerank", "0").toInt,
-            opts.get("allowed").map(p => spark.read.parquet(p).select("doc_id")))
+            opts.getOrElse("topk", "10").toInt, cm,
+            opts.get("allowed").map(p => spark.read.parquet(p).select("doc_id")),
+            wLex = opts.getOrElse("wlex", "1.0").toDouble,
+            wVec = opts.getOrElse("wvec", "1.0").toDouble)
           .localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
@@ -831,13 +858,20 @@ object Main {
                 s"reorder steps so $se follows $s")
         }
         // knob refusals above never touch the lease; everything below
-        // this point reads or mutates state/, so an incremental run
-        // holds the exclusive-writer lease for all of it (released on
-        // every exit path, refusals included — a refused batch did no
-        // work and must not wedge the next cron slot)
-        val stateLease = if (incremental) Some(acquireStateLease(spark,
-          stateDir.get, "corpus-pipeline",
-          opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong)) else None
+        // this point mutates either state/ (incremental) or out=
+        // (every run), so the run holds an exclusive-writer lease on
+        // the dir it mutates for all of it (released on every exit
+        // path, refusals included — a refused batch did no work and
+        // must not wedge the next cron slot). The FULL-run out= lease
+        // closes the r12 seam: two concurrent full runs into one out=
+        // previously interleaved stage outputs silently — each stage
+        // write individually atomic, the composition corrupt, exactly
+        // the hazard class the state lease already guarded. An
+        // incremental run leases state= (its out= is per-batch by
+        // convention; state/ is the shared mutable thing).
+        val leaseTtl = opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong
+        val stateLease = Some(acquireStateLease(spark,
+          if (incremental) stateDir.get else base, "corpus-pipeline", leaseTtl))
         try {
         val tIn = System.nanoTime()
         // raw web corpora arrive without a lang column; the langid
@@ -979,6 +1013,11 @@ object Main {
             s"stages ${steps.take(completedPrefix).mkString(",")} from $stagesDir")
         val P = graft.queries.PipelineQueries
         steps.zipWithIndex.foreach { case (step, stepIdx) =>
+          // stage-boundary heartbeat: the lease TTL measures
+          // inactivity, not runtime — a long batch that keeps making
+          // stage progress is never broken mid-run, while a crashed
+          // or hung holder (no touch for a full ttl) still is
+          stateLease.foreach(heartbeatStateLease(spark, _))
           val tStage = System.nanoTime()
           var docs: Option[Long] = None
           var resumed = false
@@ -1008,12 +1047,21 @@ object Main {
             // the CDC clean: dedup the delta against the accumulated
             // signature index (bandparts sizes a NEW index; 0 adopts
             // an existing one's frozen layout — the corpus-clean CLI
-            // contract)
+            // contract). Pre-flight the scratch budget first — the
+            // stage's MinHash state killed two sf1000 DAG attempts on
+            // ENOSPC hours in; `cur` is already cached, so the length
+            // pass is one in-memory agg
+            cleanScratchPreflight(spark, cur, opts.getOrElse("scratchcheck",
+              if (spark.sparkContext.isLocal) "refuse" else "warn"),
+              "corpus-pipeline clean")
             val index = new graft.streaming.SigIndex(spark, s"${stateDir.get}/sig",
               idCol = "doc_id", bandParts = opts.getOrElse("bandparts", "0").toInt)
             docs = Some(advance(P.corpusCleanIncremental(cur, index, batchId.get,
               keepText = true).select("doc_id", "lang", "text")))
           case "clean" =>
+            cleanScratchPreflight(spark, cur, opts.getOrElse("scratchcheck",
+              if (spark.sparkContext.isLocal) "refuse" else "warn"),
+              "corpus-pipeline clean")
             docs = Some(advance(P.corpusCleanDocs(cur).select("doc_id", "lang", "text")))
           // frozen-eval-state CDC decontaminate: the eval set is a
           // FROZEN MODEL like scrub's span table — the seed batch
@@ -2558,10 +2606,11 @@ object Main {
               "writer first — it now holds the dir; retry later")
       } else
         throw new IllegalArgumentException(
-          s"$command: the state dir $state is LEASED by another writer " +
+          s"$command: the dir $state is LEASED by another writer " +
             s"($holder, ${ageMs / 1000} s old) — two concurrent writers would " +
-            "interleave frozen-model fits. Wait for it to finish, or if it " +
-            s"crashed: delete $p (or pass leasettl=<ms> below its age)")
+            "interleave frozen-model fits or stage outputs. Wait for it to " +
+            s"finish, or if it crashed: delete $p (or pass leasettl=<ms> " +
+            "below its age)")
     }
     (p, nonce)
   }
@@ -2581,27 +2630,44 @@ object Main {
                                        lease: (org.apache.hadoop.fs.Path, String)): Unit = {
     val (p, nonce) = lease
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // release-by-RENAME: take the file aside first (atomic — fails if
-    // a successor already broke and replaced it), verify ownership on
-    // the aside copy, and restore it if it turned out to be someone
-    // else's. A bare read-then-delete leaves a window where a
-    // successor's break lands between the two calls and the delete
-    // removes THEIR lease.
+    // Ownership check IN PLACE first, rename-aside only when the
+    // nonce matches: an unconditional rename-aside briefly removes a
+    // SUCCESSOR's lease (rename → check → rename back), and a third
+    // writer acquiring in that window makes the restore rename fail —
+    // successor and third writer would both believe they hold the
+    // dir. Reading first confines the aside dance to leases we
+    // believe are OURS; the post-rename re-verify + restore covers
+    // only the now-tiny read→rename window (a successor breaking our
+    // genuinely-stale lease in that instant), where the restore's
+    // failure mode is benign: the third writer in that scenario broke
+    // a lease that was ALREADY over-TTL, which the release warns
+    // about either way.
     try {
-      val aside = new org.apache.hadoop.fs.Path(s"${p}.release.$nonce")
-      if (fs.rename(p, aside)) {
-        if (readLeaseText(fs, aside).exists(_.contains(s"nonce=$nonce")))
-          fs.delete(aside, false) // ours — released
-        else {
-          // not ours: a successor broke our stale lease; give theirs
-          // back (if they re-created meanwhile, leave their new one
-          // and just drop the aside copy)
-          if (!fs.rename(aside, p)) fs.delete(aside, false)
-          System.err.println(s"[graft] state lease at $p was no longer ours " +
-            "(a newer writer broke a stale lease) — restored; this run " +
+      readLeaseText(fs, p) match {
+        case None => () // already gone — nothing to release
+        case Some(text) if !text.contains(s"nonce=$nonce") =>
+          // a successor broke our stale lease and holds the dir:
+          // theirs, untouched — never taken aside, no removal window
+          System.err.println(s"[graft] state lease at $p is no longer ours " +
+            "(a newer writer broke a stale lease) — left in place; this run " +
             "overstayed its leasettl and may have interleaved with that writer")
-        }
-      } // else: already gone — nothing to release
+        case Some(_) =>
+          val aside = new org.apache.hadoop.fs.Path(s"${p}.release.$nonce")
+          if (fs.rename(p, aside)) {
+            if (readLeaseText(fs, aside).exists(_.contains(s"nonce=$nonce")))
+              fs.delete(aside, false) // ours — released
+            else {
+              // the read→rename window: a successor replaced the file
+              // between our check and the rename; give theirs back
+              // (if they re-created meanwhile, leave their new one
+              // and just drop the aside copy)
+              if (!fs.rename(aside, p)) fs.delete(aside, false)
+              System.err.println(s"[graft] state lease at $p was no longer ours " +
+                "(a newer writer broke a stale lease) — restored; this run " +
+                "overstayed its leasettl and may have interleaved with that writer")
+            }
+          } // else: vanished between read and rename — nothing to release
+      }
     } catch {
       case e: java.io.IOException =>
         // a transient release failure must be LOUD: the lease left
@@ -2609,6 +2675,101 @@ object Main {
         System.err.println(s"[graft] WARNING: releasing the state lease at $p " +
           s"failed (${e.getMessage}) — later batches will refuse until it is " +
           "removed or leasettl expires")
+    }
+  }
+
+  /** Lease HEARTBEAT — refresh the lease file's mtime so the TTL
+    * measures INACTIVITY, not total runtime: without this, an active
+    * holder whose batch legitimately outlives `leasettl=` gets its
+    * lease broken mid-run (the break targets crashed holders; a
+    * heartbeating one is demonstrably alive). Called at every stage
+    * boundary of the pipeline loop — stage walls bound the gap
+    * between touches, so a holder is only breakable after a full
+    * `ttl` with NO stage progress, which is the crashed/hung case the
+    * break exists for. Ownership is checked first (same nonce
+    * discipline as release): if a successor already broke us — a
+    * legacy no-heartbeat overstay, or a genuine hang that outlived
+    * the TTL between stages — we must not touch THEIR file; warn
+    * loudly instead, because the interleave hazard is now live.
+    * Best-effort: an IO failure warns and the run continues (a missed
+    * touch only matters if the run then stalls a whole TTL). */
+  private[graft] def heartbeatStateLease(spark: org.apache.spark.sql.SparkSession,
+                                         lease: (org.apache.hadoop.fs.Path, String)): Unit = {
+    val (p, nonce) = lease
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      readLeaseText(fs, p) match {
+        case Some(text) if text.contains(s"nonce=$nonce") =>
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+        case Some(_) =>
+          System.err.println(s"[graft] WARNING: state lease at $p is no longer " +
+            "ours (a newer writer broke it mid-run) — this run may now be " +
+            "interleaving with that writer; finish or abort deliberately")
+        case None =>
+          System.err.println(s"[graft] WARNING: state lease at $p vanished " +
+            "mid-run — another writer may enter the state dir; finish or " +
+            "abort deliberately")
+      }
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[graft] WARNING: heartbeating the state lease at " +
+          s"$p failed (${e.getMessage}) — the lease ages toward leasettl")
+    }
+  }
+
+  /** The clean stage's measured scratch constant: MinHash state
+    * (numPerm=128 longs/signature, localCheckpoint'd for the band
+    * exchange and the verify join) materializes ≈ 2× the batch's TEXT
+    * bytes of shuffle scratch on the executors' local disks — the
+    * PLANS r12 arithmetic that predicted both observed sf1000 ENOSPC
+    * deaths (45M- and 27M-doc batches on a 52 GB filesystem). */
+  private[graft] val CleanScratchFactor = 2L
+  /** Spec injection point for the free-space probe — production reads
+    * the configured Spark local dirs' usable space. */
+  private[graft] var scratchFreeBytesOverride: Option[Long] = None
+  private def scratchFreeBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    scratchFreeBytesOverride.getOrElse {
+      // where shuffle spill actually lands; summing distinct dirs
+      // over-counts when they share a filesystem — acceptable for a
+      // pre-flight bound (the refusal triggers on the CERTAIN-death
+      // case; a shared-FS overcount only softens it toward the warn)
+      val dirs = spark.conf.getOption("spark.local.dir")
+        .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      dirs.split(",").map(_.trim).filter(_.nonEmpty).distinct
+        .map(d => new java.io.File(d).getUsableSpace).sum
+    }
+  /** Pre-flight disk check for the clean stage — refuse (or warn)
+    * BEFORE the batch dies hours into its shuffle: predicted scratch
+    * is [[CleanScratchFactor]] × the batch's text bytes (one columnar
+    * length pass over a frame the callers have already cached or must
+    * read anyway — trivial next to the MinHash passes it protects).
+    * `mode`: `refuse` throws when predicted > free, `warn` prints,
+    * `off` skips (including the length pass). The default is refuse
+    * in LOCAL mode — where driver-local free space IS the scratch
+    * budget and the r12 probe measured two certain-death batches —
+    * and warn on a cluster, where scratch is distributed across
+    * executor disks the driver cannot see (the check then bounds the
+    * single-worst case, not the real budget). */
+  private[graft] def cleanScratchPreflight(spark: org.apache.spark.sql.SparkSession,
+                                           docs: org.apache.spark.sql.DataFrame,
+                                           mode: String, label: String): Unit = {
+    require(Set("refuse", "warn", "off").contains(mode),
+      s"scratchcheck=$mode — known modes: refuse, warn, off")
+    if (mode != "off") {
+      val textBytes = docs.agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
+        .head().getLong(0)
+      val predicted = CleanScratchFactor * textBytes
+      val free = scratchFreeBytes(spark)
+      if (predicted > free) {
+        val msg = s"$label: the clean stage needs ≈ $predicted bytes of shuffle " +
+          s"scratch (${CleanScratchFactor}x the batch's $textBytes text bytes — " +
+          "the measured MinHash state constant, PLANS r12) but the local dirs " +
+          s"have $free free. The batch would die on ENOSPC mid-shuffle — split " +
+          "it into smaller batches (the remedy), free disk, or pass " +
+          "scratchcheck=warn/off if scratch is distributed across executors"
+        if (mode == "refuse") throw new IllegalArgumentException(msg)
+        else System.err.println(s"[graft] WARNING $msg")
+      }
     }
   }
 

@@ -152,12 +152,17 @@ object SimilarityQueries {
     * `(query_id, doc_id, lrank)` / `(query_id, doc_id, vrank)`;
     * output is the gate contract `(query_id, doc_id, rrf_rank,
     * in_lex, in_vec)` with the FIXED lexical+vector evaluation order
-    * that keeps the double sum bit-reproducible. */
-  private[graft] def fuseRrf(lex: DataFrame, vec: DataFrame, topK: Int): DataFrame = {
+    * that keeps the double sum bit-reproducible. `wLex`/`wVec` are the
+    * weighted-RRF per-side weights (score = wLex/(k0+lrank) +
+    * wVec/(k0+vrank)); both default 1.0, which IS the gate arithmetic
+    * — the oracle-pinned form and the weighted form are one body, the
+    * unweighted call just fixes the weights. */
+  private[graft] def fuseRrf(lex: DataFrame, vec: DataFrame, topK: Int,
+                             wLex: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
-        (coalesce(lit(1.0) / (lit(RrfK0) + col("lrank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(RrfK0) + col("vrank")), lit(0.0))).as("score"),
+        (coalesce(lit(wLex) / (lit(RrfK0) + col("lrank")), lit(0.0)) +
+          coalesce(lit(wVec) / (lit(RrfK0) + col("vrank")), lit(0.0))).as("score"),
         col("lrank").isNotNull.as("in_lex"), col("vrank").isNotNull.as("in_vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
@@ -177,30 +182,64 @@ object SimilarityQueries {
     * corpus-size-independent past the index reads, which is the whole
     * point at 100 TB (the r11 probe measured the composition at 5M
     * docs / 9.4 s for 100 queries; this makes it an API instead of
-    * probe code). `queries` carries BOTH modalities per row:
-    * `(query_id, qtext, vec)` — hybrid fusion is only meaningful when
-    * the two sides answer the same information need. `allowed` (doc
-    * ids) applies to BOTH sides before ranking, so the fused ranks
-    * stay within the filter (the per-side filter contracts). */
+    * probe code). `queries` carries the two modality COLUMNS
+    * `(query_id, qtext, vec)` per row, but each VALUE may be null: a
+    * text-only query row (vec null) ranks by lexical alone, a
+    * vector-only row (qtext null) by the index search alone — the
+    * fusion's full-outer join already composes a missing side, so a
+    * single-modality row is just the degenerate fusion, not an error.
+    * `wLex`/`wVec` are the weighted-RRF dial (default 1.0 = the
+    * gate-pinned unweighted arithmetic); a weight of EXACTLY 0
+    * disables that side — its index is never probed (the probe cost
+    * vanishes with the semantics) and the output equals the other
+    * side's search ranked alone, which is what a zero weight must
+    * mean (scoring the side at 0.0 would instead let its hits pad the
+    * top-k tail). `allowed` (doc ids) applies to BOTH sides before
+    * ranking, so the fused ranks stay within the filter (the per-side
+    * filter contracts). */
   def hybridRrfServed(textIndex: graft.similarity.TextIndex,
                       pqIndex: graft.similarity.PqIndex,
                       queries: DataFrame, topK: Int = K,
                       candMult: Int = 0,
-                      allowed: Option[DataFrame] = None): DataFrame = {
-    val lex = textIndex.search(queries.select(col("query_id"), col("qtext")), topK,
-        allowed = allowed.map(_.select(col("doc_id"))))
-      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
-        col("rank").as("lrank"))
-    val vq = queries.select(col("query_id").as("id"), col("vec"))
-    val allowIds = allowed.map(_.select(col("doc_id").as("id")))
-    val vec0 = (candMult, allowIds) match {
-      case (cm, a) if cm > 0 => pqIndex.topKRerankIndexed(vq, topK, cm, a)
-      case (_, Some(a)) => pqIndex.topK(vq, topK, a)
-      case _ => pqIndex.topK(vq, topK)
+                      allowed: Option[DataFrame] = None,
+                      wLex: Double = 1.0, wVec: Double = 1.0): DataFrame = {
+    require(wLex >= 0 && wVec >= 0,
+      s"hybrid weights must be >= 0: wLex=$wLex wVec=$wVec (a negative weight " +
+        "would rank a side's BEST hits last — no retrieval semantics wants that)")
+    require(wLex > 0 || wVec > 0,
+      "both hybrid weights are 0 — every side disabled; nothing to search")
+    val spark = queries.sparkSession
+    def emptyRanks(rankCol: String): DataFrame = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("doc_id", LongType), StructField(rankCol, IntegerType))))
     }
-    val vec = vec0.select(col("query_id"), col("neighbor_id").as("doc_id"),
-      col("rank").as("vrank"))
-    fuseRrf(lex, vec, topK)
+    // null-modality rows contribute no ranks on that side: filtered
+    // HERE, before the index probes, so a null vec never reaches the
+    // encoder and a null qtext never pollutes the term-probe list
+    val lex = if (wLex == 0) emptyRanks("lrank")
+      else textIndex.search(queries.filter(col("qtext").isNotNull)
+          .select(col("query_id"), col("qtext")), topK,
+          allowed = allowed.map(_.select(col("doc_id"))))
+        .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+          col("rank").as("lrank"))
+    val vec = if (wVec == 0) emptyRanks("vrank")
+      else {
+        val vq = queries.filter(col("vec").isNotNull)
+          .select(col("query_id").as("id"), col("vec"))
+        val allowIds = allowed.map(_.select(col("doc_id").as("id")))
+        val vec0 = (candMult, allowIds) match {
+          case (cm, a) if cm > 0 => pqIndex.topKRerankIndexed(vq, topK, cm, a)
+          case (_, Some(a)) => pqIndex.topK(vq, topK, a)
+          case _ => pqIndex.topK(vq, topK)
+        }
+        // same long cast as the lexical side: the fusion join must
+        // not depend on the caller's integer width for query_id
+        vec0.select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank").as("vrank"))
+      }
+    fuseRrf(lex, vec, topK, wLex, wVec)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -77,11 +77,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * existing sidecar in lockstep with the codes regardless of how this
   * handle was constructed (a handle opened without the flag must not
   * silently let the tier go stale). */
+/** `warmRerank` = true turns on the WARM-SERVING read path for the
+  * SQ8 tier: the sidecar frame is cached (Spark MEMORY_AND_DISK)
+  * across [[topKRerankIndexed]] calls, keyed on the sidecar store's
+  * committed manifest version — a long-lived serving process stops
+  * paying the per-batch pruned sidecar READ that made the r12 SQ8
+  * wall ~2× the exact-rerank wall (the candidates' bytes were re-read
+  * from disk every batch while exact re-rank's caller table sat in
+  * memory). A CDC [[add]]/[[remove]] commits a new manifest version,
+  * which INVALIDATES the cache on the next call (the codes re-read
+  * freshness rule, applied to a cache): served rows always reflect
+  * the store as committed. Off by default — caching a 1e9-vector
+  * sidecar (~dim GB) into a one-shot batch job's memory would be
+  * waste; turn it on in processes that serve many batches against
+  * one index generation. */
 class PqIndex(spark: SparkSession, dir: String,
               dim: Int = 64, m: Int = 8, k: Int = 16,
               nCells: Int = 0, nProbe: Int = 0, seed: Long = 42L,
               opq: Boolean = false, buckets: Int = 0,
-              fitSampleN: Int = 0, sq8: Boolean = false) {
+              fitSampleN: Int = 0, sq8: Boolean = false,
+              warmRerank: Boolean = false) {
 
   private val coarseFitN = if (fitSampleN > 0) fitSampleN else 20000
 
@@ -114,6 +129,34 @@ class PqIndex(spark: SparkSession, dir: String,
     * governs [[build]]). When true, [[topKRerankIndexed]] serves
     * without a caller-side vector table. */
   def hasRerankTier: Boolean = sqStore.exists
+
+  // ---- warm-serving SQ8 cache (see the class scaladoc) ----
+  // (manifest version, cached sidecar frame). The version check costs
+  // one directory listing per query batch — the price of the codes
+  // re-read freshness rule; everything else is an in-memory columnar
+  // read with cell-stat pruning instead of a per-batch file read.
+  private var sqWarmCache: Option[(Long, DataFrame)] = None
+  private def warmSqFrame(): Option[DataFrame] = synchronized {
+    val v = sqStore.versions().lastOption.getOrElse(-1L)
+    sqWarmCache match {
+      case Some((cv, df)) if cv == v => Some(df)
+      case _ =>
+        sqWarmCache.foreach(_._2.unpersist())
+        sqWarmCache = None
+        sqStore.read().map { df0 =>
+          val df = df0.select("neighbor_id", "cell", "sq")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sqWarmCache = Some((v, df))
+          df
+        }
+    }
+  }
+  /** Drop the warm sidecar cache (e.g. before handing the index to
+    * another process; the next warm call re-reads and re-caches). */
+  def releaseWarmCache(): Unit = synchronized {
+    sqWarmCache.foreach(_._2.unpersist())
+    sqWarmCache = None
+  }
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -187,19 +230,29 @@ class PqIndex(spark: SparkSession, dir: String,
     // not (the codes store is snapshot-isolated, but models.txt and
     // the sidecar directory are not versioned with it).
     val stagedModels = stageModels(model, coarse, rot)
-    if (fs.exists(modelPath)) fs.delete(modelPath, false)
-    if (!sq8 && sqStore.exists) fs.delete(new Path(s"$dir/sq8"), true)
-    if (sq8) {
-      // one encode pass feeds both stores (the PQ encode is the
-      // expensive column); both land before the models commit
-      val enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot).localCheckpoint()
-      try {
-        buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
-        sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
-      } finally enc.unpersist()
-    } else
-      buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse, rot))
-    commitModels(stagedModels)
+    try {
+      if (fs.exists(modelPath)) fs.delete(modelPath, false)
+      if (!sq8 && sqStore.exists) fs.delete(new Path(s"$dir/sq8"), true)
+      if (sq8) {
+        // one encode pass feeds both stores (the PQ encode is the
+        // expensive column); both land before the models commit
+        val enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot).localCheckpoint()
+        try {
+          buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
+          sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
+        } finally enc.unpersist()
+      } else
+        buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse, rot))
+      commitModels(stagedModels)
+    } catch {
+      // a failed overwrite (or live-models delete) leaves the index
+      // loudly unbuilt by design — but the staged tmp file has no
+      // other owner and nothing else (vacuum covers only the stores)
+      // would ever reclaim it, so sweep it on the way out
+      case t: Throwable =>
+        try fs.delete(stagedModels, false) catch { case _: java.io.IOException => () }
+        throw t
+    }
     if (minRecall > 0.0) {
       import org.apache.spark.sql.functions.{col, xxhash64}
       val sample = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("__h"))
@@ -476,8 +529,13 @@ class PqIndex(spark: SparkSession, dir: String,
     // an empty shortlist (or a key×cell prune that touches no files —
     // including a sidecar whose every row was deleted) is an EMPTY
     // sidecar side, not an error: the explicit-schema empty frame
-    // keeps the left join (and its stage-1 fallback) well-formed
-    val sq = sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells)
+    // keeps the left join (and its stage-1 fallback) well-formed.
+    // Warm serving swaps the per-batch pruned FILE read for the cached
+    // frame filtered on the probed cells (in-memory columnar stats do
+    // the pruning); the fallback/join semantics are identical
+    val sq = (if (warmRerank)
+        warmSqFrame().map(_.filter(col("cell").isin(cells: _*)))
+      else sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells))
       .getOrElse {
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -205,10 +205,16 @@ class TextIndex(spark: SparkSession, dir: String,
     * r11 sf100 probe measured one unremarkable stopword-bearing query
     * walling at 420 s (~430M scored rows) with both remedies off, and
     * neither defaults on because dropping terms changes ranks. The
-    * guard never changes results; it costs one word-count aggregate
-    * over the ALREADY-PRUNED postings partitions (trivial next to the
-    * join it predicts, and skipped entirely when a remedy knob is
-    * already driving). */
+    * guard never changes results, and (r13) it no longer re-SCANS:
+    * when active, the query terms' postings are localCheckpoint'd
+    * once and BOTH the guard count and the scoring join read the
+    * materialized frame — total I/O is the one pruned scan the search
+    * pays anyway (plus the checkpoint write of the query terms' rows,
+    * small exactly when no term is hot), where the r12 form ran a
+    * second pruned scan as a separate eager job on every default-
+    * config search. When a remedy knob drives (or warnDfFrac=0) the
+    * guard AND the checkpoint are skipped — the latency-sensitive
+    * serve path can opt out completely. */
   def search(queries: DataFrame, topK: Int = 10,
              stoplist: Set[String] = Set.empty,
              maxDfFrac: Double = 0.0,
@@ -229,9 +235,15 @@ class TextIndex(spark: SparkSession, dir: String,
     // an error — the full read supplies the schema (plan only, never
     // executed), exactly as in PqIndex.codesTable
     val full = store.read().getOrElse(sys.error(s"no index built at $dir"))
-    val matched = store.readPartitions(probe).getOrElse(full.limit(0))
+    val matched0 = store.readPartitions(probe).getOrElse(full.limit(0))
       .filter(col("word").isInCollection(qwords.map(_.getString(0)).toSeq))
-    if (stoplist.isEmpty && maxDfFrac == 0.0 && warnDfFrac > 0.0 && n > 0) {
+    val guardOn = stoplist.isEmpty && maxDfFrac == 0.0 && warnDfFrac > 0.0 && n > 0
+    // guard active → materialize the query terms' postings ONCE; the
+    // guard's count and the scoring plan below both read the
+    // checkpoint, so the guard's marginal cost is an in-memory agg,
+    // not a second scan of the probed partitions
+    val matched = if (guardOn) matched0.localCheckpoint() else matched0
+    if (guardOn) {
       val floor = math.max(1L, (warnDfFrac * n).toLong)
       matched.groupBy("word").agg(count(lit(1)).as("qdf"))
         .filter(col("qdf") > lit(floor))

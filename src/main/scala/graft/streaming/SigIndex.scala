@@ -44,7 +44,7 @@ import java.nio.charset.StandardCharsets
   * pass [[SigIndex.suggestBandParts]](expected docs) for the first
   * writer. A 1-doc probe opens ≤ its ~16 band keys' partitions, so
   * the pruned fraction is ~16/bandParts — 64 is right for local/test
-  * corpora; a 1e9-doc deployment wants the 4096 cap (0.4% probes,
+  * corpora; a 1e9-doc deployment wants ~9.5k parts (0.2% probes,
   * ~64 MiB partitions). An EXPLICIT non-zero value that disagrees
   * with the recorded one still refuses loudly: hashing probes with a
   * different modulus than the writer silently misses candidates. */
@@ -122,20 +122,107 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
     bNew.select(hb(col("band"), col("h")).as("hb")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
+  /** Big-delta controls (see [[candidates]]): once a batch's keys
+    * touch at least this fraction of the band layout, the partition
+    * prune has stopped biting and the delta-key bloom prefilter takes
+    * over on the history side. */
+  private val PruneDeadFrac = 0.5
+  /** Bloom FPP for the prefilter — a false positive only reaches the
+    * exact equi-join and dies there, so this buys size, not
+    * correctness (~8.7 bits/key at 0.02). */
+  private val BloomFpp = 0.02
+  /** Reads predicted above this warn loudly with the batch-size rule
+    * (spec injection point; default 1 GiB so sub-scale batches — which
+    * trivially touch every partition of a 64-part test layout — stay
+    * quiet). */
+  private[graft] var warnReadBytesFloor: Long = 1L << 30
+  /** Whether the last [[candidates]] call took the bloom-prefilter
+    * path, and the predicted pruned-read bytes (spec/monitoring). */
+  private[graft] var lastCandidateProbe: (Boolean, Long) = (false, 0L)
+  /** A/B switch for the prefilter (probe/measurement use only — the
+    * production path leaves it on; turning it off reproduces the r12
+    * full-shuffle join on the same data). */
+  private[graft] var bloomPrefilter: Boolean = true
+
   /** Historical candidate pairs for a batch: `(<id>, old_id)` sharing
     * any (band, h) key, this batch's own (replayed) writes excluded.
-    * Opens only the batch keys' band partitions. `bNew` needs
-    * `(<id>, band, h)`. */
-  def candidates(bNew: DataFrame, batchId: Long): DataFrame =
-    bands.readPartitions(partsFor(bNew)) match {
+    * `bNew` needs `(<id>, band, h)`.
+    *
+    * Two prune regimes, chosen per batch:
+    *  - SMALL delta (keys touch < [[PruneDeadFrac]] of the layout):
+    *    opens only the batch keys' band partitions — O(batch keys /
+    *    bandParts) of the store, the design point.
+    *  - BIG delta: a batch with |delta|·bands ≳ bandParts keys hashes
+    *    into EVERY partition, and the r12 sf1000 probe measured
+    *    exactly that (a 1.08M-doc delta's ~16M band keys → full band-
+    *    store read, 0.44 vs 0.12 ms/doc). The columnar READ of the
+    *    touched partitions is then unavoidable without a second
+    *    storage order, but the SHUFFLE of the history side is not: a
+    *    bloom of the batch's (band, h) key hashes (built distributed,
+    *    [[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]])
+    *    prefilters history rows BEFORE the join exchange, so only
+    *    key-colliding rows (+ [[BloomFpp]] false positives, which the
+    *    exact equi-join then discards) are ever shuffled — per-batch
+    *    cost drops to O(delta) + O(history bytes) scan + O(collisions)
+    *    shuffle, instead of shuffling the whole band store. The test
+    *    is Spark's own codegen `BloomFilterMightContain` over
+    *    `xxhash64(band, h)` — both sides hash identically, so the
+    *    filter can only drop rows the join would drop anyway.
+    *    When the predicted read exceeds [[warnReadBytesFloor]] the
+    *    batch also warns, naming the batch-size rule (|delta| ≤
+    *    bandParts/bands keeps the partition prune biting) and the
+    *    layout knob — the operator's dial, since the read cost grows
+    *    with corpus age while everything else stays delta-shaped. */
+  def candidates(bNew: DataFrame, batchId: Long): DataFrame = {
+    val keyed = bNew.groupBy(hb(col("band"), col("h")).as("hb"))
+      .agg(count(lit(1)).as("n")).collect()
+    val parts = keyed.map(_.getInt(0)).toSeq.sorted
+    val nKeys = keyed.map(_.getLong(1)).sum
+    bands.readPartitions(parts) match {
       case None => bNew.select(col(idCol), col(idCol).as("old_id")).limit(0)
       case Some(hist0) =>
-        val hist = excludeBatch(hist0, batchId)
+        val hist1 = excludeBatch(hist0, batchId)
+        val pruneDead = bloomPrefilter &&
+          parts.size >= math.max(1.0, resolvedBandParts * PruneDeadFrac)
+        val hist = if (!pruneDead) { lastCandidateProbe = (false, 0L); hist1 }
+        else {
+          // manifest paths are store-relative (the readFiles contract)
+          val files = bands.filesForPartitions(parts)
+          val readBytes = files.map { f =>
+            val p = new Path(s"$dir/bands/$f")
+            try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getFileStatus(p).getLen
+            catch { case _: java.io.IOException | _: java.io.FileNotFoundException => 0L }
+          }.sum
+          lastCandidateProbe = (true, readBytes)
+          if (readBytes > warnReadBytesFloor)
+            System.err.println(s"[graft] SigIndex.candidates WARNING: this " +
+              s"batch's $nKeys band keys touch ${parts.size} of " +
+              s"$resolvedBandParts band partitions — the partition prune is " +
+              s"dead and the history probe will READ ~$readBytes bytes of " +
+              "signature state (columnar, never text). Only key-colliding " +
+              "rows are shuffled (delta-key bloom prefilter), but the read " +
+              "grows with corpus age: size batches so |delta| <= " +
+              s"bandParts/bands (~${resolvedBandParts / 16} docs here) to " +
+              "keep the prune biting, or create the NEXT index with " +
+              "bandParts=SigIndex.suggestBandParts(target docs)")
+          val bloom = bNew.select(xxhash64(col("band"), col("h")).as("hk"))
+            .stat.bloomFilter("hk", math.max(nKeys, 1L), BloomFpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
+          hist1.filter(ofExpr(
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+              toExpr(xxhash64(col("band"), col("h"))))))
+        }
         bNew.join(hist.select(col(idCol).as("old_id"), col("band"), col("h")),
             Seq("band", "h"))
           .filter(col("old_id") =!= col(idCol))
           .select(idCol, "old_id").distinct()
     }
+  }
 
   /** Signatures of candidate old ids as `(old_id, old_sig)` — reads
     * only the ids' key buckets. */
@@ -192,12 +279,22 @@ object SigIndex {
   /** Band-partition guideline for a GROWING index, sized for the
     * TARGET corpus (the layout freezes at the first write): ~16 band
     * rows of ~40 B per doc, one partition per 64 MiB of band rows —
-    * floor 64 (the local/test default), cap 4096 (driver bookkeeping;
-    * at the cap a 1-doc probe still reads ≤16/4096 ≈ 0.4% of the
-    * store). 1e9 docs ⇒ 4096; 500k docs (sf10) ⇒ 64. */
+    * floor 64 (the local/test default), cap 65536. The r12 cap of
+    * 4096 ("driver bookkeeping") under-partitioned at a billion docs:
+    * 1e9 docs is ~640 GB of band rows — 4096 parts made each 156 MiB
+    * and, worse, let a 256k-doc nightly delta (4M band keys) touch
+    * every partition. Corpus-sizing the cap keeps partitions at the
+    * 64 MiB design point (1e9 docs ⇒ ~9.5k parts) and raises the
+    * delta size at which the partition prune dies to bandParts/bands
+    * docs (~600k at 1e9); the driver bookkeeping is a Seq[Int] of
+    * partition ids and a manifest entry per partition — 65536 of
+    * either is noise. Past the point where the prune still dies
+    * (deltas of millions of docs), [[SigIndex.candidates]]'s bloom
+    * prefilter bounds the SHUFFLE and the read cost is the honest
+    * O(history signature bytes) floor. */
   def suggestBandParts(expectedDocs: Long, bandsPerDoc: Int = 16,
                        bytesPerBandRow: Long = 40L): Int = {
     val bytes = expectedDocs * bandsPerDoc * bytesPerBandRow
-    math.max(64L, math.min(math.ceil(bytes.toDouble / (64L << 20)).toLong, 4096L)).toInt
+    math.max(64L, math.min(math.ceil(bytes.toDouble / (64L << 20)).toLong, 65536L)).toInt
   }
 }

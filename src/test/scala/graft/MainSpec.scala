@@ -1170,6 +1170,103 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(leasePath))
   }
 
+  test("lease heartbeat: an active holder that heartbeats past the TTL is not broken; a crashed one still is") {
+    val base = Files.createTempDirectory("graft_main_hb").toString
+    val leasePath = java.nio.file.Paths.get(s"$base/state/.lease.txt")
+    def ageLease(ms: Long): Unit = java.nio.file.Files.setLastModifiedTime(leasePath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ms))
+    val holder = Main.acquireStateLease(spark, s"$base/state", "hb-holder", 60000L)
+    // the holder runs long: its lease ages past any reasonable TTL,
+    // but a stage-boundary heartbeat refreshes the mtime — a second
+    // writer with ttl=30s must REFUSE (the holder is demonstrably
+    // alive), where the r12 design broke it mid-run
+    ageLease(3600L * 1000)
+    Main.heartbeatStateLease(spark, holder)
+    val e = intercept[IllegalArgumentException](
+      Main.acquireStateLease(spark, s"$base/state", "second", 30000L))
+    assert(e.getMessage.contains("LEASED"), e.getMessage)
+    // a holder that STOPS heartbeating (crashed/hung) is still broken
+    // after a full TTL of silence — the break path heartbeats protect
+    // active holders, not dead ones
+    ageLease(3600L * 1000)
+    val second = Main.acquireStateLease(spark, s"$base/state", "second", 30000L)
+    assert(Files.readString(leasePath).contains(s"nonce=${second._2}"),
+      "the silent holder's lease must be broken and replaced")
+    // the broken original heartbeats into the successor's lease: it
+    // must NOT touch their file (ownership nonce), only warn
+    val mtime = java.nio.file.Files.getLastModifiedTime(leasePath)
+    Main.heartbeatStateLease(spark, holder)
+    assert(Files.readString(leasePath).contains(s"nonce=${second._2}") &&
+      java.nio.file.Files.getLastModifiedTime(leasePath) == mtime,
+      "a broken holder's heartbeat must leave the successor's lease untouched")
+    Main.releaseStateLease(spark, second)
+    assert(!Files.exists(leasePath))
+  }
+
+  test("full-run output lease: a second full run into the same out= refuses naming the holder; completed runs leave none") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_outlease").toString
+    val words = (1 to 60)
+      .map(j => s"tok${('a' + j / 26).toChar}${('a' + j % 26).toChar}").mkString(" ")
+    (0L until 10L).map(i => (i, "en", words))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/in.parquet")
+    def runFull() = Main.runPipeline(spark, Seq("corpus-pipeline",
+      s"in=$base/in.parquet", s"out=$base/out", "steps=scrub,select"))
+    val leasePath = java.nio.file.Paths.get(s"$base/out/.lease.txt")
+    // the deterministic race: a concurrent full run holds the out=
+    // lease — the second writer refuses loudly instead of silently
+    // interleaving stage outputs (the r12 seam: Main gated the lease
+    // on incremental=, so two full runs into one out= interleaved)
+    java.nio.file.Files.createDirectories(leasePath.getParent)
+    Files.writeString(leasePath,
+      "holder=corpus-pipeline pid=4242 acquired_ms=0 nonce=other\n")
+    val e = intercept[IllegalArgumentException](runFull())
+    assert(e.getMessage.contains("LEASED") && e.getMessage.contains("pid=4242"),
+      e.getMessage)
+    assert(Files.exists(leasePath), "a refused full run must not steal the lease")
+    java.nio.file.Files.delete(leasePath)
+    // a completed full run releases on the way out
+    runFull()
+    assert(!Files.exists(leasePath), "a completed full run must release its out= lease")
+  }
+
+  test("clean pre-flight scratch check: predicted scratch above free space refuses naming the remedy; warn mode and roomy disks proceed") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_scratch").toString
+    val text = (1 to 80).map(j => s"w${j % 13}x$j").mkString(" ")
+    (0L until 20L).map(i => (i, "en", text))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/in.parquet")
+    def runClean(extra: String*) = Main.runPipeline(spark, Seq("corpus-clean",
+      s"in=$base/in.parquet", s"index=$base/sig", s"out=$base/clean",
+      "batch=1") ++ extra)
+    // injected free-space probe: 10 bytes free vs KBs of predicted
+    // scratch — the batch would die on ENOSPC mid-shuffle; it must
+    // refuse UP FRONT, naming the batch-size remedy and the knob
+    Main.scratchFreeBytesOverride = Some(10L)
+    try {
+      val e = intercept[IllegalArgumentException](runClean())
+      assert(e.getMessage.contains("ENOSPC") && e.getMessage.contains("batches") &&
+        e.getMessage.contains("scratchcheck"), e.getMessage)
+      // the DAG's clean stage (one-shot form) runs the same pre-flight
+      val eDag = intercept[IllegalArgumentException](Main.runPipeline(spark,
+        Seq("corpus-pipeline", s"in=$base/in.parquet", s"out=$base/out",
+          "steps=clean")))
+      assert(eDag.getMessage.contains("ENOSPC"), eDag.getMessage)
+      // scratchcheck=warn downgrades to a loud warning and proceeds
+      val r = runClean("scratchcheck=warn")
+      assert(r.rowsOut > 0, s"warn mode must still run the batch: $r")
+    } finally Main.scratchFreeBytesOverride = None
+    // a roomy filesystem (the real probe) passes the default refuse mode
+    val r2 = Main.runPipeline(spark, Seq("corpus-clean",
+      s"in=$base/in.parquet", s"index=$base/sig2", s"out=$base/clean2", "batch=1"))
+    assert(r2.rowsOut > 0)
+    // an unknown mode refuses up front
+    val eBad = intercept[IllegalArgumentException](runClean("scratchcheck=maybe"))
+    assert(eBad.getMessage.contains("scratchcheck=maybe"), eBad.getMessage)
+  }
+
   test("corpus-pipeline: side-effect stages (pack, shard) refuse to run before a frame-mutating stage") {
     val s = spark
     import s.implicits._

@@ -111,5 +111,98 @@ class HybridServedSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$base/hits")
       .select("query_id", "doc_id", "rrf_rank", "in_lex", "in_vec")) == rows(gate),
       "the CLI must serve the same fused ranks")
+
+    // a negative rerank= must refuse (the index-search misdirected-
+    // knob rule, applied to hybrid-search too): silently serving the
+    // plain search would contradict the knob the caller typed
+    val bad = intercept[Exception] {
+      graft.Main.runPipeline(spark, Seq("hybrid-search",
+        s"in=$base/q.parquet", s"text-index=$base/tidx", s"index=$base/pidx",
+        s"out=$base/hits_bad", "topk=5", "rerank=-1", s"dim=$dim", "m=4", "k=8"))
+    }
+    assert(bad.getMessage.contains("rerank"), bad.getMessage)
+  }
+
+  test("single-modality query rows: a text-only row ranks by lexical alone, a vector-only row by the index alone") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hybrid_mod").toString
+    val tidx = new TextIndex(spark, s"$base/tidx", termParts = 8)
+    tidx.build(docs)
+    val pidx = new PqIndex(spark, s"$base/pidx", dim = dim, m = 4, k = 8,
+      nCells = 2, nProbe = 2, sq8 = true)
+    pidx.build(vecs)
+    val k = 5
+    // 2001 text-only (vec null), 2002 vector-only (qtext null)
+    val nullVec: Array[Float] = null
+    val queries = Seq(
+      (2001L, "alpha crane", nullVec),
+      (2002L, null.asInstanceOf[String], planted(1.0, 1)))
+      .toDF("query_id", "qtext", "vec")
+    val served = graft.queries.SimilarityQueries.hybridRrfServed(
+      tidx, pidx, queries, k, candMult = 4)
+    val byQ = served.collect().groupBy(_.getLong(0))
+    // text-only: every hit is lexical, none vector, and the ranks are
+    // the TextIndex ranks alone
+    val lexAlone = tidx.search(Seq(2001 -> "alpha crane"), k)
+      .select(col("doc_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val q1 = byQ(2001L).map(r => (r.getLong(1), r.getInt(2),
+      r.getBoolean(3), r.getBoolean(4))).sortBy(_._2).toSeq
+    assert(q1.forall(t => t._3 && !t._4), s"text-only row must fuse lexical-only: $q1")
+    assert(q1.map(t => (t._1, t._2)).sorted == lexAlone,
+      s"text-only fused ranks must equal the lexical ranks alone:\n$q1\n$lexAlone")
+    // vector-only: every hit from the index side
+    val q2 = byQ(2002L).map(r => (r.getLong(1), r.getInt(2),
+      r.getBoolean(3), r.getBoolean(4))).sortBy(_._2).toSeq
+    assert(q2.nonEmpty && q2.forall(t => !t._3 && t._4),
+      s"vector-only row must fuse vector-only: $q2")
+  }
+
+  test("weighted RRF: weight 0 disables a side (equals the single-side search); negative weights refuse") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hybrid_w").toString
+    val tidx = new TextIndex(spark, s"$base/tidx", termParts = 8)
+    tidx.build(docs)
+    val pidx = new PqIndex(spark, s"$base/pidx", dim = dim, m = 4, k = 8,
+      nCells = 2, nProbe = 2, sq8 = true)
+    pidx.build(vecs)
+    val k = 5
+    val queries = querySet.toDF("query_id", "qtext")
+      .join(queryVecs.withColumnRenamed("id", "query_id"), Seq("query_id"))
+    // wVec=0: output == the lexical search ranked alone, and the
+    // vector index is never probed (in_vec all false)
+    val lexOnly = graft.queries.SimilarityQueries.hybridRrfServed(
+      tidx, pidx, queries, k, candMult = 4, wVec = 0.0)
+    val lexGate = tidx.search(queries.select(col("query_id"), col("qtext")), k)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val got = lexOnly.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(got == lexGate, s"wVec=0 must equal the lexical search alone:\n$got\n$lexGate")
+    assert(lexOnly.collect().forall(!_.getBoolean(4)), "wVec=0 must probe no vectors")
+    // wLex=0 mirrors: equals the SQ8-tier vector search ranked alone
+    val vecOnly = graft.queries.SimilarityQueries.hybridRrfServed(
+      tidx, pidx, queries, k, candMult = 4, wLex = 0.0)
+    val vecGate = pidx.topKRerankIndexed(
+        queries.select(col("query_id").cast("long").as("id"), col("vec")), k, 4)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val gotV = vecOnly.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(gotV == vecGate, s"wLex=0 must equal the vector search alone:\n$gotV\n$vecGate")
+    // a non-trivial weight changes fusion deterministically: with the
+    // lexical side weighted up, a lexical-rank-1 doc must outrank a
+    // vector-rank-1-only doc for query 1
+    val weighted = graft.queries.SimilarityQueries.hybridRrfServed(
+      tidx, pidx, queries, k, candMult = 4, wLex = 10.0, wVec = 1.0)
+    val q1 = weighted.filter(col("query_id") === 1001L)
+      .orderBy("rrf_rank").collect()
+    assert(q1.head.getBoolean(3), s"wLex=10 must put a lexical hit at rank 1: ${q1.toSeq}")
+    // refusals: negative weight, both-zero
+    assert(intercept[IllegalArgumentException] {
+      graft.queries.SimilarityQueries.hybridRrfServed(tidx, pidx, queries, k, wLex = -1.0)
+    }.getMessage.contains("weights"))
+    assert(intercept[IllegalArgumentException] {
+      graft.queries.SimilarityQueries.hybridRrfServed(
+        tidx, pidx, queries, k, wLex = 0.0, wVec = 0.0)
+    }.getMessage.contains("0"))
   }
 }

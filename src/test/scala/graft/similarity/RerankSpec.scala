@@ -119,6 +119,40 @@ class RerankSpec extends SparkSpec {
     assert(!idx2.hasRerankTier, "a tier-less rebuild must retire the sidecar")
   }
 
+  test("warm SQ8 serving: the cached sidecar serves identical rows; a CDC add/remove invalidates the cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank_warm").toString
+    val idx = new PqIndex(spark, dir, nCells = nModes, sq8 = true)
+    idx.build(corpus)
+    // a SEPARATE warm handle: the cache must key on the STORE's
+    // committed version, not on which handle wrote
+    val warm = new PqIndex(spark, dir, nCells = nModes, sq8 = true, warmRerank = true)
+    val queries = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(10).drop("h").cache()
+    queries.count()
+    val cover = perMode / 10
+    def rows(i: PqIndex) = i.topKRerankIndexed(queries, 10, cover)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cold = rows(idx)
+    assert(rows(warm) == cold, "warm serving must change the read path, not the rows")
+    // second call: a cache HIT (same version) — still identical
+    assert(rows(warm) == cold)
+    // CDC add commits a new sidecar version: the warm handle must
+    // invalidate and serve the added vector (the freshness rule)
+    val probe = corpus.filter(col("id") === 0L).cache()
+    val dupId = 888888L
+    idx.add(probe.select(lit(dupId).as("id"), col("vec")))
+    def warmHits(): Set[Long] = warm.topKRerankIndexed(probe, 10, cover)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(warmHits().contains(dupId),
+      "a CDC add must invalidate the warm cache — served rows reflect the add")
+    // and a remove invalidates again
+    assert(idx.remove(probe.select(lit(dupId).as("id"))) == 1L)
+    assert(!warmHits().contains(dupId),
+      "a takedown must invalidate the warm cache — removed rows stop serving")
+    warm.releaseWarmCache()
+  }
+
   test("SQ8 fallback: a candidate whose sidecar row is a crash artifact keeps its stage-1 PQ score, never vanishes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rerank_fb").toString
     val idx = new PqIndex(spark, dir, nCells = nModes, sq8 = true)

@@ -322,13 +322,77 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!survivors.contains(99L),
       "a duplicate of indexed history must be caught through the adopted layout")
-    // growing-store guideline: floor for local corpora, capped at scale
+    // growing-store guideline: floor for local corpora, corpus-sized
+    // at scale (r13 raised the cap 4096 → 65536 so partitions stay at
+    // the 64 MiB design point to a billion docs and beyond)
     import graft.streaming.{SigIndex => SI}
     assert(SI.suggestBandParts(500000) == 64)            // sf10 ⇒ the local default
-    assert(SI.suggestBandParts(1000000000L) == 4096)     // 1e9 docs ⇒ the cap
+    assert(SI.suggestBandParts(1000000000L) == 9537,     // 1e9 docs ⇒ 64 MiB parts
+      s"1e9 docs: ${SI.suggestBandParts(1000000000L)}")
+    assert(SI.suggestBandParts(100000000000L) == 65536)  // 1e11 docs ⇒ the cap
     val pts = Seq(1L, 1000000L, 100000000L, 1000000000L)
     val got = pts.map(SI.suggestBandParts(_))
     assert(got == got.sorted, s"must be monotone in expected docs, got $got")
+  }
+
+  test("big-delta band probe: the bloom-prefilter path returns exactly the naive join's candidates; the read warning names the batch-size rule") {
+    val s = spark
+    import s.implicits._
+    import graft.dedup.Dedup
+    val base = java.nio.file.Files.createTempDirectory("graft_sigbloom").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    // 7 distinct texts recycled across ids: cross-batch near-dups exist
+    def doc(i: Long) = (i, (1 to 20).map(w => s"t${i % 7}_w$w").mkString(" "))
+    val hist = (0L until 30L).map(doc).toDF("doc_id", "text")
+    Streaming.dedupNearBatch(hist, index, "text", "doc_id", 0.8, 128, 16, 3, batchId = 0)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 128).as("sig"))
+      .withColumn("bh", Dedup.bandHashes(col("sig"), 16, 8))
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    // a BIG batch: 25 docs / 7 texts ⇒ ~112 distinct band keys touch
+    // well over half the 64-part layout — the partition prune is dead
+    // and candidates() must switch to the bloom-prefilter path
+    val bNewBig = bandsOf((100L until 125L).map(doc).toDF("doc_id", "text"))
+      .localCheckpoint()
+    val got = index.candidates(bNewBig, batchId = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(index.lastCandidateProbe._1,
+      "a batch whose keys cover the layout must take the bloom path")
+    assert(index.lastCandidateProbe._2 > 0, "predicted read bytes must be real")
+    // ground truth: the plain equi-join against the FULL band store
+    // (no partition prune, no bloom) — the prefilter may only remove
+    // rows the join would drop anyway, so the candidate sets are EQUAL
+    val full = index.bands.read().get
+      .filter(col("batch_id").isNull || col("batch_id") =!= lit(1L))
+    val expected = bNewBig
+      .join(full.select(col("doc_id").as("old_id"), col("band"), col("h")),
+        Seq("band", "h"))
+      .filter(col("old_id") =!= col("doc_id"))
+      .select("doc_id", "old_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "vacuous fixture: no cross-batch collisions")
+    assert(got == expected,
+      s"bloom path must equal the naive join:\ngot $got\nexpected $expected")
+    // a SMALL batch (1 doc, ≤16 keys) keeps the pruned fast path
+    index.candidates(bandsOf(Seq(doc(200L)).toDF("doc_id", "text")), 2L).count()
+    assert(!index.lastCandidateProbe._1, "a small batch must keep the partition prune")
+    // the warning is byte-floored: silent at test scale, loud (naming
+    // the batch-size rule and the layout knob) when the predicted
+    // read crosses the floor
+    def stderrOf(body: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      try body finally System.setErr(old)
+      buf.toString
+    }
+    assert(!stderrOf(index.candidates(bNewBig, 1L).count()).contains("WARNING"),
+      "a KB-scale read must not warn (1 GiB floor)")
+    index.warnReadBytesFloor = 0L
+    val warned = stderrOf(index.candidates(bNewBig, 1L).count())
+    assert(warned.contains("bandParts/bands") && warned.contains("suggestBandParts"),
+      warned)
   }
 
   test("near-dup stream with compactEvery bounds the index's live files, same survivors") {
