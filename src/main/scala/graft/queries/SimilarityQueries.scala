@@ -251,7 +251,9 @@ object SimilarityQueries {
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_opq_ivfpq_topk" -> (annOpqIvfPqTopk _),
     "knn_label_vote" -> (knnLabelVote _),
-    "search_hybrid_rrf" -> ((s: SparkSession, d: String) => searchHybridRrf(s, d)))
+    "search_hybrid_rrf" -> ((s: SparkSession, d: String) => searchHybridRrf(s, d)),
+    "search_hybrid_rrf_weighted" ->
+      ((s: SparkSession, d: String) => searchHybridRrfWeighted(s, d)))
 
   /** Left-fold cosine identical to VectorFunctions.dot/norm (see
     * DedupQueries for the list_reduce rationale). */
@@ -323,7 +325,35 @@ object SimilarityQueries {
     * the fusion terms are CAST(1 AS DOUBLE) divisions in the same
     * fixed lexical+vector order as the Spark expression (a bare `1.0`
     * would be DECIMAL in DuckDB and round differently). */
-  private def hybridRrfOracleSql: String = {
+  /** The weighted gate twin's fixed weights — EXACT binary doubles
+    * (2.0, 0.5) so the weighted score arithmetic is bit-identical
+    * across engines, like the unweighted form's implicit 1.0s. */
+  private[graft] val WLexGate = 2.0
+  private[graft] val WVecGate = 0.5
+
+  /** [[searchHybridRrf]] through the SAME fuseRrf body at the gate's
+    * fixed weights — the oracle-pinned form of weighted RRF (the
+    * serving API exposes the weights as [[hybridRrfServed]] params;
+    * this pins the arithmetic they share). */
+  def searchHybridRrfWeighted(spark: SparkSession, dir: String,
+                              topK: Int = K): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lex = TextQueries.bm25Search(docs, TextQueries.Bm25QuerySet, topK)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
+        col("rank").as("lrank"))
+    val qids = TextQueries.Bm25QuerySet.map(_._1.toLong)
+    val qv = embs(spark, dir).filter(col("vec_id").isInCollection(qids))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val vec = Similarity.bruteForceTopK(qv, asIdVec(embs(spark, dir)), topK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    fuseRrf(lex, vec, topK, WLexGate, WVecGate)
+  }
+
+  /** One oracle generator for both hybrid gate forms: `wl`/`wv` are
+    * SQL literals spliced into the fusion terms ("1" reproduces the
+    * unweighted r12 oracle text exactly). */
+  private def hybridRrfOracleSql(wl: String = "1", wv: String = "1"): String = {
     val qids = TextQueries.Bm25QuerySet.map(_._1).mkString(", ")
     s"""WITH lex AS (
        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank AS lrank
@@ -341,8 +371,8 @@ object SimilarityQueries {
        |f AS (
        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
        |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
-       |         COALESCE(CAST(1 AS DOUBLE) / ($RrfK0 + l.lrank), 0)
-       |           + COALESCE(CAST(1 AS DOUBLE) / ($RrfK0 + v.vrank), 0) AS score,
+       |         COALESCE(CAST($wl AS DOUBLE) / ($RrfK0 + l.lrank), 0)
+       |           + COALESCE(CAST($wv AS DOUBLE) / ($RrfK0 + v.vrank), 0) AS score,
        |         l.lrank IS NOT NULL AS in_lex, v.vrank IS NOT NULL AS in_vec
        |  FROM lex l FULL OUTER JOIN vec v
        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
@@ -357,7 +387,8 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "ann_bruteforce_topk" -> knnSql,
     "ann_lsh_topk" -> lshOracleSql,
-    "search_hybrid_rrf" -> hybridRrfOracleSql,
+    "search_hybrid_rrf" -> hybridRrfOracleSql(),
+    "search_hybrid_rrf_weighted" -> hybridRrfOracleSql("2.0", "0.5"),
     "knn_label_vote" ->
       s"""WITH nn AS ($knnSql),
          |votes AS (

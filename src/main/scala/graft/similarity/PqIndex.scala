@@ -531,10 +531,19 @@ class PqIndex(spark: SparkSession, dir: String,
     // sidecar side, not an error: the explicit-schema empty frame
     // keeps the left join (and its stage-1 fallback) well-formed.
     // Warm serving swaps the per-batch pruned FILE read for the cached
-    // frame filtered on the probed cells (in-memory columnar stats do
-    // the pruning); the fallback/join semantics are identical
-    val sq = (if (warmRerank)
-        warmSqFrame().map(_.filter(col("cell").isin(cells: _*)))
+    // frame; the fallback/join semantics are identical. The cell
+    // filter is applied only while it PRUNES (a small batch probes few
+    // cells and the in-memory batch stats skip most of the cache) — a
+    // batch whose probes cover the layout gets the bare cached frame,
+    // where the candidate join itself is the prune and an InSet over
+    // every row would be pure overhead
+    val sq = (if (warmRerank) {
+        val cellSet = cells.distinct
+        warmSqFrame().map(df =>
+          if (cellSet.size * 2 < coarse.nCells)
+            df.filter(col("cell").isin(cellSet: _*))
+          else df)
+      }
       else sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells))
       .getOrElse {
         import org.apache.spark.sql.types._

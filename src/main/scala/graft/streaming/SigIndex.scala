@@ -136,19 +136,29 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
     * trivially touch every partition of a 64-part test layout — stay
     * quiet). */
   private[graft] var warnReadBytesFloor: Long = 1L << 30
-  /** Whether the last [[candidates]] call took the bloom-prefilter
-    * path, and the predicted pruned-read bytes (spec/monitoring). */
+  /** Whether the last [[candidates]] call found the partition prune
+    * dead, and the predicted read bytes of the touched partitions
+    * (spec/monitoring). */
   private[graft] var lastCandidateProbe: (Boolean, Long) = (false, 0L)
-  /** A/B switch for the prefilter (probe/measurement use only — the
-    * production path leaves it on; turning it off reproduces the r12
-    * full-shuffle join on the same data). */
-  private[graft] var bloomPrefilter: Boolean = true
+  /** Opt-in delta-key bloom prefilter on the history side of a
+    * prune-dead probe. MEASURED OFF by default: at 45M history band
+    * rows on local[32] the bloom lost ~2× to the plain equi-join
+    * (PLANS r13 A/B — build 4-16 s for an 8 MB bloom over 12.8M
+    * delta keys, plus ~6 random probes/row thrashing the shared L3
+    * across 32 threads), because the shuffle it eliminates is
+    * intra-machine memcpy there. The win it buys — only colliding
+    * history rows ever serialize into the join exchange — is
+    * network-bound-cluster shaped; enable it deliberately on
+    * deployments where the band store shuffles across racks, and
+    * measure (the correctness spec pins bloom == plain on identical
+    * input either way: an FP only reaches the exact join and dies). */
+  var bloomPrefilter: Boolean = false
 
   /** Historical candidate pairs for a batch: `(<id>, old_id)` sharing
     * any (band, h) key, this batch's own (replayed) writes excluded.
     * `bNew` needs `(<id>, band, h)`.
     *
-    * Two prune regimes, chosen per batch:
+    * Two prune regimes, detected per batch:
     *  - SMALL delta (keys touch < [[PruneDeadFrac]] of the layout):
     *    opens only the batch keys' band partitions — O(batch keys /
     *    bandParts) of the store, the design point.
@@ -157,22 +167,19 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
     *    exactly that (a 1.08M-doc delta's ~16M band keys → full band-
     *    store read, 0.44 vs 0.12 ms/doc). The columnar READ of the
     *    touched partitions is then unavoidable without a second
-    *    storage order, but the SHUFFLE of the history side is not: a
-    *    bloom of the batch's (band, h) key hashes (built distributed,
-    *    [[org.apache.spark.sql.DataFrameStatFunctions.bloomFilter]])
-    *    prefilters history rows BEFORE the join exchange, so only
-    *    key-colliding rows (+ [[BloomFpp]] false positives, which the
-    *    exact equi-join then discards) are ever shuffled — per-batch
-    *    cost drops to O(delta) + O(history bytes) scan + O(collisions)
-    *    shuffle, instead of shuffling the whole band store. The test
-    *    is Spark's own codegen `BloomFilterMightContain` over
-    *    `xxhash64(band, h)` — both sides hash identically, so the
-    *    filter can only drop rows the join would drop anyway.
-    *    When the predicted read exceeds [[warnReadBytesFloor]] the
-    *    batch also warns, naming the batch-size rule (|delta| ≤
-    *    bandParts/bands keeps the partition prune biting) and the
-    *    layout knob — the operator's dial, since the read cost grows
-    *    with corpus age while everything else stays delta-shaped. */
+    *    storage order — the honest floor — so the operator dial is
+    *    BATCH SIZE: the read cost is per-batch, so fewer/bigger
+    *    batches amortize it (measured r13: 1.04 → 0.45 → 0.22 ms/doc
+    *    as the delta grows 50k → 200k → 800k against a 2.8M-doc
+    *    history). When the predicted read exceeds
+    *    [[warnReadBytesFloor]] the batch warns, naming that rule and
+    *    the layout knob. [[bloomPrefilter]] optionally also cuts the
+    *    history SHUFFLE to key-colliding rows (+ [[BloomFpp]] false
+    *    positives, which the exact equi-join then discards) through
+    *    Spark's codegen `BloomFilterMightContain` over the same
+    *    `xxhash64(band, h)` both sides hash — semantics-preserving by
+    *    construction, but measured a net LOSS on a single node (see
+    *    the field doc), so it is opt-in for network-bound clusters. */
   def candidates(bNew: DataFrame, batchId: Long): DataFrame = {
     val keyed = bNew.groupBy(hb(col("band"), col("h")).as("hb"))
       .agg(count(lit(1)).as("n")).collect()
@@ -182,9 +189,9 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
       case None => bNew.select(col(idCol), col(idCol).as("old_id")).limit(0)
       case Some(hist0) =>
         val hist1 = excludeBatch(hist0, batchId)
-        val pruneDead = bloomPrefilter &&
+        val pruneDead =
           parts.size >= math.max(1.0, resolvedBandParts * PruneDeadFrac)
-        val hist = if (!pruneDead) { lastCandidateProbe = (false, 0L); hist1 }
+        if (!pruneDead) lastCandidateProbe = (false, 0L)
         else {
           // manifest paths are store-relative (the readFiles contract)
           val files = bands.filesForPartitions(parts)
@@ -192,7 +199,7 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
             val p = new Path(s"$dir/bands/$f")
             try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .getFileStatus(p).getLen
-            catch { case _: java.io.IOException | _: java.io.FileNotFoundException => 0L }
+            catch { case _: java.io.IOException => 0L }
           }.sum
           lastCandidateProbe = (true, readBytes)
           if (readBytes > warnReadBytesFloor)
@@ -200,16 +207,21 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
               s"batch's $nKeys band keys touch ${parts.size} of " +
               s"$resolvedBandParts band partitions — the partition prune is " +
               s"dead and the history probe will READ ~$readBytes bytes of " +
-              "signature state (columnar, never text). Only key-colliding " +
-              "rows are shuffled (delta-key bloom prefilter), but the read " +
-              "grows with corpus age: size batches so |delta| <= " +
-              s"bandParts/bands (~${resolvedBandParts / 16} docs here) to " +
-              "keep the prune biting, or create the NEXT index with " +
-              "bandParts=SigIndex.suggestBandParts(target docs)")
+              "signature state (columnar, never text). The read is per-batch: " +
+              "size batches so |delta| <= bandParts/bands " +
+              s"(~${resolvedBandParts / 16} docs here) to keep the prune " +
+              "biting, or batch bigger deltas to amortize it; create the " +
+              "NEXT index with bandParts=SigIndex.suggestBandParts(target docs)")
+        }
+        val hist = if (!(pruneDead && bloomPrefilter)) hist1
+        else {
+          val tB = System.nanoTime()
           val bloom = bNew.select(xxhash64(col("band"), col("h")).as("hk"))
             .stat.bloomFilter("hk", math.max(nKeys, 1L), BloomFpp)
           val bos = new java.io.ByteArrayOutputStream()
           bloom.writeTo(bos)
+          System.err.println(f"[graft] SigIndex bloom prefilter: built in " +
+            f"${(System.nanoTime() - tB) / 1e9}%.2f s, ${bos.size} bytes")
           import org.apache.spark.sql.graftbridge.ColumnBridge.{column => ofExpr, expression => toExpr}
           hist1.filter(ofExpr(
             org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(

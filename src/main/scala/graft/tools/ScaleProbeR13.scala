@@ -118,6 +118,25 @@ object ScaleProbeR13 {
         }
         index.bloomPrefilter = true
 
+      // ---- candidates() bloom A/B only (state from a prior `deltas` run) ----
+      case "deltaab" =>
+        import graft.dedup.Dedup
+        val index = new graft.streaming.SigIndex(spark, s"$out/deltas/sig",
+          idCol = "doc_id")
+        val d16 = spark.read.parquet(s"$out/deltas/d16.parquet")
+        val bNew = d16
+          .select(col("doc_id"),
+            Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 128).as("sig"))
+          .withColumn("bh", Dedup.bandHashes(col("sig"), 16, 8))
+          .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+          .localCheckpoint()
+        println(s"[r13probe] d16 band keys: ${bNew.count()}")
+        for (on <- Seq(false, true, false, true)) {
+          index.bloomPrefilter = on
+          timed(s"candidates d16, bloomPrefilter=$on")(
+            index.candidates(bNew, 4L).count())
+        }
+
       // ---- SQ8 warm-serving cache ----
       case "warm" =>
         rm(s"$out/warm")
@@ -160,8 +179,14 @@ object ScaleProbeR13 {
         val nv = corpus.count()
         println(s"[r13probe] vectors: $nv build + ${nAll - nv} delta " +
           s"(raw bytes ${bytesOf(s"$dataDir/embeddings.parquet")})")
-        val idx = new graft.similarity.PqIndex(spark, s"$out/ann/idx", sq8 = true)
-        timed(s"build with SQ8 tier ($nv vecs, auto layout)")(idx.build(corpus))
+        // SPARK_GRAFT_ANN_FITN sizes the coarse k-means fit sample
+        // (0 = the 20k default, which CAPS the auto cell count —
+        // suggestNCells can't exceed what the sample supports)
+        val fitN = sys.env.getOrElse("SPARK_GRAFT_ANN_FITN", "0").toInt
+        val idx = new graft.similarity.PqIndex(spark, s"$out/ann/idx", sq8 = true,
+          fitSampleN = fitN)
+        timed(s"build with SQ8 tier ($nv vecs, auto layout, fitN=$fitN)")(
+          idx.build(corpus))
         idx.describe().foreach { case (k, v) => println(s"[r13probe] idx $k=$v") }
         println(s"[r13probe] bytes codes=${bytesOf(s"$out/ann/idx/codes")} " +
           s"sq8=${bytesOf(s"$out/ann/idx/sq8")}")

@@ -22,6 +22,25 @@ class PqIndexSpec extends SparkSpec {
     df.select("query_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  test("a failed (re)build sweeps its staged models tmp — nothing leaks in the index dir") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pqindex_sweep").toString
+    // poison the sidecar path: a plain FILE where the sq8 store's
+    // directory would go makes the tier overwrite fail at execution —
+    // AFTER stageModels, which is exactly the crash point that used
+    // to leak the staged .tmp-models-* file forever (nothing,
+    // including vacuum, covered it)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/idx"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/idx", "sq8"), "not a directory\n")
+    val idx = new PqIndex(spark, s"$base/idx", sq8 = true)
+    intercept[Exception](idx.build(corpus))
+    assert(!idx.isBuilt, "a failed build must stay loudly unbuilt")
+    val leaked = new java.io.File(s"$base/idx").listFiles()
+      .filter(_.getName.startsWith(".tmp-models-"))
+    assert(leaked.isEmpty,
+      s"a failed build must sweep its staged models: ${leaked.mkString(", ")}")
+  }
+
   test("built index serves the same top-k as the inline IVF-PQ query") {
     val base = java.nio.file.Files.createTempDirectory("graft_pqindex").toString
     val index = new PqIndex(spark, s"$base/idx")
