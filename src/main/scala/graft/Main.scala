@@ -870,8 +870,20 @@ object Main {
         // incremental run leases state= (its out= is per-batch by
         // convention; state/ is the shared mutable thing).
         val leaseTtl = opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong
-        val stateLease = Some(acquireStateLease(spark,
-          if (incremental) stateDir.get else base, "corpus-pipeline", leaseTtl))
+        val stateLease = Some(try acquireStateLease(spark,
+          if (incremental) stateDir.get else base, "corpus-pipeline", leaseTtl)
+        catch {
+          // a CRASHED run's lease (never released, no heartbeat) also
+          // blocks resume=true — the recovery path — until the TTL.
+          // The lease cannot tell a crash from a live long stage, so
+          // the refusal stays, but a resuming operator gets the
+          // recovery-specific remedy spelled out instead of a puzzle
+          case e: IllegalArgumentException if resume =>
+            throw new IllegalArgumentException(e.getMessage +
+              "\n(resume=true: if this lease belongs to the CRASHED run you " +
+              "are resuming — you know it is dead, the lease does not — " +
+              "delete the named file, or pass leasettl=1 to break it)")
+        })
         try {
         val tIn = System.nanoTime()
         // raw web corpora arrive without a lang column; the langid

@@ -185,14 +185,16 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
       .agg(count(lit(1)).as("n")).collect()
     val parts = keyed.map(_.getInt(0)).toSeq.sorted
     val nKeys = keyed.map(_.getLong(1)).sum
+    // reset up front: every exit (including the empty-store one)
+    // reports THIS call, never a previous batch's probe
+    lastCandidateProbe = (false, 0L)
     bands.readPartitions(parts) match {
       case None => bNew.select(col(idCol), col(idCol).as("old_id")).limit(0)
       case Some(hist0) =>
         val hist1 = excludeBatch(hist0, batchId)
         val pruneDead =
           parts.size >= math.max(1.0, resolvedBandParts * PruneDeadFrac)
-        if (!pruneDead) lastCandidateProbe = (false, 0L)
-        else {
+        if (pruneDead) {
           // manifest paths are store-relative (the readFiles contract)
           val files = bands.filesForPartitions(parts)
           val readBytes = files.map { f =>
@@ -208,10 +210,11 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
               s"$resolvedBandParts band partitions — the partition prune is " +
               s"dead and the history probe will READ ~$readBytes bytes of " +
               "signature state (columnar, never text). The read is per-batch: " +
-              "size batches so |delta| <= bandParts/bands " +
-              s"(~${resolvedBandParts / 16} docs here) to keep the prune " +
-              "biting, or batch bigger deltas to amortize it; create the " +
-              "NEXT index with bandParts=SigIndex.suggestBandParts(target docs)")
+              "size batches so |delta| <= bandParts/bands docs " +
+              s"(~${resolvedBandParts / 16} here at the 16-band default — " +
+              "divide by YOUR band count) to keep the prune biting, or batch " +
+              "bigger deltas to amortize it; create the NEXT index with " +
+              "bandParts=SigIndex.suggestBandParts(target docs)")
         }
         val hist = if (!(pruneDead && bloomPrefilter)) hist1
         else {

@@ -91,7 +91,7 @@ object ScaleProbeR13 {
           val (kept, sec) = timed(s"clean $p ($nd docs, batch $batch)")(
             P.corpusCleanIncremental(docs, index, batch).count())
           println(f"[r13probe]   -> $kept kept, ${sec * 1000 / nd}%.3f ms/doc " +
-            s"(bloom=${index.lastCandidateProbe._1} " +
+            s"(pruneDead=${index.lastCandidateProbe._1} " +
             s"predRead=${index.lastCandidateProbe._2})")
           (nd, sec)
         }
@@ -116,7 +116,6 @@ object ScaleProbeR13 {
           timed(s"candidates d16, bloomPrefilter=$on")(
             index.candidates(bNew, 4L).count())
         }
-        index.bloomPrefilter = true
 
       // ---- candidates() bloom A/B only (state from a prior `deltas` run) ----
       case "deltaab" =>
@@ -216,7 +215,7 @@ object ScaleProbeR13 {
             graft.similarity.Similarity.recall(
               idx.topKRerankIndexed(queries, 10, cm), bf)}%.3f")
 
-      case other => sys.error(s"unknown arm '$other' (deltaprep|deltas|warm|ann)")
+      case other => sys.error(s"unknown arm '$other' (deltaprep|deltas|deltaab|warm|ann)")
     }
     spark.stop()
   }

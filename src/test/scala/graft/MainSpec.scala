@@ -1225,6 +1225,15 @@ class MainSpec extends SparkSpec {
     assert(e.getMessage.contains("LEASED") && e.getMessage.contains("pid=4242"),
       e.getMessage)
     assert(Files.exists(leasePath), "a refused full run must not steal the lease")
+    // a crashed run's lease also blocks resume=true (the lease cannot
+    // tell a crash from a live long stage) — the refusal must then
+    // spell out the recovery remedy instead of leaving a puzzle
+    val eResume = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("corpus-pipeline", s"in=$base/in.parquet", s"out=$base/out",
+        "steps=scrub,select", "resume=true")))
+    assert(eResume.getMessage.contains("LEASED") &&
+      eResume.getMessage.contains("resume=true") &&
+      eResume.getMessage.contains("leasettl=1"), eResume.getMessage)
     java.nio.file.Files.delete(leasePath)
     // a completed full run releases on the way out
     runFull()

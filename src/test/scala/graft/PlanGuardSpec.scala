@@ -19,6 +19,7 @@ class PlanGuardSpec extends SparkSpec {
     "user_rfm_approx",          // 1-row quantile-breakpoint frame broadcast to every user
     "search_bm25",              // 1-row (N, avgdl) corpus-stats broadcast
     "search_hybrid_rrf",        // fuses search_bm25 + the bounded bruteforce query batch
+    "search_hybrid_rrf_weighted", // same two sides, weighted fusion (r13)
     "text_lm_score",            // 1-row vocabulary-size broadcast
     "corpus_mix",               // 1-row language-count broadcast
     "corpus_mix_bpe")           // same plan, BPE-priced n_tokens
