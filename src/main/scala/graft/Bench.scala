@@ -177,7 +177,15 @@ object Bench {
     // is load_avg_start < 1.5 (PLANS.md) — a record taken on a loaded
     // host carries its own disqualification instead of relying on a
     // reader to notice the loadavg fields (the r12 driver record ran
-    // at 2.11 and could be mistaken for canonical)
+    // at 2.11 and could be mistaken for canonical). Deliberately
+    // START-based only: load_avg_end includes this JVM's OWN
+    // parallelism (a fully-warm run legitimately ends near its thread
+    // count — 2.8 measured on an otherwise-idle host), so an
+    // end-load threshold would misflag clean runs while a co-tenant
+    // below it slips through. MID-run contamination is what the
+    // per-query cpu_sec column detects (wall >> cpu/cores — the round-5
+    // lesson): quiet_host certifies the protocol PREcondition, cpu_sec
+    // carries the in-run evidence.
     val quiet = loadAtStart >= 0 && loadAtStart < 1.5
     val env = s""""cpus":$cpus,"host_cores":${os.getAvailableProcessors},""" +
       s""""load_avg_start":${r2(loadAtStart)},"load_avg_end":${r2(os.getSystemLoadAverage)},""" +

@@ -131,7 +131,8 @@ object SimilarityQueries {
     * bit-reproducible and the oracle can replay it; emitted columns
     * are the rank and the per-system membership flags, floats stay
     * internal (the BM25/gate convention). */
-  def searchHybridRrf(spark: SparkSession, dir: String, topK: Int = K): DataFrame = {
+  def searchHybridRrf(spark: SparkSession, dir: String, topK: Int = K,
+                      wLex: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val lex = TextQueries.bm25Search(docs, TextQueries.Bm25QuerySet, topK)
       .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
@@ -142,7 +143,7 @@ object SimilarityQueries {
     val vec = Similarity.bruteForceTopK(qv, asIdVec(embs(spark, dir)), topK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vrank"))
-    fuseRrf(lex, vec, topK)
+    fuseRrf(lex, vec, topK, wLex, wVec)
   }
 
   /** THE RRF fusion body — one function, two callers (the ad-hoc gate
@@ -208,6 +209,17 @@ object SimilarityQueries {
         "would rank a side's BEST hits last — no retrieval semantics wants that)")
     require(wLex > 0 || wVec > 0,
       "both hybrid weights are 0 — every side disabled; nothing to search")
+    // a row with NEITHER modality would silently vanish from the
+    // output (each side filters its null rows; the fusion composes
+    // only what remains) — a malformed input must refuse loudly
+    // instead, the same convention as the knob refusals above. One
+    // bounded count over the (batch-sized) query frame.
+    val nBothNull = queries
+      .filter(col("qtext").isNull && col("vec").isNull).count()
+    require(nBothNull == 0,
+      s"hybrid search: $nBothNull query rows carry NEITHER qtext nor vec — " +
+        "a row must have at least one modality (it would otherwise produce " +
+        "zero output rows with no signal why)")
     val spark = queries.sparkSession
     def emptyRanks(rankCol: String): DataFrame = {
       import org.apache.spark.sql.types._
@@ -331,24 +343,12 @@ object SimilarityQueries {
   private[graft] val WLexGate = 2.0
   private[graft] val WVecGate = 0.5
 
-  /** [[searchHybridRrf]] through the SAME fuseRrf body at the gate's
-    * fixed weights — the oracle-pinned form of weighted RRF (the
-    * serving API exposes the weights as [[hybridRrfServed]] params;
-    * this pins the arithmetic they share). */
+  /** [[searchHybridRrf]] at the gate's fixed weights — ONE body (the
+    * unweighted form with its weights bound), so a fix to the gate
+    * query can never drift between the two oracle-pinned forms. */
   def searchHybridRrfWeighted(spark: SparkSession, dir: String,
-                              topK: Int = K): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val lex = TextQueries.bm25Search(docs, TextQueries.Bm25QuerySet, topK)
-      .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
-        col("rank").as("lrank"))
-    val qids = TextQueries.Bm25QuerySet.map(_._1.toLong)
-    val qv = embs(spark, dir).filter(col("vec_id").isInCollection(qids))
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val vec = Similarity.bruteForceTopK(qv, asIdVec(embs(spark, dir)), topK)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("vrank"))
-    fuseRrf(lex, vec, topK, WLexGate, WVecGate)
-  }
+                              topK: Int = K): DataFrame =
+    searchHybridRrf(spark, dir, topK, WLexGate, WVecGate)
 
   /** One oracle generator for both hybrid gate forms: `wl`/`wv` are
     * SQL literals spliced into the fusion terms ("1" reproduces the

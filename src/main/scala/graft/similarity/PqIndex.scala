@@ -131,22 +131,28 @@ class PqIndex(spark: SparkSession, dir: String,
   def hasRerankTier: Boolean = sqStore.exists
 
   // ---- warm-serving SQ8 cache (see the class scaladoc) ----
-  // (manifest version, cached sidecar frame). The version check costs
-  // one directory listing per query batch — the price of the codes
-  // re-read freshness rule; everything else is an in-memory columnar
-  // read with cell-stat pruning instead of a per-batch file read.
-  private var sqWarmCache: Option[(Long, DataFrame)] = None
+  // (generation token, cached sidecar frame). Keyed on the store's
+  // latestToken — version PLUS live-file-list hash — NOT the bare
+  // version number: a store deleted and rebuilt out-of-band restarts
+  // its manifest history at version 1, and a version-only key would
+  // silently serve the OLD corpus's quantized bytes against the new
+  // corpus's candidates. The token check costs one manifest read per
+  // query batch — the price of the codes re-read freshness rule;
+  // everything else is an in-memory columnar read instead of a
+  // per-batch file read.
+  private var sqWarmCache: Option[((Long, Int), DataFrame)] = None
   private def warmSqFrame(): Option[DataFrame] = synchronized {
-    val v = sqStore.versions().lastOption.getOrElse(-1L)
-    sqWarmCache match {
-      case Some((cv, df)) if cv == v => Some(df)
+    val token = sqStore.latestToken
+    (sqWarmCache, token) match {
+      case (Some((ct, df)), Some(t)) if ct == t => Some(df)
       case _ =>
         sqWarmCache.foreach(_._2.unpersist())
         sqWarmCache = None
-        sqStore.read().map { df0 =>
+        if (token.isEmpty) None
+        else sqStore.read().map { df0 =>
           val df = df0.select("neighbor_id", "cell", "sq")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          sqWarmCache = Some((v, df))
+          sqWarmCache = Some((token.get, df))
           df
         }
     }
@@ -530,28 +536,37 @@ class PqIndex(spark: SparkSession, dir: String,
     // including a sidecar whose every row was deleted) is an EMPTY
     // sidecar side, not an error: the explicit-schema empty frame
     // keeps the left join (and its stage-1 fallback) well-formed.
-    // Warm serving swaps the per-batch pruned FILE read for the cached
-    // frame; the fallback/join semantics are identical. The cell
-    // filter is applied only while it PRUNES (a small batch probes few
-    // cells and the in-memory batch stats skip most of the cache) — a
-    // batch whose probes cover the layout gets the bare cached frame,
-    // where the candidate join itself is the prune and an InSet over
-    // every row would be pure overhead
-    val sq = (if (warmRerank) {
-        val cellSet = cells.distinct
-        warmSqFrame().map(df =>
-          if (cellSet.size * 2 < coarse.nCells)
-            df.filter(col("cell").isin(cellSet: _*))
-          else df)
-      }
-      else sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells))
+    //
+    // Both read paths enforce the SAME row-eligibility contract: a
+    // sidecar row re-scores its candidate iff its recorded cell is
+    // among the PROBED cells. The cold path gets that from the file
+    // prune itself (readForKeysAndPartitions opens only probed-cell
+    // files → `sq_cell_ok` is true by construction); warm serving
+    // reads the cached frame by neighbor_id and checks the cell
+    // POST-join at candidate scale — so a cell-displaced crash
+    // artifact (the CDC add window RerankSpec pins) falls back to its
+    // stage-1 PQ score under BOTH paths, instead of the warm path
+    // scoring stale bytes the cold path would never have read. The
+    // cached frame is additionally pre-filtered on the probed cells
+    // while that actually prunes (a small batch); a layout-covering
+    // batch skips the per-row InSet over the whole cache.
+    val cellSet = cells.distinct
+    val sq = (if (warmRerank)
+        warmSqFrame().map { df =>
+          val base = if (cellSet.size * 2 < coarse.nCells)
+            df.filter(col("cell").isin(cellSet: _*)) else df
+          base.select(col("neighbor_id"), col("sq"),
+            col("cell").isin(cellSet: _*).as("sq_cell_ok"))
+        }
+      else sqStore.readForKeysAndPartitions(cand.select("neighbor_id"), cells)
+        .map(_.select(col("neighbor_id"), col("sq"), lit(true).as("sq_cell_ok"))))
       .getOrElse {
         import org.apache.spark.sql.types._
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("neighbor_id", LongType),
-            StructField("sq", BinaryType))))
+            StructField("sq", BinaryType),
+            StructField("sq_cell_ok", BooleanType))))
       }
-      .select(col("neighbor_id"), col("sq"))
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     // LEFT join + stage-1 fallback: a candidate whose sidecar row is
     // missing or cell-displaced (the crash window between a CDC add's
@@ -560,7 +575,7 @@ class PqIndex(spark: SparkSession, dir: String,
     // can only refine a candidate's score, never lose the candidate
     val rescored = cand.join(sq, Seq("neighbor_id"), "left")
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", when(col("sq").isNotNull,
+      .withColumn("cosine", when(col("sq").isNotNull && col("sq_cell_ok"),
           ofExpr(graft.functions.expr.Sq8Cosine(toExpr(col("qv")), toExpr(col("sq")))))
         .otherwise(col("pq_cosine")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))

@@ -205,18 +205,18 @@ class TextIndex(spark: SparkSession, dir: String,
     * r11 sf100 probe measured one unremarkable stopword-bearing query
     * walling at 420 s (~430M scored rows) with both remedies off, and
     * neither defaults on because dropping terms changes ranks. The
-    * guard never changes results, and (r13) the common serve case no
-    * longer re-SCANS: when the probed partitions are small (≤
-    * [[TextIndex.GuardCheckpointMaxBytes]], a metadata-only file-size
-    * check — the rare-term case), the query terms' postings are
-    * localCheckpoint'd once and BOTH the guard count and the scoring
-    * join read the materialized frame; a hot-term probe above the
-    * bound keeps the r12 shape (a second column-pruned scan) because
-    * eagerly materializing the hot postings list to count it would
-    * add storage pressure in exactly the pathological case the guard
-    * protects. When a remedy knob drives (or warnDfFrac=0) the guard
-    * AND the checkpoint are skipped — the latency-sensitive serve
-    * path can opt out completely. */
+    * guard never changes results. Its cost is one extra job whose
+    * scan is COLUMN-PRUNED to the word column of the probed
+    * partitions (the groupBy references nothing else — a small
+    * fraction of the postings bytes the scoring scan reads). The r13
+    * review ADJUDICATED the r12-ADVICE alternatives and kept this
+    * shape deliberately: sharing one scan via localCheckpoint either
+    * eagerly materializes the hot postings list (storage pressure in
+    * exactly the pathological case the guard protects) or, bounded to
+    * small probes, accumulates un-unpersistable checkpoint blocks
+    * across a serving loop's calls — a second stateless scan is the
+    * cheapest SAFE form. warnDfFrac=0 opts the latency-critical serve
+    * path out entirely. */
   def search(queries: DataFrame, topK: Int = 10,
              stoplist: Set[String] = Set.empty,
              maxDfFrac: Double = 0.0,
@@ -237,25 +237,9 @@ class TextIndex(spark: SparkSession, dir: String,
     // an error — the full read supplies the schema (plan only, never
     // executed), exactly as in PqIndex.codesTable
     val full = store.read().getOrElse(sys.error(s"no index built at $dir"))
-    val matched0 = store.readPartitions(probe).getOrElse(full.limit(0))
+    val matched = store.readPartitions(probe).getOrElse(full.limit(0))
       .filter(col("word").isInCollection(qwords.map(_.getString(0)).toSeq))
     val guardOn = stoplist.isEmpty && maxDfFrac == 0.0 && warnDfFrac > 0.0 && n > 0
-    // guard active → share ONE scan between the guard count and the
-    // scoring plan via localCheckpoint — but only when the probed
-    // partitions are SMALL (a metadata-only file-size bound): the
-    // common rare-term serve pays no second scan, while a hot-term
-    // probe (the very case the guard warns about) must NOT eagerly
-    // materialize its whole postings list into executor storage just
-    // to count it — that path keeps the r12 shape, a second
-    // column-pruned scan, which reads bytes but stores nothing
-    val checkpointGuard = guardOn && {
-      val files = store.filesForPartitions(probe)
-      files.map { f =>
-        val p = new Path(s"$dir/postings/$f")
-        try fs.getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
-      }.sum <= TextIndex.GuardCheckpointMaxBytes
-    }
-    val matched = if (checkpointGuard) matched0.localCheckpoint() else matched0
     if (guardOn) {
       val floor = math.max(1L, (warnDfFrac * n).toLong)
       matched.groupBy("word").agg(count(lit(1)).as("qdf"))
@@ -433,12 +417,4 @@ object TextIndex {
   def suggestTermParts(totalTokens: Long, tokensPerPart: Long = 1000000L): Int =
     math.max(8L, math.min(
       math.ceil(totalTokens.toDouble / tokensPerPart).toLong, 4096L)).toInt
-
-  /** Probed-partition byte bound under which the df guard shares one
-    * scan with the scoring plan via localCheckpoint (the rare-term
-    * serve case — a few partitions of a few tens of MB). Above it —
-    * a hot-term probe — the guard must not materialize the postings
-    * list it exists to warn about, so it reverts to a second
-    * column-pruned scan: bytes read, nothing stored. */
-  val GuardCheckpointMaxBytes: Long = 256L << 20
 }

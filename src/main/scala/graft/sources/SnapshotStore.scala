@@ -460,6 +460,19 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
     touched.toSeq.sorted.flatMap(m.mapping.getOrElse(_, Nil))
   }
 
+  /** Identity token of the latest committed generation: the manifest
+    * version PLUS a hash of the live file list. The bare version
+    * number is NOT an identity — a store deleted and rebuilt restarts
+    * at version 1, so a cache keyed on it would serve the old
+    * corpus's rows against the new one's queries — but data paths
+    * embed per-write generation UUIDs, so the file-list hash changes
+    * whenever the content can have. The cache-invalidation key for
+    * warm readers ([[graft.similarity.PqIndex]] `warmRerank`). */
+  private[graft] def latestToken: Option[(Long, Int)] =
+    latestManifest().map { case (v, m) =>
+      (v, scala.util.hashing.MurmurHash3.orderedHash(m.values.flatten.toSeq.sorted))
+    }
+
   /** Committed versions currently on disk, oldest first (shrinks as
     * [[vacuum]] retires old manifests). */
   def versions(): Seq[Long] = {

@@ -155,6 +155,15 @@ class HybridServedSpec extends SparkSpec {
       r.getBoolean(3), r.getBoolean(4))).sortBy(_._2).toSeq
     assert(q2.nonEmpty && q2.forall(t => !t._3 && t._4),
       s"vector-only row must fuse vector-only: $q2")
+    // a row with NEITHER modality would silently vanish from the
+    // output — it must refuse loudly instead (the knob-refusal
+    // convention applied to malformed inputs)
+    val withBothNull = queries.unionByName(
+      Seq((2003L, null.asInstanceOf[String], nullVec)).toDF("query_id", "qtext", "vec"))
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.SimilarityQueries.hybridRrfServed(tidx, pidx, withBothNull, k)
+    }
+    assert(e.getMessage.contains("NEITHER"), e.getMessage)
   }
 
   test("weighted RRF: weight 0 disables a side (equals the single-side search); negative weights refuse") {

@@ -153,6 +153,76 @@ class RerankSpec extends SparkSpec {
     warm.releaseWarmCache()
   }
 
+  test("warm serving mirrors the cold cell-eligibility (a displaced artifact falls back under warm too); a manifest-history restart invalidates the cache") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank_warmcell").toString
+    val idx = new PqIndex(spark, dir, nCells = nModes, nProbe = 2, sq8 = true)
+    idx.build(corpus)
+    val warm = new PqIndex(spark, dir, nCells = nModes, nProbe = 2, sq8 = true,
+      warmRerank = true)
+    // 8 exemplars from 8 modes at nProbe=2: the probed-cell union
+    // (~9 of 16 on this seeded geometry) crosses the pre-filter bound,
+    // so the warm path reads the BARE cached frame — the branch where
+    // the r13 review found a displaced row would join by id alone and
+    // score stale bytes the cold path's file prune never reads — while
+    // cells still remain UNPROBED to displace a row into
+    val queries = corpus.filter(col("id") % 100 === 0 && col("id") < 800)
+      .select(col("id"), col("vec")).cache()
+    queries.count()
+    // k covers whole probed cells: every shortlisted candidate
+    // SURFACES, so the displaced id's row (wherever it ranks) is
+    // directly visible in the output
+    val k = 4 * perMode
+    def rows(i: PqIndex) = i.topKRerankIndexed(queries, k, candMult = 1)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(warm) == rows(idx), "healthy warm must equal cold row for row")
+    // displace a MODE-MATE of query 0 (id 5 — the search self-excludes
+    // the query id, so the artifact must be a real candidate): its
+    // sidecar row re-keyed under an UNPROBED cell, carrying a FAR
+    // vector's bytes (inter-mode cosine ~0 vs the mode-mate's ~0.8) —
+    // the crash-artifact shape the cold file prune drops
+    val (model0, coarse0) = idx.models()
+    val probedCells = Pq.probeCells(queries, model0, coarse0, 2, None).toSet
+    assert(probedCells.size * 2 >= nModes && probedCells.size < nModes,
+      s"fixture must hit the no-prefilter branch AND leave an unprobed cell: $probedCells")
+    val cellOut = (0 until nModes).find(c => !probedCells.contains(c)).get
+    val sqDirect = new graft.sources.SnapshotStore(spark, s"$dir/sq8",
+      key = "neighbor_id", buckets = 32, partitionCol = Some("cell"))
+    val farBytes = sqDirect.read().get.filter(col("neighbor_id") === 1500L)
+      .select("sq").head().getAs[Array[Byte]](0) // a far-mode member
+    import spark.implicits._
+    sqDirect.upsert(Seq((5L, cellOut, farBytes)).toDF("neighbor_id", "cell", "sq"))
+    val cold = rows(idx)
+    assert(rows(warm) == cold,
+      "warm must mirror the cold prune: the displaced row's stale bytes never score")
+    // and the fallback is the PLAIN pq score, not the stale bytes: id
+    // 5's cosine for query 0 equals its stage-1 cosine exactly
+    val plain5 = idx.topK(queries.filter(col("id") === 0L), k)
+      .filter(col("neighbor_id") === 5L).select("cosine").head().getDouble(0)
+    val fb = cold.collect { case (0L, 5L, c) => c }
+    assert(fb == Set(plain5),
+      s"the displaced candidate must keep its exact stage-1 score: $fb vs $plain5")
+    // manifest-history RESTART: rm + rebuild starts the sidecar store
+    // at version 1 again — a version-only cache key would serve the
+    // OLD corpus's bytes; the file-list token must invalidate
+    val fsDir = new java.io.File(dir)
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete()
+    }
+    rmAll(fsDir)
+    val dupId = 999999L
+    val probe0 = corpus.filter(col("id") === 0L).select("vec").head()
+      .getSeq[Float](0).toArray
+    val corpus2 = corpus.unionByName(Seq((dupId, probe0)).toDF("id", "vec"))
+    new PqIndex(spark, dir, nCells = nModes, nProbe = 1, sq8 = true).build(corpus2)
+    val after = warm.topKRerankIndexed(
+        queries.filter(col("id") === 0L), 10, candMult = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(after.contains(dupId),
+      "a rebuilt-from-scratch store must invalidate the warm cache " +
+        s"(version restarts at 1; the file-list token must differ): $after")
+  }
+
   test("SQ8 fallback: a candidate whose sidecar row is a crash artifact keeps its stage-1 PQ score, never vanishes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rerank_fb").toString
     val idx = new PqIndex(spark, dir, nCells = nModes, sq8 = true)
