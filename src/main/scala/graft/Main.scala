@@ -2214,6 +2214,16 @@ object Main {
         // between the two calls must read as free, not crash the
         // report that documents itself safe to run against a leased dir
         kv += "lease" -> readLeaseText(fs0, hp(s"$state/$LeaseFile")).getOrElse("free")
+        // with stage-boundary heartbeats (r13) the lease file's mtime
+        // is the holder's LIVENESS signal, so its age is the first
+        // thing an operator wants next to the holder line: a small age
+        // = actively progressing, an age near leasettl = crashed or
+        // hung (the break is imminent)
+        try {
+          val st = fs0.getFileStatus(hp(s"$state/$LeaseFile"))
+          kv += "lease_age_s" ->
+            ((System.currentTimeMillis() - st.getModificationTime) / 1000).toString
+        } catch { case _: java.io.IOException => () }
         kv += "clean_sig_index" -> ex(s"$state/sig").toString
         val decFit = sc("decontaminate", "shinglek")
         kv += "decontaminate_fitted" -> decFit.isDefined.toString

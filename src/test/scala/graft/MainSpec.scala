@@ -1932,6 +1932,16 @@ class MainSpec extends SparkSpec {
       kv.toString)
     assert(kv("survivors") == "true" && kv("select_fitted") == "false", kv.toString)
     assert(st.rowsOut == kv.size.toLong)
+    // a LEASED dir reports the holder AND the lease file's age — with
+    // stage-boundary heartbeats the mtime is the holder's liveness
+    // signal, so the age is the operator's crashed-vs-progressing tell
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/state/.lease.txt"),
+      "holder=corpus-pipeline pid=7 acquired_ms=0 nonce=x\n")
+    val (kvL, _) = report(s"$base/state")
+    assert(kvL("lease").contains("pid=7") && kvL("lease_age_s").toLong >= 0,
+      kvL.toString)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/state/.lease.txt"))
     // an interrupted refit surfaces as a flag, mirroring the refusal
     java.nio.file.Files.move(
       java.nio.file.Paths.get(s"$base/state/mix/thresholds"),
