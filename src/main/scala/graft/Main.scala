@@ -488,6 +488,21 @@ object Main {
         done(0, textIndex(req("index")).vacuum(
           opts.getOrElse("keep", "1").toInt,
           opts.getOrElse("agems", (3600L * 1000L).toString).toLong))
+      // the dedup state's takedown path (the third store of the
+      // right-to-be-forgotten sweep: index-delete removes the vectors,
+      // text-index-delete the postings, sig-delete the near-dup
+      // signatures — without it a taken-down doc keeps suppressing
+      // its future near-copies as a ghost canonical). rowsOut = docs
+      // actually removed (absent ids are a committed no-op — replays
+      // are safe); run sig-vacuum after legally-binding takedowns.
+      case "sig-delete" =>
+        val ids = spark.read.parquet(req("in"))
+          .select(col(opts.getOrElse("idcol", "doc_id")))
+        val (docs, bandRows) = new graft.streaming.SigIndex(
+          spark, req("index"), idCol = "doc_id").delete(ids)
+        System.err.println(s"[graft] sig-delete: removed $docs doc(s), " +
+          s"$bandRows band row(s)")
+        done(ids.count(), docs)
       case "sig-compact" =>
         done(0, new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
           .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)
@@ -2723,6 +2738,17 @@ object Main {
       readLeaseText(fs, p) match {
         case Some(text) if text.contains(s"nonce=$nonce") =>
           fs.setTimes(p, System.currentTimeMillis(), -1)
+          // read-nonce-then-setTimes window (r13 ADVICE): a successor
+          // breaking our stale lease between the read and the touch
+          // gets ITS fresh file's mtime refreshed — benign in
+          // direction (only delays a later break) but it is a touch
+          // of another writer's file; mirror the release path's
+          // re-verify and warn so the interleave hazard is named
+          if (!readLeaseText(fs, p).exists(_.contains(s"nonce=$nonce")))
+            System.err.println(s"[graft] WARNING: state lease at $p changed " +
+              "hands during the heartbeat touch — a newer writer broke it " +
+              "mid-run (the touch refreshed THEIR lease's mtime); this run " +
+              "may now be interleaving with that writer")
         case Some(_) =>
           System.err.println(s"[graft] WARNING: state lease at $p is no longer " +
             "ours (a newer writer broke it mid-run) — this run may now be " +
@@ -2758,7 +2784,17 @@ object Main {
       val dirs = spark.conf.getOption("spark.local.dir")
         .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
       dirs.split(",").map(_.trim).filter(_.nonEmpty).distinct
-        .map(d => new java.io.File(d).getUsableSpace).sum
+        .map { d =>
+          // getUsableSpace returns 0 for a configured-but-not-yet-
+          // created dir (Spark creates local dirs lazily), and 0 free
+          // would make the refuse spuriously block every healthy
+          // batch (r13 ADVICE) — walk up to the nearest EXISTING
+          // ancestor: the filesystem the dir will land on is the
+          // ancestor's, so its usable space is the true budget
+          var f = new java.io.File(d).getAbsoluteFile
+          while (f != null && !f.exists()) f = f.getParentFile
+          if (f == null) 0L else f.getUsableSpace
+        }.sum
     }
   /** Pre-flight disk check for the clean stage — refuse (or warn)
     * BEFORE the batch dies hours into its shuffle: predicted scratch

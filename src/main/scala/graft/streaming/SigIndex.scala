@@ -64,15 +64,23 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
   // degraded mode.
   private val metaPath = new Path(s"$dir/meta.txt")
   private def fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def readMeta(): Option[Int] =
+  private def readMetaLine(prefix: String): Option[Int] =
     if (!fs.exists(metaPath)) None
     else {
       val in = fs.open(metaPath)
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
       text.linesIterator.collectFirst {
-        case l if l.startsWith("bandParts=") => l.stripPrefix("bandParts=").toInt
+        case l if l.startsWith(s"$prefix=") => l.stripPrefix(s"$prefix=").toInt
       }
     }
+  private def readMeta(): Option[Int] = readMetaLine("bandParts")
+  /** The banding width (bands per doc) the first writer froze — like
+    * `bandParts`, a per-index constant (a writer with a DIFFERENT
+    * banding config would probe band indices that mean different
+    * things, so the config is frozen with the layout). Recorded since
+    * r14; legacy indexes lack the line and [[delete]] falls back to a
+    * column-pruned max(band) scan. */
+  private def readMetaBands(): Option[Int] = readMetaLine("bands")
   private val resolvedBandParts: Int = {
     val recorded = readMeta()
     require(bandParts == 0 || recorded.forall(_ == bandParts),
@@ -80,12 +88,21 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
         s"opened with $bandParts")
     recorded.getOrElse(if (bandParts > 0) bandParts else 64)
   }
-  private def ensureMeta(): Unit =
+  private def ensureMeta(bandsPerDoc: => Int): Unit =
     if (!fs.exists(metaPath)) {
       val tmp = new Path(s"$dir/.tmp-meta-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, true)
-      try out.write(s"bandParts=$resolvedBandParts\n".getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // bandsPerDoc is by-name: its one bounded agg over the first
+      // batch runs only on the CREATE path — later appends never pay it
+      try {
+        val b = bandsPerDoc
+        // an empty first batch can't witness the banding width; leave
+        // the line out rather than freeze a wrong 0 (delete's scan
+        // fallback covers a meta without it, same as legacy indexes)
+        val bandsLine = if (b > 0) s"bands=$b\n" else ""
+        out.write(s"bandParts=$resolvedBandParts\n$bandsLine"
+          .getBytes(StandardCharsets.UTF_8))
+      } finally out.close()
       fs.rename(tmp, metaPath)
       // two concurrent FIRST writers with different explicit bandParts
       // can both pass the exists-check; the loser's rename silently
@@ -181,10 +198,19 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
     *    construction, but measured a net LOSS on a single node (see
     *    the field doc), so it is opt-in for network-bound clusters. */
   def candidates(bNew: DataFrame, batchId: Long): DataFrame = {
+    // n = band ROWS per partition (duplicate (band,h) keys counted);
+    // nd = DISTINCT keys per partition — hb is a pure function of
+    // (band,h), so per-partition distincts sum to the global distinct
+    // count, and it is measured on exactly the xxhash64(band,h) value
+    // set the bloom will hold, so the bloom is sized to its true
+    // item count instead of the row count (the r13 ADVICE oversize:
+    // total rows overstate keys whenever docs share band hashes)
     val keyed = bNew.groupBy(hb(col("band"), col("h")).as("hb"))
-      .agg(count(lit(1)).as("n")).collect()
+      .agg(count(lit(1)).as("n"),
+        count_distinct(xxhash64(col("band"), col("h"))).as("nd")).collect()
     val parts = keyed.map(_.getInt(0)).toSeq.sorted
-    val nKeys = keyed.map(_.getLong(1)).sum
+    val nRows = keyed.map(_.getLong(1)).sum
+    val nKeys = keyed.map(_.getLong(2)).sum
     // reset up front: every exit (including the empty-store one)
     // reports THIS call, never a previous batch's probe
     lastCandidateProbe = (false, 0L)
@@ -206,7 +232,7 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
           lastCandidateProbe = (true, readBytes)
           if (readBytes > warnReadBytesFloor)
             System.err.println(s"[graft] SigIndex.candidates WARNING: this " +
-              s"batch's $nKeys band keys touch ${parts.size} of " +
+              s"batch's $nRows band rows ($nKeys distinct keys) touch ${parts.size} of " +
               s"$resolvedBandParts band partitions — the partition prune is " +
               s"dead and the history probe will READ ~$readBytes bytes of " +
               "signature state (columnar, never text). The read is per-batch: " +
@@ -256,13 +282,81 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
     * A crash between the two writes is repaired by the replay for the
     * same reason (both readers exclude the batch's own rows). */
   def append(signed: DataFrame, batchId: Long): Unit = {
-    ensureMeta()
+    ensureMeta(signed.agg(coalesce(max(size(col("bh"))), lit(0))).head().getInt(0))
     sigs.upsert(signed.select(col(idCol), col("sig"), lit(batchId).as("batch_id")))
     bands.upsert(signed
       .select(col(idCol), posexplode(col("bh")).as(Seq("band", "h")))
       .select(concat_ws(":", col(idCol), col("band")).as("bk"),
         col(idCol), col("band"), col("h"),
         hb(col("band"), col("h")).as("hb"), lit(batchId).as("batch_id")))
+  }
+
+  /** TAKEDOWN through the dedup state — the right-to-be-forgotten
+    * sweep's missing store (r13 VERDICT #1): without it, a doc
+    * removed from the corpus ([[graft.similarity.PqIndex.remove]] /
+    * [[graft.similarity.TextIndex.delete]] / SnapshotStore.delete)
+    * keeps its band + sig rows here forever, so every FUTURE
+    * near-copy is silently suppressed against a ghost canonical that
+    * no longer exists downstream. Delete removes both:
+    *
+    *  - band rows by their exact keys: `bk = "<id>:<band>"` for band
+    *    0..bands-1, generated from the meta-frozen banding width (the
+    *    width is a per-index constant like `bandParts` — a writer
+    *    with a different banding config would already be semantically
+    *    broken against this history). A legacy meta without the line
+    *    resolves the width ONCE per instance from a column-pruned
+    *    max(band) scan (logged). Over-generating keys for a doc with
+    *    fewer bands is a committed no-op (SnapshotStore.delete on
+    *    absent keys), so the resolved width only needs to be an upper
+    *    bound. The delete is keyed → bloom-pruned, O(touched buckets).
+    *  - sig rows by id (the store key) — same keyed O(touched buckets).
+    *
+    * Band rows go FIRST (the [[graft.similarity.PqIndex.remove]]
+    * ordering argument, mirrored): after the band delete the doc can
+    * never surface as a candidate — [[candidates]] joins on band rows
+    * — so a crash before the sig delete leaves only an UNREACHABLE
+    * sig row ([[sigsFor]] fetches candidates' old ids only), which a
+    * replayed delete clears. The reverse order would leave band rows
+    * whose sig lookup trips [[sigsFor]]'s corruption error on every
+    * later batch. Deleting absent ids is a no-op (idempotent
+    * replays); [[vacuum]] is what makes the bytes unrecoverable —
+    * run it after legally-binding takedowns, as with the other
+    * stores. Returns (docs removed, band rows removed). */
+  def delete(ids: DataFrame): (Long, Long) = {
+    if (!exists) return (0L, 0L)
+    // two keyed deletes must see ONE key set (the PqIndex.remove rule)
+    val keys = ids.select(col(ids.columns.head).as(idCol)).distinct()
+      .localCheckpoint()
+    val nBands = resolvedBands()
+    val bandRows =
+      if (nBands == 0) 0L
+      else {
+        val spark0 = ids.sparkSession
+        import spark0.implicits._
+        val bks = keys.crossJoin((0 until nBands).toDF("band"))
+          .select(concat_ws(":", col(idCol), col("band")).as("bk"))
+        bands.delete(bks)
+      }
+    val sigRows = sigs.delete(keys)
+    (sigRows, bandRows)
+  }
+
+  // cached per instance: repeated takedown batches pay the legacy
+  // fallback scan once, not per call
+  private var cachedBands: Option[Int] = None
+  private def resolvedBands(): Int = cachedBands.getOrElse {
+    val b = readMetaBands().getOrElse {
+      System.err.println(s"[graft] SigIndex.delete: meta at $dir predates the " +
+        "frozen banding width — resolving it once from a column-pruned " +
+        "max(band) scan of the band store")
+      bands.read() match {
+        case None => 0
+        case Some(df) =>
+          df.agg(coalesce(max(col("band")), lit(-1))).head().getInt(0) + 1
+      }
+    }
+    cachedBands = Some(b)
+    b
   }
 
   /** Compact both stores toward their layout floors (see

@@ -131,6 +131,20 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/clean1")
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
 
+    // takedown through the dedup state: after sig-delete of doc 1,
+    // a new near-copy of it is no longer suppressed by the next
+    // incremental clean (the ghost-canonical fix, r13 VERDICT #1)
+    Seq(1L).toDF("doc_id").write.parquet(s"$base/takedown.parquet")
+    val del = Main.runPipeline(spark, Seq("sig-delete",
+      s"in=$base/takedown.parquet", s"index=$base/sig"))
+    assert(del.rowsIn == 1 && del.rowsOut == 1, s"sig-delete: $del")
+    Seq((6L, "en", prose("heron") + " fresh"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/docs2.parquet")
+    val run2 = Main.runPipeline(spark, Seq("corpus-clean",
+      s"in=$base/docs2.parquet", s"index=$base/sig", s"out=$base/clean2", "batch=2"))
+    assert(run2.rowsOut == 1,
+      "a near-copy of a sig-deleted doc must survive the next clean")
+
     // index lifecycle over the CLI: build on a base corpus, add a
     // delta, search — the planted copy must come back rank 1
     val dim = 16

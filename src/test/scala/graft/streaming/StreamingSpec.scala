@@ -220,6 +220,66 @@ class StreamingSpec extends SparkSpec {
     assert(run(Seq((3L, textA)).toDF("doc_id", "text"), 8L) == Set.empty[Long])
   }
 
+  test("SigIndex takedown: a deleted doc's future near-copy SURVIVES the next clean; replay idempotent; vacuum reclaims") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sigdel").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val textB = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Set[Long] =
+      Streaming.dedupNearBatch(df, index, "text", "doc_id", 0.8, 128, 16, 3, batchId = id)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(run(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 1L) == Set(1L, 2L))
+    // while doc 1 is indexed, its near-copy is suppressed
+    assert(run(Seq((3L, textA)).toDF("doc_id", "text"), 2L) == Set.empty[Long])
+    // TAKEDOWN doc 1: both stores shrink (16 bands/doc in this config)
+    val (docs, bandRows) = index.delete(Seq(1L).toDF("doc_id"))
+    assert(docs == 1L, s"expected 1 doc removed, got $docs")
+    assert(bandRows == 16L, s"expected 16 band rows removed, got $bandRows")
+    // the ghost canonical is gone: a FUTURE near-copy of the
+    // taken-down doc survives the next incremental clean instead of
+    // being suppressed against a doc that no longer exists downstream
+    assert(run(Seq((4L, textA)).toDF("doc_id", "text"), 3L) == Set(4L),
+      "a near-copy of a deleted doc must survive — no ghost canonical")
+    assert(index.read().get.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(2L, 4L))
+    // and doc 4 is now the canonical: a LATER copy is suppressed again
+    assert(run(Seq((5L, textA)).toDF("doc_id", "text"), 4L) == Set.empty[Long])
+    // replayed takedown is a committed no-op (absent keys)
+    assert(index.delete(Seq(1L).toDF("doc_id")) == ((0L, 0L)))
+    // the stats surface reflects the shrink (1,2,4 survived; 1 deleted)
+    assert(index.describe().toMap.apply("docs") == "2")
+    // vacuum makes the takedown's superseded files unrecoverable
+    assert(index.vacuum(keepVersions = 1, minAgeMs = 0L) > 0L)
+  }
+
+  test("SigIndex takedown on a legacy meta (no frozen banding width): the max(band) fallback resolves it") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sigdel_legacy").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    assert(Streaming.dedupNearBatch(Seq((1L, textA)).toDF("doc_id", "text"),
+      index, "text", "doc_id", 0.8, 128, 16, 3, batchId = 1L).count() == 1L)
+    // regress meta.txt to the pre-r14 shape: bandParts only
+    val metaP = new org.apache.hadoop.fs.Path(s"$base/index/meta.txt")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaP, false)
+    val out = fs.create(metaP, true)
+    try out.write("bandParts=64\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // a fresh instance (no cached width) must resolve bands from the
+    // store itself and still clear every band row
+    val reopened = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    val (docs, bandRows) = reopened.delete(Seq(1L).toDF("doc_id"))
+    assert(docs == 1L && bandRows == 16L,
+      s"legacy fallback must still remove all rows, got ($docs, $bandRows)")
+    // an all-deleted store may drop every bucket from its manifest —
+    // None and an empty frame both mean "no docs left"
+    assert(reopened.read().forall(_.isEmpty))
+  }
+
   test("streaming embedding near-dup: history and intra-batch dups dropped; signatures-only state") {
     val s = spark
     import s.implicits._
