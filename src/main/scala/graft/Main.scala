@@ -51,6 +51,14 @@ import org.apache.spark.sql.functions._
   *     # Query VALUES may be null per row (text-only / vector-only rows rank by their present
   *     # side); wlex=/wvec= are weighted-RRF per-side weights (exactly 0 disables a side and
   *     # skips its index probe); warm=true caches the SQ8 sidecar across calls in-process
+  *   runMain graft.Main serve queries=<dir> out=<dir> [index=<dir>] [text-index=<dir>] [topk=10 rerank=<candMult> allowed= wlex= wvec= warm=true pollms=500 maxbatches=0]
+  *     # long-lived serving loop: answers each COMPLETE batch subdir (has _SUCCESS) of queries=
+  *     # into out=/<name>, holding the index handles + warm caches open across batches (CDC
+  *     # adds/deletes picked up via the generation token); exits on queries=/.stop (drained
+  *     # first) or after maxbatches. Both indexes = hybrid RRF; one = that side's search alone
+  *   runMain graft.Main sig-delete in=<ids.parquet> index=<dir> [idcol=doc_id]
+  *     # dedup-state takedown: clears the ids' band+sig rows so future near-copies of a
+  *     # removed doc stop being suppressed against a ghost canonical; sig-vacuum after
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares> tokens=pre|bpe]
@@ -143,7 +151,7 @@ object Main {
 
   private[graft] val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
     "index-delete", "index-search", "index-recall", "index-compact", "index-vacuum", "index-stats",
-    "sig-compact", "sig-vacuum", "sig-stats",
+    "sig-compact", "sig-vacuum", "sig-stats", "sig-delete", "serve",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum", "text-index-stats", "hybrid-search",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
@@ -303,7 +311,7 @@ object Main {
     // corpus/layout (a fixed default here silently hands a 100×-grown
     // corpus a quadratic probe — or, for probe, a collapsed recall:
     // the sf10 lessons in PLANS.md)
-    def pqIndex(dir: String) = new graft.similarity.PqIndex(spark, dir,
+    def pqIndex(dir: String, warmDefault: String = "false") = new graft.similarity.PqIndex(spark, dir,
       dim = opts.getOrElse("dim", "64").toInt,
       m = opts.getOrElse("m", "8").toInt,
       k = opts.getOrElse("k", "16").toInt,
@@ -314,13 +322,17 @@ object Main {
       fitSampleN = opts.getOrElse("fitsample", "0").toInt,
       sq8 = opts.getOrElse("sq8", "false").toBoolean,
       // warm=true caches the SQ8 sidecar across re-rank calls WITHIN
-      // this process (manifest-version invalidated) — for the serving
-      // loops; a one-shot CLI call gains nothing
-      warmRerank = opts.getOrElse("warm", "false").toBoolean)
+      // this process (generation-token invalidated) — for the serving
+      // loops; a one-shot CLI call gains nothing. `serve` flips the
+      // default to true (the loop is what the cache is FOR)
+      warmRerank = opts.getOrElse("warm", warmDefault).toBoolean)
     // tparts absent ⇒ 0 ⇒ TextIndex.build sizes the term layout from
-    // the corpus token mass (same fixed-knob hazard as index-build)
-    def textIndex(dir: String) = new graft.similarity.TextIndex(spark, dir,
-      termParts = opts.getOrElse("tparts", "0").toInt)
+    // the corpus token mass (same fixed-knob hazard as index-build).
+    // warm= is the SAME knob pqIndex reads: warm=true on hybrid-search
+    // (or serve) warms both sides' caches within this process
+    def textIndex(dir: String, warmDefault: String = "false") = new graft.similarity.TextIndex(spark, dir,
+      termParts = opts.getOrElse("tparts", "0").toInt,
+      warmSearch = opts.getOrElse("warm", warmDefault).toBoolean)
     def done(rowsIn: Long, rowsOut: Long) =
       PipelineStats(command, rowsIn, rowsOut, (System.nanoTime() - t0) / 1e9)
 
@@ -481,6 +493,113 @@ object Main {
           .localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
+      // LONG-LIVED serving loop (r13 VERDICT #3) — the process that
+      // makes the warm caches operable: one-shot CLI calls rebuild the
+      // JVM (and the caches) per call, so `warm=` gained nothing
+      // outside library use. serve watches queries=<dir> for COMPLETE
+      // query batches (a subdirectory carrying Spark's _SUCCESS
+      // marker), answers each into out=/<same-name>/, and holds the
+      // index handles — and their generation-token-keyed warm caches —
+      // open across batches, so batch 2+ pays the warm wall and a CDC
+      // add/delete between batches is picked up by the token check
+      // (one manifest read per batch), never by a process restart.
+      //
+      //   serve queries=<dir> out=<dir> [index=<pq>] [text-index=<ti>]
+      //         [topk=10] [rerank=N] [allowed=<ids.parquet>]
+      //         [wlex=|wvec=] [warm=true] [pollms=500] [maxbatches=0]
+      //
+      // Modes by which indexes are passed: both = hybrid RRF (batch
+      // schema (query_id, qtext, vec) — null modalities per the
+      // hybridRrfServed contract); index= only = vector top-k (batch
+      // schema (idcol, veccol)); text-index= only = BM25 (batch schema
+      // (query_id, qtext)). A processed batch is marked by its
+      // out-dir's own _SUCCESS, so a restarted serve skips answered
+      // batches (idempotent). allowed= is re-read per batch (the
+      // policy table may change between batches — the serveStream
+      // thunk contract). Exit: a `.stop` file in queries= (drained
+      // first: batches already visible are answered before exit), or
+      // maxbatches=N (0 = run until .stop). Readers need no lease —
+      // index reads are snapshot-isolated; takedowns/adds land as new
+      // manifest versions the NEXT batch's token check adopts.
+      case "serve" =>
+        val qDir = req("queries")
+        val outDir = req("out")
+        val topK = opts.getOrElse("topk", "10").toInt
+        val cm = opts.getOrElse("rerank", "0").toInt
+        require(cm >= 0, s"rerank=$cm — pass rerank=N>0 for the SQ8 two-stage " +
+          "path, or omit it (0) for the plain probed search")
+        val pollMs = opts.getOrElse("pollms", "500").toLong
+        val maxBatches = opts.getOrElse("maxbatches", "0").toLong
+        val ti = opts.get("text-index").map(d => textIndex(d, warmDefault = "true"))
+        val pq = opts.get("index").map(d => pqIndex(d, warmDefault = "true"))
+        require(ti.nonEmpty || pq.nonEmpty,
+          "serve requires index=<dir> and/or text-index=<dir>")
+        val fs0 = new org.apache.hadoop.fs.Path(qDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hp(s0: String) = new org.apache.hadoop.fs.Path(s0)
+        def readyBatches(): Seq[String] =
+          if (!fs0.exists(hp(qDir))) Seq.empty
+          else fs0.listStatus(hp(qDir)).filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(n => !n.startsWith(".") &&
+              fs0.exists(hp(s"$qDir/$n/_SUCCESS")) &&
+              !fs0.exists(hp(s"$outDir/$n/_SUCCESS")))
+            .sorted.toSeq
+        def answer(batch: DataFrame): DataFrame = {
+          val allowedDf = opts.get("allowed").map(p =>
+            spark.read.parquet(p).select("doc_id"))
+          (ti, pq) match {
+            case (Some(t), Some(p)) =>
+              graft.queries.SimilarityQueries.hybridRrfServed(
+                t, p, batch.select("query_id", "qtext", "vec"), topK, cm,
+                allowedDf,
+                wLex = opts.getOrElse("wlex", "1.0").toDouble,
+                wVec = opts.getOrElse("wvec", "1.0").toDouble)
+            case (None, Some(p)) =>
+              val q = batch.select(
+                col(opts.getOrElse("idcol", "id")).as("id"),
+                col(opts.getOrElse("veccol", "vec")).as("vec"))
+              val aIds = allowedDf.map(_.select(col("doc_id").as("id")))
+              (cm, aIds) match {
+                case (c, a) if c > 0 => p.topKRerankIndexed(q, topK, c, a)
+                case (_, Some(a)) => p.topK(q, topK, a)
+                case _ => p.topK(q, topK)
+              }
+            case (Some(t), None) =>
+              t.search(batch.select("query_id", "qtext"), topK,
+                allowed = allowedDf)
+            case (None, None) => sys.error("unreachable: require above")
+          }
+        }
+        var processed = 0L
+        var rowsOut = 0L
+        var stopping = false
+        try {
+          while (!stopping) {
+            val ready = readyBatches()
+            for (name <- ready if !stopping) {
+              val t1 = System.nanoTime()
+              val hits = answer(spark.read.parquet(s"$qDir/$name"))
+                .localCheckpoint()
+              hits.write.mode("overwrite").parquet(s"$outDir/$name")
+              rowsOut += hits.count()
+              processed += 1
+              System.err.println(f"[graft] serve: $name answered in " +
+                f"${(System.nanoTime() - t1) / 1e9}%.2f s ($processed batches)")
+              if (maxBatches > 0 && processed >= maxBatches) stopping = true
+            }
+            if (!stopping && ready.isEmpty) {
+              if (fs0.exists(hp(s"$qDir/.stop"))) stopping = true
+              else Thread.sleep(pollMs)
+            }
+          }
+        } finally {
+          // the cached frames belong to this loop, not the session —
+          // a host embedding several serves must not leak them
+          ti.foreach(_.releaseWarmCache())
+          pq.foreach(_.releaseWarmCache())
+        }
+        done(processed, rowsOut)
       case "text-index-compact" =>
         done(0, textIndex(req("index"))
           .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)

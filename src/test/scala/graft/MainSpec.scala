@@ -302,6 +302,93 @@ class MainSpec extends SparkSpec {
       s"the removed doc must not match; others still do, got $post")
   }
 
+  test("serve loop: three hybrid batches through ONE process; a CDC add between batches is reflected; .stop drains and exits") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_serve").toString
+    val dim = 16
+    def vec(seed: Long) = graft.VecFixtures.unit(dim, seed)
+    // corpus: three docs with disjoint topics + their vectors
+    Seq((1L, "spark shuffles the hash join build side"),
+        (2L, "the sort merge join spills to disk"),
+        (3L, "broadcast joins skip the shuffle entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)))
+      .toDF("id", "vec").write.parquet(s"$base/vecs.parquet")
+    Main.runPipeline(spark, Seq("text-index-build",
+      s"in=$base/docs.parquet", s"index=$base/tidx", "tparts=8"))
+    Main.runPipeline(spark, Seq("index-build",
+      s"in=$base/vecs.parquet", s"index=$base/vidx",
+      s"dim=$dim", "m=4", "k=4", "cells=2", "probe=2", "buckets=2"))
+
+    // the serve loop on its own thread — the long-lived process under
+    // test; it must answer batches it discovers and exit on .stop
+    @volatile var stats: Main.PipelineStats = null
+    @volatile var failure: Throwable = null
+    val server = new Thread(() => {
+      try stats = Main.runPipeline(spark, Seq("serve",
+        s"queries=$base/q", s"out=$base/a", s"index=$base/vidx",
+        s"text-index=$base/tidx", s"dim=$dim", "m=4", "k=4", "cells=2", "probe=2",
+        "buckets=2", "topk=5", "pollms=100"))
+      catch { case t: Throwable => failure = t }
+    })
+    server.start()
+    def await(name: String): Unit = {
+      val marker = new java.io.File(s"$base/a/$name/_SUCCESS")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!marker.exists() && failure == null && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      if (failure != null) throw failure
+      assert(marker.exists(), s"serve never answered $name")
+    }
+    def hybridBatch(name: String, qid: Long, qtext: String, seed: Long): Unit =
+      Seq((qid, qtext, vec(seed)))
+        .toDF("query_id", "qtext", "vec").write.parquet(s"$base/q/$name")
+
+    hybridBatch("batch-1", 77L, "hash join", 5L)
+    await("batch-1")
+    val a1 = spark.read.parquet(s"$base/a/batch-1")
+    assert(a1.count() > 0 && !a1.select("doc_id").collect()
+      .map(_.getLong(0)).contains(10L))
+    hybridBatch("batch-2", 78L, "sort merge", 6L)
+    await("batch-2")
+
+    // CDC between batches: a doc that saturates batch-3's query terms
+    // AND carries batch-3's exact query vector — the serve loop must
+    // see it WITHOUT a restart (generation-token invalidation of both
+    // warm caches through the running process)
+    Seq((10L, "hash join hash join hash join"))
+      .toDF("doc_id", "text").write.parquet(s"$base/tdelta.parquet")
+    Main.runPipeline(spark, Seq("text-index-add",
+      s"in=$base/tdelta.parquet", s"index=$base/tidx"))
+    Seq((10L, vec(5)))
+      .toDF("id", "vec").write.parquet(s"$base/vdelta.parquet")
+    Main.runPipeline(spark, Seq("index-add",
+      s"in=$base/vdelta.parquet", s"index=$base/vidx",
+      s"dim=$dim", "m=4", "k=4", "cells=2", "probe=2", "buckets=2"))
+    hybridBatch("batch-3", 79L, "hash join", 5L)
+    await("batch-3")
+    val a3 = spark.read.parquet(s"$base/a/batch-3")
+    val top3 = a3.filter(col("rrf_rank") === 1).select("doc_id").head().getLong(0)
+    assert(top3 == 10L,
+      s"the CDC-added doc must fuse to rank 1 in the running serve loop, got $top3")
+
+    // drain-and-exit on .stop
+    new java.io.File(s"$base/q/.stop").createNewFile()
+    server.join(120000)
+    assert(!server.isAlive, "serve must exit after .stop")
+    if (failure != null) throw failure
+    assert(stats.rowsIn == 3, s"three batches answered, got $stats")
+    assert(stats.rowsOut > 0)
+
+    // a RESTARTED serve must skip already-answered batches (their
+    // out-dir _SUCCESS is the processed marker) and exit immediately
+    val restat = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/q", s"out=$base/a", s"text-index=$base/tidx",
+      "topk=5", "pollms=100"))
+    assert(restat.rowsIn == 0, s"restart must skip answered batches, got $restat")
+  }
+
   test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {
     val s = spark
     import s.implicits._
@@ -513,7 +600,8 @@ class MainSpec extends SparkSpec {
       "contamination-score", "dsir-select", "corpus-scrub", "quality-score",
       "quality-train", "langid", "bpe-train", "bpe-encode", "corpus-pack",
       "corpus-pipeline", "runs-report", "query", "sql",
-      "index-stats", "text-index-stats", "sig-stats").foreach { c =>
+      "index-stats", "text-index-stats", "sig-stats", "sig-delete",
+      "serve").foreach { c =>
       assert(Main.PipelineCommands(c), s"'$c' must be routed to runPipeline")
     }
     // and the handler map fails by name for anything the router passes

@@ -137,6 +137,52 @@ class TextIndexSpec extends SparkSpec {
     assert(index.delete(doomed.toDF("doc_id")) == 0L)
   }
 
+  test("warm search: token-keyed cache matches cold bitwise; rebuild, CDC add and delete all invalidate") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_warm").toString
+    val cold = new TextIndex(spark, s"$base/idx", termParts = 16)
+    val warm = new TextIndex(spark, s"$base/idx", termParts = 16, warmSearch = true)
+    val corpusA = corpus.filter(col("doc_id") < 40L)
+    cold.build(corpusA)
+    // parity on both prune regimes: the full query set (probe likely
+    // covers >= half of 16 parts — the bare-cache branch) and one
+    // single-term query (1 of 16 — the InSet-pruned branch)
+    assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)),
+      "warm ranks must equal cold ranks after build")
+    val oneTerm = Seq(1 -> "customer")
+    assert(rows(warm.search(oneTerm, 10)) == rows(cold.search(oneTerm, 10)))
+    // second warm call is a cache HIT — still identical
+    assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)))
+
+    // out-of-band rm + rebuild on a DIFFERENT corpus: the manifest
+    // history RESTARTS, so a cache keyed on the bare version number
+    // would silently keep serving corpusA's postings — the generation
+    // token (version + live-file-list hash) must not (the r13 warm-SQ8
+    // hole, pinned here for the lexical twin)
+    val fs0 = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$base/idx"), true)
+    cold.build(corpus) // the full corpus: docs >= 40 exist only here
+    assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)),
+      "after an out-of-band rebuild the warm cache must serve the NEW corpus")
+    assert(rows(warm.search(qs, 10))
+      == rows(TextQueries.bm25Search(corpus, qs, 10)))
+
+    // CDC add invalidates: the new doc surfaces through the WARM path
+    val delta = Seq((900001L, "hash join table hash join table"))
+      .toDF("doc_id", "text")
+    cold.add(delta)
+    val updated = corpus.unionByName(delta)
+    assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(updated, qs, 10)),
+      "a CDC add must invalidate the warm cache")
+    // CDC delete invalidates: the doc vanishes from the WARM path
+    cold.delete(Seq(900001L).toDF("doc_id"))
+    assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(corpus, qs, 10)),
+      "a CDC delete must invalidate the warm cache")
+    warm.releaseWarmCache()
+  }
+
   test("serving reads only the query terms' partitions") {
     val base = java.nio.file.Files.createTempDirectory("graft_textindex_prune").toString
     val index = new TextIndex(spark, s"$base/idx", termParts = 16)
