@@ -1018,6 +1018,9 @@ object Main {
               "are resuming — you know it is dead, the lease does not — " +
               "delete the named file, or pass leasettl=1 to break it)")
         })
+        // intra-stage timer: a long STAGE must not out-age the TTL
+        // between the boundary touches below
+        val leaseTimer = stateLease.map(startLeaseHeartbeat(spark, _, leaseTtl))
         try {
         val tIn = System.nanoTime()
         // raw web corpora arrive without a lang column; the langid
@@ -1074,6 +1077,10 @@ object Main {
         val rates = scala.collection.mutable.LinkedHashMap[String, Double]()
         val driftWarnings = scala.collection.mutable.ArrayBuffer[String]()
         var scrubEmergent: Option[Long] = None
+        // the clean stage's scratch pre-flight numbers, journaled so
+        // runs-report can show predicted-vs-free and the operator
+        // sizes the next batch without re-running the probe
+        var scratchStats: Option[(Long, Long)] = None
         def lastDocs: Long = recs.reverseIterator
           .collectFirst { case r if r.docs.isDefined => r.docs.get }.get
         def advance(next0: org.apache.spark.sql.DataFrame): Long = {
@@ -1197,7 +1204,7 @@ object Main {
             // stage's MinHash state killed two sf1000 DAG attempts on
             // ENOSPC hours in; `cur` is already cached, so the length
             // pass is one in-memory agg
-            cleanScratchPreflight(spark, cur, opts.getOrElse("scratchcheck",
+            scratchStats = cleanScratchPreflight(spark, cur, opts.getOrElse("scratchcheck",
               if (spark.sparkContext.isLocal) "refuse" else "warn"),
               "corpus-pipeline clean")
             val index = new graft.streaming.SigIndex(spark, s"${stateDir.get}/sig",
@@ -1205,7 +1212,7 @@ object Main {
             docs = Some(advance(P.corpusCleanIncremental(cur, index, batchId.get,
               keepText = true).select("doc_id", "lang", "text")))
           case "clean" =>
-            cleanScratchPreflight(spark, cur, opts.getOrElse("scratchcheck",
+            scratchStats = cleanScratchPreflight(spark, cur, opts.getOrElse("scratchcheck",
               if (spark.sparkContext.isLocal) "refuse" else "warn"),
               "corpus-pipeline clean")
             docs = Some(advance(P.corpusCleanDocs(cur).select("doc_id", "lang", "text")))
@@ -2153,6 +2160,8 @@ object Main {
             .mkString(""""drift_warnings":[""", ",", "],")
         val emergentField =
           scrubEmergent.map(n => s""""scrub_emergent_spans":$n,""").getOrElse("")
+        val scratchField = scratchStats.map { case (p, f) =>
+          s""""scratch_predicted_bytes":$p,"scratch_free_bytes":$f,""" }.getOrElse("")
         val stagesJson = recs.map { r =>
           s"""{"stage":"${r.stage}"""" +
             r.docs.map(d => s""","docs":$d""").getOrElse("") +
@@ -2162,7 +2171,8 @@ object Main {
         val statsJson =
           s"""{$batchField"mix_budget_tokens":${
             mixBudget.map(_.toString).getOrElse("null")},""" +
-            ratesField + driftField + emergentField + s""""stages":$stagesJson}"""
+            ratesField + driftField + emergentField + scratchField +
+            s""""stages":$stagesJson}"""
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(base, "stats.json"), statsJson + "\n")
@@ -2204,7 +2214,10 @@ object Main {
         if (cur ne raw) cur.unpersist()
         raw.unpersist()
         done(rowsIn, rowsOut)
-        } finally stateLease.foreach(releaseStateLease(spark, _))
+        } finally {
+          leaseTimer.foreach(_.close())
+          stateLease.foreach(releaseStateLease(spark, _))
+        }
       // the journal reader: out/runs/batch=*.json (one record per
       // incremental batch) rendered as the per-batch trajectory table
       // an operator reads before trusting a nightly pipeline — walls,
@@ -2245,8 +2258,13 @@ object Main {
         val recs = df.collect()
           .sortBy(r => num(r, "batch").map(_.toLong).getOrElse(Long.MaxValue))
         val warnings = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        // scratch column only when some record carries the pre-flight
+        // numbers (a journal of scratchcheck=off batches stays narrow)
+        val hasScratch = df.columns.contains("scratch_predicted_bytes")
         val header = Seq(f"${"batch"}%8s", f"${"in"}%12s", f"${"out"}%12s",
-          f"${"wall_s"}%9s") ++ rateKeys.map(k => f"$k%14s") ++ Seq(f"${"drift"}%6s")
+          f"${"wall_s"}%9s") ++ rateKeys.map(k => f"$k%14s") ++
+          (if (hasScratch) Seq(f"${"scr_mb/free"}%16s") else Nil) ++
+          Seq(f"${"drift"}%6s")
         println(header.mkString(" "))
         recs.foreach { r =>
           val batch = num(r, "batch").map(_.toLong).getOrElse(-1L)
@@ -2269,6 +2287,11 @@ object Main {
             rateKeys.map { k =>
               f"${rates.flatMap(rr => num(rr, k)).fold("-")(v => f"$v%.6f")}%14s"
             } ++
+            (if (hasScratch)
+              Seq(f"${num(r, "scratch_predicted_bytes").map(p =>
+                f"${p / 1e6}%.1f/${num(r, "scratch_free_bytes")
+                  .fold(-1.0)(_ / 1e6)}%.0f").getOrElse("-")}%16s")
+            else Nil) ++
             Seq(f"${if (drift.isEmpty) "-" else s"DRIFT(${drift.size})"}%6s")
           println(cells.mkString(" "))
         }
@@ -2428,8 +2451,9 @@ object Main {
         val spansPath = s"$scrState/spans"
         // refits mutate the same frozen-model state the incremental
         // batches read AND write — same exclusive-writer lease
-        val refitLease = acquireStateLease(spark, req("state"), "scrub-refit",
-          opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong)
+        val refitTtl = opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong
+        val refitLease = acquireStateLease(spark, req("state"), "scrub-refit", refitTtl)
+        val refitHb = startLeaseHeartbeat(spark, refitLease, refitTtl)
         try {
         def pEx(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -2513,7 +2537,7 @@ object Main {
         System.err.println(s"[graft] scrub-refit: ${oldN} -> ${hot.length} spans " +
           s"(mindocs=$md) from the accumulated batch frequencies")
         done(oldN, hot.length.toLong)
-        } finally releaseStateLease(spark, refitLease)
+        } finally { refitHb.close(); releaseStateLease(spark, refitLease) }
       // the mix model's explicit re-calibration, scrub-refit's shape:
       // rebuild the frozen per-language thresholds from the
       // ACCUMULATED per-batch supply evidence under state/mix/supply
@@ -2528,8 +2552,9 @@ object Main {
       case "mix-refit" =>
         val mixState = s"${req("state")}/mix"
         val thrPath = s"$mixState/thresholds"
-        val refitLease = acquireStateLease(spark, req("state"), "mix-refit",
-          opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong)
+        val refitTtl = opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong
+        val refitLease = acquireStateLease(spark, req("state"), "mix-refit", refitTtl)
+        val refitHb = startLeaseHeartbeat(spark, refitLease, refitTtl)
         try {
         def pEx(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -2622,7 +2647,7 @@ object Main {
           s"thresholds (budget=$budget alpha=$alpha) from the accumulated " +
           "batch supplies")
         done(oldN, thr.size.toLong)
-        } finally releaseStateLease(spark, refitLease)
+        } finally { refitHb.close(); releaseStateLease(spark, refitLease) }
       // model-based quality filter: weights=<parquet with (bucket,
       // weight_milli)> is the trained-model input; absent ⇒ the
       // deterministic stand-in table (the gate configuration)
@@ -2884,6 +2909,38 @@ object Main {
     }
   }
 
+  /** Intra-stage heartbeat TIMER (r13 VERDICT #7): the stage-boundary
+    * touches bound the breakable gap by STAGE wall — but the sf1000
+    * seed's clean stage alone ran 1315 s, so a `leasettl=` tighter
+    * than one stage could still break an ACTIVE holder mid-stage. A
+    * daemon timer touches the lease every ttl/4 (clamped to
+    * [1 s, 60 s]) independent of Spark progress, so the breakable gap
+    * is bounded by wall-clock, not stage structure — a holder is only
+    * breakable after a full TTL with the whole PROCESS silent (dead
+    * or wedged past even the timer), which is exactly the crashed
+    * case the break exists for. Each touch goes through
+    * [[heartbeatStateLease]] — the ownership-nonce + re-verify
+    * discipline applies to timer touches too. ttl <= 0 (never
+    * auto-break) needs no heartbeat: returns a no-op handle. Close
+    * the handle in the same finally that releases the lease. */
+  private[graft] def startLeaseHeartbeat(spark: org.apache.spark.sql.SparkSession,
+                                         lease: (org.apache.hadoop.fs.Path, String),
+                                         ttlMs: Long): AutoCloseable =
+    if (ttlMs <= 0) new AutoCloseable { def close(): Unit = () }
+    else {
+      val period = math.max(1000L, math.min(ttlMs / 4, 60000L))
+      val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-lease-heartbeat")
+          t.setDaemon(true)
+          t
+        })
+      exec.scheduleAtFixedRate(
+        () => heartbeatStateLease(spark, lease),
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      new AutoCloseable { def close(): Unit = { exec.shutdownNow(); () } }
+    }
+
   /** The clean stage's measured scratch constant: MinHash state
     * (numPerm=128 longs/signature, localCheckpoint'd for the band
     * exchange and the verify join) materializes ≈ 2× the batch's TEXT
@@ -2927,12 +2984,17 @@ object Main {
     * and warn on a cluster, where scratch is distributed across
     * executor disks the driver cannot see (the check then bounds the
     * single-worst case, not the real budget). */
+  /** Returns (predicted, free) bytes when the check ran (mode != off)
+    * — the numbers the run journal records so an operator sizes the
+    * NEXT batch from `runs-report` instead of re-running the probe
+    * (r13 VERDICT #8); None when skipped. */
   private[graft] def cleanScratchPreflight(spark: org.apache.spark.sql.SparkSession,
                                            docs: org.apache.spark.sql.DataFrame,
-                                           mode: String, label: String): Unit = {
+                                           mode: String, label: String): Option[(Long, Long)] = {
     require(Set("refuse", "warn", "off").contains(mode),
       s"scratchcheck=$mode — known modes: refuse, warn, off")
-    if (mode != "off") {
+    if (mode == "off") None
+    else {
       val textBytes = docs.agg(coalesce(sum(octet_length(col("text"))), lit(0L)))
         .head().getLong(0)
       val predicted = CleanScratchFactor * textBytes
@@ -2947,6 +3009,7 @@ object Main {
         if (mode == "refuse") throw new IllegalArgumentException(msg)
         else System.err.println(s"[graft] WARNING $msg")
       }
+      Some((predicted, free))
     }
   }
 

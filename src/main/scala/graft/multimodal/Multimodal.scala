@@ -48,6 +48,50 @@ object Multimodal {
     }
   }
 
+  /** The REAL decode arm for the formats the JDK itself guarantees
+    * (PNG, JPEG, plus GIF/BMP on every standard JRE): `javax.imageio`
+    * — zero new dependencies, so "no codec libs in the sandbox" stops
+    * being true for images (r13 VERDICT #4). Emits the same tuple as
+    * [[StubDecoder]] with REAL pixels: (width, height, 16-bin pixel
+    * LUMINANCE histogram, ITU-R BT.601 integer weights, normalized to
+    * sum 1). A payload ImageIO cannot parse returns None — the honest
+    * "not an image" signal (surfaced as null columns), never a fake;
+    * the stub arm stays the deterministic gate/oracle form for opaque
+    * payloads. */
+  object ImageDecoder {
+    val FeatureDim = 16
+    // never let ImageIO spill its decode cache to executor temp dirs
+    javax.imageio.ImageIO.setUseCache(false)
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](FeatureDim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              // BT.601 luma, integer form: (77R + 150G + 29B) >> 8 ∈ [0,255]
+              val lum = (77 * ((rgb >> 16) & 0xFF) + 150 * ((rgb >> 8) & 0xFF) +
+                29 * (rgb & 0xFF)) >> 8
+              hist(lum * FeatureDim / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(w * h, 1).toFloat
+          var k = 0
+          while (k < FeatureDim) { hist(k) /= n; k += 1 }
+          Some((w, h, hist))
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),
@@ -60,17 +104,33 @@ object Multimodal {
     * `batchSize` payloads handed to the decoder together (the shape a
     * GPU/vectorized codec wants). `batch_size` is surfaced so tests
     * can assert the batching actually happened. */
+  /** `decoder` picks the arm: `"stub"` (default — the deterministic
+    * byte-histogram form the gate oracles) or `"image"` (real
+    * [[ImageDecoder]] pixels; an unparseable payload emits null
+    * width/height/features instead of a made-up answer — schema
+    * identical, so the two arms swap without touching callers). */
   def extractFeatures(df: DataFrame, payload: String = "payload", id: String = "doc_id",
-                      batchSize: Int = 64): DataFrame = {
+                      batchSize: Int = 64, decoder: String = "stub"): DataFrame = {
+    require(Set("stub", "image").contains(decoder),
+      s"decoder=$decoder — known arms: stub, image")
     val spark = df.sparkSession
+    val real = decoder == "image"
     val in = df.select(col(id).cast("long"), col(payload))
     val rdd = in.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val n = batch.size
         batch.iterator.map { r =>
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, feat) = StubDecoder.decode(payload)
-          Row(r.getLong(0), payload.length, w, h, feat.toSeq, n)
+          if (real) ImageDecoder.decode(payload) match {
+            case Some((w, h, feat)) =>
+              Row(r.getLong(0), payload.length, w, h, feat.toSeq, n)
+            case None =>
+              Row(r.getLong(0), payload.length, null, null, null, n)
+          }
+          else {
+            val (w, h, feat) = StubDecoder.decode(payload)
+            Row(r.getLong(0), payload.length, w, h, feat.toSeq, n)
+          }
         }
       }
     }

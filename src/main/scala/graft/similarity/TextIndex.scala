@@ -111,7 +111,20 @@ class TextIndex(spark: SparkSession, dir: String,
         warmCache = None
         if (token.isEmpty) None
         else store.read().map { df0 =>
+          // the cache layout IS the win: a bare persist loses to the
+          // cold path (measured r14 at 5M docs — cold's term-pruned
+          // parquet read beats a full in-memory scan whenever the OS
+          // page cache is warm). Repartitioning by tpart (one cached
+          // partition per term partition) and sorting by word inside
+          // gives every cached batch tight min/max stats on BOTH
+          // filter columns, so InMemoryTableScan's batch pruning
+          // (in-memory partition pruning, on by default) skips
+          // non-probed tparts and non-query words without scanning
+          // them — the in-memory twin of the cold path's file prune.
+          val parts = loadStats()._3
           val df = df0.select("doc_id", "word", "tf", "dl", "tpart")
+            .repartition(parts, col("tpart"))
+            .sortWithinPartitions("word")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           warmCache = Some((token.get, df))
           df

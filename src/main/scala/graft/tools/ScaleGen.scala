@@ -35,6 +35,10 @@ object ScaleGen {
     val embeddingsOnly = flags("embeddings-only")
     val corpusOnly = flags("corpus-only") || embeddingsOnly
     val clustered = flags("clustered")
+    // "dim16": 16-dim embeddings instead of 64 — 4× less disk per
+    // vector, the r13-VERDICT #6 route to the next ANN decade (80M
+    // vectors) inside the sandbox disk budget; same mode structure
+    val dim = if (flags("dim16")) 16 else 64
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
 
@@ -91,7 +95,7 @@ object ScaleGen {
     val langs = Vector("en", "en", "en", "de", "fr", "es")
     val nDocs = 5000L * copies
     if (embeddingsOnly) {
-      writeEmbeddings(spark, out, copies, clustered)
+      writeEmbeddings(spark, out, copies, clustered, dim)
       spark.stop(); return
     }
     // distributed synthesis (per-row seeds make it embarrassingly
@@ -109,7 +113,7 @@ object ScaleGen {
     docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"[scalegen] documents $nDocs")
 
-    writeEmbeddings(spark, out, copies, clustered)
+    writeEmbeddings(spark, out, copies, clustered, dim)
     spark.stop()
   }
 
@@ -131,16 +135,17 @@ object ScaleGen {
     * Mode assignment is a multiplicative hash of id, so the planted
     * near-dup pairs (which share the BASE vector) stay intact. */
   private def writeEmbeddings(spark: org.apache.spark.sql.SparkSession,
-                              out: String, copies: Int, clustered: Boolean): Unit = {
+                              out: String, copies: Int, clustered: Boolean,
+                              dim: Int = 64): Unit = {
     import spark.implicits._
     val nModes = 1024
     def center(m: Int): Array[Float] = {
       val rnd = new scala.util.Random(m * 2862933555777941757L + 3037000499L)
-      Array.fill(64)(rnd.nextGaussian().toFloat)
+      Array.fill(dim)(rnd.nextGaussian().toFloat)
     }
     def vec(id: Long): Array[Float] = {
       val rnd = new scala.util.Random(id * 1099511628211L + 7)
-      if (!clustered) Array.fill(64)(rnd.nextGaussian().toFloat)
+      if (!clustered) Array.fill(dim)(rnd.nextGaussian().toFloat)
       else {
         val c = center((((id * 0x9E3779B97F4A7C15L) >>> 40) % nModes).toInt)
         c.map(x => x + 0.5f * rnd.nextGaussian().toFloat)

@@ -1305,6 +1305,33 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(leasePath))
   }
 
+  test("intra-stage heartbeat timer: a holder inside ONE long stage with ttl < stage wall is not broken; a closed timer ages out") {
+    val base = Files.createTempDirectory("graft_main_hbt").toString
+    val leasePath = java.nio.file.Paths.get(s"$base/state/.lease.txt")
+    // ttl 2 s, stage wall 5 s, NO stage-boundary touches — the r13
+    // design's breakable window (heartbeats fired only between
+    // stages; the sf1000 clean stage alone ran 1315 s); the timer
+    // (period ttl/4, floored to 1 s) must keep the holder alive
+    val holder = Main.acquireStateLease(spark, s"$base/state", "hbt-holder", 2000L)
+    val timer = Main.startLeaseHeartbeat(spark, holder, 2000L)
+    try {
+      Thread.sleep(5000L)
+      val e = intercept[IllegalArgumentException](
+        Main.acquireStateLease(spark, s"$base/state", "second", 2000L))
+      assert(e.getMessage.contains("LEASED"),
+        s"a timer-heartbeating holder mid-stage must not be broken: ${e.getMessage}")
+    } finally timer.close()
+    // with the timer closed (crashed process), a full TTL of silence
+    // still breaks the lease — the timer protects active holders only
+    java.nio.file.Files.setLastModifiedTime(leasePath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
+    val second = Main.acquireStateLease(spark, s"$base/state", "second", 2000L)
+    assert(Files.readString(leasePath).contains(s"nonce=${second._2}"))
+    Main.releaseStateLease(spark, second)
+    // ttl=0 (never auto-break) needs no timer: the no-op handle closes
+    Main.startLeaseHeartbeat(spark, second, 0L).close()
+  }
+
   test("full-run output lease: a second full run into the same out= refuses naming the holder; completed runs leave none") {
     val s = spark
     import s.implicits._
@@ -2240,6 +2267,16 @@ class MainSpec extends SparkSpec {
     assert(out.contains("[batch 3] select keep rate 0.03 diverges"), out)
     // real records (no rates column values) render '-' not a crash
     assert(lines(b1).contains("-"), out)
+    // the clean stage's scratch pre-flight is journaled (predicted +
+    // free bytes) and rendered, so an operator sizes the next batch
+    // from the report instead of re-running the probe; the
+    // hand-written record (no pre-flight) renders '-'
+    assert(Files.readString(java.nio.file.Paths.get(s"$base/out/runs/batch=1.json"))
+      .contains("\"scratch_predicted_bytes\":"),
+      "the journal must carry the pre-flight numbers")
+    assert(out.contains("scr_mb/free"), s"scratch column header expected:\n$out")
+    assert(lines(b1).matches(""".*\d+\.\d+/\d+.*"""),
+      s"batch 1 must render predicted/free mb:\n${lines(b1)}")
     assert(st.rowsIn == 3L, s"3 journal records, got ${st.rowsIn}")
     assert(st.rowsOut == 1L, s"1 drift warning, got ${st.rowsOut}")
     // foreign-writer tolerance: a journal whose numbers are all

@@ -303,4 +303,23 @@ class SimilaritySpec extends SparkSpec {
       "gate corpus should exercise lexical-only and vector-only hits")
     assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= topK))
   }
+
+  test("fuseRrf owns the weight contract: a 0 weight DROPS that side for every caller; refusals bind ad-hoc too") {
+    // the r13-ADVICE divergence: searchHybridRrf(wVec=0) used to score
+    // the vector side at 0.0, so its hits still padded the top-k tail
+    // with in_vec=true — the exact behavior the served path's contract
+    // rejects. The drop now lives in the ONE fusion body.
+    val zeroed = graft.queries.SimilarityQueries
+      .searchHybridRrf(spark, sf("0.001"), wVec = 0.0).collect()
+    assert(zeroed.nonEmpty)
+    assert(zeroed.forall(r => r.getBoolean(3) && !r.getBoolean(4)),
+      "wVec=0 must leave only lexical-membership rows — no zero-score padding")
+    val e = intercept[IllegalArgumentException](
+      graft.queries.SimilarityQueries.searchHybridRrf(spark, sf("0.001"), wLex = -1.0))
+    assert(e.getMessage.contains("weights"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.queries.SimilarityQueries.searchHybridRrf(spark, sf("0.001"),
+        wLex = 0.0, wVec = 0.0))
+    assert(e2.getMessage.contains("0"), e2.getMessage)
+  }
 }
