@@ -546,20 +546,23 @@ object Main {
               !fs0.exists(hp(s"$outDir/$n/_SUCCESS")))
             .sorted.toSeq
         def answer(batch: DataFrame): DataFrame = {
-          val allowedDf = opts.get("allowed").map(p =>
-            spark.read.parquet(p).select("doc_id"))
           (ti, pq) match {
             case (Some(t), Some(p)) =>
               graft.queries.SimilarityQueries.hybridRrfServed(
                 t, p, batch.select("query_id", "qtext", "vec"), topK, cm,
-                allowedDf,
+                opts.get("allowed").map(a =>
+                  spark.read.parquet(a).select("doc_id")),
                 wLex = opts.getOrElse("wlex", "1.0").toDouble,
                 wVec = opts.getOrElse("wvec", "1.0").toDouble)
             case (None, Some(p)) =>
               val q = batch.select(
                 col(opts.getOrElse("idcol", "id")).as("id"),
                 col(opts.getOrElse("veccol", "vec")).as("vec"))
-              val aIds = allowedDf.map(_.select(col("doc_id").as("id")))
+              // vector-only allow-lists follow the index-search
+              // convention (idcol=, default "id"); hybrid/lexical use
+              // the doc_id contract of their underlying APIs
+              val aIds = opts.get("allowed").map(a => spark.read.parquet(a)
+                .select(col(opts.getOrElse("idcol", "id")).as("id")))
               (cm, aIds) match {
                 case (c, a) if c > 0 => p.topKRerankIndexed(q, topK, c, a)
                 case (_, Some(a)) => p.topK(q, topK, a)
@@ -567,7 +570,8 @@ object Main {
               }
             case (Some(t), None) =>
               t.search(batch.select("query_id", "qtext"), topK,
-                allowed = allowedDf)
+                allowed = opts.get("allowed").map(a =>
+                  spark.read.parquet(a).select("doc_id")))
             case (None, None) => sys.error("unreachable: require above")
           }
         }

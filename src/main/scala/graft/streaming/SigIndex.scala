@@ -342,7 +342,10 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
   }
 
   // cached per instance: repeated takedown batches pay the legacy
-  // fallback scan once, not per call
+  // fallback scan once, not per call. A 0 (EMPTY legacy band store)
+  // is deliberately NOT cached: an append can land between deletes
+  // and a stale 0 would silently skip the band rows forever after —
+  // the exact ghost-canonical bug delete exists to fix.
   private var cachedBands: Option[Int] = None
   private def resolvedBands(): Int = cachedBands.getOrElse {
     val b = readMetaBands().getOrElse {
@@ -355,7 +358,7 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
           df.agg(coalesce(max(col("band")), lit(-1))).head().getInt(0) + 1
       }
     }
-    cachedBands = Some(b)
+    if (b > 0) cachedBands = Some(b)
     b
   }
 
