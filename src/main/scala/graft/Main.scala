@@ -2939,8 +2939,17 @@ object Main {
           t.setDaemon(true)
           t
         })
+      // swallow EVERYTHING inside the tick: scheduleAtFixedRate
+      // silently cancels all future runs if a task throws, and a
+      // dead timer is a silent regression to boundary-only touches —
+      // the heartbeat already warns on its own failure modes
       exec.scheduleAtFixedRate(
-        () => heartbeatStateLease(spark, lease),
+        () => try heartbeatStateLease(spark, lease)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARNING: lease heartbeat tick " +
+              s"failed (${e.getMessage}) — the timer stays alive")
+        },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       new AutoCloseable { def close(): Unit = { exec.shutdownNow(); () } }
     }

@@ -89,7 +89,11 @@ object Multimodal {
           while (k < FeatureDim) { hist(k) /= n; k += 1 }
           Some((w, h, hist))
         }
-      } catch { case _: java.io.IOException => None }
+        // NonFatal, not just IOException: crawled-corpus payloads are
+        // adversarial, and the JDK's format plugins throw
+        // IllegalArgument/ArrayIndexOutOfBounds on some malformed
+        // headers — any undecodable payload is the same honest None
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private val featureSchema = StructType(Seq(

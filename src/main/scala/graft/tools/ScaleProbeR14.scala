@@ -117,7 +117,45 @@ object ScaleProbeR14 {
         println(f"[r14probe] recall@10 = $r%.4f (rule predicts ~0.97 from the 2M/20M arms)")
         warm.releaseWarmCache()
 
-      case other => sys.error(s"unknown arm $other (textwarm|ann80)")
+      // ---- serve-loop walls: batch 2+ must approach the warm API wall ----
+      case "servewall" =>
+        rm(s"$out/servewall")
+        val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+          .select("doc_id", "text")
+        val embs = spark.read.parquet(s"$dataDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val (nD, nV) = (docs.count(), embs.count())
+        println(s"[r14probe] corpus: $nD docs, $nV vectors")
+        val ti = new graft.similarity.TextIndex(spark, s"$out/servewall/tidx")
+        timed("text index build")(ti.build(docs))
+        val pi = new graft.similarity.PqIndex(spark, s"$out/servewall/vidx",
+          dim = 64, sq8 = true)
+        timed("vector index build (SQ8)")(pi.build(embs))
+        // 100 hybrid queries: real doc words + that id's own embedding
+        // (doc ids and vec ids share the 0..n space by construction)
+        val qrows = docs.filter(col("doc_id") < nV)
+          .select(col("doc_id"), col("text"), xxhash64(col("doc_id")).as("h"))
+          .orderBy("h").limit(100).collect().zipWithIndex.map { case (r, i) =>
+            (i.toLong, r.getString(1).split(' ').filter(_.startsWith("w"))
+              .take(2).mkString(" "), r.getLong(0))
+          }.toSeq.toDF("query_id", "qtext", "docref")
+        val qdf = qrows.join(embs.withColumnRenamed("id", "docref"), Seq("docref"))
+          .select(col("query_id"), col("qtext"), col("vec"))
+          .localCheckpoint()
+        (1 to 3).foreach { b =>
+          qdf.write.mode("overwrite").parquet(s"$out/servewall/q/batch-$b")
+        }
+        // one serve process, three identical batches: batch 1 pays the
+        // cache builds, batches 2-3 are the warm serving wall (the
+        // per-batch timings print from the serve loop itself)
+        val st = graft.Main.runPipeline(spark, Seq("serve",
+          s"queries=$out/servewall/q", s"out=$out/servewall/a",
+          s"index=$out/servewall/vidx", s"text-index=$out/servewall/tidx",
+          "dim=64", "sq8=true", "rerank=32", "topk=10", "pollms=200",
+          "maxbatches=3"))
+        println(s"[r14probe] serve stats: $st")
+
+      case other => sys.error(s"unknown arm $other (textwarm|ann80|servewall)")
     }
     spark.stop()
   }

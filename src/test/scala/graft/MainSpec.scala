@@ -387,6 +387,19 @@ class MainSpec extends SparkSpec {
       s"queries=$base/q", s"out=$base/a", s"text-index=$base/tidx",
       "topk=5", "pollms=100"))
     assert(restat.rowsIn == 0, s"restart must skip answered batches, got $restat")
+
+    // vector-only serve (index= without text-index=): the topK branch
+    // answers with the index-search schema; maxbatches exits the loop
+    // without a .stop file
+    Seq((55L, vec(5))).toDF("id", "vec").write.parquet(s"$base/vq/batch-1")
+    val vstat = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/vq", s"out=$base/va", s"index=$base/vidx",
+      s"dim=$dim", "m=4", "k=4", "cells=2", "probe=2", "buckets=2",
+      "topk=3", "pollms=100", "maxbatches=1"))
+    assert(vstat.rowsIn == 1 && vstat.rowsOut > 0, s"vector-only serve: $vstat")
+    val vtop = spark.read.parquet(s"$base/va/batch-1")
+      .filter(col("rank") === 1).select("neighbor_id").head().getLong(0)
+    assert(vtop == 10L, s"the query's exact vector twin must rank 1, got $vtop")
   }
 
   test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {

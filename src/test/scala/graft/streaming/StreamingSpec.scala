@@ -254,6 +254,29 @@ class StreamingSpec extends SparkSpec {
     assert(index.vacuum(keepVersions = 1, minAgeMs = 0L) > 0L)
   }
 
+  test("SigIndex takedown through the EMBEDDING dedup path: the RHP banding width (6, not 16) is frozen and cleared") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sigdel_emb").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "id")
+    val dim = 64
+    def unit(seed: Long): Array[Float] = graft.VecFixtures.unit(dim, seed)
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Set[Long] =
+      Streaming.dedupNearEmbeddingBatch(df, index, "vec", "id", 0.85, dim,
+          bands = 6, bitsPerBand = 8, seed = 42L, batchId = id)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(run(Seq((1L, unit(1))).toDF("id", "vec"), 1L) == Set(1L))
+    assert(run(Seq((2L, unit(1))).toDF("id", "vec"), 2L) == Set.empty[Long],
+      "a near-copy must be suppressed while the canonical is indexed")
+    // delete is banding-agnostic: the width meta recorded at first
+    // append is the RHP config's 6, not the MinHash paths' 16
+    val (docs, bandRows) = index.delete(Seq(1L).toDF("id"))
+    assert(docs == 1L && bandRows == 6L,
+      s"expected (1 doc, 6 RHP band rows), got ($docs, $bandRows)")
+    assert(run(Seq((3L, unit(1))).toDF("id", "vec"), 3L) == Set(3L),
+      "a near-copy of the deleted vector must survive — no ghost canonical")
+  }
+
   test("SigIndex takedown on a legacy meta (no frozen banding width): the max(band) fallback resolves it") {
     val s = spark
     import s.implicits._
