@@ -59,6 +59,10 @@ import org.apache.spark.sql.functions._
   *   runMain graft.Main sig-delete in=<ids.parquet> index=<dir> [idcol=doc_id]
   *     # dedup-state takedown: clears the ids' band+sig rows so future near-copies of a
   *     # removed doc stop being suppressed against a ghost canonical; sig-vacuum after
+  *   runMain graft.Main takedown in=<ids.parquet> state=<dag state dir> [idcol=doc_id vacuum=true agems=0 leasettl=]
+  *     # the ONE-command right-to-be-forgotten sweep: sig + text_index + index stores AND
+  *     # the accumulated state/survivors (a later seed rebuild would re-index the doc from
+  *     # them); runs under the state lease; vacuum=true makes bytes unrecoverable now
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares> tokens=pre|bpe]
@@ -151,7 +155,7 @@ object Main {
 
   private[graft] val PipelineCommands = Set("corpus-clean", "index-build", "index-add",
     "index-delete", "index-search", "index-recall", "index-compact", "index-vacuum", "index-stats",
-    "sig-compact", "sig-vacuum", "sig-stats", "sig-delete", "serve",
+    "sig-compact", "sig-vacuum", "sig-stats", "sig-delete", "serve", "takedown",
     "text-index-build", "text-index-add", "text-index-delete", "text-index-search",
     "text-index-compact", "text-index-vacuum", "text-index-stats", "hybrid-search",
     "corpus-mix", "corpus-split", "select-budget", "corpus-shard",
@@ -626,6 +630,112 @@ object Main {
         System.err.println(s"[graft] sig-delete: removed $docs doc(s), " +
           s"$bandRows band row(s)")
         done(ids.count(), docs)
+      // ONE-COMMAND right-to-be-forgotten sweep over a DAG state dir:
+      // every store a doc id can live in under state= is swept —
+      // sig (band+sig rows: future near-copies stop being suppressed
+      // against the ghost), text_index (postings + exact stats
+      // shrink), index (codes + SQ8 sidecar), and state/survivors
+      // (the accumulated corpus a later index SEED REBUILD would
+      // otherwise re-index the doc from — the sweep is incomplete
+      // without it). Runs under the state lease (takedown is a
+      // writer; racing a nightly batch would interleave) with the
+      // intra-stage heartbeat. Absent stores are skipped, absent ids
+      // are committed no-ops — replays are safe. vacuum=true makes
+      // the bytes unrecoverable immediately (keep=1, agems=, default
+      // 0 for legally-binding removals); default false leaves vacuum
+      // to the maintenance schedule.
+      //
+      // Survivors scrub discipline: batch=<id> partition dirs are
+      // plain parquet (no manifest), so each touched dir is rewritten
+      // via stage → park → swap → delete-park, all dot-prefixed (the
+      // default PathFilter hides them from every reader), and a
+      // repair pass at entry finishes whatever a crashed sweep left
+      // (park with original restored back; park without original
+      // swapped forward... the park IS the original, so: original
+      // present → drop the stale park; original missing → restore the
+      // park; orphan stages always dropped and redone). A re-run is
+      // idempotent end to end.
+      case "takedown" =>
+        val state = req("state")
+        val ids = spark.read.parquet(req("in"))
+          .select(col(opts.getOrElse("idcol", "doc_id")).as("doc_id"))
+          .distinct().localCheckpoint()
+        val nIds = ids.count()
+        val ttl = opts.getOrElse("leasettl", DefaultLeaseTtlMs.toString).toLong
+        val lease = acquireStateLease(spark, state, "takedown", ttl)
+        val hb = startLeaseHeartbeat(spark, lease, ttl)
+        val fsT = new org.apache.hadoop.fs.Path(state)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hpT(s0: String) = new org.apache.hadoop.fs.Path(s0)
+        def pExT(p: String): Boolean = fsT.exists(hpT(p))
+        var removed = 0L
+        try {
+          val doVacuum = opts.getOrElse("vacuum", "false").toBoolean
+          val ageMs = opts.getOrElse("agems", "0").toLong
+          if (pExT(s"$state/sig")) {
+            val sig = new graft.streaming.SigIndex(spark, s"$state/sig", idCol = "doc_id")
+            val (d, b) = sig.delete(ids)
+            removed += d
+            if (doVacuum) sig.vacuum(1, ageMs)
+            System.err.println(s"[graft] takedown: sig store -> $d doc(s), $b band row(s)")
+          }
+          if (pExT(s"$state/text_index/stats.txt")) {
+            val ti = textIndex(s"$state/text_index")
+            val p = ti.delete(ids)
+            removed += p
+            if (doVacuum) ti.vacuum(1, ageMs)
+            System.err.println(s"[graft] takedown: text index -> $p posting row(s)")
+          }
+          // layout params are irrelevant to remove/vacuum (keyed store
+          // ops resolve the recorded layout); default-constructed is fine
+          val vi = new graft.similarity.PqIndex(spark, s"$state/index")
+          if (vi.isBuilt) {
+            val v = vi.remove(ids)
+            removed += v
+            if (doVacuum) vi.vacuum(1, ageMs)
+            System.err.println(s"[graft] takedown: vector index -> $v vector(s)")
+          }
+          val survRoot = s"$state/survivors"
+          if (pExT(survRoot)) {
+            // repair a crashed prior sweep first (see the case doc)
+            fsT.listStatus(hpT(survRoot)).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith(".takedown-old-")) {
+                val orig = hpT(s"$survRoot/${n.stripPrefix(".takedown-old-")}")
+                if (fsT.exists(orig)) fsT.delete(st.getPath, true)
+                else require(fsT.rename(st.getPath, orig),
+                  s"takedown: could not restore parked survivors dir $n")
+              } else if (n.startsWith(".takedown-stage-"))
+                fsT.delete(st.getPath, true)
+            }
+            // ONE discovery pass finds the touched batch dirs (the
+            // batch= partition column) and the doomed row count
+            val surv = spark.read.parquet(survRoot)
+            val touched = surv.join(ids, Seq("doc_id"), "left_semi")
+              .groupBy("batch").agg(count(lit(1)).as("n")).collect()
+            removed += touched.map(_.getLong(1)).sum
+            touched.map(r => r.get(0).toString).sorted.foreach { b =>
+              val p = s"$survRoot/batch=$b"
+              // materialize the kept rows FULLY before touching the
+              // original files the plan reads from
+              val kept = spark.read.parquet(p)
+                .join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+              val stage = s"$survRoot/.takedown-stage-batch=$b"
+              kept.write.mode("overwrite").parquet(stage)
+              val park = s"$survRoot/.takedown-old-batch=$b"
+              require(fsT.rename(hpT(p), hpT(park)),
+                s"takedown: could not park $p")
+              require(fsT.rename(hpT(stage), hpT(p)),
+                s"takedown: could not swap staged survivors into $p")
+              fsT.delete(hpT(park), true)
+              System.err.println(s"[graft] takedown: survivors batch=$b rewritten")
+            }
+          }
+        } finally {
+          hb.close()
+          releaseStateLease(spark, lease)
+        }
+        done(nIds, removed)
       case "sig-compact" =>
         done(0, new graft.streaming.SigIndex(spark, req("index"), idCol = "doc_id")
           .compact(opts.getOrElse("maxfiles", "1").toInt).toLong)

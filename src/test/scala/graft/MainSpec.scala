@@ -402,6 +402,71 @@ class MainSpec extends SparkSpec {
     assert(vtop == 10L, s"the query's exact vector twin must rank 1, got $vtop")
   }
 
+  test("takedown: one command sweeps sig + text + vector stores AND survivors; crashed sweep self-repairs; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_takedown").toString
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val textB = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val dim = 16
+    def vec(seed: Long) = graft.VecFixtures.unit(dim, seed)
+    // the four state surfaces a doc id can live in
+    val sig = new graft.streaming.SigIndex(spark, s"$base/state/sig", idCol = "doc_id")
+    graft.streaming.Streaming.dedupNearBatch(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+      sig, "text", "doc_id", 0.8, 128, 16, 3, batchId = 1L).count()
+    val ti = new graft.similarity.TextIndex(spark, s"$base/state/text_index", termParts = 8)
+    ti.build(Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"))
+    val vi = new graft.similarity.PqIndex(spark, s"$base/state/index",
+      dim = dim, m = 4, k = 4, nCells = 2, nProbe = 2, buckets = 2)
+    vi.build(Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3))).toDF("id", "vec"))
+    Seq((1L, "en", textA), (2L, "en", textB)).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base/state/survivors/batch=1")
+    Seq((3L, "en", "entirely unrelated prose about other things"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/state/survivors/batch=2")
+
+    Seq(1L).toDF("doc_id").write.parquet(s"$base/doomed.parquet")
+    val st = Main.runPipeline(spark, Seq("takedown",
+      s"in=$base/doomed.parquet", s"state=$base/state", "vacuum=true"))
+    assert(st.rowsIn == 1, s"one id: $st")
+    // sig 1 doc + text postings (14 words) + 1 vector + 1 survivor row
+    assert(st.rowsOut >= 1 + 14 + 1 + 1, s"swept rows: $st")
+    // sig: a future near-copy of the doomed doc survives (no ghost)
+    assert(graft.streaming.Streaming.dedupNearBatch(
+      Seq((9L, textA)).toDF("doc_id", "text"), sig, "text", "doc_id",
+      0.8, 128, 16, 3, batchId = 2L).count() == 1L)
+    // text: the doomed doc stops matching its own words; others serve
+    val th = ti.search(Seq(1 -> "alpha beta"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!th.contains(1L), s"text hits after takedown: $th")
+    // vector: the doomed id stops surfacing
+    val vh = vi.topK(Seq((99L, vec(1))).toDF("id", "vec"), 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!vh.contains(1L), s"vector hits after takedown: $vh")
+    // survivors: the touched batch dir was rewritten, the other left
+    val s1 = spark.read.parquet(s"$base/state/survivors/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(2L), s"survivors batch=1 after takedown: $s1")
+    assert(spark.read.parquet(s"$base/state/survivors/batch=2").count() == 1L)
+    // the lease is released on exit
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/state/.lease.txt")))
+    // replay: every delete is a committed no-op
+    val again = Main.runPipeline(spark, Seq("takedown",
+      s"in=$base/doomed.parquet", s"state=$base/state"))
+    assert(again.rowsOut == 0, s"replayed takedown must remove nothing: $again")
+    // crashed-sweep repair: a park left with its original MISSING
+    // (crash between park and swap-in) is restored at the next entry
+    val fs0 = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs0.rename(
+      new org.apache.hadoop.fs.Path(s"$base/state/survivors/batch=2"),
+      new org.apache.hadoop.fs.Path(s"$base/state/survivors/.takedown-old-batch=2")))
+    Main.runPipeline(spark, Seq("takedown",
+      s"in=$base/doomed.parquet", s"state=$base/state"))
+    assert(spark.read.parquet(s"$base/state/survivors/batch=2").count() == 1L,
+      "a parked survivors dir with no original must be restored")
+  }
+
   test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {
     val s = spark
     import s.implicits._
@@ -614,7 +679,7 @@ class MainSpec extends SparkSpec {
       "quality-train", "langid", "bpe-train", "bpe-encode", "corpus-pack",
       "corpus-pipeline", "runs-report", "query", "sql",
       "index-stats", "text-index-stats", "sig-stats", "sig-delete",
-      "serve").foreach { c =>
+      "serve", "takedown").foreach { c =>
       assert(Main.PipelineCommands(c), s"'$c' must be routed to runPipeline")
     }
     // and the handler map fails by name for anything the router passes
