@@ -51,7 +51,9 @@ import org.apache.spark.sql.functions._
   *     # Query VALUES may be null per row (text-only / vector-only rows rank by their present
   *     # side); wlex=/wvec= are weighted-RRF per-side weights (exactly 0 disables a side and
   *     # skips its index probe); warm=true caches the SQ8 sidecar across calls in-process
-  *   runMain graft.Main serve queries=<dir> out=<dir> [index=<dir>] [text-index=<dir>] [topk=10 rerank=<candMult> allowed= wlex= wvec= warm=true pollms=500 maxbatches=0]
+  *   runMain graft.Main serve queries=<dir> out=<dir> [index=<dir>] [text-index=<dir>] [topk=10 rerank=<candMult> allowed= wlex= wvec= warndf=0.5 warm=true pollms=500 maxbatches=0]
+  *     # warndf=0 opts the lexical probe out of the df guard's extra job (the latency knob
+  *     # the r13 adjudication names); text-index-search/hybrid-search take the same warndf=
   *     # long-lived serving loop: answers each COMPLETE batch subdir (has _SUCCESS) of queries=
   *     # into out=/<name>, holding the index handles + warm caches open across batches (CDC
   *     # adds/deletes picked up via the generation token); exits on queries=/.stop (drained
@@ -465,7 +467,8 @@ object Main {
         val hits = textIndex(req("index"))
           .search(queries, opts.getOrElse("topk", "10").toInt,
             allowed = opts.get("allowed").map(p =>
-              spark.read.parquet(p).select("doc_id")))
+              spark.read.parquet(p).select("doc_id")),
+            warnDfFrac = opts.getOrElse("warndf", "0.5").toDouble)
           .localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
@@ -493,7 +496,8 @@ object Main {
             opts.getOrElse("topk", "10").toInt, cm,
             opts.get("allowed").map(p => spark.read.parquet(p).select("doc_id")),
             wLex = opts.getOrElse("wlex", "1.0").toDouble,
-            wVec = opts.getOrElse("wvec", "1.0").toDouble)
+            wVec = opts.getOrElse("wvec", "1.0").toDouble,
+            warnDfFrac = opts.getOrElse("warndf", "0.5").toDouble)
           .localCheckpoint()
         hits.write.mode("overwrite").parquet(req("out"))
         done(queries.count(), hits.count())
@@ -557,7 +561,8 @@ object Main {
                 opts.get("allowed").map(a =>
                   spark.read.parquet(a).select("doc_id")),
                 wLex = opts.getOrElse("wlex", "1.0").toDouble,
-                wVec = opts.getOrElse("wvec", "1.0").toDouble)
+                wVec = opts.getOrElse("wvec", "1.0").toDouble,
+                warnDfFrac = opts.getOrElse("warndf", "0.5").toDouble)
             case (None, Some(p)) =>
               val q = batch.select(
                 col(opts.getOrElse("idcol", "id")).as("id"),
@@ -575,7 +580,8 @@ object Main {
             case (Some(t), None) =>
               t.search(batch.select("query_id", "qtext"), topK,
                 allowed = opts.get("allowed").map(a =>
-                  spark.read.parquet(a).select("doc_id")))
+                  spark.read.parquet(a).select("doc_id")),
+                warnDfFrac = opts.getOrElse("warndf", "0.5").toDouble)
             case (None, None) => sys.error("unreachable: require above")
           }
         }

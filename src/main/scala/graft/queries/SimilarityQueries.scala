@@ -216,12 +216,17 @@ object SimilarityQueries {
     * top-k tail). `allowed` (doc ids) applies to BOTH sides before
     * ranking, so the fused ranks stay within the filter (the per-side
     * filter contracts). */
+  /** `warnDfFrac` forwards to [[graft.similarity.TextIndex.search]]'s
+    * df guard — 0 opts the lexical probe out of the guard's extra
+    * (column-pruned) job, the knob the r13 adjudication names for
+    * latency-critical serve paths; the default keeps the guard. */
   def hybridRrfServed(textIndex: graft.similarity.TextIndex,
                       pqIndex: graft.similarity.PqIndex,
                       queries: DataFrame, topK: Int = K,
                       candMult: Int = 0,
                       allowed: Option[DataFrame] = None,
-                      wLex: Double = 1.0, wVec: Double = 1.0): DataFrame = {
+                      wLex: Double = 1.0, wVec: Double = 1.0,
+                      warnDfFrac: Double = 0.5): DataFrame = {
     require(wLex >= 0 && wVec >= 0,
       s"hybrid weights must be >= 0: wLex=$wLex wVec=$wVec (a negative weight " +
         "would rank a side's BEST hits last — no retrieval semantics wants that)")
@@ -252,7 +257,8 @@ object SimilarityQueries {
     val lex = if (wLex == 0) emptyRanks("lrank")
       else textIndex.search(queries.filter(col("qtext").isNotNull)
           .select(col("query_id"), col("qtext")), topK,
-          allowed = allowed.map(_.select(col("doc_id"))))
+          allowed = allowed.map(_.select(col("doc_id"))),
+          warnDfFrac = warnDfFrac)
         .select(col("query_id").cast("long").as("query_id"), col("doc_id"),
           col("rank").as("lrank"))
     val vec = if (wVec == 0) emptyRanks("vrank")

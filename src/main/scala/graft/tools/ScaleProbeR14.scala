@@ -119,7 +119,11 @@ object ScaleProbeR14 {
 
       // ---- serve-loop walls: batch 2+ must approach the warm API wall ----
       case "servewall" =>
-        rm(s"$out/servewall")
+        // resumable: existing indexes are adopted (the builds dominate
+        // the arm's wall; the A/B knobs below only need the serving
+        // side re-run), answered-batch markers are cleared per run
+        rm(s"$out/servewall/a")
+        rm(s"$out/servewall/q")
         val docs = spark.read.parquet(s"$dataDir/documents.parquet")
           .select("doc_id", "text")
         val embs = spark.read.parquet(s"$dataDir/embeddings.parquet")
@@ -127,10 +131,13 @@ object ScaleProbeR14 {
         val (nD, nV) = (docs.count(), embs.count())
         println(s"[r14probe] corpus: $nD docs, $nV vectors")
         val ti = new graft.similarity.TextIndex(spark, s"$out/servewall/tidx")
-        timed("text index build")(ti.build(docs))
+        val tiBuilt = new org.apache.hadoop.fs.Path(s"$out/servewall/tidx/stats.txt")
+          .getFileSystem(hconf).exists(
+            new org.apache.hadoop.fs.Path(s"$out/servewall/tidx/stats.txt"))
+        if (!tiBuilt) timed("text index build")(ti.build(docs))
         val pi = new graft.similarity.PqIndex(spark, s"$out/servewall/vidx",
           dim = 64, sq8 = true)
-        timed("vector index build (SQ8)")(pi.build(embs))
+        if (!pi.isBuilt) timed("vector index build (SQ8)")(pi.build(embs))
         // 100 hybrid queries: real doc words + that id's own embedding
         // (doc ids and vec ids share the 0..n space by construction)
         val qrows = docs.filter(col("doc_id") < nV)
@@ -148,12 +155,13 @@ object ScaleProbeR14 {
         // one serve process, three identical batches: batch 1 pays the
         // cache builds, batches 2-3 are the warm serving wall (the
         // per-batch timings print from the serve loop itself)
+        val warndf = sys.env.getOrElse("SPARK_GRAFT_WARNDF", "0.5")
         val st = graft.Main.runPipeline(spark, Seq("serve",
           s"queries=$out/servewall/q", s"out=$out/servewall/a",
           s"index=$out/servewall/vidx", s"text-index=$out/servewall/tidx",
           "dim=64", "sq8=true", "rerank=32", "topk=10", "pollms=200",
-          "maxbatches=3"))
-        println(s"[r14probe] serve stats: $st")
+          s"warndf=$warndf", "maxbatches=3"))
+        println(s"[r14probe] serve stats (warndf=$warndf): $st")
 
       case other => sys.error(s"unknown arm $other (textwarm|ann80|servewall)")
     }

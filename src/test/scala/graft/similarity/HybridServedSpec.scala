@@ -102,6 +102,13 @@ class HybridServedSpec extends SparkSpec {
     assert(q1.head._2 == 3L && q1.head._4 && q1.head._5,
       s"doc 3 (lexical AND vector) must fuse to rank 1: $q1")
 
+    // warndf=0 (the serve-path latency knob, r14 plumbing): the df
+    // guard is advisory only, so opting out changes NOTHING in ranks
+    val noGuard = graft.queries.SimilarityQueries.hybridRrfServed(
+      tidx, pidx, queries, k, candMult = 4, warnDfFrac = 0.0)
+    assert(rows(noGuard) == rows(gate),
+      "warnDfFrac=0 must serve identical fused ranks")
+
     // CLI smoke: the hybrid-search subcommand is the same composition
     queries.write.parquet(s"$base/q.parquet")
     val run = graft.Main.runPipeline(spark, Seq("hybrid-search",
