@@ -678,6 +678,15 @@ object Main {
         try {
           val doVacuum = opts.getOrElse("vacuum", "false").toBoolean
           val ageMs = opts.getOrElse("agems", "0").toLong
+          // validate the survivors LAYOUT up front (schema discovery
+          // only, no job), so the refusal below fires before any
+          // store is swept — the refuse-before-work convention
+          if (pExT(s"$state/survivors"))
+            require(spark.read.parquet(s"$state/survivors").columns.contains("batch"),
+              s"takedown: $state/survivors has a flat (non-batch=) layout — " +
+                "this is a full-run output, not an incremental state dir; " +
+                "full-run artifacts are regenerable: re-run the pipeline " +
+                "on the cleaned corpus, or delete the survivors dir")
           if (pExT(s"$state/sig")) {
             val sig = new graft.streaming.SigIndex(spark, s"$state/sig", idCol = "doc_id")
             val (d, b) = sig.delete(ids)

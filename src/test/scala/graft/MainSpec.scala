@@ -467,6 +467,23 @@ class MainSpec extends SparkSpec {
       "a parked survivors dir with no original must be restored")
   }
 
+  test("takedown refuses a flat survivors layout up front; the lease is still released") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_takedown_flat").toString
+    // a FULL run's survivors: flat parquet, no batch= partition dirs
+    Seq((1L, "en", "some text"), (2L, "en", "other text"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/state/survivors")
+    Seq(1L).toDF("doc_id").write.parquet(s"$base/doomed.parquet")
+    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("takedown", s"in=$base/doomed.parquet", s"state=$base/state")))
+    assert(e.getMessage.contains("flat"), e.getMessage)
+    // refused before work AND released the lease on the way out
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/state/.lease.txt")))
+    assert(spark.read.parquet(s"$base/state/survivors").count() == 2L,
+      "a refused takedown must not have touched the survivors")
+  }
+
   test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {
     val s = spark
     import s.implicits._
