@@ -154,6 +154,15 @@ class TextIndexSpec extends SparkSpec {
     assert(rows(warm.search(oneTerm, 10)) == rows(cold.search(oneTerm, 10)))
     // second warm call is a cache HIT — still identical
     assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)))
+    // and provably served FROM the cache: the physical plan reads the
+    // in-memory relation (a dropped persist would only show as slow)
+    val warmPlan = warm.search(oneTerm.toDF("query_id", "qtext"), 10)
+      .queryExecution.executedPlan.toString
+    assert(warmPlan.contains("InMemoryTableScan"),
+      s"warm search must scan the cached postings:\n$warmPlan")
+    assert(!cold.search(oneTerm.toDF("query_id", "qtext"), 10)
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "cold search must not depend on any cached relation")
 
     // out-of-band rm + rebuild on a DIFFERENT corpus: the manifest
     // history RESTARTS, so a cache keyed on the bare version number
