@@ -57,14 +57,21 @@ import org.apache.spark.sql.functions._
   *     # long-lived serving loop: answers each COMPLETE batch subdir (has _SUCCESS) of queries=
   *     # into out=/<name>, holding the index handles + warm caches open across batches (CDC
   *     # adds/deletes picked up via the generation token); exits on queries=/.stop (drained
-  *     # first) or after maxbatches. Both indexes = hybrid RRF; one = that side's search alone
+  *     # first) or after maxbatches. Both indexes = hybrid RRF; one = that side's search alone.
+  *     # A batch that throws is QUARANTINED (out=/<name>/_FAILED; delete to retry) so the
+  *     # queue never wedges; every attempt is journaled to out=/serve_log.jsonl (wall, rows,
+  *     # ok/failed, generation tokens, warm/cold)
   *   runMain graft.Main sig-delete in=<ids.parquet> index=<dir> [idcol=doc_id]
   *     # dedup-state takedown: clears the ids' band+sig rows so future near-copies of a
   *     # removed doc stop being suppressed against a ghost canonical; sig-vacuum after
-  *   runMain graft.Main takedown in=<ids.parquet> state=<dag state dir> [idcol=doc_id vacuum=true agems=0 leasettl=]
-  *     # the ONE-command right-to-be-forgotten sweep: sig + text_index + index stores AND
+  *   runMain graft.Main takedown in=<ids.parquet> state=<dag state dir> [idcol=doc_id vacuum=true agems=0 leasettl= asof=<epoch ms>]
+  *     # the ONE-command right-to-be-forgotten sweep: sig + text_index + index stores,
   *     # the accumulated state/survivors (a later seed rebuild would re-index the doc from
-  *     # them); runs under the state lease; vacuum=true makes bytes unrecoverable now
+  *     # them), AND the content artifacts — state/shards (the doc's verbatim text rides the
+  *     # sharded training layout) and state/packs (its BPE token ids are decodable via the
+  *     # frozen vocab the same state dir ships). Runs under the state lease; vacuum=true
+  *     # makes bytes unrecoverable now; each sweep journals its per-surface counts under
+  *     # state/takedowns/ (the proof-of-removal record pipeline-stats renders)
   *   runMain graft.Main text-index-compact|text-index-vacuum index=<dir> [maxfiles= keep= agems=]
   *   runMain graft.Main index-stats|text-index-stats|sig-stats index=<dir>   # k=v store report on stdout
   *   runMain graft.Main corpus-mix    in=<docs.parquet> out=<dir> [budget=20000 alpha=<t^a shares> tokens=pre|bpe]
@@ -551,7 +558,14 @@ object Main {
             .map(_.getPath.getName)
             .filter(n => !n.startsWith(".") &&
               fs0.exists(hp(s"$qDir/$n/_SUCCESS")) &&
-              !fs0.exists(hp(s"$outDir/$n/_SUCCESS")))
+              !fs0.exists(hp(s"$outDir/$n/_SUCCESS")) &&
+              // quarantined: a batch that failed is SKIPPED, not
+              // retried forever — without this a malformed batch
+              // (missing column, both-modalities-null row) would
+              // wedge the queue: the loop crashes, a restart re-reads
+              // the same batch and dies again. The operator deletes
+              // the _FAILED marker to retry after fixing the batch.
+              !fs0.exists(hp(s"$outDir/$n/_FAILED")))
             .sorted.toSeq
         def answer(batch: DataFrame): DataFrame = {
           (ti, pq) match {
@@ -588,18 +602,80 @@ object Main {
         var processed = 0L
         var rowsOut = 0L
         var stopping = false
+        // serving observability (the runs-report pattern applied to
+        // the serve loop): one JSON record per attempted batch in
+        // out=/serve_log.jsonl — name, wall, rows, ok/failed, the
+        // generation tokens that answered it, and whether those
+        // tokens were WARM (unchanged since the previous batch — a
+        // changed token means that batch paid the cold cache
+        // rebuild). Local filesystems don't support append, so the
+        // log is held in memory and atomically rewritten per batch
+        // (records are ~100 B each); a restarted serve re-reads the
+        // existing file first, so the log survives restarts.
+        val logPath = hp(s"$outDir/serve_log.jsonl")
+        val logLines = scala.collection.mutable.ArrayBuffer[String]()
+        if (fs0.exists(logPath)) {
+          val in = fs0.open(logPath)
+          val prior = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          logLines ++= prior.linesIterator.filter(_.nonEmpty)
+        }
+        def jesc(s0: String): String =
+          s0.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                       case '\n' => "\\n"; case '\r' => ""; case c => s"$c" }
+        var prevTok: Option[(Option[(Long, Int)], Option[(Long, Int)])] = None
+        def logBatch(name: String, wallS: Double, rows: Long, ok: Boolean,
+                     err: Option[String]): Unit = {
+          val tTok = ti.flatMap(_.generationToken)
+          val vTok = pq.flatMap(_.generationToken)
+          val warm = prevTok.contains((tTok, vTok))
+          prevTok = Some((tTok, vTok))
+          def tok(t: Option[(Long, Int)]) =
+            t.map { case (v, h0) => s""""v${v}h$h0"""" }.getOrElse("null")
+          logLines += (f"""{"batch":"${jesc(name)}","wall_s":$wallS%.3f,""" +
+            s""""rows":$rows,"ok":$ok,"warm":$warm,""" +
+            s""""text_token":${tok(tTok)},"vec_token":${tok(vTok)}""" +
+            err.map(e => s""","error":"${jesc(e.take(300))}"""").getOrElse("") + "}")
+          val out = fs0.create(logPath, true)
+          try out.write((logLines.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
         try {
           while (!stopping) {
             val ready = readyBatches()
             for (name <- ready if !stopping) {
               val t1 = System.nanoTime()
-              val hits = answer(spark.read.parquet(s"$qDir/$name"))
-                .localCheckpoint()
-              hits.write.mode("overwrite").parquet(s"$outDir/$name")
-              rowsOut += hits.count()
-              processed += 1
-              System.err.println(f"[graft] serve: $name answered in " +
-                f"${(System.nanoTime() - t1) / 1e9}%.2f s ($processed batches)")
+              try {
+                val hits = answer(spark.read.parquet(s"$qDir/$name"))
+                  .localCheckpoint()
+                hits.write.mode("overwrite").parquet(s"$outDir/$name")
+                val n = hits.count()
+                // release the checkpoint blocks NOW: a long-lived
+                // process must hold zero retired blocks regardless of
+                // GC schedule (the r13 df-guard adjudication's own
+                // argument, applied to this loop per r14 VERDICT #2)
+                hits.unpersist()
+                rowsOut += n
+                processed += 1
+                val w = (System.nanoTime() - t1) / 1e9
+                logBatch(name, w, n, ok = true, None)
+                System.err.println(f"[graft] serve: $name answered in " +
+                  f"$w%.2f s ($processed batches)")
+              } catch { case scala.util.control.NonFatal(e) =>
+                // poison batch: quarantine it (see readyBatches) and
+                // keep serving — the queue must not wedge behind it
+                val w = (System.nanoTime() - t1) / 1e9
+                val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+                val mk = fs0.create(hp(s"$outDir/$name/_FAILED"), true)
+                try mk.write(s"$msg\n".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                finally mk.close()
+                logBatch(name, w, 0L, ok = false, Some(msg))
+                System.err.println(s"[graft] serve: $name FAILED ($msg) — " +
+                  s"quarantined ($outDir/$name/_FAILED); delete the marker " +
+                  "to retry after fixing the batch")
+              }
               if (maxBatches > 0 && processed >= maxBatches) stopping = true
             }
             if (!stopping && ready.isEmpty) {
@@ -640,27 +716,58 @@ object Main {
       // every store a doc id can live in under state= is swept —
       // sig (band+sig rows: future near-copies stop being suppressed
       // against the ghost), text_index (postings + exact stats
-      // shrink), index (codes + SQ8 sidecar), and state/survivors
+      // shrink), index (codes + SQ8 sidecar), state/survivors
       // (the accumulated corpus a later index SEED REBUILD would
-      // otherwise re-index the doc from — the sweep is incomplete
-      // without it). Runs under the state lease (takedown is a
-      // writer; racing a nightly batch would interleave) with the
-      // intra-stage heartbeat. Absent stores are skipped, absent ids
-      // are committed no-ops — replays are safe. vacuum=true makes
-      // the bytes unrecoverable immediately (keep=1, agems=, default
-      // 0 for legally-binding removals); default false leaves vacuum
-      // to the maintenance schedule.
+      // otherwise re-index the doc from), AND the two CONTENT
+      // artifacts the r14 review caught the sweep missing:
+      // state/shards/batch=* carries the doc's VERBATIM TEXT in the
+      // training-ready layout, and state/packs/batch=* carries its
+      // content as BPE token ids decodable via the frozen vocab the
+      // SAME state dir ships — a removal that skips either leaves the
+      // document's full text on disk. Runs under the state lease
+      // (takedown is a writer; racing a nightly batch would
+      // interleave) with the intra-stage heartbeat. Absent stores are
+      // skipped, absent ids are committed no-ops — replays are safe.
+      // vacuum=true makes the bytes unrecoverable immediately (keep=1,
+      // agems=, default 0 for legally-binding removals); default false
+      // leaves vacuum to the maintenance schedule. State-root dirs
+      // this build does not recognize get a LOUD warning (a future
+      // stage adding a content surface must not be silently skipped).
       //
-      // Survivors scrub discipline: batch=<id> partition dirs are
-      // plain parquet (no manifest), so each touched dir is rewritten
-      // via stage → park → swap → delete-park, all dot-prefixed (the
-      // default PathFilter hides them from every reader), and a
-      // repair pass at entry finishes whatever a crashed sweep left
-      // (park with original restored back; park without original
-      // swapped forward... the park IS the original, so: original
-      // present → drop the stale park; original missing → restore the
-      // park; orphan stages always dropped and redone). A re-run is
-      // idempotent end to end.
+      // Batch-dir scrub discipline (survivors, shards and packs trees
+      // alike): batch=<id> partition dirs are plain parquet (no
+      // manifest), so each touched dir is rewritten via stage → park →
+      // swap → delete-park, all dot-prefixed (the default PathFilter
+      // hides them from every reader), and a repair pass at entry
+      // finishes whatever a crashed sweep left (park with original
+      // restored back; park without original swapped forward... the
+      // park IS the original, so: original present → drop the stale
+      // park; original missing → restore the park; orphan stages
+      // always dropped and redone). A re-run is idempotent end to end.
+      //
+      // Pack rewrite semantics: packs never span batches and the
+      // (batch, pack_id) key is load-bearing for a training job, so a
+      // touched pack KEEPS its pack_id and drops only the doomed
+      // member — surviving members' ids are re-derived by re-encoding
+      // their survivors text under the frozen model (BpeEncodeIds is
+      // deterministic, so the kept segments are byte-identical to the
+      // original encode; the flattened token_ids array records no
+      // per-doc boundaries, which is why the rewrite re-encodes
+      // instead of slicing). A pack whose every member is doomed
+      // drops entirely. n_docs/n_tokens are recomputed. Requires the
+      // frozen model (state/pack/vocab/_SUCCESS) whenever state/packs
+      // exists — refused up front otherwise, before any store is
+      // swept. Shard rewrites keep surviving rows VERBATIM (shard and
+      // shard_pos included): a gap in shard_pos marks the removal,
+      // and every surviving row keeps the position a training job may
+      // have already checkpointed against.
+      //
+      // Each sweep writes a journal record under
+      // state/takedowns/td=<order-independent id-set fingerprint>/
+      // with per-surface removal counts — the operator's
+      // proof-of-removal (pipeline-stats renders the totals); a
+      // replayed takedown overwrites its OWN record (same fingerprint)
+      // rather than double-counting.
       case "takedown" =>
         val state = req("state")
         val ids = spark.read.parquet(req("in"))
@@ -675,21 +782,89 @@ object Main {
         def hpT(s0: String) = new org.apache.hadoop.fs.Path(s0)
         def pExT(p: String): Boolean = fsT.exists(hpT(p))
         var removed = 0L
+        // per-surface counts for the journal record
+        var swSigDocs = 0L; var swSigBands = 0L; var swPostings = 0L
+        var swVectors = 0L; var swSurvivors = 0L; var swShardRows = 0L
+        var swPackMembers = 0L
+        // finish whatever a crashed prior sweep left under a batch-dir
+        // tree (see the case doc); shared by survivors/shards/packs
+        def repairSweep(root: String): Unit =
+          fsT.listStatus(hpT(root)).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith(".takedown-old-")) {
+              val orig = hpT(s"$root/${n.stripPrefix(".takedown-old-")}")
+              if (fsT.exists(orig)) fsT.delete(st.getPath, true)
+              else require(fsT.rename(st.getPath, orig),
+                s"takedown: could not restore parked dir $n under $root")
+            } else if (n.startsWith(".takedown-stage-"))
+              fsT.delete(st.getPath, true)
+          }
+        // stage → park → swap → delete-park for one batch dir; the
+        // caller writes the staged replacement (already materialized —
+        // never a plan still reading the files being swapped)
+        def swapIn(root: String, b: String)(writeStage: String => Unit): Unit = {
+          val p = s"$root/batch=$b"
+          val stage = s"$root/.takedown-stage-batch=$b"
+          writeStage(stage)
+          val park = s"$root/.takedown-old-batch=$b"
+          require(fsT.rename(hpT(p), hpT(park)), s"takedown: could not park $p")
+          require(fsT.rename(hpT(stage), hpT(p)),
+            s"takedown: could not swap staged rows into $p")
+          fsT.delete(hpT(park), true)
+        }
         try {
           val doVacuum = opts.getOrElse("vacuum", "false").toBoolean
           val ageMs = opts.getOrElse("agems", "0").toLong
-          // validate the survivors LAYOUT up front (schema discovery
-          // only, no job), so the refusal below fires before any
-          // store is swept — the refuse-before-work convention
+          // validate every layout up front (schema discovery / marker
+          // checks only, no job), so each refusal below fires before
+          // any store is swept — the refuse-before-work convention
           if (pExT(s"$state/survivors"))
             require(spark.read.parquet(s"$state/survivors").columns.contains("batch"),
               s"takedown: $state/survivors has a flat (non-batch=) layout — " +
                 "this is a full-run output, not an incremental state dir; " +
                 "full-run artifacts are regenerable: re-run the pipeline " +
                 "on the cleaned corpus, or delete the survivors dir")
+          if (pExT(s"$state/shards"))
+            require(spark.read.parquet(s"$state/shards").columns.contains("batch"),
+              s"takedown: $state/shards has a flat (non-batch=) layout — " +
+                "this is a full-run output, not an incremental state dir; " +
+                "re-run the shard stage on the cleaned corpus instead")
+          if (pExT(s"$state/packs")) {
+            require(spark.read.parquet(s"$state/packs").columns.contains("batch"),
+              s"takedown: $state/packs has a flat (non-batch=) layout — " +
+                "this is a full-run output, not an incremental state dir; " +
+                "re-run the pack stage on the cleaned corpus instead")
+            // pack rewrites re-encode surviving members under the
+            // frozen model — without it the content sweep cannot be
+            // completed, so refuse BEFORE the other stores are swept
+            // (a half-swept takedown that then fails on packs would
+            // leave the operator believing the doc is gone)
+            require(pExT(s"$state/pack/vocab/_SUCCESS"),
+              s"takedown: $state/packs exists but the frozen BPE model at " +
+                s"$state/pack is missing or incomplete (no vocab/_SUCCESS) — " +
+                "pack rows cannot be rewritten without it; restore the model " +
+                "or delete the packs tree (it is regenerable from survivors)")
+          }
+          // warn LOUDLY on state-root surfaces this build does not
+          // recognize: a future stage persisting per-doc content in a
+          // new tree must fail the completeness claim visibly, never
+          // silently (the r14 lesson — shards/packs were exactly such
+          // silently-skipped trees)
+          val knownSurfaces = Set("sig", "text_index", "index", "survivors",
+            "shards", "packs", "pack", "scrub", "mix", "select", "langid",
+            "decontaminate", "takedowns")
+          if (pExT(state)) fsT.listStatus(hpT(state)).foreach { st0 =>
+            val n = st0.getPath.getName
+            if (st0.isDirectory && !n.startsWith(".") && !knownSurfaces(n))
+              System.err.println(s"[graft] takedown WARNING: $state/$n is not a " +
+                "surface this takedown build knows — if a newer pipeline stage " +
+                "persists per-document content there, this sweep has NOT " +
+                "removed it; verify the tree and extend the sweep")
+          }
           if (pExT(s"$state/sig")) {
             val sig = new graft.streaming.SigIndex(spark, s"$state/sig", idCol = "doc_id")
             val (d, b) = sig.delete(ids)
+            swSigDocs = d; swSigBands = b
             removed += d
             if (doVacuum) sig.vacuum(1, ageMs)
             System.err.println(s"[graft] takedown: sig store -> $d doc(s), $b band row(s)")
@@ -697,6 +872,7 @@ object Main {
           if (pExT(s"$state/text_index/stats.txt")) {
             val ti = textIndex(s"$state/text_index")
             val p = ti.delete(ids)
+            swPostings = p
             removed += p
             if (doVacuum) ti.vacuum(1, ageMs)
             System.err.println(s"[graft] takedown: text index -> $p posting row(s)")
@@ -706,46 +882,161 @@ object Main {
           val vi = new graft.similarity.PqIndex(spark, s"$state/index")
           if (vi.isBuilt) {
             val v = vi.remove(ids)
+            swVectors = v
             removed += v
             if (doVacuum) vi.vacuum(1, ageMs)
             System.err.println(s"[graft] takedown: vector index -> $v vector(s)")
           }
           val survRoot = s"$state/survivors"
           if (pExT(survRoot)) {
-            // repair a crashed prior sweep first (see the case doc)
-            fsT.listStatus(hpT(survRoot)).foreach { st =>
-              val n = st.getPath.getName
-              if (n.startsWith(".takedown-old-")) {
-                val orig = hpT(s"$survRoot/${n.stripPrefix(".takedown-old-")}")
-                if (fsT.exists(orig)) fsT.delete(st.getPath, true)
-                else require(fsT.rename(st.getPath, orig),
-                  s"takedown: could not restore parked survivors dir $n")
-              } else if (n.startsWith(".takedown-stage-"))
-                fsT.delete(st.getPath, true)
-            }
+            repairSweep(survRoot)
             // ONE discovery pass finds the touched batch dirs (the
             // batch= partition column) and the doomed row count
             val surv = spark.read.parquet(survRoot)
             val touched = surv.join(ids, Seq("doc_id"), "left_semi")
               .groupBy("batch").agg(count(lit(1)).as("n")).collect()
-            removed += touched.map(_.getLong(1)).sum
+            swSurvivors = touched.map(_.getLong(1)).sum
+            removed += swSurvivors
             touched.map(r => r.get(0).toString).sorted.foreach { b =>
-              val p = s"$survRoot/batch=$b"
               // materialize the kept rows FULLY before touching the
               // original files the plan reads from
-              val kept = spark.read.parquet(p)
+              val kept = spark.read.parquet(s"$survRoot/batch=$b")
                 .join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
-              val stage = s"$survRoot/.takedown-stage-batch=$b"
-              kept.write.mode("overwrite").parquet(stage)
-              val park = s"$survRoot/.takedown-old-batch=$b"
-              require(fsT.rename(hpT(p), hpT(park)),
-                s"takedown: could not park $p")
-              require(fsT.rename(hpT(stage), hpT(p)),
-                s"takedown: could not swap staged survivors into $p")
-              fsT.delete(hpT(park), true)
+              swapIn(survRoot, b)(stage =>
+                kept.write.mode("overwrite").parquet(stage))
+              kept.unpersist()
               System.err.println(s"[graft] takedown: survivors batch=$b rewritten")
             }
           }
+          // the sharded-training-layout CONTENT sweep: surviving rows
+          // are kept verbatim (shard + shard_pos included — a gap
+          // marks the removal; re-numbering would shift positions a
+          // training job may have checkpointed against), and the
+          // rewrite preserves the one-file-per-shard layout
+          val shardsRoot = s"$state/shards"
+          if (pExT(shardsRoot)) {
+            repairSweep(shardsRoot)
+            val touched = spark.read.parquet(shardsRoot)
+              .join(ids, Seq("doc_id"), "left_semi")
+              .groupBy("batch").agg(count(lit(1)).as("n")).collect()
+            swShardRows = touched.map(_.getLong(1)).sum
+            removed += swShardRows
+            touched.map(r => r.get(0).toString).sorted.foreach { b =>
+              val p = s"$shardsRoot/batch=$b"
+              val nsh = math.max(1,
+                fsT.listStatus(hpT(p)).count(_.getPath.getName.startsWith("shard=")))
+              val kept = spark.read.parquet(p)
+                .join(ids, Seq("doc_id"), "left_anti").localCheckpoint()
+              swapIn(shardsRoot, b)(stage =>
+                kept.repartition(nsh, col("shard"))
+                  .sortWithinPartitions(col("shard"), col("shard_pos"))
+                  .write.mode("overwrite").partitionBy("shard").parquet(stage))
+              kept.unpersist()
+              System.err.println(s"[graft] takedown: shards batch=$b rewritten")
+            }
+          }
+          // the tokenized CONTENT sweep (see the case doc for the
+          // keep-pack_id / re-encode rationale)
+          val packsRoot = s"$state/packs"
+          if (pExT(packsRoot)) {
+            repairSweep(packsRoot)
+            val membersAll = spark.read.parquet(packsRoot)
+              .select(col("batch"), col("pack_id"),
+                posexplode(col("doc_ids")).as(Seq("pos", "doc_id")))
+            val touched = membersAll.join(ids, Seq("doc_id"), "left_semi")
+              .groupBy("batch").agg(count(lit(1)).as("n")).collect()
+            swPackMembers = touched.map(_.getLong(1)).sum
+            removed += swPackMembers
+            if (touched.nonEmpty) {
+              val merges = graft.functions.Bpe.readMerges(spark, s"$state/pack/merges")
+              val vocab = graft.functions.Bpe.readVocab(spark, s"$state/pack/vocab")
+              touched.map(r => r.get(0).toString).sorted.foreach { b =>
+                val p = s"$packsRoot/batch=$b"
+                val packs = spark.read.parquet(p)
+                val members = packs.select(col("pack_id"),
+                  posexplode(col("doc_ids")).as(Seq("pos", "doc_id")))
+                val touchedPacks = members.join(ids, Seq("doc_id"), "left_semi")
+                  .select("pack_id").distinct()
+                // surviving members of touched packs re-encode from
+                // their survivors text (same batch — packs never span
+                // batches); a missing text is a corrupted state dir
+                // and refuses loudly rather than writing a short pack
+                val keptM = members
+                  .join(touchedPacks, Seq("pack_id"), "left_semi")
+                  .join(ids, Seq("doc_id"), "left_anti")
+                require(pExT(s"$state/survivors/batch=$b"),
+                  s"takedown: packs batch=$b is touched but " +
+                    s"$state/survivors/batch=$b does not exist — pack rows " +
+                    "cannot be rewritten without the members' survivors text; " +
+                    "the state dir is inconsistent (a pack batch always has a " +
+                    "survivors batch in the incremental DAG)")
+                val survTexts = spark.read
+                  .parquet(s"$state/survivors/batch=$b").select("doc_id", "text")
+                val withText = keptM.join(survTexts, Seq("doc_id"), "left")
+                  .localCheckpoint()
+                val missing = withText.filter(col("text").isNull).count()
+                require(missing == 0L,
+                  s"takedown: $missing surviving pack member(s) of batch=$b have " +
+                    s"no text under $state/survivors/batch=$b — pack rows cannot " +
+                    "be rewritten without the members' survivors text; the state " +
+                    "dir is inconsistent (packs exist for docs survivors never " +
+                    "recorded)")
+                val rebuilt = withText
+                  .select(col("pack_id"), col("pos"), col("doc_id"),
+                    graft.functions.Bpe.bpeEncodeIds(col("text"), merges, vocab).as("ids"))
+                  .groupBy(col("pack_id"))
+                  .agg(array_sort(collect_list(struct(col("pos"), col("doc_id"), col("ids"))))
+                    .as("items"))
+                  .select(col("pack_id"),
+                    transform(col("items"), x => x.getField("doc_id")).as("doc_ids"),
+                    flatten(transform(col("items"), x => x.getField("ids"))).as("token_ids"))
+                  .withColumn("n_docs", size(col("doc_ids")).cast("long"))
+                  .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+                // fully-doomed packs vanish (no surviving member rows);
+                // untouched packs ride along verbatim
+                val kept = packs.join(touchedPacks, Seq("pack_id"), "left_anti")
+                  .unionByName(rebuilt).localCheckpoint()
+                swapIn(packsRoot, b)(stage =>
+                  kept.write.mode("overwrite").parquet(stage))
+                kept.unpersist(); withText.unpersist()
+                System.err.println(s"[graft] takedown: packs batch=$b rewritten")
+              }
+            }
+          }
+          // the proof-of-removal record: keyed by an order-independent
+          // fingerprint of the id SET, so a replay overwrites its OWN
+          // record instead of double-counting. Counts are CUMULATIVE
+          // across replays (a replayed takedown removes 0 rows — it
+          // must re-affirm the original removal totals, not erase
+          // them with zeros); asof_ms is the LATEST request time.
+          val fpRow = ids.agg(
+            coalesce(sum(xxhash64(col("doc_id"))), lit(0L)),
+            count(lit(1))).head()
+          val fp = java.lang.Long.toHexString(
+            fpRow.getLong(0) ^ (fpRow.getLong(1) * 0x9E3779B97F4A7C15L))
+          val asofMs = opts.get("asof").map(_.toLong)
+            .getOrElse(System.currentTimeMillis())
+          val tdDir = s"$state/takedowns/td=$fp"
+          val prior: Map[String, Long] =
+            if (!pExT(tdDir)) Map.empty
+            else {
+              val r = spark.read.parquet(tdDir).head()
+              Seq("rows_removed", "sig_docs", "sig_band_rows", "posting_rows",
+                "vectors", "survivor_rows", "shard_rows", "pack_members")
+                .map(c => c -> r.getLong(r.fieldIndex(c))).toMap
+            }
+          def cum(c: String, v: Long) = lit(v + prior.getOrElse(c, 0L)).as(c)
+          // prior counts were COLLECTED above (driver literals), so the
+          // overwrite never reads the files it replaces
+          spark.range(1).select(
+            lit(fp).as("td_key"), lit(asofMs).as("asof_ms"),
+            lit(nIds).as("n_ids"), cum("rows_removed", removed),
+            cum("sig_docs", swSigDocs), cum("sig_band_rows", swSigBands),
+            cum("posting_rows", swPostings), cum("vectors", swVectors),
+            cum("survivor_rows", swSurvivors), cum("shard_rows", swShardRows),
+            cum("pack_members", swPackMembers),
+            lit(opts.getOrElse("vacuum", "false").toBoolean).as("vacuumed"))
+            .coalesce(1).write.mode("overwrite").parquet(tdDir)
         } finally {
           hb.close()
           releaseStateLease(spark, lease)
@@ -2573,6 +2864,17 @@ object Main {
         kv += "survivors" -> ex(s"$state/survivors").toString
         kv += "text_index" -> ex(s"$state/text_index").toString
         kv += "vector_index" -> ex(s"$state/index").toString
+        // takedown journal: the proof-of-removal totals without
+        // re-scanning any store (records are 1-row parquets — reading
+        // them all is metadata-scale)
+        if (ex(s"$state/takedowns")) {
+          val td = spark.read.parquet(s"$state/takedowns")
+            .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)),
+              coalesce(sum(col("rows_removed")), lit(0L))).head()
+          kv += "takedown_records" -> td.getLong(0).toString
+          kv += "takedown_ids" -> td.getLong(1).toString
+          kv += "takedown_rows_removed" -> td.getLong(2).toString
+        }
         kv.foreach { case (k0, v) => println(s"$k0=$v") }
         done(0, kv.size.toLong)
       case "scrub-refit" =>

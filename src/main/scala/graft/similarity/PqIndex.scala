@@ -163,6 +163,10 @@ class PqIndex(spark: SparkSession, dir: String,
     sqWarmCache.foreach(_._2.unpersist())
     sqWarmCache = None
   }
+  /** The codes store's generation token — what the serve loop logs so
+    * an operator can see WHICH index generation answered each batch
+    * (and whether a batch paid a cold cache rebuild). */
+  private[graft] def generationToken: Option[(Long, Int)] = store.latestToken
   private val modelPath = new Path(s"$dir/models.txt")
   private val fs = modelPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -137,6 +137,10 @@ class TextIndex(spark: SparkSession, dir: String,
     warmCache.foreach(_._2.unpersist())
     warmCache = None
   }
+  /** The postings store's generation token — what the serve loop logs
+    * so an operator can see WHICH index generation answered each batch
+    * (and whether a batch paid a cold cache rebuild). */
+  private[graft] def generationToken: Option[(Long, Int)] = store.latestToken
 
   /** Postings of a `(doc_id, text)` frame under `parts` hash layout.
     * One tokenize pass; `explode_outer` keeps token-less documents as

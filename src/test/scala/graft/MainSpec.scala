@@ -381,6 +381,27 @@ class MainSpec extends SparkSpec {
     assert(stats.rowsIn == 3, s"three batches answered, got $stats")
     assert(stats.rowsOut > 0)
 
+    // serving observability: one serve_log.jsonl record per batch —
+    // batch 2 ran warm (tokens unchanged), batch 3 cold (the CDC add
+    // between 2 and 3 changed BOTH generation tokens, and the record
+    // proves it)
+    val logLines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/a/serve_log.jsonl")),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    assert(logLines.size == 3, s"three records: $logLines")
+    assert(logLines.forall(_.contains("\"ok\":true")), s"$logLines")
+    assert(logLines(0).contains("\"batch\":\"batch-1\""), logLines(0))
+    assert(logLines(1).contains("\"warm\":true"),
+      s"batch 2 tokens unchanged -> warm: ${logLines(1)}")
+    assert(logLines(2).contains("\"warm\":false"),
+      s"batch 3 follows a CDC add -> cold: ${logLines(2)}")
+    def tokOf(line: String, key: String): String =
+      s""""$key":("[^"]*"|null)""".r.findFirstMatchIn(line).get.group(1)
+    assert(tokOf(logLines(1), "text_token") != tokOf(logLines(2), "text_token"),
+      "the CDC add must change the recorded text token")
+    assert(tokOf(logLines(1), "vec_token") != tokOf(logLines(2), "vec_token"),
+      "the CDC add must change the recorded vector token")
+
     // a RESTARTED serve must skip already-answered batches (their
     // out-dir _SUCCESS is the processed marker) and exit immediately
     val restat = Main.runPipeline(spark, Seq("serve",
@@ -400,6 +421,42 @@ class MainSpec extends SparkSpec {
     val vtop = spark.read.parquet(s"$base/va/batch-1")
       .filter(col("rank") === 1).select("neighbor_id").head().getLong(0)
     assert(vtop == 10L, s"the query's exact vector twin must rank 1, got $vtop")
+  }
+
+  test("serve loop: a poison batch is quarantined (_FAILED) and later batches still serve; a restart skips it") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_servepoison").toString
+    Seq((1L, "alpha join plan"), (2L, "beta sort spill"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    Main.runPipeline(spark, Seq("text-index-build",
+      s"in=$base/docs.parquet", s"index=$base/tidx", "tparts=8"))
+    // bad-1 sorts BEFORE good-2 and is malformed for the lexical path
+    // (no qtext column): without quarantine the loop dies on it and
+    // good-2 never serves — the wedged-queue failure mode
+    Seq((7L, "oops")).toDF("query_id", "wrongcol").write.parquet(s"$base/q/bad-1")
+    Seq((8L, "alpha join")).toDF("query_id", "qtext").write.parquet(s"$base/q/good-2")
+    val st = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/q", s"out=$base/a", s"text-index=$base/tidx",
+      "topk=3", "pollms=100", "maxbatches=1"))
+    assert(st.rowsIn == 1 && st.rowsOut > 0,
+      s"the good batch must serve past the poison one: $st")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/a/bad-1/_FAILED")),
+      "the poison batch must be quarantined")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/a/good-2/_SUCCESS")))
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/a/serve_log.jsonl")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(log.contains("\"batch\":\"bad-1\"") && log.contains("\"ok\":false")
+      && log.contains("\"error\":"), log)
+    assert(log.contains("\"batch\":\"good-2\"") && log.contains("\"ok\":true"), log)
+    // a restarted serve skips BOTH (answered and quarantined) and
+    // exits on .stop having done nothing
+    new java.io.File(s"$base/q/.stop").createNewFile()
+    val restat = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/q", s"out=$base/a", s"text-index=$base/tidx",
+      "topk=3", "pollms=100"))
+    assert(restat.rowsIn == 0, s"restart must skip the quarantined batch: $restat")
   }
 
   test("takedown: one command sweeps sig + text + vector stores AND survivors; crashed sweep self-repairs; replay is a no-op") {
@@ -482,6 +539,166 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/state/.lease.txt")))
     assert(spark.read.parquet(s"$base/state/survivors").count() == 2L,
       "a refused takedown must not have touched the survivors")
+  }
+
+  test("takedown sweeps the CONTENT artifacts: shards text + pack token ids; journal records; replay re-affirms") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_td_content").toString
+    // distinct bodies so clean never near-dups them; doc 1 carries a
+    // unique marker word whose absence after the sweep is the claim
+    // every body clears the clean stage's quality floor (enough words
+    // + stopwords) while staying pairwise distinct (no near-dup pairs)
+    def body(i: Long): String = i match {
+      case 1L => "zuluunique is the word that marks the doomed document and it rides in every content artifact"
+      case 2L => "kilo lima mike is a sequence of phonetic words and it stays in the corpus to the end"
+      case 3L => "uniform victor whiskey and the other call signs remain in place as part of a healthy corpus"
+      case 10L => "gradient descent updates a weight of the model and the loss moves to a lower value in training"
+      case 11L => "parquet row groups carry the column statistics that a reader uses to prune in a scan of data"
+      case 20L => "the quick brown fox jumps over a lazy dog near the bank of a quiet river in autumn"
+      case 21L => "seven samurai defend a village in the rain and the long season passes to an uneasy peace"
+      case n => sys.error(s"no body for $n")
+    }
+    def write(name: String, ids: Seq[Long]): String = {
+      val p = s"$base/$name.parquet"
+      ids.map(i => (i, "en", body(i))).toDF("doc_id", "lang", "text").write.parquet(p)
+      p
+    }
+    def run(in: String, batch: Long): Unit =
+      Main.runPipeline(spark, Seq("corpus-pipeline", s"in=$in",
+        s"out=$base/out", "steps=clean,shard,pack", "incremental=true",
+        s"state=$base/state", s"batch=$batch", "shards=2", "packbudget=512",
+        "buckets=1", "nmerges=30"))
+    run(write("b1", Seq(1L, 2L, 3L)), 1L)
+    run(write("b2", Seq(10L, 11L)), 2L)
+    run(write("b3", Seq(20L, 21L)), 3L)
+    val frozenMerges = graft.functions.Bpe.readMerges(spark, s"$base/state/pack/merges")
+    val frozenVocab = graft.functions.Bpe.readVocab(spark, s"$base/state/pack/vocab")
+    def decodeAll(batch: Long): String =
+      spark.read.parquet(s"$base/state/packs").filter(col("batch") === batch)
+        .select(explode(col("token_ids")).as("id")).collect()
+        .map(r => { val id = r.getInt(0); if (id >= 0) frozenVocab(id) else "<UNK>" })
+        .mkString
+    // pre-takedown truth: the doomed doc's verbatim text rides shards,
+    // its decodable tokens ride packs (this is exactly the r14 hole)
+    val shardsPre = spark.read.parquet(s"$base/state/shards")
+    assert(shardsPre.filter(col("text").contains("zuluunique")).count() == 1L)
+    assert(decodeAll(1L).contains("zuluunique"))
+    // surviving rows must keep their checkpointable positions: capture
+    // (doc_id -> shard, shard_pos) for the co-batch survivors
+    val posPre = shardsPre.filter(col("doc_id").isin(2L, 3L))
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // untouched batch dirs must not be rewritten: capture batch=3 files
+    def fileSet(p: String): Set[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs0 = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs0.listFiles(hp, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) { val f = it.next(); b += s"${f.getPath}@${f.getModificationTime}" }
+      b.result()
+    }
+    val b3Shards = fileSet(s"$base/state/shards/batch=3")
+    val b3Packs = fileSet(s"$base/state/packs/batch=3")
+    // doom doc 1 (batch 1, co-packed with 2 and 3) and BOTH docs of
+    // batch 2 (its pack must drop entirely)
+    Seq(1L, 10L, 11L).toDF("doc_id").write.parquet(s"$base/doomed.parquet")
+    val st = Main.runPipeline(spark, Seq("takedown", s"in=$base/doomed.parquet",
+      s"state=$base/state", "vacuum=true", "asof=12345"))
+    assert(st.rowsIn == 3, s"$st")
+    // shards: the doomed ids and the marker text are GONE; survivors
+    // keep their exact (shard, shard_pos); untouched batch unrewritten
+    val shardsPost = spark.read.parquet(s"$base/state/shards")
+    assert(shardsPost.filter(col("doc_id").isin(1L, 10L, 11L)).count() == 0L)
+    assert(shardsPost.filter(col("text").contains("zuluunique")).count() == 0L,
+      "the doomed doc's verbatim text must be grep-absent from state/shards")
+    val posPost = shardsPost.filter(col("doc_id").isin(2L, 3L))
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(posPost == posPre, s"survivor positions must not shift: $posPre -> $posPost")
+    assert(fileSet(s"$base/state/shards/batch=3") == b3Shards, "untouched shards rewritten")
+    assert(fileSet(s"$base/state/packs/batch=3") == b3Packs, "untouched packs rewritten")
+    // packs: the touched pack KEEPS its pack_id, drops only the doomed
+    // member, and its token_ids are byte-identical to re-encoding the
+    // survivors under the frozen model; the fully-doomed pack vanishes
+    val b1Packs = spark.read.parquet(s"$base/state/packs").filter(col("batch") === 1)
+      .select("pack_id", "doc_ids", "token_ids", "n_docs", "n_tokens").collect()
+    assert(b1Packs.length == 1, s"batch 1 had one pack: ${b1Packs.length}")
+    val p0 = b1Packs.head
+    assert(p0.getSeq[Long](1) == Seq(2L, 3L), s"kept members: ${p0.getSeq[Long](1)}")
+    val expectedIds = Seq(2L, 3L).flatMap(i =>
+      Seq((i, body(i))).toDF("doc_id", "text")
+        .select(graft.functions.Bpe.bpeEncodeIds(col("text"), frozenMerges, frozenVocab))
+        .head().getSeq[Int](0))
+    assert(p0.getSeq[Int](2) == expectedIds,
+      "surviving members' token ids must be byte-identical to the frozen-model encode")
+    assert(p0.getLong(3) == 2L && p0.getLong(4) == expectedIds.size.toLong,
+      "n_docs/n_tokens recomputed")
+    assert(spark.read.parquet(s"$base/state/packs").filter(col("batch") === 2).count() == 0L,
+      "a pack whose every member is doomed must drop entirely")
+    val decoded = decodeAll(1L)
+    assert(!decoded.contains("zuluunique"), "doomed content must not decode from any pack")
+    // the BPE pre-tokenizer is whitespace-splitting, so decode
+    // concatenates words without spaces
+    assert(decoded.contains("kilolimamike"), "co-member content must survive")
+    // journal: one record with the per-surface counts and the caller's
+    // asof; replay removes nothing and RE-AFFIRMS (not erases) it
+    val td = spark.read.parquet(s"$base/state/takedowns").collect()
+    assert(td.length == 1, s"one takedown record: ${td.length}")
+    def f(r: org.apache.spark.sql.Row, c: String) = r.getLong(r.fieldIndex(c))
+    assert(f(td.head, "n_ids") == 3L && f(td.head, "asof_ms") == 12345L)
+    assert(f(td.head, "shard_rows") == 3L, s"${td.head}")
+    assert(f(td.head, "pack_members") == 3L, s"${td.head}")
+    assert(f(td.head, "survivor_rows") == 3L, s"${td.head}")
+    val again = Main.runPipeline(spark, Seq("takedown", s"in=$base/doomed.parquet",
+      s"state=$base/state"))
+    assert(again.rowsOut == 0, s"replay must remove nothing: $again")
+    val td2 = spark.read.parquet(s"$base/state/takedowns").collect()
+    assert(td2.length == 1, "a replay overwrites its OWN record")
+    assert(f(td2.head, "shard_rows") == 3L && f(td2.head, "rows_removed") == f(td.head, "rows_removed"),
+      "a no-op replay re-affirms the original totals, never zeroes them")
+    // pipeline-stats renders the journal
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true)) {
+      Main.runPipeline(spark, Seq("pipeline-stats", s"state=$base/state"))
+    }
+    assert(buf.toString.contains("takedown_records=1"), buf.toString)
+    assert(buf.toString.contains("takedown_ids=3"), buf.toString)
+  }
+
+  test("takedown refuses up front when packs exist without the frozen model; unknown state surfaces warn loudly") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_td_guard").toString
+    // a packs tree with NO state/pack model: unsweepable — refuse
+    // before any store is touched
+    Seq((1L, Seq(1L, 2L), Seq(0, 1, 2), 2L, 3L))
+      .toDF("pack_id", "doc_ids", "token_ids", "n_docs", "n_tokens")
+      .write.parquet(s"$base/state/packs/batch=1")
+    Seq((1L, "en", "some text"), (2L, "en", "other text"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$base/state/survivors/batch=1")
+    Seq(1L).toDF("doc_id").write.parquet(s"$base/doomed.parquet")
+    val e = intercept[IllegalArgumentException](Main.runPipeline(spark,
+      Seq("takedown", s"in=$base/doomed.parquet", s"state=$base/state")))
+    assert(e.getMessage.contains("frozen BPE model"), e.getMessage)
+    assert(spark.read.parquet(s"$base/state/survivors").count() == 2L,
+      "a refused takedown must not have swept the survivors first")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/state/.lease.txt")))
+    // an unrecognized state-root dir draws a LOUD warning (a future
+    // content surface must never be silently skipped again)
+    val base2 = Files.createTempDirectory("graft_main_td_unknown").toString
+    Seq((9L, "en", "captions or transcripts")).toDF("doc_id", "lang", "text")
+      .write.parquet(s"$base2/state/transcripts/batch=1")
+    Seq(9L).toDF("doc_id").write.parquet(s"$base2/doomed.parquet")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    try {
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      Main.runPipeline(spark, Seq("takedown", s"in=$base2/doomed.parquet",
+        s"state=$base2/state"))
+    } finally System.setErr(realErr)
+    assert(errBuf.toString.contains("not a") && errBuf.toString.contains("transcripts"),
+      s"unknown surface must warn: ${errBuf.toString.takeRight(400)}")
   }
 
   test("pipeline subcommands: corpus-mix / corpus-split / select-budget e2e") {
