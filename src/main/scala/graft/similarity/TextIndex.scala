@@ -114,17 +114,23 @@ class TextIndex(spark: SparkSession, dir: String,
           // the cache layout IS the win: a bare persist loses to the
           // cold path (measured r14 at 5M docs — cold's term-pruned
           // parquet read beats a full in-memory scan whenever the OS
-          // page cache is warm). Repartitioning by tpart (one cached
-          // partition per term partition) and sorting by word inside
-          // gives every cached batch tight min/max stats on BOTH
-          // filter columns, so InMemoryTableScan's batch pruning
-          // (in-memory partition pruning, on by default) skips
-          // non-probed tparts and non-query words without scanning
-          // them — the in-memory twin of the cold path's file prune.
+          // page cache is warm). RANGE-partitioning by tpart and
+          // sorting by word inside gives every cached batch tight
+          // min/max stats on BOTH filter columns, so
+          // InMemoryTableScan's batch pruning (in-memory partition
+          // pruning, on by default) skips non-probed tparts and
+          // non-query words without scanning them — the in-memory
+          // twin of the cold path's file prune. Range (not hash)
+          // partitioning because hash(tpart) % parts collides distinct
+          // tparts into one cached partition while leaving others
+          // empty; ranges keep each partition a CONTIGUOUS tpart span
+          // (roughly one per partition — the range sampler balances
+          // rows, so a hot partition may merge small neighbors), which
+          // is what the min/max prune needs.
           val parts = loadStats()._3
           val df = df0.select("doc_id", "word", "tf", "dl", "tpart")
-            .repartition(parts, col("tpart"))
-            .sortWithinPartitions("word")
+            .repartitionByRange(parts, col("tpart"))
+            .sortWithinPartitions("tpart", "word")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           warmCache = Some((token.get, df))
           df

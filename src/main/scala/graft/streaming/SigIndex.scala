@@ -88,12 +88,10 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
         s"opened with $bandParts")
     recorded.getOrElse(if (bandParts > 0) bandParts else 64)
   }
-  private def ensureMeta(bandsPerDoc: => Int): Unit =
+  private def ensureMeta(bandsPerDoc: Int): Unit =
     if (!fs.exists(metaPath)) {
       val tmp = new Path(s"$dir/.tmp-meta-${java.util.UUID.randomUUID}")
       val out = fs.create(tmp, true)
-      // bandsPerDoc is by-name: its one bounded agg over the first
-      // batch runs only on the CREATE path — later appends never pay it
       try {
         val b = bandsPerDoc
         // an empty first batch can't witness the banding width; leave
@@ -113,8 +111,23 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
       require(readMeta().contains(resolvedBandParts),
         s"index at $dir lost the bandParts=$resolvedBandParts publish race " +
           s"(recorded: ${readMeta().getOrElse(-1)}) — reopen with bandParts=0")
-    } else require(readMeta().forall(_ == resolvedBandParts),
-      s"index at $dir changed bandParts concurrently")
+    } else {
+      require(readMeta().forall(_ == resolvedBandParts),
+        s"index at $dir changed bandParts concurrently")
+      // banding WIDTH gets the same loud-refusal discipline as
+      // bandParts: a writer with a different width (e.g. a MinHash
+      // 16-band and an RHP 6-band pipeline sharing one dir) would
+      // append band rows delete() can never reach — its exact-key
+      // generation spans only the frozen width, so orphan band rows
+      // would survive every takedown and trip sigsFor's corruption
+      // error on the next clean batch. An empty batch (width 0)
+      // witnesses nothing and passes.
+      readMetaBands().foreach(frozen =>
+        require(bandsPerDoc == 0 || bandsPerDoc == frozen,
+          s"index at $dir was written with bands=$frozen per doc; this " +
+            s"batch carries $bandsPerDoc — one banding config per index " +
+            "(a different writer must use its own directory)"))
+    }
 
   private def hb(band: Column, h: Column): Column =
     pmod(hash(band, h), lit(resolvedBandParts))

@@ -277,6 +277,30 @@ class StreamingSpec extends SparkSpec {
       "a near-copy of the deleted vector must survive — no ghost canonical")
   }
 
+  test("SigIndex refuses an append whose banding width disagrees with the frozen one (empty batches pass)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sigwidth").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    // first writer freezes bands=16 (the MinHash path's width)
+    assert(Streaming.dedupNearBatch(Seq((1L, textA)).toDF("doc_id", "text"),
+      index, "text", "doc_id", 0.8, 128, 16, 3, batchId = 1L).count() == 1L)
+    // a 6-band writer (the RHP shape) sharing the SAME dir would append
+    // band rows delete() can never reach — it must refuse loudly, not
+    // silently leave future orphan rows
+    val sixBand = Seq((2L, Array.fill(128)(7L), Array.fill(6)(99L)))
+      .toDF("doc_id", "sig", "bh")
+    val e = intercept[IllegalArgumentException](index.append(sixBand, 2L))
+    assert(e.getMessage.contains("banding config"), e.getMessage)
+    // the same-width append still lands, and an EMPTY batch (width
+    // unwitnessed) never trips the check
+    assert(Streaming.dedupNearBatch(Seq((3L, textA + " extra tail words here"))
+      .toDF("doc_id", "text"), index, "text", "doc_id", 0.8, 128, 16, 3,
+      batchId = 3L).count() == 1L)
+    index.append(sixBand.limit(0), 4L)
+  }
+
   test("SigIndex takedown on a legacy meta (no frozen banding width): the max(band) fallback resolves it") {
     val s = spark
     import s.implicits._
