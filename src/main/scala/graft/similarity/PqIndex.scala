@@ -85,9 +85,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
   * wall ~2× the exact-rerank wall (the candidates' bytes were re-read
   * from disk every batch while exact re-rank's caller table sat in
   * memory). A CDC [[add]]/[[remove]] commits a new manifest version,
-  * which INVALIDATES the cache on the next call (the codes re-read
+  * which RE-VALIDATES the cache on the next call (the codes re-read
   * freshness rule, applied to a cache): served rows always reflect
-  * the store as committed. Off by default — caching a 1e9-vector
+  * the store as committed. Invalidation is FILE-GRAINED (r15, shared
+  * [[graft.sources.LayeredFileCache]] mechanism): an append-only add
+  * of fresh ids caches just the delta files as a new layer; anything
+  * that retires a file (remove/compact/vacuum/rebuild) rebuilds the
+  * whole cache. Off by default — caching a 1e9-vector
   * sidecar (~dim GB) into a one-shot batch job's memory would be
   * waste; turn it on in processes that serve many batches against
   * one index generation. */
@@ -131,38 +135,29 @@ class PqIndex(spark: SparkSession, dir: String,
   def hasRerankTier: Boolean = sqStore.exists
 
   // ---- warm-serving SQ8 cache (see the class scaladoc) ----
-  // (generation token, cached sidecar frame). Keyed on the store's
-  // latestToken — version PLUS live-file-list hash — NOT the bare
-  // version number: a store deleted and rebuilt out-of-band restarts
-  // its manifest history at version 1, and a version-only key would
-  // silently serve the OLD corpus's quantized bytes against the new
-  // corpus's candidates. The token check costs one manifest read per
-  // query batch — the price of the codes re-read freshness rule;
-  // everything else is an in-memory columnar read instead of a
-  // per-batch file read.
-  private var sqWarmCache: Option[((Long, Int), DataFrame)] = None
-  private def warmSqFrame(): Option[DataFrame] = synchronized {
-    val token = sqStore.latestToken
-    (sqWarmCache, token) match {
-      case (Some((ct, df)), Some(t)) if ct == t => Some(df)
-      case _ =>
-        sqWarmCache.foreach(_._2.unpersist())
-        sqWarmCache = None
-        if (token.isEmpty) None
-        else sqStore.read().map { df0 =>
-          val df = df0.select("neighbor_id", "cell", "sq")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          sqWarmCache = Some((token.get, df))
-          df
-        }
-    }
-  }
+  // FILE-GRAINED since r15 (r14 VERDICT #3 flagged the sidecar cache's
+  // whole-store invalidation alongside the lexical one): a CDC add of
+  // fresh vector ids rides the store's insert fast path (files append,
+  // nothing rewrites), so LayeredFileCache caches ONLY the delta
+  // files as a new layer instead of re-reading the whole sidecar —
+  // the serve pattern that interleaves adds with query batches stops
+  // paying a full rebuild per batch. remove/compact/vacuum retire
+  // files → full rebuild, the only sound response. The layer frames
+  // keep the sidecar's own cell-clustered file layout (rows arrive
+  // cell-partitioned from the scan), so InMemoryTableScan's min/max
+  // batch pruning on `cell` keeps working per layer — no re-layout
+  // needed here, unlike the lexical cache.
+  private val sqWarmCache = new graft.sources.LayeredFileCache(sqStore)({ files =>
+    sqStore.readFileSubset(files)
+      .getOrElse(sys.error(s"warm SQ8 cache: empty file set at $dir"))
+      .select("neighbor_id", "cell", "sq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  })
+  private[graft] def warmLayerCount: Int = sqWarmCache.layerCount
+  private def warmSqFrame(): Option[DataFrame] = sqWarmCache.frame()
   /** Drop the warm sidecar cache (e.g. before handing the index to
     * another process; the next warm call re-reads and re-caches). */
-  def releaseWarmCache(): Unit = synchronized {
-    sqWarmCache.foreach(_._2.unpersist())
-    sqWarmCache = None
-  }
+  def releaseWarmCache(): Unit = sqWarmCache.release()
   /** The codes store's generation token — what the serve loop logs so
     * an operator can see WHICH index generation answered each batch
     * (and whether a batch paid a cold cache rebuild). */

@@ -72,8 +72,12 @@ import graft.functions.TextFunctions.words
   *    never the bare version: a store deleted and rebuilt out-of-band
   *    restarts at v1, and a version-keyed cache would silently serve
   *    the OLD corpus's postings. A CDC add/delete/compact commits a
-  *    new manifest → next search re-reads. One manifest read per
-  *    query batch is the freshness price.
+  *    new manifest → next search re-validates. One manifest read per
+  *    query batch is the freshness price. Invalidation is
+  *    FILE-GRAINED (r15): an append-only add (the store's insert fast
+  *    path — fresh keys append files, nothing rewrites) caches just
+  *    the delta files as a new layer; anything that retires a file
+  *    rebuilds the whole cache, the only sound response.
   *  - the warm path reproduces the cold path's row-eligibility rule
   *    explicitly: cold = (row's tpart ∈ probed partitions) AND (word
   *    ∈ query vocabulary); warm applies the same tpart prune as a
@@ -101,48 +105,39 @@ class TextIndex(spark: SparkSession, dir: String,
   private val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // ---- warm-serving postings cache (see the class scaladoc) ----
-  private var warmCache: Option[((Long, Int), DataFrame)] = None
-  private def warmPostingsFrame(): Option[DataFrame] = synchronized {
-    val token = store.latestToken
-    (warmCache, token) match {
-      case (Some((ct, df)), Some(t)) if ct == t => Some(df)
-      case _ =>
-        warmCache.foreach(_._2.unpersist())
-        warmCache = None
-        if (token.isEmpty) None
-        else store.read().map { df0 =>
-          // the cache layout IS the win: a bare persist loses to the
-          // cold path (measured r14 at 5M docs — cold's term-pruned
-          // parquet read beats a full in-memory scan whenever the OS
-          // page cache is warm). RANGE-partitioning by tpart and
-          // sorting by word inside gives every cached batch tight
-          // min/max stats on BOTH filter columns, so
-          // InMemoryTableScan's batch pruning (in-memory partition
-          // pruning, on by default) skips non-probed tparts and
-          // non-query words without scanning them — the in-memory
-          // twin of the cold path's file prune. Range (not hash)
-          // partitioning because hash(tpart) % parts collides distinct
-          // tparts into one cached partition while leaving others
-          // empty; ranges keep each partition a CONTIGUOUS tpart span
-          // (roughly one per partition — the range sampler balances
-          // rows, so a hot partition may merge small neighbors), which
-          // is what the min/max prune needs.
-          val parts = loadStats()._3
-          val df = df0.select("doc_id", "word", "tf", "dl", "tpart")
-            .repartitionByRange(parts, col("tpart"))
-            .sortWithinPartitions("tpart", "word")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          warmCache = Some((token.get, df))
-          df
-        }
-    }
-  }
+  // FILE-GRAINED since r15 (r14 VERDICT #3) — the layering mechanism
+  // (append-only adds cache only the delta files; any retired file
+  // rebuilds; capped layers consolidate) lives in LayeredFileCache,
+  // shared with PqIndex's warm SQ8 sidecar cache.
+  //
+  // The cache LAYOUT here is the win: a bare persist loses to the
+  // cold path (measured r14 at 5M docs — cold's term-pruned parquet
+  // read beats a full in-memory scan whenever the OS page cache is
+  // warm). RANGE-partitioning by tpart and sorting by (tpart, word)
+  // inside gives every cached batch tight min/max stats on BOTH
+  // filter columns, so InMemoryTableScan's batch pruning (in-memory
+  // partition pruning, on by default) skips non-probed tparts and
+  // non-query words without scanning them — the in-memory twin of the
+  // cold path's file prune. Range (not hash) partitioning because
+  // hash(tpart) % parts collides distinct tparts into one cached
+  // partition while leaving others empty; ranges keep each partition
+  // a CONTIGUOUS tpart span, which is what the min/max prune needs.
+  // Delta layers are small — they take min(parts, #files) partitions
+  // so a 5k-doc layer doesn't fan into hundreds of near-empty tasks.
+  private val warmCache = new graft.sources.LayeredFileCache(store)({ files =>
+    store.readFileSubset(files)
+      .getOrElse(sys.error(s"warm cache: empty file set at $dir"))
+      .select("doc_id", "word", "tf", "dl", "tpart")
+      .repartitionByRange(
+        math.max(1, math.min(loadStats()._3, files.size)), col("tpart"))
+      .sortWithinPartitions("tpart", "word")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  })
+  private[graft] def warmLayerCount: Int = warmCache.layerCount
+  private def warmPostingsFrame(): Option[DataFrame] = warmCache.frame()
   /** Drop the warm postings cache (the next warm search re-reads and
     * re-caches) — e.g. before handing the index to another process. */
-  def releaseWarmCache(): Unit = synchronized {
-    warmCache.foreach(_._2.unpersist())
-    warmCache = None
-  }
+  def releaseWarmCache(): Unit = warmCache.release()
   /** The postings store's generation token — what the serve loop logs
     * so an operator can see WHICH index generation answered each batch
     * (and whether a batch paid a cold cache rebuild). */

@@ -407,6 +407,21 @@ final class SnapshotStore(spark: SparkSession, path: String, key: String = "user
   def read(): Option[DataFrame] =
     latestManifest().flatMap { case (_, m) => readFiles(m.values.flatten.toSeq) }
 
+  /** The newest committed version's store-relative file list, and a
+    * read of an explicit subset of it — the pair a FILE-GRAINED warm
+    * cache needs: after an insert-fast-path add (fresh keys append
+    * files, nothing rewrites), the new live set is a superset of the
+    * cached one and the cache can read ONLY the delta files instead of
+    * rebuilding from the whole store ([[graft.similarity.TextIndex]]
+    * warm serving). Callers must treat file names as opaque tokens
+    * from [[liveFiles]] — passing names from an older manifest risks
+    * reading vacuumed paths. */
+  private[graft] def liveFiles: Seq[String] =
+    latestManifest().map(_._2.values.flatten.toSeq).getOrElse(Nil)
+
+  private[graft] def readFileSubset(files: Seq[String]): Option[DataFrame] =
+    readFiles(files)
+
   /** Pruned read by partition value: only the live files whose layout
     * path carries one of `values` for the partition column. Files from
     * generations written WITHOUT the partition layout carry no

@@ -134,29 +134,50 @@ object ScaleGen {
     * on which the cells/probe/rerank suggest rules are falsifiable).
     * Mode assignment is a multiplicative hash of id, so the planted
     * near-dup pairs (which share the BASE vector) stay intact. */
+  val EmbModes = 1024
+
+  private def center(m: Int, dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(m * 2862933555777941757L + 3037000499L)
+    Array.fill(dim)(rnd.nextGaussian().toFloat)
+  }
+
+  private def rawVec(id: Long, clustered: Boolean, dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(id * 1099511628211L + 7)
+    if (!clustered) Array.fill(dim)(rnd.nextGaussian().toFloat)
+    else {
+      val c = center((((id * 0x9E3779B97F4A7C15L) >>> 40) % EmbModes).toInt, dim)
+      c.map(x => x + 0.5f * rnd.nextGaussian().toFloat)
+    }
+  }
+
+  /** The embedding of `id` — EXACTLY what [[writeEmbeddings]] persists
+    * for that id (planted near-dup rule included: id % 50 == 1 copies
+    * id-1 with +0.01 on coord 0). Exposed so streaming-encode probes
+    * can build an index from this function directly — a 500M-vector
+    * frame synthesized per-row in the scan never materializes raw
+    * vectors on disk (the r13 "route b" to decades past the disk
+    * budget: only the 8 B/vec codes + SQ8 tier ever hit disk). */
+  def embVec(id: Long, clustered: Boolean, dim: Int): Array[Float] =
+    if (id % 50 == 1 && id >= 1) { val b = rawVec(id - 1, clustered, dim); b(0) += 0.01f; b }
+    else rawVec(id, clustered, dim)
+
+  /** The gaussian-mixture mode whose center [[embVec]](id) perturbs
+    * (a planted dup belongs to its BASE vector's mode). The clustered
+    * corpus's true neighbors are mode-mates by construction, so this
+    * is the ground-truth prune for scales where full brute force is
+    * unaffordable — and the candMult rule's modeSize denominator. */
+  def embMode(id: Long): Int = {
+    val base = if (id % 50 == 1 && id >= 1) id - 1 else id
+    (((base * 0x9E3779B97F4A7C15L) >>> 40) % EmbModes).toInt
+  }
+
   private def writeEmbeddings(spark: org.apache.spark.sql.SparkSession,
                               out: String, copies: Int, clustered: Boolean,
                               dim: Int = 64): Unit = {
     import spark.implicits._
-    val nModes = 1024
-    def center(m: Int): Array[Float] = {
-      val rnd = new scala.util.Random(m * 2862933555777941757L + 3037000499L)
-      Array.fill(dim)(rnd.nextGaussian().toFloat)
-    }
-    def vec(id: Long): Array[Float] = {
-      val rnd = new scala.util.Random(id * 1099511628211L + 7)
-      if (!clustered) Array.fill(dim)(rnd.nextGaussian().toFloat)
-      else {
-        val c = center((((id * 0x9E3779B97F4A7C15L) >>> 40) % nModes).toInt)
-        c.map(x => x + 0.5f * rnd.nextGaussian().toFloat)
-      }
-    }
     val nVecs = 2000L * copies
     val embs = spark.range(0L, nVecs, 1L, 32).as[Long].map { id =>
-      val v =
-        if (id % 50 == 1 && id >= 1) { val b = vec(id - 1); b(0) += 0.01f; b }
-        else vec(id)
-      (id, v, (id % 10).toInt)
+      (id, embVec(id, clustered, dim), (id % 10).toInt)
     }.toDF("vec_id", "embedding", "label")
     embs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"[scalegen] embeddings $nVecs" + (if (clustered) " (clustered)" else ""))

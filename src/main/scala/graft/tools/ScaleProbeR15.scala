@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: round-15 scale measurements for PLANS.md — not gate input.
+  *
+  * Arms (independently runnable; delete inputs between arms — the
+  * sandbox disk budget rule):
+  *
+  *  - `textcdc` — the r14-VERDICT #3 measurement: warm lexical serving
+  *    under FREQUENT CDC. A serve-shaped loop interleaves a small add
+  *    (5k docs) before EVERY 100-query batch at 5M docs, A/B'd against
+  *    the no-CDC warm loop and the cold path. Whole-store invalidation
+  *    predicts per-batch ≈ cache rebuild (~47 s at r14) + search —
+  *    WORSE than cold; the file-grained delta cache (r15) should bring
+  *    an append-only add's invalidation cost down to reading the delta
+  *    files only.
+  *  - `ann500` — the ladder's fifth point (r14-VERDICT #7): ≥500M
+  *    dim-16 clustered vectors, CODES-ONLY via streaming encode — the
+  *    input frame synthesizes [[ScaleGen.embVec]] per row inside the
+  *    scan, so raw vectors never touch disk (only the 8 B/vec codes +
+  *    16 B/vec SQ8 tier do, ~12 GB at 500M). Build + CDC add 200k +
+  *    warm SQ8 serve at the candMult rule's cm ≈ modeSize/topK,
+  *    recall@10 vs full brute force (the corpus re-synthesizes inside
+  *    the brute-force scan too — two extra synthesis passes instead of
+  *    32 GB of parquet).
+  *
+  * {{{ runMain graft.tools.ScaleGen /root/testdata/sf0.1 bench_scratch/sf1000 1000 corpus-only }}}
+  * {{{ runMain graft.tools.ScaleProbeR15 textcdc bench_scratch/sf1000 /tmp/graft_r15probe }}}
+  * {{{ runMain graft.tools.ScaleProbeR15 ann500 unused /tmp/graft_r15probe }}}
+  *    (SPARK_GRAFT_ANN_N overrides the 500M default)
+  */
+object ScaleProbeR15 {
+  def main(args: Array[String]): Unit = {
+    val arm = args.headOption.getOrElse("textcdc")
+    val dataDir = if (args.length > 1) args(1) else "bench_scratch/sf1000"
+    val out = if (args.length > 2) args(2) else "/tmp/graft_r15probe"
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).delete(hp, true)
+    }
+    def timed[A](name: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[r15probe] $name: $sec%.2f s")
+      (r, sec)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    arm match {
+      // ---- warm lexical serving under frequent CDC at 5M docs ----
+      case "textcdc" =>
+        rm(s"$out/textcdc")
+        val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+          .select("doc_id", "text")
+        val n = docs.count()
+        println(s"[r15probe] docs: $n")
+        val idxDir = s"$out/textcdc/idx"
+        val build = new graft.similarity.TextIndex(spark, idxDir)
+        timed(s"build ($n docs)")(build.build(docs))
+        val qs = docs.select(col("doc_id"), col("text"),
+            xxhash64(col("doc_id")).as("h"))
+          .orderBy("h").limit(100).collect().zipWithIndex.map { case (r, i) =>
+            (i, r.getString(1).split(' ').filter(_.startsWith("w")).take(2).mkString(" "))
+          }.toSeq
+        val queries = qs.toDF("query_id", "qtext").localCheckpoint()
+        // fresh-keyed 5k-doc deltas (ids far above the corpus — the
+        // store's insert fast path appends files, no bucket rewrite)
+        def delta(i: Int) = docs.limit(5000)
+          .withColumn("doc_id", col("doc_id") + lit(100000000L + i * 1000000L))
+          .localCheckpoint()
+        val warm = new graft.similarity.TextIndex(spark, idxDir, warmSearch = true)
+        val cold = new graft.similarity.TextIndex(spark, idxDir)
+        // A: warm steady state (no CDC) — the r14 number, re-measured
+        (1 to 3).foreach { it =>
+          timed(s"A warm, no CDC (iter $it)")(noop(warm.search(queries, 10)))
+        }
+        // B: a CDC add lands before EVERY batch (warm, invalidated
+        // each time)
+        (1 to 4).foreach { it =>
+          timed(s"B add 5k (iter $it)")(warm.add(delta(it)))
+          timed(s"B warm after add (iter $it)")(noop(warm.search(queries, 10)))
+        }
+        // C: same cadence, served cold (the warm=false alternative)
+        (5 to 7).foreach { it =>
+          timed(s"C add 5k (iter $it)")(cold.add(delta(it)))
+          timed(s"C cold after add (iter $it)")(noop(cold.search(queries, 10)))
+        }
+        // parity after all the CDC: warm == cold ranks
+        val cRows = cold.search(queries, 10)
+          .select("query_id", "rank", "doc_id").collect().toSet
+        val wRows = warm.search(queries, 10)
+          .select("query_id", "rank", "doc_id").collect().toSet
+        println(s"[r15probe] warm == cold ranks after CDC: ${cRows == wRows} (${cRows.size} rows)")
+        warm.releaseWarmCache()
+
+      // ---- the fifth ladder point: 500M dim-16, codes-only ----
+      case "ann500" =>
+        val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "500000000").toLong
+        val deltaN = 200000L
+        val dim = 16
+        def synth(from: Long, until: Long) =
+          spark.range(from, until, 1L, 256).as[Long]
+            .map(id => (id, ScaleGen.embVec(id, clustered = true, dim)))
+            .toDF("id", "vec")
+        val idxDir = s"$out/ann500/idx"
+        val idx = new graft.similarity.PqIndex(spark, idxDir, dim = dim, sq8 = true)
+        // resumable: the build is the long pole — adopt an existing one
+        if (!idx.isBuilt) {
+          println(s"[r15probe] streaming-encode build: $n vecs, dim $dim (raw never hits disk)")
+          timed(s"build with SQ8 tier ($n vecs)")(idx.build(synth(0L, n)))
+          timed(s"CDC add $deltaN (streamed)")(idx.add(synth(n, n + deltaN)))
+        } else println(s"[r15probe] adopting existing index at $idxDir")
+        val nAll = n + deltaN
+        val queries = spark.range(0L, nAll, 1L, 256).as[Long]
+          .select(col("value").as("id"), xxhash64(col("value")).as("h"))
+          .orderBy("h").limit(100).select("id").as[Long].collect().toSeq
+          .map(id => (id, ScaleGen.embVec(id, clustered = true, dim)))
+          .toDF("id", "vec").localCheckpoint()
+        val warm = new graft.similarity.PqIndex(spark, idxDir,
+          dim = dim, sq8 = true, warmRerank = true)
+        val cm = (nAll / ScaleGen.EmbModes / 10).toInt
+        (1 to 3).foreach { it =>
+          timed(s"WARM SQ8 rerank, 100 q, candMult=$cm (iter $it)")(
+            noop(warm.topKRerankIndexed(queries, 10, cm)))
+        }
+        // ground truth: FULL brute force, corpus re-synthesized inside
+        // the scan (one pass of 100 × nAll codegen cosines)
+        val (r, _) = timed(s"recall@10 at cm=$cm (100 q vs full brute force)")(
+          idx.recallAt(queries, synth(0L, nAll), 10, cm, inIndex = true))
+        println(f"[r15probe] recall@10 = $r%.4f (the 2M/20M/80M/200M arms predict ~0.96-0.97 at the rule's cm)")
+        warm.releaseWarmCache()
+
+      case other => sys.error(s"unknown arm $other (textcdc|ann500)")
+    }
+    spark.stop()
+  }
+}

@@ -137,19 +137,26 @@ class RerankSpec extends SparkSpec {
     assert(rows(warm) == cold, "warm serving must change the read path, not the rows")
     // second call: a cache HIT (same version) — still identical
     assert(rows(warm) == cold)
+    assert(warm.warmLayerCount == 1, "one base layer after the first warm call")
     // CDC add commits a new sidecar version: the warm handle must
-    // invalidate and serve the added vector (the freshness rule)
+    // re-validate and serve the added vector (the freshness rule) —
+    // and, since a fresh-keyed add rides the store's insert fast path
+    // (files append, nothing rewrites), the file-grained cache must
+    // LAYER the delta instead of rebuilding the whole sidecar
     val probe = corpus.filter(col("id") === 0L).cache()
     val dupId = 888888L
     idx.add(probe.select(lit(dupId).as("id"), col("vec")))
     def warmHits(): Set[Long] = warm.topKRerankIndexed(probe, 10, cover)
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
     assert(warmHits().contains(dupId),
-      "a CDC add must invalidate the warm cache — served rows reflect the add")
-    // and a remove invalidates again
+      "a CDC add must re-validate the warm cache — served rows reflect the add")
+    assert(warm.warmLayerCount == 2, "a fresh-keyed add must layer, not rebuild")
+    // a remove RETIRES the key's bucket file — stale cached bytes
+    // would serve a ghost, so the cache must rebuild from scratch
     assert(idx.remove(probe.select(lit(dupId).as("id"))) == 1L)
     assert(!warmHits().contains(dupId),
       "a takedown must invalidate the warm cache — removed rows stop serving")
+    assert(warm.warmLayerCount == 1, "a retired file must force a full rebuild")
     warm.releaseWarmCache()
   }
 

@@ -192,6 +192,63 @@ class TextIndexSpec extends SparkSpec {
     warm.releaseWarmCache()
   }
 
+  test("warm cache is file-grained: fresh-keyed adds layer the delta; a replace or delete rebuilds; results stay bitwise-cold") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_textindex_layers").toString
+    val cold = new TextIndex(spark, s"$base/idx", termParts = 16)
+    val warm = new TextIndex(spark, s"$base/idx", termParts = 16, warmSearch = true)
+    val corpusA = corpus.filter(col("doc_id") < 40L)
+    cold.build(corpusA)
+    assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)))
+    assert(warm.warmLayerCount == 1, "one base layer after the first warm search")
+    // a FRESH-KEYED add rides the store's insert fast path (files
+    // append, nothing rewrites) — the cache must layer ONLY the delta
+    // instead of rebuilding, and stay bitwise-identical to cold
+    val d1 = Seq((900001L, "hash join table hash join table")).toDF("doc_id", "text")
+    cold.add(d1)
+    var truth = corpusA.unionByName(d1)
+    assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(truth, qs, 10)),
+      "warm must serve the delta through the layered cache")
+    assert(warm.warmLayerCount == 2, "the fresh-keyed add must layer, not rebuild")
+    val d2 = Seq((900002L, "customer order priority segment")).toDF("doc_id", "text")
+    cold.add(d2)
+    truth = truth.unionByName(d2)
+    assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(truth, qs, 10)))
+    assert(warm.warmLayerCount == 3)
+    // and the layered plan still serves from memory
+    val warmPlan = warm.search(Seq(1 -> "customer").toDF("query_id", "qtext"), 10)
+      .queryExecution.executedPlan.toString
+    assert(warmPlan.contains("InMemoryTableScan"), s"layered warm plan:\n$warmPlan")
+    // REPLACING an existing doc takes the merge path (its bucket's
+    // files retire) — stale cached rows would score a ghost, so the
+    // cache must detect the removed file and rebuild from scratch
+    val replaced = Seq((900001L, "entirely different replacement text"))
+      .toDF("doc_id", "text")
+    cold.add(replaced)
+    truth = corpusA.unionByName(replaced).unionByName(d2)
+    assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(truth, qs, 10)),
+      "a replace must not serve stale cached postings")
+    assert(warm.warmLayerCount == 1, "a retired file must force a full rebuild")
+    // delete: same rebuild discipline
+    cold.delete(Seq(900002L).toDF("doc_id"))
+    truth = corpusA.unionByName(replaced)
+    assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(truth, qs, 10)))
+    assert(warm.warmLayerCount == 1)
+    // the layer cap consolidates: enough fresh adds in a row must fold
+    // back into one base layer instead of unioning forever
+    (0 until 8).foreach { i =>
+      cold.add(Seq((910000L + i, s"fresh layering doc number$i hash join"))
+        .toDF("doc_id", "text"))
+      warm.search(qs, 10).collect()
+    }
+    assert(warm.warmLayerCount <= 8,
+      s"layer count must stay capped, got ${warm.warmLayerCount}")
+    assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)),
+      "post-consolidation parity")
+    warm.releaseWarmCache()
+  }
+
   test("serving reads only the query terms' partitions") {
     val base = java.nio.file.Files.createTempDirectory("graft_textindex_prune").toString
     val index = new TextIndex(spark, s"$base/idx", termParts = 16)
