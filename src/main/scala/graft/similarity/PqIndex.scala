@@ -196,8 +196,19 @@ class PqIndex(spark: SparkSession, dir: String,
     * a failed build must be re-run (or re-validated) after fixing the
     * layout, which is the safe direction — serving from it was the
     * thing the floor exists to prevent. */
+  /** `shareEncodePass` governs the sq8 build's one-encode-two-writes
+    * optimization: true (default) materializes the encoded frame once
+    * (localCheckpoint) and feeds both stores from it; false recomputes
+    * the encode per store. The default is right when the encoded frame
+    * (~36 B/vec + row overhead) fits local disk; at corpus scales
+    * where it does not (a 500M-vector build's checkpoint + two write
+    * shuffles overflowed a ~74 GB scratch budget, r15 measured), pass
+    * false — the encode is deterministic under the frozen models, so
+    * the stores stay in lockstep, and the price is one extra corpus
+    * scan + codegen encode instead of a corpus-sized checkpoint. */
   def build(corpus: DataFrame, minRecall: Double = 0.0,
-            recallQueries: Int = 64, recallTopK: Int = 10): Unit = {
+            recallQueries: Int = 64, recallTopK: Int = 10,
+            shareEncodePass: Boolean = true): Unit = {
     // resolve the layout knobs: explicit values win; 0 = size from the
     // corpus (the count is one cheap agg next to the k-means fit +
     // full encode this method already pays for)
@@ -238,7 +249,7 @@ class PqIndex(spark: SparkSession, dir: String,
     try {
       if (fs.exists(modelPath)) fs.delete(modelPath, false)
       if (!sq8 && sqStore.exists) fs.delete(new Path(s"$dir/sq8"), true)
-      if (sq8) {
+      if (sq8 && shareEncodePass) {
         // one encode pass feeds both stores (the PQ encode is the
         // expensive column); both land before the models commit
         val enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot).localCheckpoint()
@@ -246,6 +257,12 @@ class PqIndex(spark: SparkSession, dir: String,
           buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
           sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
         } finally enc.unpersist()
+      } else if (sq8) {
+        // scratch-bounded variant: no corpus-sized checkpoint — each
+        // store re-runs the deterministic encode from the corpus scan
+        def enc = Pq.encodeIvfPqSq8(corpus, model, coarse, rot)
+        buildStore.overwrite(enc.select("neighbor_id", "cell", "codes", "cn"))
+        sqStoreWith(bkts).overwrite(enc.select("neighbor_id", "cell", "sq"))
       } else
         buildStore.overwrite(Pq.encodeIvfPq(corpus, model, coarse, rot))
       commitModels(stagedModels)

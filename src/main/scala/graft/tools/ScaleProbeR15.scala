@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *    recall@10 vs full brute force (the corpus re-synthesizes inside
   *    the brute-force scan too — two extra synthesis passes instead of
   *    32 GB of parquet).
+  *  - `anncdc` — the textcdc measurement's VECTOR twin: warm SQ8
+  *    serving with a fresh-keyed 100k CDC add before every 100-query
+  *    batch at 20M vectors, A/B'd against no-CDC warm and cold. The
+  *    file-grained sidecar cache should layer each add's delta files
+  *    instead of paying a whole-sidecar re-read per batch.
   *
   * {{{ runMain graft.tools.ScaleGen /root/testdata/sf0.1 bench_scratch/sf1000 1000 corpus-only }}}
   * {{{ runMain graft.tools.ScaleProbeR15 textcdc bench_scratch/sf1000 /tmp/graft_r15probe }}}
@@ -113,8 +118,14 @@ object ScaleProbeR15 {
         val idx = new graft.similarity.PqIndex(spark, idxDir, dim = dim, sq8 = true)
         // resumable: the build is the long pole — adopt an existing one
         if (!idx.isBuilt) {
+          rm(s"$out/ann500") // a crashed build's orphan staging wastes scratch
           println(s"[r15probe] streaming-encode build: $n vecs, dim $dim (raw never hits disk)")
-          timed(s"build with SQ8 tier ($n vecs)")(idx.build(synth(0L, n)))
+          // shareEncodePass=false: the checkpointed encode frame at
+          // 500M rows (~40 GB) + two write shuffles overflowed the
+          // sandbox scratch; recomputing the synthesized-corpus encode
+          // per store costs one extra codegen pass and zero scratch
+          timed(s"build with SQ8 tier ($n vecs)")(
+            idx.build(synth(0L, n), shareEncodePass = false))
           timed(s"CDC add $deltaN (streamed)")(idx.add(synth(n, n + deltaN)))
         } else println(s"[r15probe] adopting existing index at $idxDir")
         val nAll = n + deltaN
@@ -137,7 +148,60 @@ object ScaleProbeR15 {
         println(f"[r15probe] recall@10 = $r%.4f (the 2M/20M/80M/200M arms predict ~0.96-0.97 at the rule's cm)")
         warm.releaseWarmCache()
 
-      case other => sys.error(s"unknown arm $other (textcdc|ann500)")
+      // ---- warm SQ8 serving under frequent CDC (the textcdc twin) ----
+      // The serve-shaped access pattern the lexical measurement used,
+      // on the VECTOR side: a fresh-keyed 100k-vector CDC add lands
+      // before EVERY 100-query warm batch at 20M vectors. Whole-store
+      // invalidation pays a full sidecar re-read per batch; the
+      // file-grained cache should layer the delta only.
+      case "anncdc" =>
+        val n = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "20000000").toLong
+        val deltaN = 100000L
+        val dim = 16
+        def synth(from: Long, until: Long) =
+          spark.range(from, until, 1L, 64).as[Long]
+            .map(id => (id, ScaleGen.embVec(id, clustered = true, dim)))
+            .toDF("id", "vec")
+        rm(s"$out/anncdc")
+        val idxDir = s"$out/anncdc/idx"
+        val idx = new graft.similarity.PqIndex(spark, idxDir, dim = dim, sq8 = true)
+        timed(s"build with SQ8 tier ($n vecs)")(idx.build(synth(0L, n)))
+        val queries = spark.range(0L, n, 1L, 64).as[Long]
+          .select(col("value").as("id"), xxhash64(col("value")).as("h"))
+          .orderBy("h").limit(100).select("id").as[Long].collect().toSeq
+          .map(id => (id, ScaleGen.embVec(id, clustered = true, dim)))
+          .toDF("id", "vec").localCheckpoint()
+        val warm = new graft.similarity.PqIndex(spark, idxDir,
+          dim = dim, sq8 = true, warmRerank = true)
+        val cold = new graft.similarity.PqIndex(spark, idxDir, dim = dim, sq8 = true)
+        val cm = (n / ScaleGen.EmbModes / 10).toInt
+        // A: warm steady state (no CDC)
+        (1 to 3).foreach { it =>
+          timed(s"A warm, no CDC (iter $it)")(noop(warm.topKRerankIndexed(queries, 10, cm)))
+        }
+        // B: a fresh-keyed CDC add lands before EVERY batch (warm)
+        (1 to 4).foreach { it =>
+          timed(s"B add $deltaN (iter $it)")(
+            idx.add(synth(n + it * deltaN, n + (it + 1) * deltaN)))
+          timed(s"B warm after add (iter $it, layers=${warm.warmLayerCount})")(
+            noop(warm.topKRerankIndexed(queries, 10, cm)))
+        }
+        println(s"[r15probe] layers after B: ${warm.warmLayerCount}")
+        // C: same cadence, served cold
+        (5 to 7).foreach { it =>
+          timed(s"C add $deltaN (iter $it)")(
+            idx.add(synth(n + it * deltaN, n + (it + 1) * deltaN)))
+          timed(s"C cold after add (iter $it)")(noop(cold.topKRerankIndexed(queries, 10, cm)))
+        }
+        // parity after all the CDC: warm == cold rows
+        def rows(i: graft.similarity.PqIndex) =
+          i.topKRerankIndexed(queries, 10, cm)
+            .select("query_id", "neighbor_id", "rank").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        println(s"[r15probe] warm == cold rows after CDC: ${rows(warm) == rows(cold)}")
+        warm.releaseWarmCache()
+
+      case other => sys.error(s"unknown arm $other (textcdc|ann500|anncdc)")
     }
     spark.stop()
   }

@@ -119,6 +119,32 @@ class RerankSpec extends SparkSpec {
     assert(!idx2.hasRerankTier, "a tier-less rebuild must retire the sidecar")
   }
 
+  test("shareEncodePass=false (scratch-bounded build) produces stores identical to the checkpointed build") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_rerank_enc1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rerank_enc2").toString
+    val a = new PqIndex(spark, d1, nCells = nModes, sq8 = true)
+    a.build(corpus)
+    val b = new PqIndex(spark, d2, nCells = nModes, sq8 = true)
+    b.build(corpus, shareEncodePass = false)
+    assert(b.isBuilt && b.hasRerankTier)
+    // the encode is deterministic under the frozen models (same seed →
+    // same models in both dirs), so every tier must agree row for row:
+    // plain PQ search AND the SQ8 in-index rerank
+    val queries = corpus.select(col("id"), col("vec"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(10).drop("h").cache()
+    queries.count()
+    def plain(i: PqIndex) = i.topK(queries, 10)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def rr(i: PqIndex) = i.topKRerankIndexed(queries, 10, perMode / 10)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(plain(a) == plain(b),
+      "recomputed-encode codes must match the checkpointed build's")
+    assert(rr(a) == rr(b),
+      "recomputed-encode SQ8 tier must match the checkpointed build's")
+  }
+
   test("warm SQ8 serving: the cached sidecar serves identical rows; a CDC add/remove invalidates the cache") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rerank_warm").toString
     val idx = new PqIndex(spark, dir, nCells = nModes, sq8 = true)
