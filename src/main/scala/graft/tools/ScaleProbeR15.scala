@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   *    batch at 20M vectors, A/B'd against no-CDC warm and cold. The
   *    file-grained sidecar cache should layer each add's delta files
   *    instead of paying a whole-sidecar re-read per batch.
+  *  - `servepar` — serve-loop concurrency: 8 identical 5-query hybrid
+  *    batches at 5M docs + 2M vectors answered by `Main serve` at
+  *    parallel=1 vs parallel=4 (bracketed 1 → 4 → 1), warm=false so
+  *    both walls are pure loop mechanics. Small batches are the
+  *    overlap regime: their stages can't fill the cores, so walls are
+  *    per-job fixed costs. Parity-checked parallel == sequential.
   *
   * {{{ runMain graft.tools.ScaleGen /root/testdata/sf0.1 bench_scratch/sf1000 1000 corpus-only }}}
   * {{{ runMain graft.tools.ScaleProbeR15 textcdc bench_scratch/sf1000 /tmp/graft_r15probe }}}
@@ -206,7 +212,60 @@ object ScaleProbeR15 {
         println(s"[r15probe] warm == cold rows after CDC: ${rows(warm) == rows(cold)}")
         warm.releaseWarmCache()
 
-      case other => sys.error(s"unknown arm $other (textcdc|ann500|anncdc)")
+      // ---- serve-loop concurrency: parallel=N vs the sequential loop ----
+      // Small batches are the regime where loop-level overlap matters:
+      // a 5-query batch's stages cannot fill 32 cores, so its wall is
+      // mostly fixed per-job overhead — exactly what parallel=N
+      // overlaps. warm=false keeps the comparison pure loop mechanics
+      // (no one-off cache build inside either wall); the 8 batches are
+      // IDENTICAL so per-batch work is symmetric across runs.
+      case "servepar" =>
+        val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+          .select("doc_id", "text")
+        val embs = spark.read.parquet(s"$dataDir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val nV = embs.count()
+        val ti = new graft.similarity.TextIndex(spark, s"$out/servepar/tidx")
+        val tiStats = new org.apache.hadoop.fs.Path(s"$out/servepar/tidx/stats.txt")
+        if (!tiStats.getFileSystem(hconf).exists(tiStats))
+          timed("text index build")(ti.build(docs))
+        val pi = new graft.similarity.PqIndex(spark, s"$out/servepar/vidx",
+          dim = 64, sq8 = true)
+        if (!pi.isBuilt) timed("vector index build (SQ8)")(pi.build(embs))
+        val qrows = docs.filter(col("doc_id") < nV)
+          .select(col("doc_id"), col("text"), xxhash64(col("doc_id")).as("h"))
+          .orderBy("h").limit(5).collect().zipWithIndex.map { case (r, i) =>
+            (i.toLong, r.getString(1).split(' ').filter(_.startsWith("w"))
+              .take(2).mkString(" "), r.getLong(0))
+          }.toSeq.toDF("query_id", "qtext", "docref")
+        val qdf = qrows.join(embs.withColumnRenamed("id", "docref"), Seq("docref"))
+          .select(col("query_id"), col("qtext"), col("vec"))
+          .localCheckpoint()
+        rm(s"$out/servepar/q")
+        (1 to 8).foreach(b => qdf.write.mode("overwrite")
+          .parquet(s"$out/servepar/q/batch-$b"))
+        // bracket order 1 → 4 → 1: the second sequential run exposes
+        // any page-cache warming the first run bought the parallel one
+        Seq(1, 4, 1).zipWithIndex.foreach { case (par, i) =>
+          val aDir = s"$out/servepar/a$i"
+          rm(aDir)
+          timed(s"serve 8 × 5-q hybrid batches, parallel=$par (run ${i + 1})")(
+            graft.Main.runPipeline(spark, Seq("serve",
+              s"queries=$out/servepar/q", s"out=$aDir",
+              s"index=$out/servepar/vidx", s"text-index=$out/servepar/tidx",
+              "dim=64", "sq8=true", "rerank=32", "topk=10", "pollms=200",
+              "warm=false", "maxbatches=8", s"parallel=$par")))
+        }
+        // parity: the parallel run's answers == the sequential run's
+        val equal = (1 to 8).count { b =>
+          def rows(a: String) = spark.read.parquet(s"$out/servepar/$a/batch-$b")
+            .select("query_id", "rrf_rank", "doc_id").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+          rows("a0") == rows("a1")
+        }
+        println(s"[r15probe] parallel == sequential: $equal/8 batches equal")
+
+      case other => sys.error(s"unknown arm $other (textcdc|ann500|anncdc|servepar)")
     }
     spark.stop()
   }

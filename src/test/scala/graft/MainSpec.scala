@@ -459,6 +459,49 @@ class MainSpec extends SparkSpec {
     assert(restat.rowsIn == 0, s"restart must skip the quarantined batch: $restat")
   }
 
+  test("serve loop: parallel=2 answers concurrently — per-batch results identical to sequential; a poison batch quarantines without taking the round down") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_main_servepar").toString
+    Seq((1L, "alpha join plan"), (2L, "beta sort spill"), (3L, "gamma alpha hash"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs.parquet")
+    Main.runPipeline(spark, Seq("text-index-build",
+      s"in=$base/docs.parquet", s"index=$base/tidx", "tparts=8"))
+    // four good batches + one poison (no qtext), ALL visible in the
+    // first poll round — the parallel pool meets them at once
+    val good = Seq("b1" -> "alpha", "b2" -> "beta sort",
+                   "b4" -> "gamma", "b5" -> "alpha hash")
+    good.zipWithIndex.foreach { case ((n, q), i) =>
+      Seq((100L + i, q)).toDF("query_id", "qtext").write.parquet(s"$base/q/$n") }
+    Seq((7L, "oops")).toDF("query_id", "wrongcol").write.parquet(s"$base/q/b3")
+    val st = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/q", s"out=$base/par", s"text-index=$base/tidx",
+      "topk=3", "pollms=100", "maxbatches=4", "parallel=2"))
+    assert(st.rowsIn == 4, s"four good batches must serve: $st")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/par/b3/_FAILED")),
+      "the poison batch must quarantine under parallel too")
+    // sequential loop, SAME queries, second out dir: parallelism is a
+    // scheduling choice, not a semantics one — per-batch answers equal
+    val seqSt = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/q", s"out=$base/seq", s"text-index=$base/tidx",
+      "topk=3", "pollms=100", "maxbatches=4"))
+    assert(seqSt.rowsIn == 4, s"$seqSt")
+    for ((n, _) <- good) {
+      def rows(d: String) = spark.read.parquet(s"$base/$d/$n")
+        .select("query_id", "rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows("par") == rows("seq"), s"batch $n parallel != sequential")
+    }
+    // the synchronized log survived concurrent writers: 5 attempts
+    // (4 ok + 1 failed), no torn/dropped records
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/par/serve_log.jsonl")),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
+    assert(log.size == 5, s"five attempt records: $log")
+    assert(log.count(_.contains("\"ok\":true")) == 4, s"$log")
+    assert(log.count(_.contains("\"ok\":false")) == 1, s"$log")
+  }
+
   test("takedown: one command sweeps sig + text + vector stores AND survivors; crashed sweep self-repairs; replay is a no-op") {
     val s = spark
     import s.implicits._
