@@ -636,7 +636,12 @@ object Main {
         }
         def jesc(s0: String): String =
           s0.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-                       case '\n' => "\\n"; case '\r' => ""; case c => s"$c" }
+                       case '\n' => "\\n"; case '\r' => ""
+                       // Spark error messages carry tabs/control chars
+                       // (plan fragments); raw they make the record
+                       // RFC-invalid for every strict JSON reader
+                       case c if c < ' ' => f"\\u${c.toInt}%04x"
+                       case c => s"$c" }
         var prevTok: Option[(Option[(Long, Int)], Option[(Long, Int)])] = None
         // one lock covers the log buffer, the warm/prevTok comparison,
         // and the processed/rowsOut counters — everything parallel
@@ -661,7 +666,7 @@ object Main {
         }
         def processOne(name: String): Unit = {
           val t1 = System.nanoTime()
-          try {
+          def once(): Long = {
             val hits = answer(spark.read.parquet(s"$qDir/$name"))
               .localCheckpoint()
             hits.write.mode("overwrite").parquet(s"$outDir/$name")
@@ -671,6 +676,22 @@ object Main {
             // GC schedule (the r13 df-guard adjudication's own
             // argument, applied to this loop per r14 VERDICT #2)
             hits.unpersist()
+            n
+          }
+          try {
+            // ONE retry before quarantine: under parallel serving an
+            // out-of-band CDC delete + vacuum can retire files a
+            // still-running batch's evicted cache blocks recompute
+            // from (the warm caches re-validate per batch, but a
+            // batch ALREADY in flight holds the old plan) — the retry
+            // re-resolves the new generation and succeeds. A truly
+            // poison batch fails twice (fast — analysis errors die
+            // before any job runs) and quarantines as before.
+            val n = try once() catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] serve: $name attempt 1 failed " +
+                s"(${e.getClass.getSimpleName}) — retrying once before quarantine")
+              once()
+            }
             val done2 = lock.synchronized { rowsOut += n; processed += 1; processed }
             val w = (System.nanoTime() - t1) / 1e9
             logBatch(name, w, n, ok = true, None)
@@ -706,8 +727,11 @@ object Main {
             val ready0 = readyBatches()
             val ready =
               if (maxBatches > 0)
-                ready0.take(math.max(0L, maxBatches -
-                  lock.synchronized(processed)).toInt)
+                // clamp BEFORE toInt: a maxbatches above Int.MaxValue
+                // ("effectively unlimited") must not truncate to a
+                // 0/negative take that would wedge the loop forever
+                ready0.take(math.min(ready0.size.toLong,
+                  math.max(0L, maxBatches - lock.synchronized(processed))).toInt)
               else ready0
             pool match {
               case Some(p) =>
@@ -1057,14 +1081,37 @@ object Main {
           val asofMs = opts.get("asof").map(_.toLong)
             .getOrElse(System.currentTimeMillis())
           val tdDir = s"$state/takedowns/td=$fp"
-          val prior: Map[String, Long] =
-            if (!pExT(tdDir)) Map.empty
-            else {
-              val r = spark.read.parquet(tdDir).head()
+          val tdStage = s"$state/takedowns/.td-stage-$fp"
+          def hasParquet(d: String) = pExT(d) &&
+            fsT.listStatus(hpT(d)).exists(f =>
+              f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+          // entry-time repair (the sweep's own stage/swap discipline,
+          // applied to the journal): the record is staged then swapped
+          // below, so a crash ANYWHERE in the overwrite leaves either
+          // the old record in place or the newer cumulative record in
+          // the stage — adopt the stage when present (it is strictly
+          // newer), never reset the totals to this replay's zeros and
+          // never die on a parquet-less td= dir forever after
+          if (hasParquet(tdStage)) {
+            fsT.delete(hpT(tdDir), true)
+            require(fsT.rename(hpT(tdStage), hpT(tdDir)),
+              s"takedown: could not repair journal record at $tdDir")
+          } else fsT.delete(hpT(tdStage), true)
+          val priorRow: Option[org.apache.spark.sql.Row] =
+            if (!hasParquet(tdDir)) None
+            else spark.read.parquet(tdDir).take(1).headOption
+          val prior: Map[String, Long] = priorRow match {
+            case None => Map.empty
+            case Some(r) =>
               Seq("rows_removed", "sig_docs", "sig_band_rows", "posting_rows",
                 "vectors", "survivor_rows", "shard_rows", "pack_members")
                 .map(c => c -> r.getLong(r.fieldIndex(c))).toMap
-            }
+          }
+          // vacuumed is cumulative-OR like the counts: a replay without
+          // vacuum= must RE-AFFIRM that the original removal vacuumed
+          // the bytes, not erase the compliance-relevant fact
+          val priorVacuumed = priorRow.exists(r =>
+            r.getBoolean(r.fieldIndex("vacuumed")))
           def cum(c: String, v: Long) = lit(v + prior.getOrElse(c, 0L)).as(c)
           // prior counts were COLLECTED above (driver literals), so the
           // overwrite never reads the files it replaces
@@ -1075,8 +1122,11 @@ object Main {
             cum("posting_rows", swPostings), cum("vectors", swVectors),
             cum("survivor_rows", swSurvivors), cum("shard_rows", swShardRows),
             cum("pack_members", swPackMembers),
-            lit(opts.getOrElse("vacuum", "false").toBoolean).as("vacuumed"))
-            .coalesce(1).write.mode("overwrite").parquet(tdDir)
+            lit(doVacuum || priorVacuumed).as("vacuumed"))
+            .coalesce(1).write.mode("overwrite").parquet(tdStage)
+          fsT.delete(hpT(tdDir), true)
+          require(fsT.rename(hpT(tdStage), hpT(tdDir)),
+            s"takedown: could not swap journal record into $tdDir")
         } finally {
           hb.close()
           releaseStateLease(spark, lease)

@@ -122,11 +122,45 @@ final class SigIndex(spark: SparkSession, dir: String, idCol: String,
       // would survive every takedown and trip sigsFor's corruption
       // error on the next clean batch. An empty batch (width 0)
       // witnesses nothing and passes.
-      readMetaBands().foreach(frozen =>
-        require(bandsPerDoc == 0 || bandsPerDoc == frozen,
-          s"index at $dir was written with bands=$frozen per doc; this " +
-            s"batch carries $bandsPerDoc — one banding config per index " +
-            "(a different writer must use its own directory)"))
+      readMetaBands() match {
+        case Some(frozen) =>
+          require(bandsPerDoc == 0 || bandsPerDoc == frozen,
+            s"index at $dir was written with bands=$frozen per doc; this " +
+              s"batch carries $bandsPerDoc — one banding config per index " +
+              "(a different writer must use its own directory)")
+        case None if bandsPerDoc > 0 =>
+          // meta without the line (legacy index, or a first batch that
+          // was EMPTY and couldn't witness the width): the refusal
+          // above never arms, so a mixed-width writer would slip in.
+          // Freeze the width NOW, at the first non-empty append —
+          // verified against the history's own witness first (one
+          // column-pruned max(band) scan; an empty history witnesses
+          // nothing), then published with the same tmp + rename +
+          // re-read discipline as bandParts (the rename may need a
+          // delete first on no-overwrite filesystems; the re-read
+          // makes every interleaving fail loudly, never silently).
+          val observed = bands.read() match {
+            case None => 0
+            case Some(df) =>
+              df.agg(coalesce(max(col("band")), lit(-1))).head().getInt(0) + 1
+          }
+          require(observed == 0 || observed == bandsPerDoc,
+            s"index at $dir carries history with bands=$observed per doc; " +
+              s"this batch carries $bandsPerDoc — one banding config per " +
+              "index (a different writer must use its own directory)")
+          val tmp = new Path(s"$dir/.tmp-meta-${java.util.UUID.randomUUID}")
+          val out = fs.create(tmp, true)
+          try out.write(s"bandParts=$resolvedBandParts\nbands=$bandsPerDoc\n"
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          fs.delete(metaPath, false)
+          fs.rename(tmp, metaPath)
+          require(readMeta().contains(resolvedBandParts) &&
+            readMetaBands().contains(bandsPerDoc),
+            s"index at $dir lost the bands=$bandsPerDoc publish race " +
+              s"(recorded: ${readMetaBands().getOrElse(-1)}) — retry the append")
+        case None => // empty batch: width stays unfrozen, as at create
+      }
     }
 
   private def hb(band: Column, h: Column): Column =

@@ -500,6 +500,18 @@ class MainSpec extends SparkSpec {
     assert(log.size == 5, s"five attempt records: $log")
     assert(log.count(_.contains("\"ok\":true")) == 4, s"$log")
     assert(log.count(_.contains("\"ok\":false")) == 1, s"$log")
+    // the failed record's error (a Spark analysis message with plan
+    // fragments) must be RFC-valid JSON: every control char escaped
+    assert(log.forall(l => !l.exists(_ < ' ')),
+      s"raw control characters in serve_log records: $log")
+    // maxbatches above Int.MaxValue ("effectively unlimited") must not
+    // truncate into a zero-length take that wedges the loop
+    new java.io.File(s"$base/q/.stop").createNewFile()
+    val bigSt = Main.runPipeline(spark, Seq("serve",
+      s"queries=$base/q", s"out=$base/big", s"text-index=$base/tidx",
+      "topk=3", "pollms=100", s"maxbatches=${1L << 32}"))
+    assert(bigSt.rowsIn == 4,
+      s"maxbatches=2^32 must serve the 4 good batches, not wedge: $bigSt")
   }
 
   test("takedown: one command sweeps sig + text + vector stores AND survivors; crashed sweep self-repairs; replay is a no-op") {
@@ -700,6 +712,28 @@ class MainSpec extends SparkSpec {
     assert(td2.length == 1, "a replay overwrites its OWN record")
     assert(f(td2.head, "shard_rows") == 3L && f(td2.head, "rows_removed") == f(td.head, "rows_removed"),
       "a no-op replay re-affirms the original totals, never zeroes them")
+    assert(td2.head.getBoolean(td2.head.fieldIndex("vacuumed")),
+      "a replay WITHOUT vacuum= must re-affirm that the original " +
+        "removal vacuumed the bytes, not erase the compliance fact")
+    // a crash between "delete old record" and "swap staged record in"
+    // leaves the newer cumulative record in the stage dir — the next
+    // replay must adopt it, not reset the totals to its own zeros
+    val tdRoot = new java.io.File(s"$base/state/takedowns")
+    val tdName = tdRoot.listFiles().map(_.getName).filter(_.startsWith("td=")).head
+    val fsJ = new org.apache.hadoop.fs.Path(s"$base/state/takedowns")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsJ.rename(
+      new org.apache.hadoop.fs.Path(s"$base/state/takedowns/$tdName"),
+      new org.apache.hadoop.fs.Path(
+        s"$base/state/takedowns/.td-stage-${tdName.stripPrefix("td=")}")),
+      "simulating the crash window")
+    val again2 = Main.runPipeline(spark, Seq("takedown", s"in=$base/doomed.parquet",
+      s"state=$base/state"))
+    assert(again2.rowsOut == 0, s"$again2")
+    val td3 = spark.read.parquet(s"$base/state/takedowns").collect()
+    assert(td3.length == 1 && f(td3.head, "rows_removed") == f(td.head, "rows_removed"),
+      "the crashed overwrite's staged record must be adopted, totals intact")
+    assert(td3.head.getBoolean(td3.head.fieldIndex("vacuumed")), s"${td3.head}")
     // pipeline-stats renders the journal
     val buf = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(buf, true)) {

@@ -301,6 +301,42 @@ class StreamingSpec extends SparkSpec {
     index.append(sixBand.limit(0), 4L)
   }
 
+  test("SigIndex freezes the width at the first NON-EMPTY append: empty-first-batch and legacy metas backfill, so the refusal still arms") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sigbackfill").toString
+    val index = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    // first batch EMPTY: meta exists but cannot witness a width —
+    // without the backfill the width check would never arm and a
+    // mixed-width writer could slip in forever after
+    index.append(Seq.empty[(Long, Array[Long], Array[Long])]
+      .toDF("doc_id", "sig", "bh"), 1L)
+    val sixteen = Seq((1L, Array.fill(128)(7L), Array.fill(16)(99L)))
+      .toDF("doc_id", "sig", "bh")
+    index.append(sixteen, 2L)
+    val sixBand = Seq((2L, Array.fill(128)(7L), Array.fill(6)(98L)))
+      .toDF("doc_id", "sig", "bh")
+    val e = intercept[IllegalArgumentException](index.append(sixBand, 3L))
+    assert(e.getMessage.contains("banding config"), e.getMessage)
+    // legacy meta (bands line removed by hand): the non-empty history
+    // witnesses 16 via the column-pruned scan, so a 6-band append
+    // refuses even BEFORE any backfill lands...
+    val metaP = new org.apache.hadoop.fs.Path(s"$base/index/meta.txt")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaP, false)
+    val out = fs.create(metaP, true)
+    try out.write("bandParts=64\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val reopened = new SigIndex(spark, s"$base/index", idCol = "doc_id")
+    val e2 = intercept[IllegalArgumentException](reopened.append(sixBand, 4L))
+    assert(e2.getMessage.contains("banding config"), e2.getMessage)
+    // ...and a same-width append freezes the line back, re-arming the
+    // cheap frozen-path refusal
+    reopened.append(sixteen, 5L)
+    val e3 = intercept[IllegalArgumentException](reopened.append(sixBand, 6L))
+    assert(e3.getMessage.contains("was written with bands=16"), e3.getMessage)
+  }
+
   test("SigIndex takedown on a legacy meta (no frozen banding width): the max(band) fallback resolves it") {
     val s = spark
     import s.implicits._
