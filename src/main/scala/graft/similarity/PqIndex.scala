@@ -152,7 +152,13 @@ class PqIndex(spark: SparkSession, dir: String,
       .getOrElse(sys.error(s"warm SQ8 cache: empty file set at $dir"))
       .select("neighbor_id", "cell", "sq")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  })
+  })(
+    // capped LSM merges just persist the delta-sized union: the rows
+    // arrive cell-clustered from their parent layers, so per-batch
+    // min/max pruning on `cell` keeps working — no re-layout here,
+    // same as the file path above
+    (rows, _) => rows.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   private[graft] def warmLayerCount: Int = sqWarmCache.layerCount
   private def warmSqFrame(): Option[DataFrame] = sqWarmCache.frame()
   /** Drop the warm sidecar cache (e.g. before handing the index to

@@ -124,15 +124,20 @@ class TextIndex(spark: SparkSession, dir: String,
   // a CONTIGUOUS tpart span, which is what the min/max prune needs.
   // Delta layers are small — they take min(parts, #files) partitions
   // so a 5k-doc layer doesn't fan into hundreds of near-empty tasks.
-  private val warmCache = new graft.sources.LayeredFileCache(store)({ files =>
-    store.readFileSubset(files)
-      .getOrElse(sys.error(s"warm cache: empty file set at $dir"))
-      .select("doc_id", "word", "tf", "dl", "tpart")
-      .repartitionByRange(
-        math.max(1, math.min(loadStats()._3, files.size)), col("tpart"))
+  // ONE layout body for both cache paths: a layer built from files
+  // and a capped LSM merge of two cached layers (delta-sized — the
+  // base layer is never re-read under pure appends) must agree on
+  // partitioning/sort/persist or the min/max prune degrades silently.
+  private def warmLayout(rows: DataFrame, nFiles: Int): DataFrame =
+    rows.repartitionByRange(
+        math.max(1, math.min(loadStats()._3, nFiles)), col("tpart"))
       .sortWithinPartitions("tpart", "word")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  })
+  private val warmCache = new graft.sources.LayeredFileCache(store)({ files =>
+    warmLayout(store.readFileSubset(files)
+      .getOrElse(sys.error(s"warm cache: empty file set at $dir"))
+      .select("doc_id", "word", "tf", "dl", "tpart"), files.size)
+  })(warmLayout)
   private[graft] def warmLayerCount: Int = warmCache.layerCount
   private def warmPostingsFrame(): Option[DataFrame] = warmCache.frame()
   /** Drop the warm postings cache (the next warm search re-reads and

@@ -20,7 +20,12 @@ import org.apache.spark.sql.DataFrame
   * check and rebuilds from scratch, which is the only sound response:
   * a retired file's rows may have been superseded. Layers are capped
   * (`maxLayers`) so per-read union overhead stays bounded; hitting
-  * the cap consolidates via a full rebuild.
+  * the cap merges the two layers with the FEWEST files (LSM-style,
+  * r15) — a delta-sized relayout from the already-cached frames, so a
+  * pure-append history never re-reads its base layer. The r15 first
+  * cut consolidated via a full file re-read instead, which put the
+  * whole-store rebuild (~the first-batch cost) back on every 8th
+  * generation — the exact cost the layering exists to avoid.
   *
   * Freshness is keyed on the store's generation token (manifest
   * version + live-file hash, never the bare version — a store deleted
@@ -31,10 +36,14 @@ import org.apache.spark.sql.DataFrame
   * `buildLayer` decides the cached LAYOUT (range-partitioning, sort,
   * column pruning, persist level) — the caller owns it because the
   * layout IS the win (a bare persist measured SLOWER than cold, r14);
-  * it is only ever called with a non-empty file list.
+  * it is only ever called with a non-empty file list. `relayout`
+  * applies the SAME layout (including the persist) to an in-memory
+  * union of layers — the merge path's twin of `buildLayer`, handed
+  * the merged file count so partition sizing can match.
   */
 final class LayeredFileCache(store: SnapshotStore, maxLayers: Int = 8)
-                            (buildLayer: Seq[String] => DataFrame) {
+                            (buildLayer: Seq[String] => DataFrame)
+                            (relayout: (DataFrame, Int) => DataFrame) {
   private var token: Option[(Long, Int)] = None
   private var layers: Vector[(Set[String], DataFrame)] = Vector.empty
 
@@ -56,11 +65,26 @@ final class LayeredFileCache(store: SnapshotStore, maxLayers: Int = 8)
         val liveSet = live.toSet
         val cachedSet = layers.iterator.flatMap(_._1).toSet
         val newFiles = live.filterNot(cachedSet)
-        if (layers.nonEmpty && cachedSet.subsetOf(liveSet) &&
-            layers.size < maxLayers) {
+        if (layers.nonEmpty && cachedSet.subsetOf(liveSet)) {
           // append-only delta: cache ONLY the new files as a layer
           if (newFiles.nonEmpty)
             layers = layers :+ ((newFiles.toSet, buildLayer(newFiles)))
+          // over the cap: merge the two layers with the FEWEST files
+          // (LSM-style) — a delta-sized relayout from the cached
+          // frames, never a whole-store file re-read. Materialize the
+          // merged layer BEFORE unpersisting its parents (after that,
+          // evicted blocks recompute from the still-live files — an
+          // append-only history retires nothing, so lineage holds).
+          while (layers.size > maxLayers) {
+            val bySize = layers.sortBy(_._1.size)
+            val (ka, fa) = bySize(0)
+            val (kb, fb) = bySize(1)
+            val merged = relayout(fa.unionByName(fb), (ka ++ kb).size)
+            merged.count()
+            fa.unpersist(); fb.unpersist()
+            layers = layers.filterNot(l => l._1 == ka || l._1 == kb) :+
+              ((ka ++ kb, merged))
+          }
           token = t
           union
         } else {

@@ -265,7 +265,45 @@ object ScaleProbeR15 {
         }
         println(s"[r15probe] parallel == sequential: $equal/8 batches equal")
 
-      case other => sys.error(s"unknown arm $other (textcdc|ann500|anncdc|servepar)")
+      // ---- the layer-cap transition: LSM merge vs whole rebuild ----
+      // Adopts the servepar text index (5M docs). 12 fresh-keyed adds
+      // with a warm search after each crosses the 8-layer cap several
+      // times; the cap-transition batches show the consolidation cost
+      // (the r15 first cut paid the ~77 s whole-store rebuild there;
+      // the LSM merge should pay a delta-sized relayout instead).
+      case "textcap" =>
+        val docs = spark.read.parquet(s"$dataDir/documents.parquet")
+          .select("doc_id", "text")
+        val idxDir = s"$out/servepar/tidx"
+        val built = new org.apache.hadoop.fs.Path(s"$idxDir/stats.txt")
+        if (!built.getFileSystem(hconf).exists(built))
+          timed("text index build")(new graft.similarity.TextIndex(spark, idxDir)
+            .build(docs))
+        val queries = docs.select(col("doc_id"), col("text"),
+            xxhash64(col("doc_id")).as("h"))
+          .orderBy("h").limit(100).collect().zipWithIndex.map { case (r, i) =>
+            (i, r.getString(1).split(' ').filter(_.startsWith("w")).take(2).mkString(" "))
+          }.toSeq.toDF("query_id", "qtext").localCheckpoint()
+        def delta(i: Int) = docs.limit(5000)
+          .withColumn("doc_id", col("doc_id") + lit(200000000L + i * 1000000L))
+          .localCheckpoint()
+        val warm = new graft.similarity.TextIndex(spark, idxDir, warmSearch = true)
+        val cold = new graft.similarity.TextIndex(spark, idxDir)
+        timed("warm batch 0 (cache build)")(noop(warm.search(queries, 10)))
+        (1 to 12).foreach { it =>
+          timed(s"add 5k (iter $it)")(warm.add(delta(it)))
+          timed(s"warm after add (iter $it, layers=${warm.warmLayerCount})")(
+            noop(warm.search(queries, 10)))
+        }
+        println(s"[r15probe] layers after 12 adds: ${warm.warmLayerCount}")
+        val cR = cold.search(queries, 10)
+          .select("query_id", "rank", "doc_id").collect().toSet
+        val wR = warm.search(queries, 10)
+          .select("query_id", "rank", "doc_id").collect().toSet
+        println(s"[r15probe] warm == cold ranks after cap merges: ${cR == wR} (${cR.size} rows)")
+        warm.releaseWarmCache()
+
+      case other => sys.error(s"unknown arm $other (textcdc|ann500|anncdc|servepar|textcap)")
     }
     spark.stop()
   }

@@ -235,17 +235,30 @@ class TextIndexSpec extends SparkSpec {
     truth = corpusA.unionByName(replaced)
     assert(rows(warm.search(qs, 10)) == rows(TextQueries.bm25Search(truth, qs, 10)))
     assert(warm.warmLayerCount == 1)
-    // the layer cap consolidates: enough fresh adds in a row must fold
-    // back into one base layer instead of unioning forever
+    // the layer cap merges LSM-style: enough fresh adds in a row must
+    // fold the two smallest layers (delta-sized) instead of unioning
+    // forever OR paying a whole-store rebuild — the base layer is
+    // never re-read under pure appends, so the count holds at exactly
+    // the cap (1 base + 8 adds = 9 → one merge → 8), never snapping
+    // back to 1 the way the old full consolidation did
     (0 until 8).foreach { i =>
       cold.add(Seq((910000L + i, s"fresh layering doc number$i hash join"))
         .toDF("doc_id", "text"))
       warm.search(qs, 10).collect()
     }
-    assert(warm.warmLayerCount <= 8,
-      s"layer count must stay capped, got ${warm.warmLayerCount}")
+    assert(warm.warmLayerCount == 8,
+      s"LSM cap: expected exactly 8 layers, got ${warm.warmLayerCount}")
     assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)),
-      "post-consolidation parity")
+      "post-merge parity")
+    // several more adds keep oscillating at the cap with parity intact
+    (8 until 11).foreach { i =>
+      cold.add(Seq((910000L + i, s"fresh layering doc number$i hash join"))
+        .toDF("doc_id", "text"))
+      warm.search(qs, 10).collect()
+    }
+    assert(warm.warmLayerCount == 8, s"${warm.warmLayerCount}")
+    assert(rows(warm.search(qs, 10)) == rows(cold.search(qs, 10)),
+      "parity after repeated cap merges")
     warm.releaseWarmCache()
   }
 
