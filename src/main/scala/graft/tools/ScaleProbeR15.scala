@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   *    both walls are pure loop mechanics. Small batches are the
   *    overlap regime: their stages can't fill the cores, so walls are
   *    per-job fixed costs. Parity-checked parallel == sequential.
+  *  - `textcap` — the warm cache's layer-cap transition at 5M docs:
+  *    12 fresh-keyed adds with a warm batch after each cross the
+  *    8-layer cap repeatedly; the LSM merge should keep cap-batches
+  *    at the layered wall (the first cut paid a ~66 s whole-store
+  *    rebuild there). Parity-checked against cold after the merges.
   *
   * {{{ runMain graft.tools.ScaleGen /root/testdata/sf0.1 bench_scratch/sf1000 1000 corpus-only }}}
   * {{{ runMain graft.tools.ScaleProbeR15 textcdc bench_scratch/sf1000 /tmp/graft_r15probe }}}
