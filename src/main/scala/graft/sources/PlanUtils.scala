@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Plan-shaping helpers. */
 object PlanUtils {
@@ -14,5 +14,23 @@ object PlanUtils {
   def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** [[fanout]] keyed on a deterministic high-cardinality expression —
+    * the r15 form for UNSPLITTABLE inputs (guide §2.5: a single-row-
+    * group parquet file scans as one task however small
+    * `maxPartitionBytes` is set). Hash repartitioning skips the local
+    * sort round-robin repartition pays (`sortBeforeRepartition`, on by
+    * default since SPARK-23207, exists so RETRIED round-robin tasks
+    * reproduce their row→partition assignment; a hash of a
+    * deterministic key needs no such crutch), so the serial scan task
+    * does strictly less work. Same adaptivity contract as [[fanout]]:
+    * a no-op whenever the scan is already at least as parallel as the
+    * session, i.e. every real multi-row-group layout. Callers pick a
+    * key with ≫ parallelism distinct values (guide §2.5's 20-100×
+    * rule) so the hash spreads evenly. */
+  def fanoutBy(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
 }
