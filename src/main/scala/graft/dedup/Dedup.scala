@@ -114,7 +114,12 @@ object Dedup {
     * inside the row, so `shared_windows` counts distinct windows. */
   def substringPairs(df: DataFrame, text: Column, id: String,
                      windowTokens: Int = 10): DataFrame = {
-    val g = df.select(col(id).as("doc_id"), shingles(text, windowTokens).as("s"))
+    // r15: same scan fanout as jaccardPairs — the window shingling is
+    // the expensive per-row stage and must not run inside a serial
+    // single-row-group scan task (guide §2.5); no-op on parallel inputs
+    val g = graft.sources.PlanUtils.fanoutBy(
+        df.select(col(id).as("doc_id"), text.as("t")), col("doc_id"))
+      .select(col("doc_id"), shingles(col("t"), windowTokens).as("s"))
       .select(col("doc_id"), explode(transform(col("s"), x => xxhash64(x))).as("gh"))
       .repartition(col("gh")) // exchange-reuse barrier for the self-join
     val a = g.select(col("gh"), col("doc_id").as("doc_a"))
@@ -166,12 +171,25 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    val sh = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
+    // r15: fanoutBy before shingling (guide §2.5 — the serial single-
+    // row-group scan trap; see jaccardPairs). `sh` has THREE consumers
+    // (the signature pass + both verification join sides), each of
+    // which re-executes the shingling — the fanout makes each of those
+    // passes parallel; at scale it is a no-op and the 3-scan shape is
+    // unchanged.
+    val sh = graft.sources.PlanUtils.fanoutBy(
+        df.select(col(id).as("doc_id"), text.as("t")), col("doc_id"))
+      .select(col("doc_id"), shingles(col("t"), k).as("s"))
       .filter(size(col("s")) > 0)
     // barrier (see simhashPairs): materialize the signature once
-    // instead of letting CollapseProject recompute it per band hash
-    val sig = graft.sources.PlanUtils.fanout(
-        sh.select(col("doc_id"), minhashSignature(col("s"), numPerm, seed).as("sig")))
+    // instead of letting CollapseProject recompute it per band hash.
+    // r15: barrierBy, not the conditional fanout — with the scan
+    // fanout below, `fanout` would be a no-op and the barrier (and
+    // its exchange reuse across both band-join sides) would silently
+    // vanish
+    val sig = graft.sources.PlanUtils.barrierBy(
+        sh.select(col("doc_id"), minhashSignature(col("s"), numPerm, seed).as("sig")),
+        col("doc_id"))
       .withColumn("bh", bandHashes(col("sig"), bands, r))
     val bandsEx = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
     val cand = bandsEx.select(col("band"), col("h"), col("doc_id").as("doc_a"))
@@ -205,10 +223,19 @@ object Dedup {
                                seed: Long = 42L): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    def sh(df: DataFrame) = df.select(col(id).as("doc_id"), shingles(text, k).as("s"))
+    // r15: scan fanout before shingling + unconditional signature
+    // barrier, for the same two reasons as [[minhashLshPairs]] (serial
+    // single-row-group scans; a conditional barrier disappears once
+    // the input is parallel). Applied to BOTH sides: the eval side is
+    // tiny so its extra exchange is noise, and one `sh` definition
+    // keeps the two tokenizations structurally identical.
+    def sh(df: DataFrame) = graft.sources.PlanUtils.fanoutBy(
+        df.select(col(id).as("doc_id"), text.as("t")), col("doc_id"))
+      .select(col("doc_id"), shingles(col("t"), k).as("s"))
       .filter(size(col("s")) > 0)
-    def banded(shDf: DataFrame) = graft.sources.PlanUtils.fanout(
-        shDf.select(col("doc_id"), minhashSignature(col("s"), numPerm, seed).as("sig")))
+    def banded(shDf: DataFrame) = graft.sources.PlanUtils.barrierBy(
+        shDf.select(col("doc_id"), minhashSignature(col("s"), numPerm, seed).as("sig")),
+        col("doc_id"))
       .withColumn("bh", bandHashes(col("sig"), bands, r))
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
     val bigSh = sh(big)
@@ -297,8 +324,12 @@ object Dedup {
     // the exchange to one partition and serialize the (potentially
     // quadratic) block join onto one core — observed 22 min single-task
     // on a degenerate 50k-doc corpus.
-    val sigs = df.select(col(id).as("doc_id"),
-        simhash(TextFunctions.words(text)).as("sig"))
+    // r15: fanoutBy before the signature projection — tokenization +
+    // the two rolling hashes per word otherwise run inside the serial
+    // single-row-group scan task (guide §2.5); no-op on parallel inputs
+    val sigs = graft.sources.PlanUtils.fanoutBy(
+        df.select(col(id).as("doc_id"), text.as("t")), col("doc_id"))
+      .select(col("doc_id"), simhash(TextFunctions.words(col("t"))).as("sig"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val blocksAll = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(j =>

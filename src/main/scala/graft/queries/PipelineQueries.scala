@@ -47,7 +47,12 @@ object PipelineQueries {
     * clean-output contract can't fork (`keepText` only inserts the
     * text column for the pipeline form). */
   private def scoreAndFloor(kept: DataFrame, keepText: Boolean = false): DataFrame =
-    kept
+    // r15: fanoutBy before scoring — the quality rules + BPE encode are
+    // the heaviest per-row work in the clean and otherwise run inside
+    // the serial single-row-group scan task (guide §2.5: repartition
+    // immediately after an unsplittable read). No-op when the input is
+    // already parallel (the incremental path, real multi-file layouts).
+    graft.sources.PlanUtils.fanoutBy(kept, col("doc_id"))
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= QualityFloor)
       .select(
@@ -852,8 +857,10 @@ object PipelineQueries {
     * (Main does exactly that; the gate queries keep the pure two-scan
     * plan their oracle pins). */
   private[graft] def tokenizeDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-      size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
+    // r15: scan fanout (guide §2.5); no-op on parallel inputs
+    graft.sources.PlanUtils.fanoutBy(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"))
 
   /** Trained-BPE pricing for the mixing/budget machinery — identical
     * projection to [[tokenizeDocs]] but `n_tokens` counts tokens
@@ -867,18 +874,23 @@ object PipelineQueries {
     * the `tokens=` knob on the CLI (`corpus-mix`/`select-budget`/the
     * DAG mix stage). */
   private[graft] def tokenizeDocsBpe(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-      size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
-        .cast("long").as("n_tokens"))
+    // r15: fanoutBy — trained-BPE encode is the most expensive per-row
+    // expression in the repo; never run it in a serial scan (guide §2.5)
+    graft.sources.PlanUtils.fanoutBy(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
+          .cast("long").as("n_tokens"))
 
   /** [[scoreDocs]] priced in trained-BPE tokens — the `tokens=bpe`
     * select-budget form (quality unchanged; only the budget
     * denomination moves). */
   private[graft] def scoreDocsBpe(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-      size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
-        .cast("long").as("n_tokens"),
-      qualityScore(col("text")).as("quality"))
+    // r15: same scan fanout as scoreDocs/tokenizeDocsBpe (guide §2.5)
+    graft.sources.PlanUtils.fanoutBy(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.Bpe.bpeEncode(col("text"), graft.functions.Bpe.builtin))
+          .cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
 
   /** [[corpusMix]] denominated in trained-BPE tokens — the gate form
     * of `tokens=bpe` (same equal-share budget, same residue filter;
@@ -1310,9 +1322,15 @@ object PipelineQueries {
     scoreDocs(Tables.load(spark, dir, "documents"))
 
   private[graft] def scoreDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-      size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
-      qualityScore(col("text")).as("quality"))
+    // r15: fanoutBy before the BPE + quality projection (guide §2.5 —
+    // the serial single-row-group scan trap; no-op on parallel inputs).
+    // Consumers that score twice (the pruned form's histogram + final
+    // passes — the documented supply-first trade) get two PARALLEL
+    // passes instead of two serial ones.
+    graft.sources.PlanUtils.fanoutBy(docs, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(bpeTokens(col("text"))).cast("long").as("n_tokens"),
+        qualityScore(col("text")).as("quality"))
 
   def corpusSelectBudget(spark: SparkSession, dir: String): DataFrame =
     corpusSelectBudgetDocs(Tables.load(spark, dir, "documents"), SelectBudgetTokens)
@@ -1444,7 +1462,11 @@ object PipelineQueries {
   def corpusStatsDocs(docs0: DataFrame): DataFrame = {
     val docs = if (docs0.columns.contains("n_chars")) docs0
       else docs0.withColumn("n_chars", length(col("text")).cast("long"))
-    docs
+    // r15: fanoutBy so the BPE + quality work inside the partial
+    // aggregate runs parallel instead of inside the serial scan task
+    // (guide §2.5); the groupBy(lang) exchange then carries only the
+    // per-partition partials. No-op on parallel inputs.
+    graft.sources.PlanUtils.fanoutBy(docs, col("doc_id"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),

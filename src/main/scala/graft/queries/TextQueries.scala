@@ -15,6 +15,18 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
+  /** r15: [[docs]] behind a scan fanout (guide §2.5) — the testdata's
+    * single-row-group parquet scans as ONE task, so per-row expression
+    * work (BPE encode, regex passes, langid scoring) that codegen
+    * fuses into the scan stage runs serial however many cores the
+    * session has. `fanoutBy` is a no-op whenever the scan is already
+    * parallel (multi-row-group / multi-file layouts — the 100 TB
+    * case). Used by the queries whose per-row work dominates; trivial
+    * projections (fingerprint, chunks) stay on the bare scan, where an
+    * exchange costs more than it saves (measured). */
+  private def docsFanned(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.PlanUtils.fanoutBy(docs(spark, dir), col("doc_id"))
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
@@ -50,7 +62,7 @@ object TextQueries {
     * is bit-identical cross-engine (null where a language has no
     * pre-tokens, in both engines). */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame =
-    bpeFertilityDocs(docs(spark, dir))
+    bpeFertilityDocs(docsFanned(spark, dir))
 
   /** [[bpeFertility]] over an arbitrary (lang, text) frame under a
     * caller-supplied model — the spec / trained-model form. */
@@ -89,7 +101,7 @@ object TextQueries {
   }
 
   def textLangid(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    docsFanned(spark, dir).select(
       col("doc_id"), col("lang"), langId(col("text")).as("predicted_lang"))
 
   /** Character-trigram language ID — the production-grade upgrade of
@@ -100,7 +112,7 @@ object TextQueries {
     * ([[graft.functions.LangProfiles]]) and are embedded into the
     * DuckDB oracle, so the scorer is gate-checked end-to-end. */
   def textLangidNgram(spark: SparkSession, dir: String): DataFrame =
-    langIdNgram(docs(spark, dir))
+    langIdNgram(docsFanned(spark, dir))
 
   /** The trigram scorer on any `(doc_id, lang, text)` frame. Plan: one
     * tokenize+trigram explode over the corpus, a broadcast join against
@@ -231,7 +243,7 @@ object TextQueries {
     * production corpus gets. Patterns are cross-engine-stable (no
     * lookarounds), all per-row codegen. */
   def textPii(spark: SparkSession, dir: String): DataFrame =
-    piiScrub(docs(spark, dir))
+    piiScrub(docsFanned(spark, dir))
 
   /** The PII transform on any `(doc_id, text)` frame. */
   def piiScrub(in: DataFrame): DataFrame = {
@@ -287,13 +299,20 @@ object TextQueries {
   def textKeywords(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
-    val terms = docs(spark, dir)
+    // r15: docsFanned so the tokenize+explode+partial-agg runs parallel
+    // instead of inside the serial single-row-group scan (guide §2.5)
+    val terms = docsFanned(spark, dir)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
       .filter(!col("word").isInCollection(stopwords))
-    // fanout barrier: tf feeds both the df aggregate and the join probe
-    // — without it the term explode + count re-runs per consumer
-    val tf = graft.sources.PlanUtils.fanout(
-      terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+    // barrier: tf feeds both the df aggregate and the join probe —
+    // without it the term explode + count re-runs per consumer. r15:
+    // barrierBy(word), not the conditional round-robin fanout — the
+    // scan fanout above would turn `fanout` into a no-op and silently
+    // drop the reuse barrier, and KEYING the barrier on `word` lets
+    // the dfreq aggregate reuse the exchange's partitioning outright
+    // (one Exchange where the round-robin form needed two).
+    val tf = graft.sources.PlanUtils.barrierBy(
+      terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")), col("word"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // corpus size as a 1-row broadcast, not an eager driver count():
     // building the plan must not launch a job
@@ -355,7 +374,7 @@ object TextQueries {
     * with a doc_id tiebreak, and ties are exact-equal score groups so
     * both engines order them identically. */
   def searchBm25(spark: SparkSession, dir: String, topK: Int = 10): DataFrame =
-    bm25Search(docs(spark, dir), Bm25QuerySet, topK)
+    bm25Search(docsFanned(spark, dir), Bm25QuerySet, topK)
 
   /** The BM25 transform on any `(doc_id, text)` frame + query list. */
   def bm25Search(in: DataFrame, querySet: Seq[(Int, String)], topK: Int): DataFrame = {
@@ -503,7 +522,7 @@ object TextQueries {
       (b.toLong * 2654435761L + 97L) % 2003L - 1001L)
 
   def textQualityModel(spark: SparkSession, dir: String): DataFrame =
-    qualityModelScore(docs(spark, dir), qualityModelWeights)
+    qualityModelScore(docsFanned(spark, dir), qualityModelWeights)
 
   /** TRAIN the model-based quality filter in-repo: multinomial
     * Naive-Bayes log-count-ratio weights (Wang & Manning 2012, public

@@ -203,7 +203,15 @@ object Similarity {
     * Used for BOTH corpus assignment and query probing, so the two
     * sides always agree on cell geometry. */
   def ivfAssign(vec: Column, model: IvfModel): Column =
-    element_at(probeCells(vec, model, 1), 1)
+    // r15: array_min, not probeCells(…, 1) — assignment needs only the
+    // argmin, and array_min is one O(nCells) pass with no sorted-copy
+    // allocation where array_sort pays O(nCells·log nCells) per ROW
+    // (semdedup assigns every corpus row against ~4√n centroids — at
+    // 178 cells this was ~40% of the assignment stage). Identical
+    // result: struct ordering compares `d` then `cell`, exactly the
+    // (distance, lower-id-wins) rule the sorted form's head obeys,
+    // NaN ordered last by both.
+    array_min(array(cellDists(vec, model): _*)).getField("cell")
 
   /** The `nProbe` closest cell ids for `vec`, closest first. The
     * ranking key is `‖c‖² − 2·v·c`, NOT the full `‖v−c‖²`: the
@@ -213,13 +221,18 @@ object Similarity {
     * `dot(vec, vec)` would re-evaluate the vec expression twice more
     * per cell (measured 3× on the OPQ-rotated encode, where `vec` is a
     * 4096-FLOP MatVecFloat). */
-  def probeCells(vec: Column, model: IvfModel, nProbe: Int): Column = {
+  def probeCells(vec: Column, model: IvfModel, nProbe: Int): Column =
+    slice(array_sort(array(cellDists(vec, model): _*)), 1, nProbe)("cell")
+
+  /** The per-cell `(distance-rank, cell)` structs [[probeCells]] sorts
+    * and [[ivfAssign]] takes the min of — one definition so the two
+    * consumers cannot disagree on the ranking key. */
+  private def cellDists(vec: Column, model: IvfModel): IndexedSeq[Column] = {
     import graft.functions.VectorFunctions.dot
-    val dists = model.centroids.zipWithIndex.map { case (ctr, idx) =>
+    model.centroids.zipWithIndex.map { case (ctr, idx) =>
       val cNormSq = ctr.map(x => x.toDouble * x.toDouble).sum
       struct((lit(cNormSq) - lit(2.0) * dot(vec, lit(ctr))).as("d"), lit(idx).as("cell"))
-    }
-    slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe)("cell")
+    }.toIndexedSeq
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer splits the

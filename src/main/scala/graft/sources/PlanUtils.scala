@@ -33,4 +33,23 @@ object PlanUtils {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
   }
+
+  /** UNCONDITIONAL keyed exchange — the materialization-barrier form.
+    * [[fanout]]/[[fanoutBy]] are conditional (no-op once the input is
+    * parallel), which makes them unusable as exchange-REUSE barriers:
+    * a multi-consumer subtree behind a conditional barrier silently
+    * recomputes per consumer the moment something upstream widens the
+    * input (exactly what happened when r15's scan fanout landed below
+    * the old `fanout(...)` barriers). This one always materializes:
+    * every consumer of the returned frame reads ONE shuffle output
+    * instead of re-executing the subtree (guide §2.4 "two operations
+    * keyed the same way can often share one exchange"). The partition
+    * count is PINNED to `defaultParallelism` (AQE respects explicit
+    * counts) so size-based coalescing cannot collapse a small-byte /
+    * compute-heavy frame onto one core — the simhashPairs lesson
+    * (22 min single-task block join on a degenerate corpus). Key on a
+    * high-cardinality deterministic column; keyed hashing skips
+    * round-robin's sortBeforeRepartition pass. */
+  def barrierBy(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 }
