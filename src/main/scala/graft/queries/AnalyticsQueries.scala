@@ -72,8 +72,19 @@ object AnalyticsQueries {
       .select("c_custkey")
     val ord = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
+    // r15: keyed fanout of the PROBE side after filter+projection — the
+    // single-row-group scan otherwise runs the join probe + partial agg
+    // serial (guide §2.5), and keying on l_orderkey means the
+    // o_orderkey-grouped aggregate REUSES the partitioning (no new
+    // exchange: HashPartitioning(l_orderkey) clusters every group key).
+    // Round-robin fanout was measured and rejected here earlier in the
+    // round; the same keyed fanout on q5's unfiltered lineitem was also
+    // measured and rejected (0.60 -> 0.93 — no selective filter, so the
+    // exchange carries the whole table for a narrower win).
+    val li = graft.sources.PlanUtils.fanoutBy(
+      t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      col("l_orderkey"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
@@ -111,7 +122,12 @@ object AnalyticsQueries {
     * the reference's `user_activity_summary` source table
     * (reference: src/config/tag_config.py table mappings). */
   def userActivitySummary(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    // r15: keyed fanout on the groupBy column — the countDistinct
+    // expand + partial agg otherwise run inside the serial
+    // single-row-group scan (guide §2.5); partitioning reused by the
+    // aggregate, no-op on parallel scans
+    graft.sources.PlanUtils.fanoutBy(
+      t(spark, dir, "events"), col("user_id"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
