@@ -600,10 +600,16 @@ object Dedup {
     // fanout barrier: assignment + norm feed both join sides — without
     // it the argmin (nClusters dot products per row) re-executes per
     // consumer, same lesson as embeddingPairs
-    val v = graft.sources.PlanUtils.fanout(
+    // r15: barrierBy, not the conditional round-robin fanout — the
+    // assignment feeds BOTH join sides, so the exchange must always
+    // materialize (a conditional barrier vanishes on parallel inputs
+    // and the argmin re-executes per side), and a keyed exchange skips
+    // round-robin's sortBeforeRepartition pass
+    val v = graft.sources.PlanUtils.barrierBy(
       base.select(col("id"), col("vec"),
           Similarity.ivfAssign(col("vec"), model).as("cell"))
-        .withColumn("nrm", norm(col("vec"))))
+        .withColumn("nrm", norm(col("vec"))),
+      col("id"))
     val a = v.select(col("cell"), col("id").as("vec_a"),
       col("vec").as("va"), col("nrm").as("na"))
     val b = v.select(col("cell"), col("id").as("vec_b"),

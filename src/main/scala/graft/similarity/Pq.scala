@@ -163,8 +163,12 @@ object Pq {
     def rotated(df: DataFrame) = df.select(col("id"),
       ofExpr(graft.functions.expr.MatVecFloat(
         toExpr(col("vec")), model.rotation, dim, dim)).as("vec"))
-    pqTopK(rotated(queries), rotated(corpus), topK, dim, m, k, seed,
-      prefit = Some(model.pq))
+    // r15: fan the corpus BEFORE the rotation so the 4096-FLOP MatVec
+    // runs post-exchange in parallel (pqTopK's own fanout then no-ops,
+    // keeping encode in the same parallel stage); guide §2.5
+    pqTopK(rotated(queries),
+      rotated(graft.sources.PlanUtils.fanoutBy(corpus, col("id"))),
+      topK, dim, m, k, seed, prefit = Some(model.pq))
   }
 
   // ---- OPQ + IVF-PQ composed (FAISS "OPQ,IVF,PQ" index chain) ----
@@ -209,8 +213,10 @@ object Pq {
     val model = prefit.getOrElse(fitOpqIvfPq(corpus, dim, m, k, nCells, seed = seed))
     // rotation FUSED into the one-pass expressions on BOTH sides
     // (IvfPqEncode / IvfPqProbe) — no barrier, nothing materialized
-    val codes = graft.sources.PlanUtils.fanout(
-      encodeIvfPq(corpus, model.pq, model.coarse, Some(model.rotation)))
+    // r15: fanout below the fused rotate+encode (see pqTopK)
+    val codes = encodeIvfPq(
+      graft.sources.PlanUtils.fanoutBy(corpus, col("id")),
+      model.pq, model.coarse, Some(model.rotation))
     searchCodes(queries, codes, topK, model.pq, model.coarse, nProbe,
       rotation = Some(model.rotation))
   }
@@ -288,10 +294,15 @@ object Pq {
              m: Int = 8, k: Int = 16, seed: Long = 42L,
              prefit: Option[Model] = None): DataFrame = {
     val model = prefit.getOrElse(fit(corpus, dim, m, k, seed = seed))
-    val codes = graft.sources.PlanUtils.fanout(
-      corpus.select(col("id").as("neighbor_id"),
+    // r15: fanout BELOW the encode projection (the old form exchanged
+    // the finished codes, which materialized them but left the encode
+    // itself inside the serial single-row-group scan task — guide
+    // §2.5). `codes` has exactly one consumer, so no reuse barrier is
+    // needed above the encode; keyed fanout, no-op on parallel scans.
+    val codes = graft.sources.PlanUtils.fanoutBy(corpus, col("id"))
+      .select(col("id").as("neighbor_id"),
         ofExpr(PqEncode(toExpr(col("vec")), model.codebooks, model.m, model.k, model.subDim)).as("codes"),
-        norm(col("vec")).as("cn")))
+        norm(col("vec")).as("cn"))
     val q = queries.select(col("id").as("query_id"),
       ofExpr(PqLut(toExpr(col("vec")), model.codebooks, model.m, model.k, model.subDim)).as("lut"),
       norm(col("vec")).as("qn"))
@@ -412,7 +423,10 @@ object Pq {
                 prefitCoarse: Option[Similarity.IvfModel] = None): DataFrame = {
     val coarse = prefitCoarse.getOrElse(Similarity.ivfFit(corpus, nCells, seed))
     val model = prefit.getOrElse(fitResidual(corpus, coarse, dim, m, k, seed = seed))
-    val codes = graft.sources.PlanUtils.fanout(encodeIvfPq(corpus, model, coarse))
+    // r15: fanout below the encode (see pqTopK) — the fused
+    // IvfPqEncode runs post-exchange in parallel; single consumer
+    val codes = encodeIvfPq(
+      graft.sources.PlanUtils.fanoutBy(corpus, col("id")), model, coarse)
     searchCodes(queries, codes, topK, model, coarse, nProbe)
   }
 }

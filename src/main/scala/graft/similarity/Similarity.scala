@@ -46,9 +46,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = graft.sources.PlanUtils.fanout(
-      corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
-        .withColumn("cn", norm(col("cv"))))
+    // r15: keyed fanout BELOW the norm projection (no round-robin
+    // sort, and the norm runs post-exchange in parallel instead of
+    // inside the serial single-row-group scan — guide §2.5); single
+    // consumer, no-op on parallel scans
+    val c = graft.sources.PlanUtils.fanoutBy(corpus, col("id"))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -85,7 +89,9 @@ object Similarity {
           posexplode(ofExpr(graft.functions.expr.RhpBandKeys(
             toExpr(col(vc)), planes, bands, bitsPerBand))).as(Seq("band", "key")))
     val q = withBands(queries, "query_id", "qv", "qn")
-    val c = withBands(graft.sources.PlanUtils.fanout(corpus), "neighbor_id", "cv", "cn")
+    // r15: keyed, not round-robin — skips sortBeforeRepartition
+    val c = withBands(graft.sources.PlanUtils.fanoutBy(corpus, col("id")),
+      "neighbor_id", "cv", "cn")
     // Score DURING the band join — both vectors are already co-located
     // (q is broadcast, cv comes straight off the scan), so no exchange
     // ever carries a vector. A pair matching several bands is scored
